@@ -1,0 +1,318 @@
+"""Per-partition ordered-processing state machine (pure numpy/Arrow, no Ray).
+
+Re-implements, from its documented observable contract, the semantics of
+Beam's ``OrderedEventProcessor`` as used by the reference
+(dependency at order-book-pipeline/pom.xml:55-58; contract documented at
+docs/pipeline-design.md:117-122 and evidenced by
+order-book-pipeline/.../OrderBookProcessingPipelineTest.java:92-195):
+
+- an event whose sequence == last_processed + 1 is processed immediately and
+  any now-contiguous buffered run is drained;
+- an event with a larger sequence is buffered (gap detected);
+- an event with sequence <= last_processed, or equal to a buffered sequence,
+  is counted as a duplicate and dropped;
+- one result row is emitted per processed event, plus a processing-status
+  record stream (received/buffered/duplicate counts, last processed sequence,
+  earliest/latest buffered bounds).
+
+The drain is vectorized across all keys of the partition: sort the combined
+(buffer + new batch) by (key, seq); within each key the post-dedup sequence
+values are strictly increasing, so with k = rank within key and
+start = next expected seq, the contiguously-emittable prefix is exactly the
+rows where ``seq - (start + k) == 0``.
+
+This module is deliberately Ray-free so the state machine is unit-testable
+in-process; ``ordered.py`` wraps it in a sharded actor pool.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .schema import ARRIVAL, KEY, SEQ, STATUS_SCHEMA
+
+
+@dataclass
+class OrderedConfig:
+    """≙ OrderedProcessingHandler knobs (reference:
+    OrderBookOrderedProcessingHandler.java:25-42, OrderBookProducer.java:59-76).
+    """
+
+    key: str = KEY
+    seq: str = SEQ
+    initial_seq: int = 0          # ≙ EventExaminer.isInitialEvent (ours: turn_idx==0)
+    last_col: str = "role"        # ≙ EventExaminer.isLastEvent
+    last_value: str = "end"       #   (ours: role == "end" sentinel turn)
+    status_every_event: bool = False   # ≙ produceStatusUpdatesOnEveryEvent()
+    max_emit_per_round: int = 0   # ≙ maxOutputElementsPerBundle (0 = unlimited)
+    with_digest: bool = False     # demo order-dependent MutableState (≙ OrderBookBuilder)
+    partitions: int = 0           # 0 = auto (set by ordered.py)
+    actor_num_cpus: float = 1.0
+
+
+@dataclass
+class _KeyCounters:
+    received: int = 0
+    duplicates: int = 0
+    results: int = 0
+    next_seq: int | None = None   # None until the initial event is processed
+    last_event: bool = False
+    digest: str = ""
+
+
+class OrderedPartitionState:
+    """State for ONE partition: many keys, each independently sequenced."""
+
+    def __init__(self, cfg: OrderedConfig | None = None):
+        self.cfg = cfg or OrderedConfig()
+        self.counters: dict[str, _KeyCounters] = {}
+        self.buffer: pa.Table | None = None   # out-of-order remainder, sorted by (key, seq)
+
+    # -- hot path ----------------------------------------------------------
+
+    def process(self, batch: pa.Table, status_ts) -> tuple[pa.Table, pa.Table]:
+        """Feed one arrival-ordered batch; return (emitted, status) tables.
+
+        In ``status_every_event`` mode one status row is produced per input
+        row (conformance mode, reference default at
+        OrderBookProcessingPipeline.java:111); otherwise one status row per
+        key touched in this call (epoch mode).
+        """
+        cfg = self.cfg
+        if cfg.status_every_event:
+            emitted, statuses = [], []
+            for i in range(batch.num_rows):
+                e, s = self._process_vec(batch.slice(i, 1), status_ts)
+                emitted.append(e)
+                statuses.append(s)
+            return (
+                pa.concat_tables(emitted) if emitted else self._empty_emitted(batch),
+                pa.concat_tables(statuses) if statuses else _empty_status(),
+            )
+        return self._process_vec(batch, status_ts)
+
+    def _process_vec(self, batch: pa.Table, status_ts) -> tuple[pa.Table, pa.Table]:
+        cfg = self.cfg
+        if ARRIVAL in batch.column_names:
+            batch = batch.sort_by(ARRIVAL)
+        payload_cols = [c for c in batch.column_names if c != ARRIVAL]
+        batch = batch.select(payload_cols)
+
+        touched = set()
+
+        # 1. received counts (per key, from the new batch only)
+        vc = pc.value_counts(batch[cfg.key])
+        for kv, cnt in zip(vc.field("values").to_pylist(), vc.field("counts").to_pylist()):
+            self.counters.setdefault(kv, _KeyCounters()).received += cnt
+            touched.add(kv)
+
+        # 2. combine buffer (earlier arrivals) + batch; an explicit arrival
+        #    tiebreak keeps the earliest arrival first among duplicate
+        #    (key, seq) rows (FIXTURES.md §2 "keep first").
+        if self.buffer is not None and self.buffer.num_rows:
+            combined = pa.concat_tables([self.buffer, batch], promote_options="none")
+        else:
+            combined = batch
+        arr_order = pa.array(np.arange(combined.num_rows), pa.int64())
+        idx = pc.sort_indices(
+            combined.append_column("__arr", arr_order),
+            sort_keys=[(cfg.key, "ascending"), (cfg.seq, "ascending"), ("__arr", "ascending")],
+        )
+        combined = combined.take(idx)
+
+        keys_dict = pc.dictionary_encode(combined[cfg.key]).combine_chunks()
+        codes = keys_dict.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        key_values = keys_dict.dictionary.to_pylist()
+        seq = combined[cfg.seq].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(seq)
+
+        # next expected seq per present key (None -> initial_seq)
+        start_per_code = np.empty(len(key_values), dtype=np.int64)
+        for c, kv in enumerate(key_values):
+            kc = self.counters.get(kv)
+            ns = kc.next_seq if kc is not None and kc.next_seq is not None else cfg.initial_seq
+            start_per_code[c] = ns
+
+        # 3. duplicate detection: same (key, seq) as the previous row, or
+        #    seq below the key's next expected seq (already processed).
+        if n:
+            same_as_prev = np.zeros(n, dtype=bool)
+            same_as_prev[1:] = (codes[1:] == codes[:-1]) & (seq[1:] == seq[:-1])
+            already = seq < start_per_code[codes]
+            dup = same_as_prev | already
+        else:
+            dup = np.zeros(0, dtype=bool)
+
+        if dup.any():
+            dup_codes, dup_counts = np.unique(codes[dup], return_counts=True)
+            for c, cnt in zip(dup_codes, dup_counts):
+                self.counters[key_values[c]].duplicates += int(cnt)
+
+        valid_idx = np.flatnonzero(~dup)
+        vcodes = codes[valid_idx]
+        vseq = seq[valid_idx]
+
+        # 4. contiguous-prefix drain, vectorized across keys.
+        if len(valid_idx):
+            group_change = np.empty(len(vcodes), dtype=bool)
+            group_change[0] = True
+            group_change[1:] = vcodes[1:] != vcodes[:-1]
+            group_start = np.maximum.accumulate(
+                np.where(group_change, np.arange(len(vcodes)), 0)
+            )
+            k = np.arange(len(vcodes)) - group_start
+            d = vseq - (start_per_code[vcodes] + k)
+            emit_mask = d == 0
+        else:
+            emit_mask = np.zeros(0, dtype=bool)
+
+        emit_rows = valid_idx[emit_mask]
+        rest_rows = valid_idx[~emit_mask]
+
+        # optional per-round output cap (≙ maxOutputElementsPerBundle,
+        # OrderBookProcessingPipeline.java:85-89): overflow rows stay buffered
+        # and drain on the next call. A prefix cut of the (key, seq)-sorted
+        # emit set cuts at most one key mid-run and keeps its prefix, so
+        # per-key contiguity is preserved.
+        if cfg.max_emit_per_round and len(emit_rows) > cfg.max_emit_per_round:
+            cut = cfg.max_emit_per_round
+            overflow = emit_rows[cut:]
+            emit_rows = emit_rows[:cut]
+            rest_rows = np.sort(np.concatenate([rest_rows, overflow]))
+
+        emitted = combined.take(pa.array(emit_rows))
+
+        # 5. per-key bookkeeping on the emitted set
+        emit_codes = codes[emit_rows]
+        emit_seq_col = np.empty(len(emit_rows), dtype=np.int64)
+        if len(emit_rows):
+            e_change = np.empty(len(emit_codes), dtype=bool)
+            e_change[0] = True
+            e_change[1:] = emit_codes[1:] != emit_codes[:-1]
+            e_start = np.maximum.accumulate(
+                np.where(e_change, np.arange(len(emit_codes)), 0)
+            )
+            e_rank = np.arange(len(emit_codes)) - e_start
+            uniq_codes = emit_codes[e_change]
+            group_sizes = np.diff(np.append(np.flatnonzero(e_change), len(emit_codes)))
+            base = np.empty(len(uniq_codes), dtype=np.int64)
+            for gi, c in enumerate(uniq_codes):
+                kv = key_values[c]
+                kc = self.counters[kv]
+                base[gi] = kc.results
+                kc.results += int(group_sizes[gi])
+                kc.next_seq = int(seq[emit_rows[np.flatnonzero(e_change)[gi]]]) + int(
+                    group_sizes[gi]
+                )
+                touched.add(kv)
+            emit_seq_col = base[np.cumsum(e_change) - 1] + e_rank + 1
+        emitted = emitted.append_column("emit_seq", pa.array(emit_seq_col, pa.int64()))
+
+        # 6. last-event handling (≙ EventExaminer.isLastEvent -> state cleanup,
+        #    OrderBookEventExaminer.java:46-49)
+        if len(emit_rows) and cfg.last_col in emitted.column_names:
+            is_last = pc.equal(emitted[cfg.last_col], cfg.last_value).to_numpy(
+                zero_copy_only=False
+            )
+            for c in np.unique(emit_codes[is_last]):
+                self.counters[key_values[c]].last_event = True
+
+        # 7. optional demo order-dependent state (≙ OrderBookBuilder running
+        #    aggregate, business-model/.../OrderBookBuilder.java:39-87): a
+        #    chained per-key digest proving mutate ran in sequence order.
+        if cfg.with_digest:
+            emitted = self._apply_digest(emitted, emit_codes, key_values)
+
+        # 8. new buffer = non-emittable remainder (stays sorted by key, seq)
+        self.buffer = combined.take(pa.array(rest_rows)) if len(rest_rows) else None
+
+        # 9. status rows for touched keys
+        status = self._status_for(sorted(touched), status_ts)
+        return emitted, status
+
+    # -- helpers -----------------------------------------------------------
+
+    def _apply_digest(self, emitted: pa.Table, emit_codes: np.ndarray, key_values) -> pa.Table:
+        texts = emitted["text"].to_pylist() if "text" in emitted.column_names else [""] * len(emit_codes)
+        digests = []
+        for c, txt in zip(emit_codes, texts):
+            kc = self.counters[key_values[c]]
+            kc.digest = hashlib.sha1(f"{kc.digest}|{txt}".encode()).hexdigest()[:16]
+            digests.append(kc.digest)
+        return emitted.append_column("state_digest", pa.array(digests, pa.string()))
+
+    def _buffered_bounds(self) -> dict[str, tuple[int, int, int]]:
+        """key -> (buffered_count, earliest, latest) from the current buffer."""
+        out: dict[str, tuple[int, int, int]] = {}
+        if self.buffer is None or not self.buffer.num_rows:
+            return out
+        cfg = self.cfg
+        keys = self.buffer[cfg.key].to_pylist()
+        seqs = self.buffer[cfg.seq].to_pylist()
+        for kv, sv in zip(keys, seqs):
+            if kv in out:
+                c, lo, hi = out[kv]
+                out[kv] = (c + 1, min(lo, sv), max(hi, sv))
+            else:
+                out[kv] = (1, sv, sv)
+        return out
+
+    def _status_for(self, keys: list[str], status_ts) -> pa.Table:
+        bounds = self._buffered_bounds()
+        rows = {f.name: [] for f in STATUS_SCHEMA}
+        for kv in keys:
+            kc = self.counters[kv]
+            b = bounds.get(kv)
+            rows[KEY].append(kv)
+            rows["status_ts"].append(status_ts)
+            rows["received_count"].append(kc.received)
+            rows["buffered_count"].append(b[0] if b else 0)
+            rows["last_processed_sequence"].append(
+                None if kc.next_seq is None else kc.next_seq - 1
+            )
+            rows["earliest_buffered_sequence"].append(b[1] if b else None)
+            rows["latest_buffered_sequence"].append(b[2] if b else None)
+            rows["duplicate_count"].append(kc.duplicates)
+            rows["result_count"].append(kc.results)
+            rows["last_event_received"].append(kc.last_event)
+        return pa.table(rows, schema=STATUS_SCHEMA)
+
+    def _empty_emitted(self, like: pa.Table) -> pa.Table:
+        cols = [c for c in like.column_names if c != ARRIVAL]
+        t = like.select(cols).slice(0, 0)
+        t = t.append_column("emit_seq", pa.array([], pa.int64()))
+        if self.cfg.with_digest:
+            t = t.append_column("state_digest", pa.array([], pa.string()))
+        return t
+
+    # -- checkpoint --------------------------------------------------------
+
+    def snapshot(self) -> dict:
+        """Serializable state: counters dict + buffered rows (Arrow)."""
+        return {
+            "counters": {
+                k: (c.received, c.duplicates, c.results, c.next_seq, c.last_event, c.digest)
+                for k, c in self.counters.items()
+            },
+            "buffer": self.buffer,
+        }
+
+    @classmethod
+    def restore(cls, cfg: OrderedConfig, snap: dict) -> "OrderedPartitionState":
+        st = cls(cfg)
+        st.counters = {
+            k: _KeyCounters(received=v[0], duplicates=v[1], results=v[2],
+                            next_seq=v[3], last_event=v[4], digest=v[5])
+            for k, v in snap["counters"].items()
+        }
+        st.buffer = snap["buffer"]
+        return st
+
+
+def _empty_status() -> pa.Table:
+    return pa.table({f.name: [] for f in STATUS_SCHEMA}, schema=STATUS_SCHEMA)

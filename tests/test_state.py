@@ -1,0 +1,203 @@
+"""Unit tests for the pure (Ray-free) ordered state machine, re-expressing
+the reference's pipeline-test expectations
+(order-book-pipeline/.../OrderBookProcessingPipelineTest.java:50-232) as
+per-turn text equality under stable (conv_id, turn_idx) ordering plus the
+golden status trajectories (FIXTURES.md §3)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from ray_ordered_stream.fixtures import (
+    gen_transcripts,
+    oracle_final_status,
+    oracle_ordered,
+    tiny_fixture,
+)
+from ray_ordered_stream.schema import ARRIVAL, KEY, SEQ
+from ray_ordered_stream.state import OrderedConfig, OrderedPartitionState
+
+TS = pd.Timestamp("2025-01-01")
+
+
+def run_single_epoch(tbl, cfg=None):
+    st = OrderedPartitionState(cfg or OrderedConfig())
+    emitted, status = st.process(tbl, TS)
+    return st, emitted, status
+
+
+def assert_matches_oracle(tbl, emitted):
+    exp = oracle_ordered(tbl)
+    got = (
+        emitted.to_pandas()
+        .sort_values([KEY, SEQ], kind="stable")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[[KEY, SEQ, "text", "emit_seq"]].reset_index(drop=True),
+        exp[[KEY, SEQ, "text", "emit_seq"]].reset_index(drop=True),
+    )
+
+
+def test_inorder_never_buffers():
+    t = tiny_fixture("t_inorder")
+    cfg = OrderedConfig(status_every_event=True)
+    st, emitted, status = run_single_epoch(t, cfg)
+    assert_matches_oracle(t, emitted)
+    s = status.to_pandas()
+    # ≙ OrderBookProcessingPipelineTest.java:92-137: received=n, buffered=0,
+    # lastProcessed=n, result=n, dup=0 after every event (0-based here).
+    assert list(s["received_count"]) == [1, 2, 3]
+    assert list(s["buffered_count"]) == [0, 0, 0]
+    assert list(s["last_processed_sequence"]) == [0, 1, 2]
+    assert list(s["result_count"]) == [1, 2, 3]
+    assert list(s["duplicate_count"]) == [0, 0, 0]
+
+
+def test_reverse_golden_trajectory():
+    t = tiny_fixture("t_reverse")
+    cfg = OrderedConfig(status_every_event=True)
+    st, emitted, status = run_single_epoch(t, cfg)
+    assert_matches_oracle(t, emitted)
+    s = status.to_pandas()
+    # FIXTURES.md §3 golden trajectory (0-based re-expression of
+    # OrderBookProcessingPipelineTest.java:180-191): turns arrive 2,1,0.
+    assert list(s["received_count"]) == [1, 2, 3]
+    assert list(s["buffered_count"]) == [1, 2, 0]
+    assert s["last_processed_sequence"].tolist()[:2] == [None, None] or list(
+        s["last_processed_sequence"].isna()[:2]
+    ) == [True, True]
+    assert s["last_processed_sequence"].iloc[2] == 2
+    assert s["earliest_buffered_sequence"].iloc[0] == 2
+    assert s["latest_buffered_sequence"].iloc[0] == 2
+    assert s["earliest_buffered_sequence"].iloc[1] == 1
+    assert s["latest_buffered_sequence"].iloc[1] == 2
+    assert pd.isna(s["earliest_buffered_sequence"].iloc[2])
+    assert list(s["result_count"]) == [0, 0, 3]
+
+
+def test_gap_buffer_and_flush():
+    t = tiny_fixture("t_gap")  # arrival: turn0, then 2,3,4,5, then 1
+    cfg = OrderedConfig(status_every_event=True)
+    st, emitted, status = run_single_epoch(t, cfg)
+    assert_matches_oracle(t, emitted)
+    s = status.to_pandas()
+    assert list(s["buffered_count"]) == [0, 1, 2, 3, 4, 0]
+    assert list(s["result_count"]) == [1, 1, 1, 1, 1, 6]
+    assert s["earliest_buffered_sequence"].iloc[4] == 2
+    assert s["latest_buffered_sequence"].iloc[4] == 5
+
+
+def test_duplicates_dropped_and_counted():
+    t = tiny_fixture("t_dup")  # turns 0..3 in order, then dups of 0 and 2
+    cfg = OrderedConfig(status_every_event=True)
+    st, emitted, status = run_single_epoch(t, cfg)
+    assert_matches_oracle(t, emitted)
+    s = status.to_pandas()
+    assert list(s["duplicate_count"]) == [0, 0, 0, 0, 1, 2]
+    assert list(s["result_count"]) == [1, 2, 3, 4, 4, 4]
+    assert emitted.num_rows == 4
+
+
+def test_duplicate_of_buffered_row():
+    # turn 2 arrives twice while 0,1 missing -> second copy is a duplicate
+    t = tiny_fixture("t_inorder")
+    t2 = pa.concat_tables([t.take([2]), t.take([2]), t.take([0]), t.take([1])])
+    t2 = t2.drop_columns([ARRIVAL]).append_column(
+        ARRIVAL, pa.array(np.arange(4), pa.int64())
+    )
+    cfg = OrderedConfig(status_every_event=True)
+    st, emitted, status = run_single_epoch(t2, cfg)
+    s = status.to_pandas()
+    assert list(s["duplicate_count"]) == [0, 1, 1, 1]
+    assert emitted.num_rows == 3
+
+
+def test_multi_key_independence_bulk():
+    t = tiny_fixture("t_multi")
+    st, emitted, status = run_single_epoch(t)
+    assert_matches_oracle(t, emitted)
+    fin = oracle_final_status(t)
+    s = status.to_pandas().set_index(KEY)
+    for _, row in fin.iterrows():
+        got = s.loc[row[KEY]]
+        assert got["received_count"] == row["received_count"]
+        assert got["duplicate_count"] == row["duplicate_count"]
+        assert got["result_count"] == row["result_count"]
+        assert got["buffered_count"] == 0
+        assert got["last_processed_sequence"] == row["last_processed_sequence"]
+        assert bool(got["last_event_received"]) == bool(row["last_event_received"])
+
+
+def test_multi_epoch_equals_single_epoch():
+    t = tiny_fixture("t_multi")
+    st1, e1, _ = run_single_epoch(t)
+    st2 = OrderedPartitionState(OrderedConfig())
+    parts = []
+    n = t.num_rows
+    for lo in range(0, n, 97):
+        e, _ = st2.process(t.slice(lo, min(97, n - lo)), TS)
+        parts.append(e)
+    e2 = pa.concat_tables(parts)
+    df1 = e1.to_pandas().sort_values([KEY, SEQ]).reset_index(drop=True)
+    df2 = e2.to_pandas().sort_values([KEY, SEQ]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(df1, df2)
+
+
+def test_max_emit_per_round_loop_drain():
+    t = tiny_fixture("t_multi")
+    cfg = OrderedConfig(max_emit_per_round=50)
+    st = OrderedPartitionState(cfg)
+    parts = []
+    e, _ = st.process(t, TS)
+    parts.append(e)
+    # loop-drain the overflow with empty batches
+    empty = t.slice(0, 0)
+    for _ in range(1000):
+        e, _ = st.process(empty, TS)
+        if e.num_rows == 0:
+            break
+        parts.append(e)
+    emitted = pa.concat_tables(parts)
+    assert_matches_oracle(t, emitted)
+    assert max(p.num_rows for p in parts) <= 50
+
+
+def test_digest_is_order_dependent():
+    t = tiny_fixture("t_reverse")
+    cfg = OrderedConfig(with_digest=True)
+    st, emitted, _ = run_single_epoch(t, cfg)
+    df = emitted.to_pandas().sort_values(SEQ)
+    assert df["state_digest"].nunique() == 3
+    # replaying in order gives the same digest chain
+    t_in = tiny_fixture("t_inorder")
+    st2, emitted2, _ = run_single_epoch(t_in, OrderedConfig(with_digest=True))
+    df2 = emitted2.to_pandas().sort_values(SEQ)
+    assert list(df["state_digest"]) == list(df2["state_digest"])
+
+
+def test_snapshot_restore_roundtrip():
+    t = tiny_fixture("t_multi")
+    half = t.num_rows // 2
+    st1 = OrderedPartitionState(OrderedConfig())
+    e_a, _ = st1.process(t.slice(0, half), TS)
+    st2 = OrderedPartitionState.restore(OrderedConfig(), st1.snapshot())
+    e_b, _ = st2.process(t.slice(half), TS)
+    emitted = pa.concat_tables([e_a, e_b])
+    assert_matches_oracle(t, emitted)
+
+
+def test_initial_seq_gap_from_start():
+    # first arrival is turn 1 -> buffered until turn 0 arrives
+    t = tiny_fixture("t_inorder")
+    t2 = pa.concat_tables([t.take([1]), t.take([2]), t.take([0])])
+    t2 = t2.drop_columns([ARRIVAL]).append_column(
+        ARRIVAL, pa.array(np.arange(3), pa.int64())
+    )
+    cfg = OrderedConfig(status_every_event=True)
+    st, emitted, status = run_single_epoch(t2, cfg)
+    s = status.to_pandas()
+    assert list(s["buffered_count"]) == [1, 2, 0]
+    assert list(s["result_count"]) == [0, 0, 3]
+    assert_matches_oracle(t2, emitted)
