@@ -1,0 +1,78 @@
+"""Deterministic hash partitioning + skew handling for the ordered engine.
+
+≙ the keyed shuffle in front of the reference's stateful ParDo
+(docs/pipeline-design.md:13-17: events hash-partitioned by SessionContractKey
+across workers). Routing must be deterministic across processes and across
+resume (SURVEY.md §7.4.1), so we hash with crc32 over the key bytes — never
+Python's ``hash`` (randomized per process).
+
+Skew: hash already spreads *distinct* hot keys uniformly; the residual risk is
+several hot keys colliding into one partition (reference stresses this with
+power-law key activity, Simulator.java:61-70). ``compute_hot_key_overrides``
+samples key frequencies and pins the heaviest keys round-robin across
+partitions, overriding their hash route — the "skew-salted" assignment of the
+north star. A single hot key remains inherently serial (same as the
+reference: per-key order forces serial processing per key).
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def key_partition_codes(
+    keys: pa.ChunkedArray | pa.Array,
+    num_partitions: int,
+    overrides: dict[str, int] | None = None,
+) -> np.ndarray:
+    """Vectorized-by-unique partition assignment: crc32(key) % P with
+    optional per-key overrides. O(rows) take + O(unique) hashing."""
+    if isinstance(keys, pa.ChunkedArray):
+        keys = keys.combine_chunks()
+    enc = pc.dictionary_encode(keys)
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    uniques = enc.dictionary.to_pylist()
+    part_of_unique = np.empty(len(uniques), dtype=np.int64)
+    for i, u in enumerate(uniques):
+        if overrides and u in overrides:
+            part_of_unique[i] = overrides[u] % num_partitions
+        else:
+            part_of_unique[i] = zlib.crc32(u.encode("utf-8")) % num_partitions
+    return part_of_unique[codes]
+
+
+def split_table(
+    tbl: pa.Table,
+    key: str,
+    num_partitions: int,
+    overrides: dict[str, int] | None = None,
+) -> list[pa.Table]:
+    """Split one block into P per-partition sub-tables (map side of the
+    exchange). Row order within each sub-table preserves the block's arrival
+    order."""
+    parts = key_partition_codes(tbl[key], num_partitions, overrides)
+    out = []
+    for p in range(num_partitions):
+        out.append(tbl.take(pa.array(np.flatnonzero(parts == p))))
+    return out
+
+
+def compute_hot_key_overrides(
+    sample: pa.Table, key: str, num_partitions: int, top_n: int = 0
+) -> dict[str, int]:
+    """Pin the heaviest keys (from a sample) round-robin across partitions,
+    heaviest first, so no partition accumulates several hot keys.
+    ``top_n`` defaults to 2 × partitions."""
+    if top_n <= 0:
+        top_n = 2 * num_partitions
+    vc = pc.value_counts(sample[key])
+    values = vc.field("values").to_pylist()
+    counts = np.asarray(vc.field("counts").to_pylist())
+    order = np.argsort(-counts, kind="stable")[:top_n]
+    return {values[i]: int(r % num_partitions) for r, i in enumerate(order)}

@@ -52,7 +52,12 @@ class OrderedConfig:
     max_emit_per_round: int = 0   # ≙ maxOutputElementsPerBundle (0 = unlimited)
     with_digest: bool = False     # demo order-dependent MutableState (≙ OrderBookBuilder)
     partitions: int = 0           # 0 = auto (set by ordered.py)
-    actor_num_cpus: float = 1.0
+    # State actors are long-lived RPC-style stores whose calls serialize per
+    # actor; reserving whole CPUs for them starves the stateless split/read
+    # tasks (actors hold resources permanently). 0 lets the OS schedule them
+    # while Ray task CPUs stay available — on a real cluster, size the pool
+    # so P ≈ total cores and raise this if drains dominate.
+    actor_num_cpus: float = 0.0
 
 
 @dataclass

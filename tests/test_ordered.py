@@ -1,0 +1,115 @@
+"""End-to-end engine tests: ordered_process over Ray Datasets vs the serial
+oracle, multi-partition determinism (same output at P=2 and P=8), final
+status completion — the pipeline-level re-expression of
+OrderBookProcessingPipelineTest (reference, see SURVEY.md §5)."""
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from ray_ordered_stream.fixtures import oracle_final_status, oracle_ordered, tiny_fixture
+from ray_ordered_stream.ordered import OrderedProcessor, ordered_process
+from ray_ordered_stream.schema import KEY, SEQ
+from ray_ordered_stream.state import OrderedConfig
+
+TS = pd.Timestamp("2025-06-01")
+
+
+def sorted_df(ds_or_tbl):
+    if isinstance(ds_or_tbl, pa.Table):
+        df = ds_or_tbl.to_pandas()
+    else:
+        df = ds_or_tbl.to_pandas()
+    return df.sort_values([KEY, SEQ], kind="stable").reset_index(drop=True)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ordered_process_table_input():
+    t = tiny_fixture("t_multi")
+    res = ordered_process(t, OrderedConfig(), num_partitions=2)
+    got = sorted_df(res.ordered)
+    exp = oracle_ordered(t)
+    pd.testing.assert_frame_equal(
+        got[[KEY, SEQ, "text", "emit_seq"]], exp[[KEY, SEQ, "text", "emit_seq"]]
+    )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ordered_process_dataset_input_and_partition_invariance():
+    import ray.data as rd
+
+    t = tiny_fixture("t_skew")
+    ds = rd.from_arrow(t).repartition(8)
+    out = {}
+    for P in (2, 8):
+        res = ordered_process(ds, OrderedConfig(), num_partitions=P)
+        out[P] = sorted_df(res.ordered)
+    pd.testing.assert_frame_equal(out[2], out[8])
+    exp = oracle_ordered(t)
+    pd.testing.assert_frame_equal(
+        out[2][[KEY, SEQ, "text", "emit_seq"]], exp[[KEY, SEQ, "text", "emit_seq"]]
+    )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_final_status_completion_protocol():
+    # ≙ run-perf-test.sh check_processing_progress: all input rows accounted
+    # for; every key fully processed with empty buffers.
+    t = tiny_fixture("t_multi")
+    proc = OrderedProcessor(OrderedConfig(), num_partitions=4)
+    proc.feed_epoch(t, TS)
+    fin = proc.final_status(TS).to_pandas()
+    exp = oracle_final_status(t).sort_values(KEY).reset_index(drop=True)
+    fin = fin.sort_values(KEY).reset_index(drop=True)
+    assert fin["result_count"].sum() == exp["result_count"].sum()
+    assert (fin["buffered_count"] == 0).all()
+    assert fin["last_event_received"].all()
+    assert list(fin["received_count"]) == list(exp["received_count"])
+    assert list(fin["duplicate_count"]) == list(exp["duplicate_count"])
+    proc.shutdown()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_multi_epoch_streaming_feed():
+    t = tiny_fixture("t_multi")
+    proc = OrderedProcessor(OrderedConfig(), num_partitions=3)
+    n = t.num_rows
+    step = 101
+    for i, lo in enumerate(range(0, n, step)):
+        proc.feed_epoch(t.slice(lo, min(step, n - lo)), TS + pd.Timedelta(seconds=i))
+    res = proc.datasets()
+    got = sorted_df(res.ordered)
+    exp = oracle_ordered(t)
+    pd.testing.assert_frame_equal(
+        got[[KEY, SEQ, "text", "emit_seq"]], exp[[KEY, SEQ, "text", "emit_seq"]]
+    )
+    assert proc.buffered_rows() == 0
+    proc.shutdown()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hot_key_overrides_do_not_change_results():
+    from ray_ordered_stream.partitioning import compute_hot_key_overrides
+
+    t = tiny_fixture("t_skew")
+    ov = compute_hot_key_overrides(t, KEY, 4)
+    assert len(ov) > 0
+    res = ordered_process(t, OrderedConfig(), num_partitions=4, overrides=ov)
+    got = sorted_df(res.ordered)
+    exp = oracle_ordered(t)
+    pd.testing.assert_frame_equal(
+        got[[KEY, SEQ, "text", "emit_seq"]], exp[[KEY, SEQ, "text", "emit_seq"]]
+    )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_emit_cap_with_drain_loop():
+    t = tiny_fixture("t_multi")
+    res = ordered_process(
+        t, OrderedConfig(max_emit_per_round=40), num_partitions=2
+    )
+    got = sorted_df(res.ordered)
+    exp = oracle_ordered(t)
+    pd.testing.assert_frame_equal(
+        got[[KEY, SEQ, "text", "emit_seq"]], exp[[KEY, SEQ, "text", "emit_seq"]]
+    )
