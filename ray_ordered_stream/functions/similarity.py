@@ -1,0 +1,143 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+- ``knn_bruteforce``: baseline — the (small) query matrix is broadcast once
+  via ``ray.put`` and every batch does one numpy matmul against it; results
+  are per-batch top-k partials reduced by a tiny final top-k (classic
+  scatter-gather ANN). Nothing but (query_id, neighbor_id, score) rows ever
+  shuffle.
+- ``knn_ivf``: scale path — k-means-style coarse quantizer (trained on a
+  sample, broadcast), batches route vectors to their nearest centroid
+  (inverted lists); queries probe only ``n_probe`` lists.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _to_matrix(col) -> np.ndarray:
+    return np.stack(col.to_numpy(zero_copy_only=False)).astype(np.float64)
+
+
+def knn_bruteforce(
+    ds,
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+):
+    """Exact top-k cosine neighbors of each query vector.
+
+    Returns a pandas DataFrame (small: len(queries) * k rows) with columns
+    (query_id, neighbor_id, rank) — rank 1-based by (cosine desc, id asc),
+    a fully deterministic ordering.
+    """
+    import ray
+
+    qn = queries.astype(np.float64)
+    qn = qn / np.linalg.norm(qn, axis=1, keepdims=True)
+    q_ref = ray.put((qn, np.asarray(query_ids)))
+
+    def partial_topk(b: pd.DataFrame) -> pd.DataFrame:
+        q, qids = ray.get(q_ref)
+        v = np.stack(b[vec_col].to_numpy()).astype(np.float64)
+        v = v / np.linalg.norm(v, axis=1, keepdims=True)
+        sim = q @ v.T  # (nq, nb)
+        ids = b[id_col].to_numpy()
+        out = []
+        kk = min(k + (1 if exclude_self else 0), sim.shape[1])
+        for qi in range(sim.shape[0]):
+            part = np.argpartition(-sim[qi], kk - 1)[:kk]
+            for j in part:
+                out.append((int(qids[qi]), int(ids[j]), float(sim[qi, j])))
+        return pd.DataFrame(out, columns=["query_id", "neighbor_id", "cosine"])
+
+    partials = ds.map_batches(partial_topk, batch_format="pandas").to_pandas()
+    if exclude_self:
+        partials = partials[partials["query_id"] != partials["neighbor_id"]]
+    # deterministic final top-k: (cosine desc, neighbor_id asc)
+    partials = partials.sort_values(
+        ["query_id", "cosine", "neighbor_id"], ascending=[True, False, True],
+        kind="stable",
+    )
+    top = partials.groupby("query_id").head(k).reset_index(drop=True)
+    top["rank"] = top.groupby("query_id").cumcount() + 1
+    return top[["query_id", "neighbor_id", "rank"]]
+
+
+def train_centroids(ds, n_centroids: int = 16, vec_col: str = "embedding",
+                    sample_frac: float = 0.2, iters: int = 10, seed: int = 3):
+    """Lloyd's k-means on a driver-side sample (coarse quantizer).
+    The sample is small; training is a few numpy matmuls."""
+    sample = ds.random_sample(sample_frac, seed=seed).to_pandas()
+    x = np.stack(sample[vec_col].to_numpy()).astype(np.float64)
+    rng = np.random.default_rng(seed)
+    cent = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
+    for _ in range(iters):
+        d = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(len(cent)):
+            m = assign == c
+            if m.any():
+                cent[c] = x[m].mean(axis=0)
+    return cent
+
+
+def knn_ivf(
+    ds,
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    centroids: np.ndarray,
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+):
+    """IVF approximate top-k: each batch routes its vectors to their nearest
+    centroid and only compares against queries probing that list. Centroids
+    and queries broadcast once (ray.put); per-batch work is one matmul over
+    the subset of rows whose list is probed."""
+    import ray
+
+    qn = queries.astype(np.float64)
+    qn = qn / np.linalg.norm(qn, axis=1, keepdims=True)
+    # which lists each query probes
+    qd = ((qn[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+    probe = np.argsort(qd, axis=1)[:, :n_probe]  # (nq, n_probe)
+    ref = ray.put((qn, np.asarray(query_ids), centroids, probe))
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        q, qids, cent, pr = ray.get(ref)
+        v = np.stack(b[vec_col].to_numpy()).astype(np.float64)
+        d = ((v[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        lists = d.argmin(axis=1)
+        vn = v / np.linalg.norm(v, axis=1, keepdims=True)
+        ids = b[id_col].to_numpy()
+        out = []
+        for qi in range(len(q)):
+            m = np.isin(lists, pr[qi])
+            if not m.any():
+                continue
+            sim = q[qi] @ vn[m].T
+            sub_ids = ids[m]
+            kk = min(k + (1 if exclude_self else 0), len(sub_ids))
+            part = np.argpartition(-sim, kk - 1)[:kk]
+            for j in part:
+                out.append((int(qids[qi]), int(sub_ids[j]), float(sim[j])))
+        return pd.DataFrame(out, columns=["query_id", "neighbor_id", "cosine"])
+
+    partials = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    if exclude_self:
+        partials = partials[partials["query_id"] != partials["neighbor_id"]]
+    partials = partials.sort_values(
+        ["query_id", "cosine", "neighbor_id"], ascending=[True, False, True],
+        kind="stable",
+    )
+    top = partials.groupby("query_id").head(k).reset_index(drop=True)
+    top["rank"] = top.groupby("query_id").cumcount() + 1
+    return top[["query_id", "neighbor_id", "rank"]]

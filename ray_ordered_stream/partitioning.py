@@ -55,12 +55,20 @@ def split_table(
 ) -> list[pa.Table]:
     """Split one block into P per-partition sub-tables (map side of the
     exchange). Row order within each sub-table preserves the block's arrival
-    order."""
+    order.
+
+    Each sub-table MUST be a compact copy, not a zero-copy slice: pickling a
+    sliced Arrow table ships the slice's entire parent buffers (string data
+    buffers are not truncated), which turns the exchange into O(P * block)
+    bytes — measured 6 MB per 1000-row slice vs 81 KiB compact. One stable
+    argsort + P contiguous-range takes keeps the copy at O(n) total."""
     parts = key_partition_codes(tbl[key], num_partitions, overrides)
-    out = []
-    for p in range(num_partitions):
-        out.append(tbl.take(pa.array(np.flatnonzero(parts == p))))
-    return out
+    order = np.argsort(parts, kind="stable")
+    bounds = np.searchsorted(parts[order], np.arange(num_partitions + 1))
+    return [
+        tbl.take(pa.array(order[bounds[p] : bounds[p + 1]]))
+        for p in range(num_partitions)
+    ]
 
 
 def compute_hot_key_overrides(

@@ -1,0 +1,622 @@
+"""Query registry: every implemented operator exposed as a callable over an
+``sf_dir`` of testdata parquet, each with a DuckDB oracle-SQL mirror
+(surfaced via ``__ray_entry__.queries()`` / ``oracle_sql()``).
+
+Naming discipline: every computed column is named identically in the Ray
+code and the SQL (the driver's compare hashes values under sorted column
+names).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..schema import KEY, SEQ
+
+DAY_US = 86_400_000_000
+WEEK_US = 7 * DAY_US
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _role_mapped(sf_dir: str):
+    """events -> transcript shape with purchase/signup mapped to
+    user/assistant (gives the role-partitioned join real streams)."""
+    from .transcripts import derive_transcripts
+
+    t = derive_transcripts(_read(sf_dir, "events"))
+
+    def f(tb: pa.Table) -> pa.Table:
+        role = tb["role"]
+        role = pc.replace_substring_regex(role, "^purchase$", "user")
+        role = pc.replace_substring_regex(role, "^signup$", "assistant")
+        return tb.set_column(tb.column_names.index("role"), "role", role)
+
+    return t.map_batches(f, batch_format="pyarrow")
+
+
+_ROLE_SQL = (
+    "CASE WHEN event_type='purchase' THEN 'user' "
+    "WHEN event_type='signup' THEN 'assistant' ELSE event_type END"
+)
+_T_SQL = (
+    "SELECT cast(user_id AS varchar) AS conv_id, "
+    "cast(row_number() OVER w - 1 AS int) AS turn_idx, "
+    f"{_ROLE_SQL} AS role, props AS text, ts "
+    "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
+)
+
+
+# ---------------------------------------------------------------------------
+# ordered processing (the flagship)
+# ---------------------------------------------------------------------------
+
+
+def q_ordered_replay(sf_dir: str):
+    """Shuffled-arrival stream through the ordered engine; output equals the
+    (conv, turn) sorted stream with per-key emit_seq — arrival-invariance is
+    the reference's core guarantee (docs/pipeline-design.md:117-122)."""
+    from ..ordered import ordered_process
+    from ..state import OrderedConfig
+    from .transcripts import derive_transcripts, with_shuffled_arrival
+
+    stream = with_shuffled_arrival(derive_transcripts(_read(sf_dir, "events")))
+    res = ordered_process(stream, OrderedConfig(), num_partitions=4)
+    return res.ordered.drop_columns(["tool", "event_id"])
+
+
+SQL_ORDERED_REPLAY = (
+    "SELECT cast(user_id AS varchar) AS conv_id, "
+    "cast(row_number() OVER w - 1 AS int) AS turn_idx, "
+    "event_type AS role, props AS text, ts, "
+    "row_number() OVER w AS emit_seq "
+    "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
+)
+
+
+def q_ordered_final_status(sf_dir: str):
+    """Final processing-status accounting (≙ run-perf-test.sh completion
+    check): exact received/result counts, empty buffers, no duplicates."""
+    import pandas as pd
+
+    from ..ordered import OrderedProcessor
+    from ..state import OrderedConfig
+    from .transcripts import derive_transcripts, with_shuffled_arrival
+
+    stream = with_shuffled_arrival(derive_transcripts(_read(sf_dir, "events")))
+    proc = OrderedProcessor(OrderedConfig(), num_partitions=4)
+    proc.feed_epoch(stream, pd.Timestamp("1970-01-01"))
+    out = proc.final_status(pd.Timestamp("1970-01-01")).drop_columns(
+        ["status_ts", "earliest_buffered_sequence", "latest_buffered_sequence"]
+    )
+    df = out.to_pandas()
+    proc.shutdown()
+    return df
+
+
+SQL_ORDERED_FINAL_STATUS = (
+    "SELECT cast(user_id AS varchar) AS conv_id, "
+    "count(*)::bigint AS received_count, 0::bigint AS buffered_count, "
+    "(count(*)-1)::bigint AS last_processed_sequence, "
+    "0::bigint AS duplicate_count, count(*)::bigint AS result_count, "
+    "false AS last_event_received "
+    "FROM events GROUP BY user_id"
+)
+
+
+# ---------------------------------------------------------------------------
+# windows
+# ---------------------------------------------------------------------------
+
+
+def q_windows_tumbling(sf_dir: str):
+    from ..windows import tumbling_counts
+
+    return tumbling_counts(_role_mapped(sf_dir), size_s=86400.0)
+
+
+SQL_WINDOWS_TUMBLING = f"""
+WITH t AS ({_T_SQL})
+SELECT conv_id,
+       make_timestamp((epoch_us(ts)//{DAY_US})*{DAY_US}) AS window_start,
+       make_timestamp((epoch_us(ts)//{DAY_US})*{DAY_US} + {DAY_US}) AS window_end,
+       count(*)::bigint AS turn_count,
+       sum(CASE WHEN role='user' THEN 1 ELSE 0 END)::bigint AS n_user,
+       sum(CASE WHEN role='assistant' THEN 1 ELSE 0 END)::bigint AS n_assistant
+FROM t GROUP BY conv_id, (epoch_us(ts)//{DAY_US})*{DAY_US}
+"""
+
+
+def q_windows_sliding(sf_dir: str):
+    from ..windows import sliding_counts
+
+    return sliding_counts(_role_mapped(sf_dir), size_s=7 * 86400.0, step_s=86400.0)
+
+
+SQL_WINDOWS_SLIDING = f"""
+WITH t AS (SELECT cast(user_id AS varchar) AS conv_id, epoch_us(ts) AS eus FROM events),
+w AS (SELECT conv_id, eus,
+             unnest(range((eus//{DAY_US})*{DAY_US} - 6*{DAY_US},
+                          (eus//{DAY_US})*{DAY_US} + 1, {DAY_US})) AS ws
+      FROM t)
+SELECT conv_id, make_timestamp(ws) AS window_start,
+       make_timestamp(ws + {WEEK_US}) AS window_end,
+       count(*)::bigint AS turn_count
+FROM w WHERE ws + {WEEK_US} > eus AND ws >= 0
+GROUP BY conv_id, ws
+"""
+
+
+def q_windows_session(sf_dir: str):
+    from ..windows import session_windows
+
+    return session_windows(_role_mapped(sf_dir), gap_s=4 * 3600.0)
+
+
+SQL_WINDOWS_SESSION = """
+WITH t AS (SELECT cast(user_id AS varchar) AS conv_id, epoch_us(ts) AS eus FROM events),
+m AS (SELECT conv_id, eus,
+             CASE WHEN lag(eus) OVER w IS NULL
+                  OR eus - lag(eus) OVER w > 14400000000 THEN 1 ELSE 0 END AS brk
+      FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY eus)),
+s AS (SELECT conv_id, eus,
+             sum(brk) OVER (PARTITION BY conv_id ORDER BY eus
+                            ROWS UNBOUNDED PRECEDING) - 1 AS sid
+      FROM m)
+SELECT conv_id, sid::bigint AS session_id,
+       make_timestamp(min(eus)) AS session_start,
+       make_timestamp(max(eus)) AS session_end,
+       count(*)::bigint AS turn_count
+FROM s GROUP BY conv_id, sid
+"""
+
+
+# ---------------------------------------------------------------------------
+# stream-stream join
+# ---------------------------------------------------------------------------
+
+
+def q_join_user_assistant(sf_dir: str):
+    from ..join import join_user_assistant
+
+    return join_user_assistant(_role_mapped(sf_dir))
+
+
+SQL_JOIN_USER_ASSISTANT = f"""
+WITH t AS ({_T_SQL}),
+u AS (SELECT * FROM t WHERE role='user'),
+a AS (SELECT * FROM t WHERE role='assistant'),
+p AS (SELECT u.conv_id, u.turn_idx AS user_turn_idx,
+             min(a.turn_idx) AS assistant_turn_idx
+      FROM u JOIN a ON a.conv_id = u.conv_id AND a.turn_idx > u.turn_idx
+      GROUP BY u.conv_id, u.turn_idx)
+SELECT p.conv_id, p.user_turn_idx, p.assistant_turn_idx,
+       u.text AS user_text, a.text AS assistant_text,
+       epoch_us(a.ts) - epoch_us(u.ts) AS lag_us
+FROM p
+JOIN u ON u.conv_id = p.conv_id AND u.turn_idx = p.user_turn_idx
+JOIN a ON a.conv_id = p.conv_id AND a.turn_idx = p.assistant_turn_idx
+"""
+
+
+# ---------------------------------------------------------------------------
+# documents: dedup + text analysis
+# ---------------------------------------------------------------------------
+
+
+def q_doc_exact_dedup(sf_dir: str):
+    from ..functions.dedup import exact_dedup_groups
+
+    return exact_dedup_groups(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+SQL_DOC_EXACT_DEDUP = (
+    "SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, "
+    "count(*)::bigint AS n_docs FROM documents GROUP BY md5(text)"
+)
+
+
+def q_doc_token_count(sf_dir: str):
+    from ..functions.textstats import token_count
+
+    return token_count(_read(sf_dir, "documents", ["doc_id", "text"])).select_columns(
+        ["doc_id", "n_tokens"]
+    )
+
+
+SQL_DOC_TOKEN_COUNT = (
+    r"SELECT doc_id, length(regexp_extract_all(text, '\w+'))::bigint AS n_tokens "
+    "FROM documents"
+)
+
+
+def q_doc_quality(sf_dir: str):
+    from ..functions.textstats import quality_score
+
+    return quality_score(_read(sf_dir, "documents", ["doc_id", "text"])).select_columns(
+        ["doc_id", "n_chars_m", "n_words", "n_punct", "n_stopwords"]
+    )
+
+
+SQL_DOC_QUALITY = (
+    r"SELECT doc_id, length(text)::bigint AS n_chars_m, "
+    r"length(regexp_extract_all(text, '\w+'))::bigint AS n_words, "
+    r"length(regexp_extract_all(text, '[^\w\s]'))::bigint AS n_punct, "
+    r"length(regexp_extract_all(text, '\b(the|and|of|to|in|is|that|for|with|was)\b'))::bigint"
+    " AS n_stopwords FROM documents"
+)
+
+
+def q_doc_lang_id(sf_dir: str):
+    from ..functions.textstats import lang_id
+
+    return lang_id(_read(sf_dir, "documents", ["doc_id", "text"])).select_columns(
+        ["doc_id", "lang_guess"]
+    )
+
+
+SQL_DOC_LANG_ID = r"""
+WITH c AS (
+  SELECT doc_id,
+    length(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|ich|ein|zu|den)\b')) AS de,
+    length(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|that|for|with|was)\b')) AS en,
+    length(regexp_extract_all(lower(text), '\b(el|la|los|las|y|de|que|en|un|una)\b')) AS es,
+    length(regexp_extract_all(lower(text), '\b(le|la|les|et|de|des|un|une|est|dans)\b')) AS fr
+  FROM documents)
+SELECT doc_id,
+  CASE WHEN greatest(de, en, es, fr) = 0 THEN 'und'
+       WHEN de >= en AND de >= es AND de >= fr THEN 'de'
+       WHEN en >= es AND en >= fr THEN 'en'
+       WHEN es >= fr THEN 'es'
+       ELSE 'fr' END AS lang_guess
+FROM c
+"""
+
+
+def q_doc_fingerprint(sf_dir: str):
+    from ..functions.textstats import fingerprint
+
+    return fingerprint(_read(sf_dir, "documents", ["doc_id", "text"])).select_columns(
+        ["doc_id", "fingerprint"]
+    )
+
+
+SQL_DOC_FINGERPRINT = (
+    r"SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))"
+    " AS fingerprint FROM documents"
+)
+
+
+def q_doc_near_dups(sf_dir: str):
+    """MinHash-LSH near-dup candidate pairs (no SQL oracle — sketch-based)."""
+    from ..functions.dedup import near_dup_pairs
+
+    return near_dup_pairs(
+        _read(sf_dir, "documents", ["doc_id", "text"]), threshold=0.5
+    )
+
+
+def q_doc_simhash(sf_dir: str):
+    """SimHash signatures + buckets (no SQL oracle — bit-manipulation)."""
+    from ..functions.dedup import simhash
+
+    return simhash(_read(sf_dir, "documents", ["doc_id", "text"])).select_columns(
+        ["doc_id", "simhash", "simhash_bucket"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# embeddings: similarity search
+# ---------------------------------------------------------------------------
+
+
+def _load_queries(sf_dir: str, n: int = 10):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    t = t.filter(pc.less(t["vec_id"], n))
+    q = np.stack(t["embedding"].to_pandas().to_numpy())
+    return q, t["vec_id"].to_numpy(zero_copy_only=False)
+
+
+def q_knn_bruteforce(sf_dir: str):
+    from ..functions.similarity import knn_bruteforce
+
+    q, qids = _load_queries(sf_dir)
+    return knn_bruteforce(_read(sf_dir, "embeddings"), q, qids, k=5)
+
+
+SQL_KNN_BRUTEFORCE = """
+WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
+s AS (SELECT q.qid, e.vec_id AS nid,
+             list_cosine_similarity(q.qv::DOUBLE[], e.embedding::DOUBLE[]) AS sim
+      FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.qid)
+SELECT qid AS query_id, nid AS neighbor_id,
+       row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+FROM s QUALIFY rank <= 5
+"""
+
+
+def q_knn_ivf(sf_dir: str):
+    """IVF approximate knn (no SQL oracle — approximate by construction)."""
+    from ..functions.similarity import knn_ivf, train_centroids
+
+    ds = _read(sf_dir, "embeddings")
+    cent = train_centroids(ds, n_centroids=8)
+    q, qids = _load_queries(sf_dir)
+    return knn_ivf(ds, q, qids, cent, k=5)
+
+
+def q_embedding_label_stats(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "embeddings", ["embedding", "label"])
+
+    def elem_sum(t: pa.Table) -> pa.Table:
+        v = np.stack(t["embedding"].to_pandas().to_numpy()).astype(np.float64)
+        return pa.table(
+            {"label": t["label"], "elem_sum": pa.array(v.sum(axis=1), pa.float64())}
+        )
+
+    agg = (
+        ds.map_batches(elem_sum, batch_format="pyarrow")
+        .groupby("label")
+        .aggregate(Count(alias_name="n"), Sum("elem_sum", alias_name="s"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        avg = pc.round(pc.divide(t["s"], pc.cast(t["n"], pa.float64())), 4)
+        return pa.table(
+            {"label": t["label"], "n": t["n"], "avg_elem_sum": avg}
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_EMBEDDING_LABEL_STATS = (
+    "SELECT label, count(*)::bigint AS n, "
+    "round(sum(list_aggregate(embedding::DOUBLE[], 'sum')) / count(*), 4) AS avg_elem_sum "
+    "FROM embeddings GROUP BY label"
+)
+
+
+# ---------------------------------------------------------------------------
+# relational operators over the TPC-H-ish tables
+# ---------------------------------------------------------------------------
+
+
+def q_pricing_summary(sf_dir: str):
+    """TPC-H Q1 shape: vectorized derived columns + grouped aggregation."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        [
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_returnflag",
+            "l_linestatus",
+            "l_shipdate",
+        ],
+    )
+
+    def derive(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.less_equal(t["l_shipdate"], pa.scalar(pd.Timestamp("1998-09-02")))
+        )
+        disc = pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        )
+        return t.append_column("disc_price", disc)
+
+    agg = (
+        ds.map_batches(derive, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("l_extendedprice", alias_name="sum_base_price"),
+            Sum("disc_price", alias_name="sum_disc_price"),
+            Count(alias_name="count_order"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        for c in ("sum_qty", "sum_base_price", "sum_disc_price"):
+            t = t.set_column(t.column_names.index(c), c, pc.round(t[c], 2))
+        return t
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       count(*)::bigint AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_orders(sf_dir: str):
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+
+
+SQL_TOP_ORDERS = (
+    "SELECT o_orderkey, o_custkey, o_totalprice FROM orders "
+    "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"
+)
+
+
+def q_segment_order_stats(sf_dir: str):
+    """Broadcast join: small customer dim shipped once via ray.put, looked up
+    per batch (no shuffle); then grouped aggregation."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    cust = (
+        _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+        .to_pandas()
+        .set_index("c_custkey")["c_mktsegment"]
+    )
+    ref = ray.put(cust)
+
+    def join(b: pd.DataFrame) -> pd.DataFrame:
+        seg = ray.get(ref)
+        b["c_mktsegment"] = b["o_custkey"].map(seg)
+        return b
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    agg = (
+        orders.map_batches(join, batch_format="pandas")
+        .groupby("c_mktsegment")
+        .aggregate(
+            Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="total")
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return t.set_column(
+            t.column_names.index("total"), "total", pc.round(t["total"], 2)
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_SEGMENT_ORDER_STATS = """
+SELECT c_mktsegment, count(*)::bigint AS n_orders,
+       round(sum(o_totalprice), 2) AS total
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def q_nation_customer_counts(sf_dir: str):
+    """Distributed hash join (Dataset.join) through two dims."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"])
+    region = _read(sf_dir, "region", ["r_regionkey", "r_name"])
+    from ray.data.aggregate import Count
+
+    def widen(cols):
+        def f(t: pa.Table) -> pa.Table:
+            for c in cols:
+                if c in t.column_names:
+                    t = t.set_column(
+                        t.column_names.index(c), c, pc.cast(t[c], pa.int64())
+                    )
+            return t
+
+        return f
+
+    cust = cust.map_batches(widen(["c_nationkey"]), batch_format="pyarrow")
+    nation = nation.map_batches(
+        widen(["n_nationkey", "n_regionkey"]), batch_format="pyarrow"
+    )
+    region = region.map_batches(widen(["r_regionkey"]), batch_format="pyarrow")
+    j1 = cust.join(nation, "inner", 4, on=("c_nationkey",), right_on=("n_nationkey",))
+    j2 = j1.join(region, "inner", 4, on=("n_regionkey",), right_on=("r_regionkey",))
+    return j2.groupby(["r_name", "n_name"]).aggregate(Count(alias_name="n_customers"))
+
+
+SQL_NATION_CUSTOMER_COUNTS = """
+SELECT r_name, n_name, count(*)::bigint AS n_customers
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+def q_events_type_windows(sf_dir: str):
+    from ..windows import tumbling_counts
+
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def add_role(t: pa.Table) -> pa.Table:
+        return t.append_column("role", t["event_type"])
+
+    return (
+        tumbling_counts(
+            ds.map_batches(add_role, batch_format="pyarrow"),
+            size_s=3600.0,
+            key="event_type",
+        )
+        .select_columns(["event_type", "window_start", "window_end", "turn_count"])
+    )
+
+
+SQL_EVENTS_TYPE_WINDOWS = """
+SELECT event_type,
+       make_timestamp((epoch_us(ts)//3600000000)*3600000000) AS window_start,
+       make_timestamp((epoch_us(ts)//3600000000)*3600000000 + 3600000000) AS window_end,
+       count(*)::bigint AS turn_count
+FROM events GROUP BY event_type, (epoch_us(ts)//3600000000)*3600000000
+"""
+
+
+def q_events_value_stats(sf_dir: str):
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    agg = ds.groupby("event_type").aggregate(
+        Count(alias_name="n"),
+        Sum("value", alias_name="sum_value"),
+        Min("value", alias_name="min_value"),
+        Max("value", alias_name="max_value"),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return t.set_column(
+            t.column_names.index("sum_value"), "sum_value", pc.round(t["sum_value"], 2)
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_EVENTS_VALUE_STATS = """
+SELECT event_type, count(*)::bigint AS n, round(sum(value), 2) AS sum_value,
+       min(value) AS min_value, max(value) AS max_value
+FROM events GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "ordered_replay": (q_ordered_replay, SQL_ORDERED_REPLAY),
+    "ordered_final_status": (q_ordered_final_status, SQL_ORDERED_FINAL_STATUS),
+    "windows_tumbling": (q_windows_tumbling, SQL_WINDOWS_TUMBLING),
+    "windows_sliding": (q_windows_sliding, SQL_WINDOWS_SLIDING),
+    "windows_session": (q_windows_session, SQL_WINDOWS_SESSION),
+    "join_user_assistant": (q_join_user_assistant, SQL_JOIN_USER_ASSISTANT),
+    "doc_exact_dedup": (q_doc_exact_dedup, SQL_DOC_EXACT_DEDUP),
+    "doc_token_count": (q_doc_token_count, SQL_DOC_TOKEN_COUNT),
+    "doc_quality": (q_doc_quality, SQL_DOC_QUALITY),
+    "doc_lang_id": (q_doc_lang_id, SQL_DOC_LANG_ID),
+    "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
+    "doc_near_dups": (q_doc_near_dups, None),
+    "doc_simhash": (q_doc_simhash, None),
+    "knn_bruteforce": (q_knn_bruteforce, SQL_KNN_BRUTEFORCE),
+    "knn_ivf": (q_knn_ivf, None),
+    "embedding_label_stats": (q_embedding_label_stats, SQL_EMBEDDING_LABEL_STATS),
+    "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
+    "top_orders": (q_top_orders, SQL_TOP_ORDERS),
+    "segment_order_stats": (q_segment_order_stats, SQL_SEGMENT_ORDER_STATS),
+    "nation_customer_counts": (q_nation_customer_counts, SQL_NATION_CUSTOMER_COUNTS),
+    "events_type_windows": (q_events_type_windows, SQL_EVENTS_TYPE_WINDOWS),
+    "events_value_stats": (q_events_value_stats, SQL_EVENTS_VALUE_STATS),
+}

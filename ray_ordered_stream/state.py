@@ -252,19 +252,23 @@ class OrderedPartitionState:
         return emitted.append_column("state_digest", pa.array(digests, pa.string()))
 
     def _buffered_bounds(self) -> dict[str, tuple[int, int, int]]:
-        """key -> (buffered_count, earliest, latest) from the current buffer."""
+        """key -> (buffered_count, earliest, latest) from the current buffer.
+        The buffer is kept sorted by (key, seq), so bounds are group
+        boundaries — vectorized, no per-row Python."""
         out: dict[str, tuple[int, int, int]] = {}
         if self.buffer is None or not self.buffer.num_rows:
             return out
         cfg = self.cfg
-        keys = self.buffer[cfg.key].to_pylist()
-        seqs = self.buffer[cfg.seq].to_pylist()
-        for kv, sv in zip(keys, seqs):
-            if kv in out:
-                c, lo, hi = out[kv]
-                out[kv] = (c + 1, min(lo, sv), max(hi, sv))
-            else:
-                out[kv] = (1, sv, sv)
+        enc = pc.dictionary_encode(self.buffer[cfg.key]).combine_chunks()
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        seqs = self.buffer[cfg.seq].to_numpy(zero_copy_only=False)
+        n = len(codes)
+        starts = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]])
+        ends = np.r_[starts[1:], n] - 1
+        for kv, s, e in zip(
+            enc.dictionary.take(pa.array(codes[starts])).to_pylist(), starts, ends
+        ):
+            out[kv] = (int(e - s + 1), int(seqs[s]), int(seqs[e]))
         return out
 
     def _status_for(self, keys: list[str], status_ts) -> pa.Table:
