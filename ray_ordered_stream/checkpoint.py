@@ -1,0 +1,127 @@
+"""Per-partition checkpoint lineage (SURVEY.md §4 'Checkpoint / resume').
+
+Layout::
+
+    <root>/ckpt/p=<partition>/epoch-<n>/
+        buffer.parquet     # buffered out-of-order rows (may be absent)
+        counters.parquet   # per-key counters incl. next_seq
+        extras.json        # window/join accumulator state (small dicts)
+        _COMMIT            # marker written last (atomic rename)
+
+Commit order per epoch is: sink manifests FIRST, then the checkpoint
+(SURVEY.md §7.4.3). After a crash the engine resumes from the newest epoch
+whose checkpoint committed; any later epoch whose sink manifest exists is
+re-produced deterministically and overwritten idempotently.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from pathlib import Path
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _dir(root: str, partition: int, epoch: int) -> Path:
+    return Path(root) / "ckpt" / f"p={partition:05d}" / f"epoch-{epoch:05d}"
+
+
+def write_partition_checkpoint(root: str, partition: int, epoch: int, snap: dict) -> str:
+    d = _dir(root, partition, epoch)
+    d.mkdir(parents=True, exist_ok=True)
+
+    if snap["buffer"] is not None and snap["buffer"].num_rows:
+        tmp = d / "buffer.parquet.tmp"
+        pq.write_table(snap["buffer"], tmp)
+        os.replace(tmp, d / "buffer.parquet")
+
+    c = snap["counters"]
+    keys = sorted(c)
+    counters = pa.table(
+        {
+            "key": pa.array(keys, pa.string()),
+            "received": pa.array([c[k][0] for k in keys], pa.int64()),
+            "duplicates": pa.array([c[k][1] for k in keys], pa.int64()),
+            "results": pa.array([c[k][2] for k in keys], pa.int64()),
+            "next_seq": pa.array([c[k][3] for k in keys], pa.int64()),
+            "last_event": pa.array([c[k][4] for k in keys], pa.bool_()),
+            "digest": pa.array([c[k][5] for k in keys], pa.string()),
+        }
+    )
+    tmp = d / "counters.parquet.tmp"
+    pq.write_table(counters, tmp)
+    os.replace(tmp, d / "counters.parquet")
+
+    extras = {}
+    if "windows" in snap:
+        w = snap["windows"]
+        extras["windows"] = {
+            "watermark": w["watermark"],
+            "acc": [[k, ws, v] for (k, ws), v in w["acc"].items()],
+        }
+    if "join" in snap:
+        extras["join"] = snap["join"]
+    tmp = d / "extras.json.tmp"
+    tmp.write_text(json.dumps(extras))
+    os.replace(tmp, d / "extras.json")
+
+    tmp = d / "_COMMIT.tmp"
+    tmp.write_text("ok")
+    os.replace(tmp, d / "_COMMIT")
+    return str(d)
+
+
+def read_partition_checkpoint(root: str, partition: int, epoch: int) -> dict | None:
+    d = _dir(root, partition, epoch)
+    if not (d / "_COMMIT").exists():
+        return None
+    buffer = None
+    if (d / "buffer.parquet").exists():
+        buffer = pq.read_table(d / "buffer.parquet")
+    ct = pq.read_table(d / "counters.parquet")
+    counters = {}
+    for i in range(ct.num_rows):
+        counters[ct["key"][i].as_py()] = (
+            ct["received"][i].as_py(),
+            ct["duplicates"][i].as_py(),
+            ct["results"][i].as_py(),
+            ct["next_seq"][i].as_py(),
+            ct["last_event"][i].as_py(),
+            ct["digest"][i].as_py(),
+        )
+    snap: dict = {"counters": counters, "buffer": buffer}
+    extras = json.loads((d / "extras.json").read_text())
+    if "windows" in extras:
+        snap["windows"] = {
+            "watermark": extras["windows"]["watermark"],
+            "acc": {(k, ws): v for k, ws, v in extras["windows"]["acc"]},
+        }
+    if "join" in extras:
+        j = extras["join"]
+        snap["join"] = {
+            "pending": {k: [tuple(p) for p in v] for k, v in j["pending"].items()}
+        }
+    return snap
+
+
+def committed_epoch(root: str, partition: int) -> int | None:
+    """Newest committed checkpoint epoch for a partition, or None."""
+    base = Path(root) / "ckpt" / f"p={partition:05d}"
+    if not base.exists():
+        return None
+    epochs = [
+        int(d.name.split("-")[1])
+        for d in base.glob("epoch-*")
+        if (d / "_COMMIT").exists()
+    ]
+    return max(epochs) if epochs else None
+
+
+def resume_epoch(root: str, partitions: int) -> int | None:
+    """Newest epoch committed by ALL partitions (the consistent cut)."""
+    per = [committed_epoch(root, p) for p in range(partitions)]
+    if any(e is None for e in per):
+        return None
+    return min(per)

@@ -1,0 +1,160 @@
+"""Streaming driver: epochs, watermark, exactly-once sinks, checkpoint +
+resume (SURVEY.md §7.0 — the micro-batch streaming shape).
+
+The stream source is a landing directory / list of Parquet files in arrival
+order; each epoch consumes a contiguous group of files:
+
+    for each epoch:
+        read file group (one task per file, arrival order by construction)
+          -> feed through the long-lived state actors (ordered drain,
+             in-actor windows/join gated by the event-time watermark)
+          -> stage every partition's outputs, then commit sink manifests
+          -> checkpoint every partition (commit order: sinks first,
+             checkpoint second — SURVEY.md §7.4.3)
+
+Resume: the newest epoch whose checkpoint committed on ALL partitions is the
+consistent cut; earlier epochs' sink output is kept (their manifests are
+committed), later epochs are re-run deterministically and overwrite their
+files idempotently.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from pathlib import Path
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+
+from .checkpoint import resume_epoch
+from .ordered import OrderedProcessor
+from .sink import ManifestSink, write_part_atomic
+from .state import OrderedConfig
+
+
+@ray.remote
+def _read_file(path: str) -> pa.Table:
+    return pq.read_table(path)
+
+
+@ray.remote
+def _write_part(tbl: pa.Table, path: str) -> int:
+    if tbl is None:
+        return 0
+    return write_part_atomic(tbl, path)
+
+
+@dataclass
+class StreamResult:
+    out_root: str
+    epochs_run: int
+    epochs_skipped: int
+    total_emitted: int
+    final_status: pd.DataFrame
+    sinks: dict = field(default_factory=dict)
+
+
+def run_stream(
+    files: list[str],
+    out_root: str,
+    cfg: OrderedConfig | None = None,
+    num_partitions: int = 4,
+    files_per_epoch: int = 2,
+    resume: bool = True,
+    fail_after_epoch: int | None = None,
+) -> StreamResult:
+    """Run the full streaming pipeline over an arrival-ordered file list.
+
+    ``fail_after_epoch`` injects a crash after committing that epoch (tests
+    the kill-and-resume path: a subsequent call with resume=True must
+    produce output identical to an uninterrupted run).
+    """
+    cfg = cfg or OrderedConfig()
+    out = Path(out_root)
+    out.mkdir(parents=True, exist_ok=True)
+
+    sinks = {"ordered": ManifestSink(out_root, "ordered"),
+             "status": ManifestSink(out_root, "status")}
+    if cfg.window_size_s > 0:
+        sinks["windows"] = ManifestSink(out_root, "windows")
+    if cfg.stream_join:
+        sinks["joined"] = ManifestSink(out_root, "joined")
+
+    groups = [
+        files[i : i + files_per_epoch] for i in range(0, len(files), files_per_epoch)
+    ]
+
+    proc = OrderedProcessor(cfg, num_partitions)
+    P = proc.P
+    ray.get([w.set_partition_id.remote(p) for p, w in enumerate(proc.workers)])
+
+    start = 0
+    if resume:
+        ck = resume_epoch(out_root, P)
+        if ck is not None:
+            ray.get([w.restore_from.remote(out_root, ck) for w in proc.workers])
+            start = ck + 1
+
+    total_emitted = 0
+    epochs_run = 0
+    for epoch, group in enumerate(groups):
+        final = epoch == len(groups) - 1
+        if epoch < start:
+            continue
+        refs = [_read_file.remote(f) for f in group]
+        status_ts = pd.Timestamp("1970-01-01") + pd.Timedelta(seconds=epoch)
+        e_refs, s_refs = proc.feed_epoch(refs, status_ts)
+
+        # stage parts (per partition) for every sink of this epoch
+        writes = {}
+        writes["ordered"] = [
+            _write_part.remote(e, sinks["ordered"].part_path(epoch, p))
+            for p, e in enumerate(e_refs)
+        ]
+        writes["status"] = [
+            _write_part.remote(s, sinks["status"].part_path(epoch, p))
+            for p, s in enumerate(s_refs)
+        ]
+        if "windows" in sinks:
+            writes["windows"] = [
+                _write_part.remote(
+                    w.take_window_output.remote(final), sinks["windows"].part_path(epoch, p)
+                )
+                for p, w in enumerate(proc.workers)
+            ]
+        if "joined" in sinks:
+            writes["joined"] = [
+                _write_part.remote(
+                    w.take_join_output.remote(), sinks["joined"].part_path(epoch, p)
+                )
+                for p, w in enumerate(proc.workers)
+            ]
+
+        # commit order: sink manifests first ...
+        for name, refs_ in writes.items():
+            rows = ray.get(refs_)
+            sinks[name].commit_epoch(epoch, dict(enumerate(rows)))
+            if name == "ordered":
+                total_emitted += sum(rows)
+        # ... then the state checkpoint
+        ray.get([w.checkpoint_to.remote(out_root, epoch) for w in proc.workers])
+        epochs_run += 1
+
+        if fail_after_epoch is not None and epoch == fail_after_epoch:
+            proc.shutdown()
+            raise RuntimeError(f"injected failure after epoch {epoch}")
+
+    fin = proc.final_status_table(
+        pd.Timestamp("1970-01-01") + pd.Timedelta(seconds=len(groups))
+    ).to_pandas()
+    proc.shutdown()
+    return StreamResult(
+        out_root=out_root,
+        epochs_run=epochs_run,
+        epochs_skipped=start,
+        total_emitted=total_emitted,
+        final_status=fin,
+        sinks=sinks,
+    )

@@ -77,6 +77,19 @@ class OrderedWorker:
         pa.set_io_thread_count(1)
         self.cfg = cfg
         self.state = OrderedPartitionState(cfg)
+        self.windows = None
+        self.joiner = None
+        self._join_out: list[pa.Table] = []
+        if cfg.window_size_s > 0:
+            from .stream_ops import WindowAccumulator
+
+            self.windows = WindowAccumulator(
+                cfg.window_size_s, cfg.key, "ts", cfg.window_lateness_s
+            )
+        if cfg.stream_join:
+            from .stream_ops import StreamJoiner
+
+            self.joiner = StreamJoiner(cfg.key, cfg.seq)
         self._warmup()
 
     def _warmup(self, rows: int = 65536):
@@ -120,7 +133,14 @@ class OrderedWorker:
             if len(tables) > 1
             else tables[0]
         )
-        return self.state.process(batch, status_ts)
+        emitted, status = self.state.process(batch, status_ts)
+        if self.windows is not None:
+            self.windows.update(emitted)
+        if self.joiner is not None:
+            j = self.joiner.update(emitted)
+            if j.num_rows:
+                self._join_out.append(j)
+        return emitted, status
 
     def drain(self, status_ts):
         """Drain buffered overflow after a capped round (≙ re-firing of the
@@ -138,11 +158,56 @@ class OrderedWorker:
     def buffered_rows(self) -> int:
         return 0 if self.state.buffer is None else self.state.buffer.num_rows
 
+    def take_window_output(self, final: bool = False):
+        """Windows closed by the current watermark (stream_ops)."""
+        if self.windows is None:
+            return None
+        return self.windows.take_closed(final=final)
+
+    def take_join_output(self):
+        """Join pairs produced since the last take (stream_ops)."""
+        if self.joiner is None:
+            return None
+        out = self._join_out
+        self._join_out = []
+        if not out:
+            return None
+        return pa.concat_tables(out) if len(out) > 1 else out[0]
+
     def snapshot(self):
-        return self.state.snapshot()
+        snap = self.state.snapshot()
+        if self.windows is not None:
+            snap["windows"] = self.windows.snapshot()
+        if self.joiner is not None:
+            snap["join"] = self.joiner.snapshot()
+        return snap
 
     def restore(self, snap):
         self.state = OrderedPartitionState.restore(self.cfg, snap)
+        if self.windows is not None and "windows" in snap:
+            self.windows.restore(snap["windows"])
+        if self.joiner is not None and "join" in snap:
+            self.joiner.restore(snap["join"])
+        self._join_out = []
+
+    def checkpoint_to(self, root: str, epoch: int) -> str:
+        """Write this partition's state checkpoint (Parquet buffer +
+        counters) — see checkpoint.py for the layout/commit protocol."""
+        from .checkpoint import write_partition_checkpoint
+
+        return write_partition_checkpoint(root, self._partition_id, epoch, self.snapshot())
+
+    def restore_from(self, root: str, epoch: int) -> bool:
+        from .checkpoint import read_partition_checkpoint
+
+        snap = read_partition_checkpoint(root, self._partition_id, epoch)
+        if snap is None:
+            return False
+        self.restore(snap)
+        return True
+
+    def set_partition_id(self, p: int):
+        self._partition_id = p
 
     def ping(self):
         return True

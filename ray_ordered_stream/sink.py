@@ -1,0 +1,102 @@
+"""Exactly-once Parquet sink with commit manifests.
+
+≙ the reference's three BigQuery Storage-Write sinks
+(OrderBookProcessingPipeline.java:131-147) re-expressed for files
+(SURVEY.md §4 'Retries / exactly-once'):
+
+- every partition's epoch output is staged to its final path via
+  write-temp + atomic ``os.replace`` (same filesystem);
+- an epoch is COMMITTED only when ``_manifests/epoch-<n>.json`` exists; the
+  manifest lists the part files and row counts;
+- content is deterministic given (input epoch, state checkpoint), so a
+  crashed epoch is simply re-run: parts are overwritten byte-identically and
+  the manifest is rewritten — idempotent, exactly-once on read;
+- readers (and resume) consult only committed manifests, never the
+  directory listing.
+
+Output layout is partitioned (one file per state partition per epoch), so a
+failed run skips finished epochs and a 100 TB run never rewrites history.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from pathlib import Path
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def write_part_atomic(tbl: pa.Table, path: str) -> int:
+    """Stage + atomic rename; returns rows written."""
+    p = Path(path)
+    p.parent.mkdir(parents=True, exist_ok=True)
+    tmp = p.with_suffix(".tmp")
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, p)
+    return tbl.num_rows
+
+
+class ManifestSink:
+    def __init__(self, root: str, name: str):
+        self.root = Path(root) / name
+        self.name = name
+        (self.root / "_manifests").mkdir(parents=True, exist_ok=True)
+
+    def part_path(self, epoch: int, partition: int) -> str:
+        return str(self.root / f"epoch={epoch:05d}" / f"part-{partition:05d}.parquet")
+
+    def manifest_path(self, epoch: int) -> Path:
+        return self.root / "_manifests" / f"epoch-{epoch:05d}.json"
+
+    def commit_epoch(self, epoch: int, parts: dict[int, int]) -> None:
+        """parts: partition -> rows written. Manifest write is staged +
+        atomically renamed; its existence IS the commit."""
+        m = self.manifest_path(epoch)
+        tmp = m.with_suffix(".tmp")
+        tmp.write_text(
+            json.dumps(
+                {
+                    "sink": self.name,
+                    "epoch": epoch,
+                    "parts": {
+                        str(p): {"rows": n, "file": self.part_path(epoch, p)}
+                        for p, n in sorted(parts.items())
+                    },
+                    "total_rows": int(sum(parts.values())),
+                }
+            )
+        )
+        os.replace(tmp, m)
+
+    def committed_epochs(self) -> list[int]:
+        out = []
+        for f in sorted((self.root / "_manifests").glob("epoch-*.json")):
+            out.append(int(f.stem.split("-")[1]))
+        return out
+
+    def committed_files(self) -> list[str]:
+        files = []
+        for e in self.committed_epochs():
+            man = json.loads(self.manifest_path(e).read_text())
+            files.extend(
+                v["file"] for v in man["parts"].values() if v["rows"] > 0
+            )
+        return files
+
+    def read(self):
+        """Committed rows as a Ray Dataset (never trusts directory
+        listings)."""
+        import ray.data as rd
+
+        files = self.committed_files()
+        if not files:
+            raise FileNotFoundError(f"sink {self.name}: no committed epochs")
+        return rd.read_parquet(files)
+
+    def total_committed_rows(self) -> int:
+        return sum(
+            json.loads(self.manifest_path(e).read_text())["total_rows"]
+            for e in self.committed_epochs()
+        )

@@ -51,6 +51,10 @@ class OrderedConfig:
     status_every_event: bool = False   # ≙ produceStatusUpdatesOnEveryEvent()
     max_emit_per_round: int = 0   # ≙ maxOutputElementsPerBundle (0 = unlimited)
     with_digest: bool = False     # demo order-dependent MutableState (≙ OrderBookBuilder)
+    # in-actor streaming operators over the ordered emission (stream_ops.py)
+    window_size_s: float = 0.0    # > 0 enables watermark-gated tumbling windows
+    window_lateness_s: float = 0.0
+    stream_join: bool = False     # enables the sequence-driven as-of join
     partitions: int = 0           # 0 = auto (set by ordered.py)
     # State actors are long-lived RPC-style stores whose calls serialize per
     # actor; reserving whole CPUs for them starves the stateless split/read

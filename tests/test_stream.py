@@ -1,0 +1,163 @@
+"""Streaming driver tests: exactly-once sinks, checkpoint/resume equality,
+in-actor streaming windows and join vs their batch/oracle counterparts
+(FIXTURES.md t_resume / t_windows / t_join)."""
+
+import shutil
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from ray_ordered_stream.epochs import run_stream
+from ray_ordered_stream.fixtures import gen_transcripts, oracle_ordered
+from ray_ordered_stream.schema import ARRIVAL, KEY, SEQ
+from ray_ordered_stream.state import OrderedConfig
+
+
+@pytest.fixture(scope="module")
+def stream_files(tmp_path_factory, ray_session):
+    """Arrival-ordered multi-file landing directory (8 files)."""
+    t = gen_transcripts(
+        n_convs=12, min_turns=10, max_turns=60, lateness=60, dup_rate=0.03, seed=21
+    )
+    d = tmp_path_factory.mktemp("landing")
+    n, n_files = t.num_rows, 8
+    step = -(-n // n_files)
+    files = []
+    for i in range(n_files):
+        f = d / f"part-{i:05d}.parquet"
+        pq.write_table(t.slice(i * step, step), f)
+        files.append(str(f))
+    return t, files
+
+
+def read_sink(res, name):
+    return res.sinks[name].read().to_pandas()
+
+
+def test_stream_end_to_end_and_exactly_once(stream_files, tmp_path):
+    t, files = stream_files
+    out = str(tmp_path / "run1")
+    cfg = OrderedConfig(window_size_s=60.0, stream_join=True)
+    res = run_stream(files, out, cfg, num_partitions=3, files_per_epoch=2)
+
+    exp = oracle_ordered(t)
+    got = (
+        read_sink(res, "ordered")
+        .sort_values([KEY, SEQ], kind="stable")
+        .reset_index(drop=True)
+    )
+    assert res.total_emitted == len(exp)
+    pd.testing.assert_frame_equal(
+        got[[KEY, SEQ, "text", "emit_seq"]], exp[[KEY, SEQ, "text", "emit_seq"]]
+    )
+    # completion protocol on the final status
+    fin = res.final_status
+    assert (fin["buffered_count"] == 0).all()
+    assert fin["result_count"].sum() == len(exp)
+
+    # streaming windows == batch oracle (pandas)
+    win = (
+        read_sink(res, "windows")
+        .sort_values([KEY, "window_start"])
+        .reset_index(drop=True)
+    )
+    df = exp.copy()
+    df["window_start"] = df["ts"].dt.floor("60s")
+    wexp = (
+        df.groupby([KEY, "window_start"])
+        .agg(
+            turn_count=("role", "size"),
+            n_user=("role", lambda s: (s == "user").sum()),
+            n_assistant=("role", lambda s: (s == "assistant").sum()),
+        )
+        .reset_index()
+        .sort_values([KEY, "window_start"])
+        .reset_index(drop=True)
+    )
+    assert len(win) == len(wexp)
+    assert (win["turn_count"].values == wexp["turn_count"].values).all()
+    assert (win["n_user"].values == wexp["n_user"].values).all()
+
+    # streaming join == serial oracle (next assistant turn per user turn)
+    joined = (
+        read_sink(res, "joined")
+        .sort_values([KEY, "user_turn_idx"])
+        .reset_index(drop=True)
+    )
+    jexp_rows = []
+    for k, g in exp.groupby(KEY):
+        users = g[g["role"] == "user"]
+        assistants = g[g["role"] == "assistant"]
+        for _, u in users.iterrows():
+            nxt = assistants[assistants[SEQ] > u[SEQ]]
+            if len(nxt):
+                jexp_rows.append((k, u[SEQ], nxt.iloc[0][SEQ]))
+    assert len(joined) == len(jexp_rows)
+    assert [
+        (r[KEY], r["user_turn_idx"], r["assistant_turn_idx"])
+        for _, r in joined.iterrows()
+    ] == [(a, int(b), int(c)) for a, b, c in jexp_rows]
+
+
+def test_kill_and_resume_equality(stream_files, tmp_path):
+    t, files = stream_files
+    cfg = OrderedConfig(window_size_s=60.0, stream_join=True)
+
+    out_full = str(tmp_path / "full")
+    res_full = run_stream(files, out_full, cfg, num_partitions=3, files_per_epoch=2)
+
+    out_crash = str(tmp_path / "crash")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_stream(
+            files, out_crash, cfg, num_partitions=3, files_per_epoch=2,
+            fail_after_epoch=1,
+        )
+    res_resumed = run_stream(
+        files, out_crash, cfg, num_partitions=3, files_per_epoch=2, resume=True
+    )
+    assert res_resumed.epochs_skipped == 2  # epochs 0,1 committed pre-crash
+
+    for sink in ("ordered", "status", "windows", "joined"):
+        a = read_sink(res_full, sink)
+        b = read_sink(res_resumed, sink)
+        cols = sorted(a.columns)
+        a = a[cols].sort_values(cols, kind="stable").reset_index(drop=True)
+        b = b[cols].sort_values(cols, kind="stable").reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
+
+
+def test_resume_noop_when_complete(stream_files, tmp_path):
+    t, files = stream_files
+    out = str(tmp_path / "done")
+    r1 = run_stream(files, out, OrderedConfig(), num_partitions=2, files_per_epoch=2)
+    r2 = run_stream(files, out, OrderedConfig(), num_partitions=2, files_per_epoch=2)
+    assert r2.epochs_run == 0
+    assert r2.epochs_skipped == len(files) // 2
+    assert (
+        r1.sinks["ordered"].total_committed_rows()
+        == r2.sinks["ordered"].total_committed_rows()
+    )
+
+
+def test_partition_count_must_match_checkpoint(stream_files, tmp_path):
+    # SURVEY.md §7.4.1: P is recorded in the checkpoint lineage; resuming
+    # with a different P must NOT silently resume from a partial cut.
+    t, files = stream_files
+    out = str(tmp_path / "pmix")
+    run_stream(files[:4], out, OrderedConfig(), num_partitions=3, files_per_epoch=2)
+    res = run_stream(files, out, OrderedConfig(), num_partitions=4, files_per_epoch=2)
+    # with a different P there is no consistent cut for partition 3 -> full rerun
+    assert res.epochs_skipped == 0
+    exp = oracle_ordered(t)
+    got = (
+        read_sink(res, "ordered")
+        .sort_values([KEY, SEQ], kind="stable")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[[KEY, SEQ, "text", "emit_seq"]], exp[[KEY, SEQ, "text", "emit_seq"]]
+    )
