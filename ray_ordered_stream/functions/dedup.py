@@ -72,13 +72,22 @@ def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text"):
 # ---------------------------------------------------------------------------
 
 
+_POLY_BASE = np.uint64(1099511628211)  # FNV prime; u64 arithmetic wraps
+
+
 def _shingle_hashes(text: str, k: int) -> np.ndarray:
-    """Character k-gram shingle hash set (u64)."""
+    """Character k-gram shingle hash set (u64), fully vectorized: one
+    polynomial rolling hash over the byte string instead of a Python hash
+    call per k-gram (was the hot spot: ~2000 md5 calls per document)."""
     t = " ".join(text.lower().split())
-    if len(t) < k:
+    b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+    if len(b) < k:
         return np.array([_stable_u64(t)], dtype=np.uint64)
-    out = {_stable_u64(t[i : i + k]) for i in range(len(t) - k + 1)}
-    return np.fromiter(out, dtype=np.uint64, count=len(out))
+    n = len(b) - k + 1
+    h = np.zeros(n, dtype=np.uint64)
+    for j in range(k):
+        h = h * _POLY_BASE + b[j : j + n]
+    return np.unique(h)
 
 
 class MinHasher:
@@ -107,9 +116,10 @@ def minhash_lsh_candidates(
     ds,
     id_col: str = "doc_id",
     num_perm: int = 64,
-    bands: int = 16,
-    k: int = 5,
+    bands: int = 8,
+    k: int = 7,
     seed: int = 7,
+    max_bucket: int = 2048,
 ):
     """Candidate near-dup pairs via banded MinHash-LSH.
 
@@ -143,20 +153,31 @@ def minhash_lsh_candidates(
         )
 
     def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"),
+             "est_jaccard": pd.Series(dtype="float64")}
+        )
         if len(g) < 2:
-            return pd.DataFrame(
-                {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"),
-                 "est_jaccard": pd.Series(dtype="float64")}
+            return empty
+        if len(g) > max_bucket:
+            # NOT silent: a bucket this big means the banding is not
+            # selective for this corpus — log and skip rather than O(b^2).
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "minhash-lsh: dropping bucket of %d docs (> max_bucket=%d)",
+                len(g), max_bucket,
             )
+            return empty
         g = g.sort_values(id_col)
         ids = g[id_col].to_numpy()
-        sigs = np.stack(g["minhash"].to_numpy())
-        out = []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                est = float((sigs[i] == sigs[j]).mean())
-                out.append((int(ids[i]), int(ids[j]), est))
-        return pd.DataFrame(out, columns=["id_a", "id_b", "est_jaccard"])
+        sigs = np.stack(g["minhash"].to_numpy())  # (b, num_perm)
+        eq = (sigs[:, None, :] == sigs[None, :, :]).mean(axis=2)
+        ia, ib = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame(
+            {"id_a": ids[ia].astype("int64"), "id_b": ids[ib].astype("int64"),
+             "est_jaccard": eq[ia, ib]}
+        )
 
     from ray.data.aggregate import Max
 
@@ -181,7 +202,7 @@ def ngram_jaccard(text_a: str, text_b: str, k: int = 5) -> float:
 
 
 def near_dup_pairs(
-    ds, threshold: float = 0.7, id_col: str = "doc_id", k: int = 5, **lsh_kw
+    ds, threshold: float = 0.7, id_col: str = "doc_id", k: int = 7, **lsh_kw
 ):
     """MinHash-LSH candidates filtered by estimated Jaccard >= threshold.
     (For exact verification join texts back by id and apply
@@ -226,7 +247,7 @@ class SimHasher:
 
 
 def simhash(ds):
-    return ds.map_batches(SimHasher, batch_format="pandas", concurrency=4)
+    return ds.map_batches(SimHasher, batch_format="pandas", concurrency=(1, 4))
 
 
 # ---------------------------------------------------------------------------
@@ -276,5 +297,5 @@ def embedding_near_dups(
             {"id_a": ids[ia[m]], "id_b": ids[ib[m]], "cosine": sim[ia[m], ib[m]]}
         )
 
-    bucketed = ds.map_batches(Bucketer, batch_format="pandas", concurrency=4)
+    bucketed = ds.map_batches(Bucketer, batch_format="pandas", concurrency=(1, 4))
     return bucketed.groupby("bucket").map_groups(pairs, batch_format="pandas")

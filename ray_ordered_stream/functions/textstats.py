@@ -46,7 +46,7 @@ class TokenCounter:
 
 
 def token_count(ds):
-    return ds.map_batches(TokenCounter, batch_format="pandas", concurrency=4)
+    return ds.map_batches(TokenCounter, batch_format="pandas", concurrency=(1, 4))
 
 
 class QualityScorer:
@@ -67,7 +67,7 @@ class QualityScorer:
 
 
 def quality_score(ds):
-    return ds.map_batches(QualityScorer, batch_format="pandas", concurrency=4)
+    return ds.map_batches(QualityScorer, batch_format="pandas", concurrency=(1, 4))
 
 
 class LangId:
@@ -91,7 +91,7 @@ class LangId:
 
 
 def lang_id(ds):
-    return ds.map_batches(LangId, batch_format="pandas", concurrency=4)
+    return ds.map_batches(LangId, batch_format="pandas", concurrency=(1, 4))
 
 
 class Fingerprinter:
@@ -110,4 +110,4 @@ class Fingerprinter:
 
 
 def fingerprint(ds):
-    return ds.map_batches(Fingerprinter, batch_format="pandas", concurrency=4)
+    return ds.map_batches(Fingerprinter, batch_format="pandas", concurrency=(1, 4))

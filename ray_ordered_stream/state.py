@@ -208,16 +208,16 @@ class OrderedPartitionState:
             )
             e_rank = np.arange(len(emit_codes)) - e_start
             uniq_codes = emit_codes[e_change]
-            group_sizes = np.diff(np.append(np.flatnonzero(e_change), len(emit_codes)))
+            e_change_idx = np.flatnonzero(e_change)
+            group_sizes = np.diff(np.append(e_change_idx, len(emit_codes)))
+            first_seq = seq[emit_rows[e_change_idx]]
             base = np.empty(len(uniq_codes), dtype=np.int64)
             for gi, c in enumerate(uniq_codes):
                 kv = key_values[c]
                 kc = self.counters[kv]
                 base[gi] = kc.results
                 kc.results += int(group_sizes[gi])
-                kc.next_seq = int(seq[emit_rows[np.flatnonzero(e_change)[gi]]]) + int(
-                    group_sizes[gi]
-                )
+                kc.next_seq = int(first_seq[gi]) + int(group_sizes[gi])
                 touched.add(kv)
             emit_seq_col = base[np.cumsum(e_change) - 1] + e_rank + 1
         emitted = emitted.append_column("emit_seq", pa.array(emit_seq_col, pa.int64()))

@@ -1,0 +1,179 @@
+"""Unit tests for the training-data operators: dedup (exact/minhash/simhash/
+embedding), similarity search (brute-force + IVF), text stats, multimodal
+plumbing."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(5)
+    words = np.array(["alpha", "bravo", "china", "delta", "echo", "fox", "golf",
+                      "hotel", "india", "jazz", "kilo", "lima"])
+    texts = [" ".join(rng.choice(words, size=30)) for _ in range(40)]
+    texts[10] = texts[3]                         # exact dup
+    near = texts[5].split()
+    near[2] = "zulu"                             # near dup of doc 5
+    texts[20] = " ".join(near)
+    df = pd.DataFrame({"doc_id": np.arange(40, dtype="int64"), "text": texts})
+    return df, rd.from_pandas(df).repartition(3)
+
+
+def test_exact_dedup(docs_with_dups):
+    from ray_ordered_stream.functions.dedup import exact_dedup, exact_dedup_groups
+
+    df, ds = docs_with_dups
+    groups = exact_dedup_groups(ds).to_pandas()
+    assert len(groups) == 39  # one exact dup pair
+    assert groups.loc[groups["n_docs"] == 2, "keep_id"].iloc[0] == 3
+    kept = exact_dedup(ds).to_pandas()
+    assert len(kept) == 39
+    assert 10 not in set(kept["doc_id"])
+    assert 3 in set(kept["doc_id"])
+
+
+def test_minhash_near_dups(docs_with_dups):
+    from ray_ordered_stream.functions.dedup import near_dup_pairs, ngram_jaccard
+
+    df, ds = docs_with_dups
+    pairs = near_dup_pairs(ds, threshold=0.6).to_pandas()
+    found = set(map(tuple, pairs[["id_a", "id_b"]].values))
+    assert (3, 10) in found          # exact dup pair
+    assert (5, 20) in found          # planted near dup
+    # estimates should track exact jaccard
+    exact = ngram_jaccard(df.text[5], df.text[20])
+    est = pairs.set_index(["id_a", "id_b"]).loc[(5, 20), "est_jaccard"]
+    assert abs(est - exact) < 0.25
+
+
+def test_simhash_similarity(docs_with_dups):
+    from ray_ordered_stream.functions.dedup import SimHasher, simhash
+
+    df, ds = docs_with_dups
+    out = simhash(ds).to_pandas().set_index("doc_id")
+    h5 = np.uint64(out.loc[5, "simhash"])
+    h20 = np.uint64(out.loc[20, "simhash"])
+    h7 = np.uint64(out.loc[7, "simhash"])
+    d_near = bin(int(h5) ^ int(h20)).count("1")
+    d_far = bin(int(h5) ^ int(h7)).count("1")
+    assert d_near < d_far
+    assert out.loc[3, "simhash"] == out.loc[10, "simhash"]  # exact dup
+
+
+@pytest.fixture(scope="module")
+def embeddings(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(9)
+    v = rng.standard_normal((200, 32)).astype(np.float32)
+    v[50] = v[7] + rng.standard_normal(32).astype(np.float32) * 0.01  # near dup
+    df = pd.DataFrame(
+        {"vec_id": np.arange(200, dtype="int64"), "embedding": list(v)}
+    )
+    return v, rd.from_pandas(df).repartition(4)
+
+
+def test_knn_bruteforce_matches_numpy(embeddings):
+    from ray_ordered_stream.functions.similarity import knn_bruteforce
+
+    v, ds = embeddings
+    q = v[:3].astype(np.float64)
+    got = knn_bruteforce(ds, q, np.arange(3), k=5)
+    vn = v.astype(np.float64)
+    vn = vn / np.linalg.norm(vn, axis=1, keepdims=True)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    sim = qn @ vn.T
+    for qi in range(3):
+        s = sim[qi].copy()
+        s[qi] = -np.inf  # exclude self
+        order = np.lexsort((np.arange(len(s)), -s))[:5]
+        exp = list(order)
+        gqi = got[got["query_id"] == qi].sort_values("rank")["neighbor_id"].tolist()
+        assert gqi == exp
+
+
+def test_knn_ivf_recall(embeddings):
+    from ray_ordered_stream.functions.similarity import (
+        knn_bruteforce,
+        knn_ivf,
+        train_centroids,
+    )
+
+    v, ds = embeddings
+    q = v[:5].astype(np.float64)
+    cent = train_centroids(ds, n_centroids=8, sample_frac=0.5)
+    exact = knn_bruteforce(ds, q, np.arange(5), k=5)
+    approx = knn_ivf(ds, q, np.arange(5), cent, k=5, n_probe=4)
+    # recall@5 of IVF with half the lists probed should be high on n=200
+    e = exact.groupby("query_id")["neighbor_id"].apply(set)
+    a = approx.groupby("query_id")["neighbor_id"].apply(set)
+    recall = np.mean([len(e[i] & a.get(i, set())) / 5 for i in range(5)])
+    assert recall >= 0.6
+
+
+def test_embedding_near_dups(embeddings):
+    from ray_ordered_stream.functions.dedup import embedding_near_dups
+
+    v, ds = embeddings
+    pairs = embedding_near_dups(ds, threshold=0.95).to_pandas()
+    assert (7, 50) in set(map(tuple, pairs[["id_a", "id_b"]].values))
+
+
+def test_textstats(ray_session):
+    import ray.data as rd
+
+    from ray_ordered_stream.functions.textstats import lang_id, token_count
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                "the cat and the dog sat in the house",
+                "der hund und die katze ist nicht da",
+                "le chat et le chien est dans la maison",
+                "xyzzy plugh 42",
+            ],
+        }
+    )
+    ds = rd.from_pandas(df)
+    toks = token_count(ds).to_pandas().set_index("doc_id")
+    assert toks.loc[0, "n_tokens"] == 9
+    langs = lang_id(ds).to_pandas().set_index("doc_id")
+    assert langs.loc[0, "lang_guess"] == "en"
+    assert langs.loc[1, "lang_guess"] == "de"
+    assert langs.loc[2, "lang_guess"] == "fr"
+    assert langs.loc[3, "lang_guess"] == "und"
+
+
+def test_multimodal_plumbing(ray_session):
+    import ray.data as rd
+
+    from ray_ordered_stream.functions.multimodal import (
+        ImageDecodeStage,
+        decode_images,
+        sample_frames,
+        synth_media_table,
+    )
+
+    t = synth_media_table(24)
+    ds = rd.from_arrow(t)
+    feats = decode_images(ds, feat_dim=8, batch_size=8, concurrency=2).to_pandas()
+    assert len(feats) == 24
+    assert all(len(f) == 8 for f in feats["feature"])
+    # determinism: same payload -> same feature
+    again = decode_images(rd.from_arrow(t), feat_dim=8, batch_size=8, concurrency=2).to_pandas()
+    f1 = feats.sort_values("media_id")["feature"].tolist()
+    f2 = again.sort_values("media_id")["feature"].tolist()
+    assert all(np.allclose(a, b) for a, b in zip(f1, f2))
+
+    frames = sample_frames(ds, n_samples=3).to_pandas()
+    assert len(frames) == 72
+    assert set(frames["frame_idx"]) == {0, 1, 2}
+
+    with pytest.raises(NotImplementedError):
+        ImageDecodeStage(strict=True)(t)
