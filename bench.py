@@ -29,7 +29,9 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
-BENCH_CONVS = int(os.environ.get("ROS_BENCH_CONVS", "500000"))
+# 100k convs (~12M turns) for the per-round headline; --scaling uses 500k
+# (~60M turns) so fixed overheads amortize at the 4N level.
+BENCH_CONVS = int(os.environ.get("ROS_BENCH_CONVS", "100000"))
 BENCH_MIN_T = 40
 BENCH_MAX_T = 160
 BENCH_SEED = 42
@@ -194,6 +196,9 @@ def main():
     os.environ.setdefault("RAY_preallocate_plasma_memory", "1")
 
     if "--scaling" in sys.argv:
+        os.environ.setdefault("ROS_BENCH_CONVS", "500000")
+        global BENCH_CONVS
+        BENCH_CONVS = int(os.environ["ROS_BENCH_CONVS"])
         ensure_bench_input()  # generate before timing anything
         lo, hi = 8, 32
         res = {}

@@ -62,23 +62,37 @@ def gen_transcripts(
     turn_idx = (np.arange(n) - starts[conv_codes]).astype(np.int32)
 
     conv_ids = np.char.add("c", np.char.zfill(np.arange(n_convs).astype("U10"), 7))
-    conv_col = conv_ids[conv_codes]
+    conv_arr = pa.array(conv_ids, pa.string())
+    conv_col = conv_arr.take(pa.array(conv_codes))
 
     # Roles: turn 0 = system, then user/assistant alternating with a tool turn
     # every 5th; final turn of a conv = "end" sentinel (≙ lastContractMessage,
-    # marketdata.proto:41).
-    role = np.where(turn_idx % 2 == 1, "assistant", "user").astype("U9")
-    role[turn_idx == 0] = "system"
-    role[(turn_idx > 0) & (turn_idx % 5 == 0)] = "tool"
+    # marketdata.proto:41). Encoded as small-int codes + one dictionary take
+    # (np.char/np.where over tens of millions of U-strings is minutes-slow).
+    role_names = pa.array(["user", "assistant", "tool", "system", "end"], pa.string())
+    role_code = (turn_idx % 2 == 1).astype(np.int8)  # user/assistant
+    role_code[(turn_idx > 0) & (turn_idx % 5 == 0)] = 2
+    role_code[turn_idx == 0] = 3
     if end_sentinel:
-        role[turn_idx == (turns[conv_codes] - 1).astype(np.int32)] = "end"
-    tool = np.where(role == "tool", "search", "").astype("U9")
+        role_code[turn_idx == (turns[conv_codes] - 1).astype(np.int32)] = 4
+    role = role_names.take(pa.array(role_code.astype(np.int64)))
+    tool_names = pa.array(["", "search"], pa.string())
+    tool = tool_names.take(pa.array((role_code == 2).astype(np.int64)))
 
     # Deterministic payload text; order-sensitive content per (conv, turn).
+    # Arrow concat kernels: vectorized in C, identical output to the previous
+    # np.char implementation.
+    import pyarrow.compute as pc
+
     h = (conv_codes * 1_000_003 + turn_idx.astype(np.int64) * 7919) % 99_991
-    text = np.char.add(
-        np.char.add(np.char.add("turn ", turn_idx.astype("U10")), " of "),
-        np.char.add(conv_col, np.char.add(" payload ", h.astype("U10"))),
+    text = pc.binary_join_element_wise(
+        "turn ",
+        pc.cast(pa.array(turn_idx.astype(np.int64)), pa.string()),
+        " of ",
+        conv_col,
+        " payload ",
+        pc.cast(pa.array(h), pa.string()),
+        "",
     )
 
     # Simulated-time ladder: conversations interleave on a global clock;
@@ -92,11 +106,11 @@ def gen_transcripts(
 
     tbl = pa.table(
         {
-            KEY: pa.array(conv_col, pa.string()),
+            KEY: conv_col,
             SEQ: pa.array(turn_idx, pa.int32()),
-            "role": pa.array(role, pa.string()),
-            "text": pa.array(text, pa.string()),
-            "tool": pa.array(tool, pa.string()),
+            "role": role,
+            "text": text,
+            "tool": tool,
             "ts": pa.array(ts, pa.timestamp("us")),
         },
         schema=TRANSCRIPT_SCHEMA,

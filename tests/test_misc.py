@@ -1,0 +1,46 @@
+"""Tests for the debug sinks (≙ StandardOutput/JSONOutputConsumer) and the
+stats tracker (≙ StatsTracker)."""
+
+import io
+
+import pyarrow as pa
+
+from ray_ordered_stream.debug import format_turn, show_turns
+from ray_ordered_stream.fixtures import tiny_fixture
+from ray_ordered_stream.metrics import StatsTracker
+
+
+def test_show_turns_formats_rows():
+    t = tiny_fixture("t_inorder")
+    buf = io.StringIO()
+    n = show_turns(t, limit=2, file=buf)
+    lines = buf.getvalue().strip().splitlines()
+    assert n == 2 and len(lines) == 2
+    assert lines[0].startswith("[c0000000#0]")
+    assert "system" in lines[0]
+
+
+def test_format_turn_tool_suffix():
+    s = format_turn(
+        {"conv_id": "c1", "turn_idx": 5, "role": "tool", "text": "x", "tool": "search", "ts": None}
+    )
+    assert s.endswith("(tool=search)")
+
+
+def test_stats_tracker_rates_and_percentiles():
+    st = StatsTracker(window_s=10.0)
+    for i in range(10):
+        st.record(100, 1000, t=float(i))
+    r = st.rates(t=9.0)
+    assert r["rows_per_sec"] == round(1000.0 / 9.0, 1)  # 1000 rows over a 9s span
+    stage = st.stage("drain")
+    for ms in (1, 2, 3, 4, 100):
+        stage.record(rows=10, wall_s=ms / 1000)
+    s = stage.summary()
+    assert s["rows"] == 50 and s["calls"] == 5
+    assert s["lat_max"] == 0.1
+    assert s["lat_p50"] == 0.003
+    # window trimming: events older than window drop out
+    st.record(1, 0, t=100.0)
+    r2 = st.rates(t=100.0)
+    assert r2["rows_per_sec"] >= 0
