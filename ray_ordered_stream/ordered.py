@@ -233,9 +233,11 @@ class OrderedProcessor:
             num_partitions = self.cfg.partitions or _default_partitions()
         self.P = num_partitions
         self.overrides = overrides
+        opts: dict = {"num_cpus": self.cfg.actor_num_cpus}
+        if self.cfg.spread_actors:
+            opts["scheduling_strategy"] = "SPREAD"
         self.workers = [
-            OrderedWorker.options(num_cpus=self.cfg.actor_num_cpus).remote(self.cfg)
-            for _ in range(self.P)
+            OrderedWorker.options(**opts).remote(self.cfg) for _ in range(self.P)
         ]
         self._emitted_refs: list[ray.ObjectRef] = []
         self._status_refs: list[ray.ObjectRef] = []

@@ -62,6 +62,9 @@ class OrderedConfig:
     # while Ray task CPUs stay available — on a real cluster, size the pool
     # so P ≈ total cores and raise this if drains dominate.
     actor_num_cpus: float = 0.0
+    # SPREAD the state actors across nodes (multi-node clusters; with
+    # num_cpus=0 Ray would otherwise pack them all onto one node).
+    spread_actors: bool = False
 
 
 @dataclass
