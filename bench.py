@@ -105,52 +105,34 @@ def run_headline(num_cpus: int) -> dict:
     # ready (run-perf-test.sh pipeline_is_ready_to_process_data).
     rd.read_parquet(path).materialize()
 
-    proc = OrderedProcessor(OrderedConfig(), num_partitions=max(2, num_cpus))
-    ray.get([w.ping.remote() for w in proc.workers])
+    # Headline = the FULL streaming pipeline: landing-dir epochs through the
+    # sharded state store with exactly-once manifest sinks + per-partition
+    # incremental checkpoints (epochs.run_stream) — the same job shape the
+    # north rule describes, not just the drain.
+    import shutil
 
-    # Untimed warm feed through a THROWAWAY processor: first execution of the
-    # read/split/merge task functions in fresh worker processes pays one-off
-    # page-fault/lazy-binding costs (measured ~2x on the first epoch).
+    from ray_ordered_stream.epochs import run_stream
+
     files_all = sorted(str(p) for p in Path(path).glob("*.parquet"))
-    warm = OrderedProcessor(OrderedConfig(), num_partitions=max(2, num_cpus))
-    ray.get([w.ping.remote() for w in warm.workers])
-    warm_refs, _ = warm.feed_epoch(
-        [_read_file_task.remote(f) for f in files_all[: max(2, num_cpus)]],
-        pd.Timestamp("2025-01-01"),
-    )
-    ray.wait(warm_refs, num_returns=len(warm_refs), fetch_local=False)
-    warm.shutdown()
+    P = max(2, num_cpus)
+    files_per_epoch = max(1, len(files_all) // max(1, BENCH_EPOCHS))
 
-    # The stream source is a landing directory of parquet files in arrival
-    # order; each epoch consumes a contiguous group of files (one read task
-    # per file keeps arrival order by construction).
-    files = files_all
-    read_file = _read_file_task
+    warm_out = f"/tmp/ros_bench_out/warm_{num_cpus}"
+    shutil.rmtree(warm_out, ignore_errors=True)
+    run_stream(files_all[:files_per_epoch], warm_out, OrderedConfig(),
+               num_partitions=P, files_per_epoch=files_per_epoch, resume=False)
 
+    out_root = f"/tmp/ros_bench_out/run_{num_cpus}"
+    shutil.rmtree(out_root, ignore_errors=True)
     t0 = time.time()
-    # feed as a stream of epochs through the long-lived state store; dispatch
-    # is async so read/split/merge/drain of successive epochs pipeline, but
-    # in-flight epochs are bounded (backpressure) so a small node is not
-    # oversubscribed and the object store holds O(max_inflight) epochs.
-    n_ep = max(1, min(BENCH_EPOCHS, len(files)))
-    step = -(-len(files) // n_ep)
-    max_inflight = 6
-    inflight: list[list] = []
-    for i in range(n_ep):
-        epoch_files = files[i * step : (i + 1) * step]
-        if not epoch_files:
-            continue
-        if len(inflight) >= max_inflight:
-            oldest = inflight.pop(0)
-            ray.wait(oldest, num_returns=len(oldest), fetch_local=False)
-        epoch_refs = [read_file.remote(f) for f in epoch_files]
-        e_refs, _ = proc.feed_epoch(epoch_refs, pd.Timestamp("2025-01-01"))
-        inflight.append(e_refs)
-    fin = proc.final_status_table(pd.Timestamp("2025-01-01")).to_pandas()
+    res = run_stream(files_all, out_root, OrderedConfig(),
+                     num_partitions=P, files_per_epoch=files_per_epoch,
+                     resume=False)
     wall = time.time() - t0
+    fin = res.final_status
     n_results = int(fin["result_count"].sum())
     assert (fin["buffered_count"] == 0).all(), "stream did not drain"
-    proc.shutdown()
+    assert res.total_emitted == n_results, "sink rows != status result_count"
     return {
         "headline_sec": round(wall, 3),
         "turns": n_results,

@@ -106,6 +106,24 @@ def read_partition_checkpoint(root: str, partition: int, epoch: int) -> dict | N
     return snap
 
 
+def read_merged_checkpoint(root: str, partition: int, epoch: int) -> dict | None:
+    """Reconstruct partition state at ``epoch`` from incremental counter
+    deltas: merge counters of all committed epochs <= epoch in ascending
+    order (last write per key wins); buffer and window/join extras are
+    written in full each epoch, so only the target epoch's are used."""
+    latest = read_partition_checkpoint(root, partition, epoch)
+    if latest is None:
+        return None
+    merged: dict = {}
+    for e in range(epoch + 1):
+        snap = read_partition_checkpoint(root, partition, e)
+        if snap is None:
+            continue  # partitions may skip epochs only if never committed
+        merged.update(snap["counters"])
+    latest["counters"] = merged
+    return latest
+
+
 def committed_epoch(root: str, partition: int) -> int | None:
     """Newest committed checkpoint epoch for a partition, or None."""
     base = Path(root) / "ckpt" / f"p={partition:05d}"

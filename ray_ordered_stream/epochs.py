@@ -46,6 +46,28 @@ def _write_part(tbl: pa.Table, path: str) -> int:
     return write_part_atomic(tbl, path)
 
 
+def _resume_point(out_root: str, P: int, sinks: dict) -> int | None:
+    """Newest epoch e such that (a) every partition has a committed
+    checkpoint >= e (consistent state cut) and (b) every sink's manifest
+    prefix covers 0..e (output visible). Actor checkpoints can run ahead of
+    manifest commits in the pipelined protocol, so e is the min of the two
+    frontiers."""
+    ck = resume_epoch(out_root, P)
+    if ck is None:
+        return None
+    frontier = ck
+    for s in sinks.values():
+        committed = s.committed_epochs()
+        prefix = -1
+        for e in committed:
+            if e == prefix + 1:
+                prefix = e
+            else:
+                break
+        frontier = min(frontier, prefix)
+    return frontier if frontier >= 0 else None
+
+
 @dataclass
 class StreamResult:
     out_root: str
@@ -92,59 +114,56 @@ def run_stream(
 
     start = 0
     if resume:
-        ck = resume_epoch(out_root, P)
-        if ck is not None:
-            ray.get([w.restore_from.remote(out_root, ck) for w in proc.workers])
-            start = ck + 1
+        e_star = _resume_point(out_root, P, sinks)
+        if e_star is not None:
+            ray.get([w.restore_from.remote(out_root, e_star) for w in proc.workers])
+            start = e_star + 1
 
+    # Pipelined execution, NO per-epoch barrier: each partition's actor call
+    # queue serializes drain(k) -> checkpoint(k) -> drain(k+1); the driver
+    # trails behind committing sink manifests strictly in epoch order.
+    # Crash-consistency: an actor checkpoint may exist for an epoch whose
+    # manifests never committed; _resume_point therefore takes the newest
+    # epoch with BOTH a full checkpoint cut AND a contiguous manifest prefix,
+    # and later epochs re-run deterministically (overwriting their files and
+    # stale checkpoints byte-identically).
     total_emitted = 0
     epochs_run = 0
+    pending: list[tuple[int, list]] = []
+    max_inflight = 3
+
+    def commit_oldest():
+        nonlocal total_emitted, epochs_run
+        epoch, refs = pending.pop(0)
+        rows_per_part = ray.get(refs)
+        for name, s in sinks.items():
+            rows = {p: r.get(name, 0) for p, r in enumerate(rows_per_part)}
+            s.commit_epoch(epoch, rows)
+            if name == "ordered":
+                total_emitted += sum(rows.values())
+        epochs_run += 1
+        if fail_after_epoch is not None and epoch == fail_after_epoch:
+            proc.shutdown()
+            raise RuntimeError(f"injected failure after epoch {epoch}")
+
     for epoch, group in enumerate(groups):
         final = epoch == len(groups) - 1
         if epoch < start:
             continue
+        while len(pending) >= max_inflight:
+            commit_oldest()
         refs = [_read_file.remote(f) for f in group]
         status_ts = pd.Timestamp("1970-01-01") + pd.Timedelta(seconds=epoch)
-        e_refs, s_refs = proc.feed_epoch(refs, status_ts)
-
-        # stage parts (per partition) for every sink of this epoch
-        writes = {}
-        writes["ordered"] = [
-            _write_part.remote(e, sinks["ordered"].part_path(epoch, p))
-            for p, e in enumerate(e_refs)
+        paths = [
+            {name: s.part_path(epoch, p) for name, s in sinks.items()}
+            for p in range(P)
         ]
-        writes["status"] = [
-            _write_part.remote(s, sinks["status"].part_path(epoch, p))
-            for p, s in enumerate(s_refs)
-        ]
-        if "windows" in sinks:
-            writes["windows"] = [
-                _write_part.remote(
-                    w.take_window_output.remote(final), sinks["windows"].part_path(epoch, p)
-                )
-                for p, w in enumerate(proc.workers)
-            ]
-        if "joined" in sinks:
-            writes["joined"] = [
-                _write_part.remote(
-                    w.take_join_output.remote(), sinks["joined"].part_path(epoch, p)
-                )
-                for p, w in enumerate(proc.workers)
-            ]
-
-        # commit order: sink manifests first ...
-        for name, refs_ in writes.items():
-            rows = ray.get(refs_)
-            sinks[name].commit_epoch(epoch, dict(enumerate(rows)))
-            if name == "ordered":
-                total_emitted += sum(rows)
-        # ... then the state checkpoint
-        ray.get([w.checkpoint_to.remote(out_root, epoch) for w in proc.workers])
-        epochs_run += 1
-
-        if fail_after_epoch is not None and epoch == fail_after_epoch:
-            proc.shutdown()
-            raise RuntimeError(f"injected failure after epoch {epoch}")
+        out_refs = proc.feed_epoch_to_sinks(
+            refs, status_ts, paths, final=final, ckpt=(out_root, epoch)
+        )
+        pending.append((epoch, out_refs))
+    while pending:
+        commit_oldest()
 
     fin = proc.final_status_table(
         pd.Timestamp("1970-01-01") + pd.Timedelta(seconds=len(groups))

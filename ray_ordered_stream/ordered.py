@@ -142,6 +142,44 @@ class OrderedWorker:
                 self._join_out.append(j)
         return emitted, status
 
+    def process_epoch_to_sink(
+        self, status_ts, empty_like: pa.Table, sink_paths: dict, final: bool,
+        ckpt: tuple | None,
+        *parts: pa.Table,
+    ) -> dict:
+        """Drain one epoch AND write this partition's sink parts directly
+        (staged + atomic rename, sink.py protocol) — the scale path: emitted
+        rows go straight from the state actor to its partition's file and
+        never re-cross the object store. Returns {sink_name: rows_written}.
+
+        ``sink_paths`` maps sink name -> this partition's part path for the
+        epoch; recognized names: ordered, status, windows, joined.
+        ``ckpt=(root, epoch)`` additionally checkpoints this partition right
+        here, so drain(k) -> checkpoint(k) -> drain(k+1) sequence per
+        partition follows from the actor call queue with NO driver barrier
+        (the driver trails behind, committing sink manifests in epoch order;
+        see epochs.run_stream for the resume rule this relies on).
+        """
+        from .sink import write_part_atomic
+
+        emitted, status = self.process_epoch(status_ts, empty_like, *parts)
+        out = {}
+        if "ordered" in sink_paths:
+            out["ordered"] = write_part_atomic(emitted, sink_paths["ordered"])
+        if "status" in sink_paths:
+            out["status"] = write_part_atomic(status, sink_paths["status"])
+        if "windows" in sink_paths and self.windows is not None:
+            w = self.take_window_output(final)
+            out["windows"] = write_part_atomic(w, sink_paths["windows"]) if w is not None else 0
+        if "joined" in sink_paths and self.joiner is not None:
+            j = self.take_join_output()
+            out["joined"] = (
+                write_part_atomic(j, sink_paths["joined"]) if j is not None else 0
+            )
+        if ckpt is not None:
+            self.checkpoint_to(ckpt[0], ckpt[1])
+        return out
+
     def drain(self, status_ts):
         """Drain buffered overflow after a capped round (≙ re-firing of the
         batch timer; used with max_emit_per_round). Returns
@@ -191,16 +229,21 @@ class OrderedWorker:
         self._join_out = []
 
     def checkpoint_to(self, root: str, epoch: int) -> str:
-        """Write this partition's state checkpoint (Parquet buffer +
-        counters) — see checkpoint.py for the layout/commit protocol."""
+        """Write this partition's state checkpoint: INCREMENTAL counters
+        (keys dirtied since the last checkpoint; restore merges epoch deltas
+        last-wins), full buffer + window/join extras — see checkpoint.py."""
         from .checkpoint import write_partition_checkpoint
 
-        return write_partition_checkpoint(root, self._partition_id, epoch, self.snapshot())
+        snap = self.snapshot()
+        snap["counters"] = self.state.snapshot(dirty_only=True)["counters"]
+        path = write_partition_checkpoint(root, self._partition_id, epoch, snap)
+        self.state.mark_clean()
+        return path
 
     def restore_from(self, root: str, epoch: int) -> bool:
-        from .checkpoint import read_partition_checkpoint
+        from .checkpoint import read_merged_checkpoint
 
-        snap = read_partition_checkpoint(root, self._partition_id, epoch)
+        snap = read_merged_checkpoint(root, self._partition_id, epoch)
         if snap is None:
             return False
         self.restore(snap)
@@ -281,6 +324,47 @@ class OrderedProcessor:
         self._emitted_refs.extend(emitted_refs)
         self._status_refs.extend(status_refs)
         return emitted_refs, status_refs
+
+    def feed_epoch_to_sinks(
+        self, ds_or_table, status_ts, sink_paths_per_partition: list[dict],
+        final: bool = False, ckpt: tuple | None = None,
+    ) -> list:
+        """Like feed_epoch, but every partition writes its sink parts
+        directly from the state actor (no emitted tables through the object
+        store). Returns one ObjectRef per partition resolving to
+        {sink_name: rows_written}."""
+        _check_columns(ds_or_table, self.cfg)
+        block_refs = _to_block_refs(ds_or_table)
+        if not block_refs:
+            return []
+        key = self.cfg.key
+        n_map = max(1, min(len(block_refs), max(self.P, _cpu_count())))
+        groups = [
+            list(g)
+            for g in np.array_split(np.array(block_refs, dtype=object), n_map)
+            if len(g)
+        ]
+        if self.P == 1:
+            per_group = [[_concat_shards.remote(*g)] for g in groups]
+        else:
+            per_group = [
+                _split_blocks.options(num_returns=self.P).remote(
+                    key, self.P, self.overrides, *g
+                )
+                for g in groups
+            ]
+        empty_ref = ray.put(_empty_like(ds_or_table))
+        out = []
+        for p, w in enumerate(self.workers):
+            shards = [pg[p] for pg in per_group]
+            merged = shards[0] if len(shards) == 1 else _concat_shards.remote(*shards)
+            out.append(
+                w.process_epoch_to_sink.remote(
+                    status_ts, empty_ref, sink_paths_per_partition[p], final,
+                    ckpt, merged,
+                )
+            )
+        return out
 
     def _drain_loop(self, emitted_refs, status_refs, status_ts):
         # loop-drain capped overflow until every partition's buffer stops

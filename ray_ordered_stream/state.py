@@ -84,6 +84,7 @@ class OrderedPartitionState:
         self.cfg = cfg or OrderedConfig()
         self.counters: dict[str, _KeyCounters] = {}
         self.buffer: pa.Table | None = None   # out-of-order remainder, sorted by (key, seq)
+        self.dirty: set[str] = set()          # keys mutated since last checkpoint
 
     # -- hot path ----------------------------------------------------------
 
@@ -244,6 +245,7 @@ class OrderedPartitionState:
         self.buffer = combined.take(pa.array(rest_rows)) if len(rest_rows) else None
 
         # 9. status rows for touched keys
+        self.dirty |= touched
         status = self._status_for(sorted(touched), status_ts)
         return emitted, status
 
@@ -308,15 +310,31 @@ class OrderedPartitionState:
 
     # -- checkpoint --------------------------------------------------------
 
-    def snapshot(self) -> dict:
-        """Serializable state: counters dict + buffered rows (Arrow)."""
+    def snapshot(self, dirty_only: bool = False) -> dict:
+        """Serializable state: counters dict + buffered rows (Arrow).
+
+        ``dirty_only`` restricts counters to keys mutated since the last
+        ``mark_clean()`` — the incremental-checkpoint path (a full-counter
+        write per epoch is O(total keys) and dominates at millions of keys;
+        restore merges epoch deltas last-wins, see checkpoint.py)."""
+        keys = self.dirty if dirty_only else self.counters.keys()
         return {
             "counters": {
-                k: (c.received, c.duplicates, c.results, c.next_seq, c.last_event, c.digest)
-                for k, c in self.counters.items()
+                k: (
+                    (c := self.counters[k]).received,
+                    c.duplicates,
+                    c.results,
+                    c.next_seq,
+                    c.last_event,
+                    c.digest,
+                )
+                for k in keys
             },
             "buffer": self.buffer,
         }
+
+    def mark_clean(self) -> None:
+        self.dirty.clear()
 
     @classmethod
     def restore(cls, cfg: OrderedConfig, snap: dict) -> "OrderedPartitionState":
