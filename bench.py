@@ -117,15 +117,16 @@ def run_headline(num_cpus: int) -> dict:
     P = max(2, num_cpus)
     files_per_epoch = max(1, len(files_all) // max(1, BENCH_EPOCHS))
 
+    cfg = OrderedConfig(warmup_rows=65536)
     warm_out = f"/tmp/ros_bench_out/warm_{num_cpus}"
     shutil.rmtree(warm_out, ignore_errors=True)
-    run_stream(files_all[:files_per_epoch], warm_out, OrderedConfig(),
+    run_stream(files_all[:files_per_epoch], warm_out, cfg,
                num_partitions=P, files_per_epoch=files_per_epoch, resume=False)
 
     out_root = f"/tmp/ros_bench_out/run_{num_cpus}"
     shutil.rmtree(out_root, ignore_errors=True)
     t0 = time.time()
-    res = run_stream(files_all, out_root, OrderedConfig(),
+    res = run_stream(files_all, out_root, cfg,
                      num_partitions=P, files_per_epoch=files_per_epoch,
                      resume=False)
     wall = time.time() - t0

@@ -30,7 +30,7 @@ import ray
 
 from .checkpoint import resume_epoch
 from .ordered import OrderedProcessor
-from .sink import ManifestSink, write_part_atomic
+from .sink import ManifestSink
 from .state import OrderedConfig
 
 
@@ -39,11 +39,6 @@ def _read_file(path: str) -> pa.Table:
     return pq.read_table(path)
 
 
-@ray.remote
-def _write_part(tbl: pa.Table, path: str) -> int:
-    if tbl is None:
-        return 0
-    return write_part_atomic(tbl, path)
 
 
 def _resume_point(out_root: str, P: int, sinks: dict) -> int | None:

@@ -92,7 +92,11 @@ class OrderedWorker:
             self.joiner = StreamJoiner(cfg.key, cfg.seq)
         self._warmup()
 
-    def _warmup(self, rows: int = 65536):
+    def _warmup(self, rows: int | None = None):
+        if rows is None:
+            rows = self.cfg.warmup_rows
+        if rows <= 0:
+            return
         """A fresh worker process pays page-fault + first-call kernel costs
         on its first realistically-sized drain (measured 2.4s -> 0.1s for an
         identical second run); with P cold actors starting together that

@@ -65,6 +65,10 @@ class OrderedConfig:
     # SPREAD the state actors across nodes (multi-node clusters; with
     # num_cpus=0 Ray would otherwise pack them all onto one node).
     spread_actors: bool = False
+    # rows of synthetic data each actor drains twice at __init__ to pre-fault
+    # allocator arenas / bind kernels (see OrderedWorker._warmup); bench sets
+    # 65536, small values keep test-suite actor creation cheap
+    warmup_rows: int = 8192
 
 
 @dataclass

@@ -113,3 +113,23 @@ def test_emit_cap_with_drain_loop():
     pd.testing.assert_frame_equal(
         got[[KEY, SEQ, "text", "emit_seq"]], exp[[KEY, SEQ, "text", "emit_seq"]]
     )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_engine_level_every_event_status_trajectory():
+    # FIXTURES.md §3 golden trajectory through the FULL engine (P=1 keeps the
+    # global arrival order; ≙ OrderBookProcessingPipelineTest.java:140-195).
+    t = tiny_fixture("t_reverse")
+    res = ordered_process(
+        t, OrderedConfig(status_every_event=True), num_partitions=1
+    )
+    s = res.status.to_pandas()
+    assert list(s["received_count"]) == [1, 2, 3]
+    assert list(s["buffered_count"]) == [1, 2, 0]
+    assert s["last_processed_sequence"].iloc[2] == 2
+    assert list(s["result_count"]) == [0, 0, 3]
+    exp = oracle_ordered(t)
+    got = sorted_df(res.ordered)
+    pd.testing.assert_frame_equal(
+        got[[KEY, SEQ, "text", "emit_seq"]], exp[[KEY, SEQ, "text", "emit_seq"]]
+    )
