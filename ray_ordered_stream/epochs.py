@@ -93,7 +93,8 @@ def run_stream(
     out.mkdir(parents=True, exist_ok=True)
 
     sinks = {"ordered": ManifestSink(out_root, "ordered"),
-             "status": ManifestSink(out_root, "status")}
+             "status": ManifestSink(out_root, "status"),
+             "dlq": ManifestSink(out_root, "dlq")}
     if cfg.window_size_s > 0:
         sinks["windows"] = ManifestSink(out_root, "windows")
     if cfg.stream_join:

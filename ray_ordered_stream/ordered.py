@@ -37,7 +37,7 @@ from .state import OrderedConfig, OrderedPartitionState
 
 
 @ray.remote
-def _split_blocks(key: str, P: int, overrides, *tbls: pa.Table) -> list[pa.Table]:
+def _split_blocks(key: str, P: int, overrides, range_bounds, *tbls: pa.Table) -> list[pa.Table]:
     """Map side of the exchange: concat a group of input blocks, split into P
     compact per-partition sub-tables. Input blocks are grouped so each output
     shard is large enough to live in plasma (tiny task returns live in the
@@ -50,7 +50,7 @@ def _split_blocks(key: str, P: int, overrides, *tbls: pa.Table) -> list[pa.Table
         empty = tbls[0].slice(0, 0) if tbls else pa.table({})
         return [empty] * P
     tbl = pa.concat_tables(real, promote_options="none") if len(real) > 1 else real[0]
-    return split_table(tbl, key, P, overrides)
+    return split_table(tbl, key, P, overrides, range_bounds)
 
 
 @ray.remote
@@ -80,6 +80,7 @@ class OrderedWorker:
         self.windows = None
         self.joiner = None
         self._join_out: list[pa.Table] = []
+        self._dlq: list[pa.Table] = []
         if cfg.window_size_s > 0:
             from .stream_ops import WindowAccumulator
 
@@ -93,16 +94,16 @@ class OrderedWorker:
         self._warmup()
 
     def _warmup(self, rows: int | None = None):
-        if rows is None:
-            rows = self.cfg.warmup_rows
-        if rows <= 0:
-            return
         """A fresh worker process pays page-fault + first-call kernel costs
         on its first realistically-sized drain (measured 2.4s -> 0.1s for an
         identical second run); with P cold actors starting together that
         serializes the first epoch. Pre-fault the allocator arenas and
         exercise the kernels once on a throwaway state with a real-sized
         synthetic batch."""
+        if rows is None:
+            rows = self.cfg.warmup_rows
+        if rows <= 0:
+            return
         import pandas as pd
 
         cfg = self.cfg
@@ -125,7 +126,12 @@ class OrderedWorker:
     def process_epoch(self, status_ts, empty_like: pa.Table, *parts: pa.Table):
         """Feed this partition's sub-tables for one epoch (in arrival order);
         returns (emitted, status) Arrow tables. ``empty_like`` carries the
-        input schema so empty partitions still emit schema-correct tables."""
+        input schema so empty partitions still emit schema-correct tables.
+
+        Rows with a null key or sequence are quarantined to the partition's
+        DLQ (≙ FailedBigQueryInsertProcessor, reference
+        FailedBigQueryInsertProcessor.java:28-50) instead of poisoning the
+        drain; fetch/flush them via take_dlq / the 'dlq' sink."""
         tables = [t for t in parts if t.num_rows]
         if not tables:
             return (
@@ -137,6 +143,13 @@ class OrderedWorker:
             if len(tables) > 1
             else tables[0]
         )
+        cfg = self.cfg
+        if batch[cfg.key].null_count or batch[cfg.seq].null_count:
+            import pyarrow.compute as pc
+
+            bad = pc.or_(pc.is_null(batch[cfg.key]), pc.is_null(batch[cfg.seq]))
+            self._dlq.append(batch.filter(bad))
+            batch = batch.filter(pc.invert(bad))
         emitted, status = self.state.process(batch, status_ts)
         if self.windows is not None:
             self.windows.update(emitted)
@@ -180,6 +193,9 @@ class OrderedWorker:
             out["joined"] = (
                 write_part_atomic(j, sink_paths["joined"]) if j is not None else 0
             )
+        if "dlq" in sink_paths:
+            d = self.take_dlq()
+            out["dlq"] = write_part_atomic(d, sink_paths["dlq"]) if d is not None else 0
         if ckpt is not None:
             self.checkpoint_to(ckpt[0], ckpt[1])
         return out
@@ -205,6 +221,14 @@ class OrderedWorker:
         if self.windows is None:
             return None
         return self.windows.take_closed(final=final)
+
+    def take_dlq(self):
+        """Quarantined rows since the last take (DLQ side output)."""
+        out = self._dlq
+        self._dlq = []
+        if not out:
+            return None
+        return pa.concat_tables(out) if len(out) > 1 else out[0]
 
     def take_join_output(self):
         """Join pairs produced since the last take (stream_ops)."""
@@ -274,12 +298,14 @@ class OrderedProcessor:
     epoch. ``ordered_process`` is the one-shot (single-epoch batch) facade."""
 
     def __init__(self, cfg: OrderedConfig | None = None, num_partitions: int | None = None,
-                 overrides: dict[str, int] | None = None):
+                 overrides: dict[str, int] | None = None,
+                 range_bounds: list[str] | None = None):
         self.cfg = cfg or OrderedConfig()
         if num_partitions is None:
             num_partitions = self.cfg.partitions or _default_partitions()
         self.P = num_partitions
         self.overrides = overrides
+        self.range_bounds = range_bounds
         opts: dict = {"num_cpus": self.cfg.actor_num_cpus}
         if self.cfg.spread_actors:
             opts["scheduling_strategy"] = "SPREAD"
@@ -309,7 +335,7 @@ class OrderedProcessor:
         else:
             per_group = [
                 _split_blocks.options(num_returns=self.P).remote(
-                    key, self.P, self.overrides, *g
+                    key, self.P, self.overrides, self.range_bounds, *g
                 )
                 for g in groups
             ]
@@ -353,7 +379,7 @@ class OrderedProcessor:
         else:
             per_group = [
                 _split_blocks.options(num_returns=self.P).remote(
-                    key, self.P, self.overrides, *g
+                    key, self.P, self.overrides, self.range_bounds, *g
                 )
                 for g in groups
             ]

@@ -36,9 +36,10 @@ def key_partition_codes(
     enc = pc.dictionary_encode(keys)
     if isinstance(enc, pa.ChunkedArray):
         enc = enc.combine_chunks()
-    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    codes = np.asarray(enc.indices.fill_null(-1)).astype(np.int64)
     uniques = enc.dictionary.to_pylist()
-    part_of_unique = np.empty(len(uniques), dtype=np.int64)
+    part_of_unique = np.empty(len(uniques) + 1, dtype=np.int64)
+    part_of_unique[-1] = 0  # null keys -> partition 0 (quarantined at worker)
     for i, u in enumerate(uniques):
         if overrides and u in overrides:
             part_of_unique[i] = overrides[u] % num_partitions
@@ -52,6 +53,7 @@ def split_table(
     key: str,
     num_partitions: int,
     overrides: dict[str, int] | None = None,
+    range_bounds: list[str] | None = None,
 ) -> list[pa.Table]:
     """Split one block into P per-partition sub-tables (map side of the
     exchange). Row order within each sub-table preserves the block's arrival
@@ -62,13 +64,49 @@ def split_table(
     buffers are not truncated), which turns the exchange into O(P * block)
     bytes — measured 6 MB per 1000-row slice vs 81 KiB compact. One stable
     argsort + P contiguous-range takes keeps the copy at O(n) total."""
-    parts = key_partition_codes(tbl[key], num_partitions, overrides)
+    if range_bounds is not None:
+        parts = range_partition_codes(tbl[key], range_bounds)
+    else:
+        parts = key_partition_codes(tbl[key], num_partitions, overrides)
     order = np.argsort(parts, kind="stable")
     bounds = np.searchsorted(parts[order], np.arange(num_partitions + 1))
     return [
         tbl.take(pa.array(order[bounds[p] : bounds[p + 1]]))
         for p in range(num_partitions)
     ]
+
+
+def compute_range_bounds(
+    sample: pa.Table, key: str, num_partitions: int
+) -> list[str]:
+    """P-1 quantile cut points of the key from a sample — range partitioning
+    keeps each partition a contiguous key range (co-locates lexicographic
+    neighbours; the north-star 'range-partitioned' mode). Deterministic given
+    the sample."""
+    ks = sorted(set(sample[key].to_pylist()))
+    if len(ks) <= num_partitions:
+        return ks[1:]
+    idx = [int(i * len(ks) / num_partitions) for i in range(1, num_partitions)]
+    return [ks[i] for i in idx]
+
+
+def range_partition_codes(
+    keys: pa.ChunkedArray | pa.Array, bounds: list[str]
+) -> np.ndarray:
+    """Vectorized-by-unique range assignment: partition = number of bounds
+    <= key (np.searchsorted over the unique values)."""
+    if isinstance(keys, pa.ChunkedArray):
+        keys = keys.combine_chunks()
+    enc = pc.dictionary_encode(keys)
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    codes = np.asarray(enc.indices.fill_null(-1)).astype(np.int64)
+    uniques = np.array(enc.dictionary.to_pylist(), dtype=object)
+    part_of_unique = np.append(
+        np.searchsorted(np.array(bounds, dtype=object), uniques, side="right"),
+        0,  # null keys -> partition 0
+    ).astype(np.int64)
+    return part_of_unique[codes]
 
 
 def compute_hot_key_overrides(

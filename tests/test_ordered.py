@@ -133,3 +133,56 @@ def test_engine_level_every_event_status_trajectory():
     pd.testing.assert_frame_equal(
         got[[KEY, SEQ, "text", "emit_seq"]], exp[[KEY, SEQ, "text", "emit_seq"]]
     )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_range_partitioning_matches_oracle():
+    from ray_ordered_stream.partitioning import compute_range_bounds
+
+    t = tiny_fixture("t_multi")
+    bounds = compute_range_bounds(t, KEY, 3)
+    assert len(bounds) >= 1
+    proc = OrderedProcessor(OrderedConfig(), num_partitions=3, range_bounds=bounds)
+    proc.feed_epoch(t, TS)
+    res = proc.datasets()
+    got = sorted_df(res.ordered)
+    exp = oracle_ordered(t)
+    pd.testing.assert_frame_equal(
+        got[[KEY, SEQ, "text", "emit_seq"]], exp[[KEY, SEQ, "text", "emit_seq"]]
+    )
+    proc.shutdown()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_null_key_rows_quarantined_to_dlq():
+    import pyarrow as pa
+
+    t = tiny_fixture("t_multi")
+    # corrupt two rows: null conv_id / null turn_idx
+    bad = pa.table(
+        {
+            KEY: pa.array([None, "cX"], pa.string()),
+            SEQ: pa.array([0, None], pa.int32()),
+            "role": pa.array(["user", "user"]),
+            "text": pa.array(["b1", "b2"]),
+            "tool": pa.array(["", ""]),
+            "ts": t["ts"].slice(0, 2),
+            "arrival_seq": pa.array([10**9, 10**9 + 1], pa.int64()),
+        }
+    )
+    nullable_schema = pa.schema([pa.field(f.name, f.type, nullable=True) for f in t.schema])
+    mixed = pa.concat_tables([t.cast(nullable_schema), bad.cast(nullable_schema)])
+    proc = OrderedProcessor(OrderedConfig(), num_partitions=2)
+    proc.feed_epoch(mixed, TS)
+    res = proc.datasets()
+    got = sorted_df(res.ordered)
+    exp = oracle_ordered(t)  # clean rows only
+    pd.testing.assert_frame_equal(
+        got[[KEY, SEQ, "text", "emit_seq"]], exp[[KEY, SEQ, "text", "emit_seq"]]
+    )
+    import ray
+
+    dlq = [ray.get(w.take_dlq.remote()) for w in proc.workers]
+    dlq_rows = sum(d.num_rows for d in dlq if d is not None)
+    assert dlq_rows == 2
+    proc.shutdown()
