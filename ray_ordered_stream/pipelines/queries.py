@@ -430,8 +430,11 @@ def q_pricing_summary(sf_dir: str):
     )
 
     def finish(t: pa.Table) -> pa.Table:
+        # whole-unit rounding: at ~1e10 magnitude a double's ulp (~1e-6)
+        # can straddle a 2-decimal rounding boundary between two summation
+        # orders; integer units are ulp-safe
         for c in ("sum_qty", "sum_base_price", "sum_disc_price"):
-            t = t.set_column(t.column_names.index(c), c, pc.round(t[c], 2))
+            t = t.set_column(t.column_names.index(c), c, pc.round(t[c], 0))
         return t
 
     return agg.map_batches(finish, batch_format="pyarrow")
@@ -439,9 +442,9 @@ def q_pricing_summary(sf_dir: str):
 
 SQL_PRICING_SUMMARY = """
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2) AS sum_qty,
-       round(sum(l_extendedprice), 2) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_quantity), 0) AS sum_qty,
+       round(sum(l_extendedprice), 0) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 0) AS sum_disc_price,
        count(*)::bigint AS count_order
 FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
 GROUP BY l_returnflag, l_linestatus
@@ -488,7 +491,7 @@ def q_segment_order_stats(sf_dir: str):
 
     def finish(t: pa.Table) -> pa.Table:
         return t.set_column(
-            t.column_names.index("total"), "total", pc.round(t["total"], 2)
+            t.column_names.index("total"), "total", pc.round(t["total"], 0)
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
@@ -496,7 +499,7 @@ def q_segment_order_stats(sf_dir: str):
 
 SQL_SEGMENT_ORDER_STATS = """
 SELECT c_mktsegment, count(*)::bigint AS n_orders,
-       round(sum(o_totalprice), 2) AS total
+       round(sum(o_totalprice), 0) AS total
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment
 """
@@ -592,6 +595,116 @@ FROM events GROUP BY event_type
 """
 
 
+def q_orders_priority_counts(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_orderstatus", "o_totalprice"])
+    agg = ds.groupby(["o_orderpriority", "o_orderstatus"]).aggregate(
+        Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="total")
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return t.set_column(
+            t.column_names.index("total"), "total", pc.round(t["total"], 0)
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_ORDERS_PRIORITY_COUNTS = """
+SELECT o_orderpriority, o_orderstatus, count(*)::bigint AS n_orders,
+       round(sum(o_totalprice), 0) AS total
+FROM orders GROUP BY o_orderpriority, o_orderstatus
+"""
+
+
+def q_doc_stats_by_source(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "documents", ["source", "lang", "n_chars"])
+    return ds.groupby(["source", "lang"]).aggregate(
+        Count(alias_name="n_docs"), Sum("n_chars", alias_name="total_chars")
+    )
+
+
+SQL_DOC_STATS_BY_SOURCE = (
+    "SELECT source, lang, count(*)::bigint AS n_docs, "
+    "sum(n_chars)::bigint AS total_chars FROM documents GROUP BY source, lang"
+)
+
+
+def q_user_daily_activity(sf_dir: str):
+    """Per (user, day): event count + distinct event types. The distinct
+    count pre-deduplicates (user, day, type) inside map_batches partials so
+    the shuffle carries only distinct triples (scale pattern)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        tsi = pc.cast(t["ts"], pa.int64())
+        day = pc.multiply(pc.divide(tsi, DAY_US), DAY_US)
+        tt = pa.table(
+            {
+                "user_id": t["user_id"],
+                "day": day,
+                "event_type": t["event_type"],
+            }
+        )
+        df = tt.to_pandas()
+        g = (
+            df.groupby(["user_id", "day", "event_type"], sort=False)
+            .size()
+            .rename("n")
+            .reset_index()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    # second-level: distinct types per (user, day) + total events
+    from ray.data.aggregate import Count as _Count
+
+    agg = (
+        partials.groupby(["user_id", "day", "event_type"])
+        .aggregate(Sum("n", alias_name="n"))
+        .groupby(["user_id", "day"])
+        .aggregate(Count(alias_name="n_types"), Sum("n", alias_name="n_events"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        day = pc.cast(t["day"], pa.timestamp("us"))
+        t = t.drop_columns(["day"])
+        return t.append_column("day", day)
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_USER_DAILY_ACTIVITY = f"""
+SELECT user_id, make_timestamp((epoch_us(ts)//{DAY_US})*{DAY_US}) AS day,
+       count(DISTINCT event_type)::bigint AS n_types,
+       count(*)::bigint AS n_events
+FROM events GROUP BY user_id, (epoch_us(ts)//{DAY_US})*{DAY_US}
+"""
+
+
+def q_conv_stats(sf_dir: str):
+    """Per-conversation stats over the derived transcript stream."""
+    from ray.data.aggregate import Count, Max, Min
+
+    t = _role_mapped(sf_dir)
+    return t.groupby(KEY).aggregate(
+        Count(alias_name="n_turns"),
+        Min("ts", alias_name="first_ts"),
+        Max("ts", alias_name="last_ts"),
+    )
+
+
+SQL_CONV_STATS = (
+    "SELECT cast(user_id AS varchar) AS conv_id, count(*)::bigint AS n_turns, "
+    "min(ts) AS first_ts, max(ts) AS last_ts FROM events GROUP BY user_id"
+)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -619,4 +732,8 @@ QUERIES = {
     "nation_customer_counts": (q_nation_customer_counts, SQL_NATION_CUSTOMER_COUNTS),
     "events_type_windows": (q_events_type_windows, SQL_EVENTS_TYPE_WINDOWS),
     "events_value_stats": (q_events_value_stats, SQL_EVENTS_VALUE_STATS),
+    "orders_priority_counts": (q_orders_priority_counts, SQL_ORDERS_PRIORITY_COUNTS),
+    "doc_stats_by_source": (q_doc_stats_by_source, SQL_DOC_STATS_BY_SOURCE),
+    "user_daily_activity": (q_user_daily_activity, SQL_USER_DAILY_ACTIVITY),
+    "conv_stats": (q_conv_stats, SQL_CONV_STATS),
 }
