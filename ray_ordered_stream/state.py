@@ -49,6 +49,11 @@ class OrderedConfig:
     last_col: str = "role"        # ≙ EventExaminer.isLastEvent
     last_value: str = "end"       #   (ours: role == "end" sentinel turn)
     status_every_event: bool = False   # ≙ produceStatusUpdatesOnEveryEvent()
+    # ≙ withStatusUpdateFrequency(Duration): emit per-key status rows only
+    # every k-th process() call (1 = every call/epoch). At 10^12-turn scale
+    # per-epoch-per-key status is itself a large output; thin it here.
+    # Counters keep accumulating regardless; final_status is always complete.
+    status_every_epochs: int = 1
     max_emit_per_round: int = 0   # ≙ maxOutputElementsPerBundle (0 = unlimited)
     with_digest: bool = False     # demo order-dependent MutableState (≙ OrderBookBuilder)
     # in-actor streaming operators over the ordered emission (stream_ops.py)
@@ -261,9 +266,15 @@ class OrderedPartitionState:
             combined.take(pa.array(order[rest_rows])) if len(rest_rows) else None
         )
 
-        # 9. status rows for touched keys
+        # 9. status rows for touched keys (thinned by status_every_epochs)
         self.dirty |= touched
-        status = self._status_for(sorted(touched), status_ts)
+        self._call_count = getattr(self, "_call_count", 0) + 1
+        if cfg.status_every_epochs > 1 and (
+            self._call_count % cfg.status_every_epochs
+        ):
+            status = _empty_status()
+        else:
+            status = self._status_for(sorted(touched), status_ts)
         return emitted, status
 
     # -- helpers -----------------------------------------------------------

@@ -201,3 +201,22 @@ def test_initial_seq_gap_from_start():
     assert list(s["buffered_count"]) == [1, 2, 0]
     assert list(s["result_count"]) == [0, 0, 3]
     assert_matches_oracle(t2, emitted)
+
+
+def test_status_thinning_every_k_epochs():
+    # ≙ withStatusUpdateFrequency: status emitted every 3rd call only;
+    # counters still accumulate and the final accounting is complete.
+    t = tiny_fixture("t_multi")
+    st = OrderedPartitionState(OrderedConfig(status_every_epochs=3))
+    n = t.num_rows
+    rows_per_call = []
+    for lo in range(0, n, 97):
+        _, s = st.process(t.slice(lo, min(97, n - lo)), TS)
+        rows_per_call.append(s.num_rows)
+    calls = len(rows_per_call)
+    emitted_calls = [i for i, r in enumerate(rows_per_call) if r > 0]
+    assert emitted_calls == [i for i in range(calls) if (i + 1) % 3 == 0]
+    total_results = sum(c.results for c in st.counters.values())
+    from ray_ordered_stream.fixtures import oracle_ordered
+
+    assert total_results == len(oracle_ordered(t))
