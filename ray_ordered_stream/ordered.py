@@ -214,7 +214,7 @@ class OrderedWorker:
         return self.state._status_for(sorted(self.state.counters), status_ts)
 
     def buffered_rows(self) -> int:
-        return 0 if self.state.buffer is None else self.state.buffer.num_rows
+        return self.state.buffered_row_count()
 
     def take_window_output(self, final: bool = False):
         """Windows closed by the current watermark (stream_ops)."""

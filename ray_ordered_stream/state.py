@@ -74,6 +74,13 @@ class OrderedConfig:
     # allocator arenas / bind kernels (see OrderedWorker._warmup); bench sets
     # 65536, small values keep test-suite actor creation cheap
     warmup_rows: int = 8192
+    # Memory-aware buffering (SURVEY.md §7.4.7): when a pathological gap
+    # grows the out-of-order buffer past this row count, the buffer is
+    # offloaded to scratch Parquet between process() calls instead of
+    # pinning actor heap; it is read back (and the file removed) on the next
+    # call. 0 = keep in memory.
+    buffer_offload_rows: int = 0
+    scratch_dir: str = "/tmp/ros_scratch"
 
 
 @dataclass
@@ -94,6 +101,46 @@ class OrderedPartitionState:
         self.counters: dict[str, _KeyCounters] = {}
         self.buffer: pa.Table | None = None   # out-of-order remainder, sorted by (key, seq)
         self.dirty: set[str] = set()          # keys mutated since last checkpoint
+        self._buffer_file: str | None = None  # offloaded buffer (buffer_offload_rows)
+        self._bounds_cache: dict | None = None
+
+    def _load_buffer(self) -> None:
+        """Read back an offloaded buffer before combining (and remove the
+        scratch file — it will be rewritten if still too large)."""
+        if self._buffer_file is not None:
+            import os
+
+            import pyarrow.parquet as pq
+
+            self.buffer = pq.read_table(self._buffer_file)
+            os.unlink(self._buffer_file)
+            self._buffer_file = None
+
+    def _maybe_offload_buffer(self) -> None:
+        cfg = self.cfg
+        if (
+            cfg.buffer_offload_rows
+            and self.buffer is not None
+            and self.buffer.num_rows > cfg.buffer_offload_rows
+        ):
+            import os
+            import uuid
+
+            import pyarrow.parquet as pq
+
+            os.makedirs(cfg.scratch_dir, exist_ok=True)
+            path = f"{cfg.scratch_dir}/buf-{uuid.uuid4().hex}.parquet"
+            self._bounds_cache = self._buffered_bounds()
+            pq.write_table(self.buffer, path)
+            self._buffer_file = path
+            self.buffer = None
+
+    def buffered_row_count(self) -> int:
+        if self.buffer is not None:
+            return self.buffer.num_rows
+        if self._bounds_cache is not None and self._buffer_file is not None:
+            return sum(c for c, _lo, _hi in self._bounds_cache.values())
+        return 0
 
     # -- hot path ----------------------------------------------------------
 
@@ -134,6 +181,7 @@ class OrderedPartitionState:
         #    (FIXTURES.md §2 "keep first"). Sorting by integer codes instead
         #    of the string column itself is ~3x faster and also serves as the
         #    received-count hash pass (np.bincount below).
+        self._load_buffer()
         buffer_n = 0 if self.buffer is None else self.buffer.num_rows
         if buffer_n:
             combined = pa.concat_tables([self.buffer, batch], promote_options="none")
@@ -275,6 +323,7 @@ class OrderedPartitionState:
             status = _empty_status()
         else:
             status = self._status_for(sorted(touched), status_ts)
+        self._maybe_offload_buffer()
         return emitted, status
 
     # -- helpers -----------------------------------------------------------
@@ -293,6 +342,8 @@ class OrderedPartitionState:
         The buffer is kept sorted by (key, seq), so bounds are group
         boundaries — vectorized, no per-row Python."""
         out: dict[str, tuple[int, int, int]] = {}
+        if self.buffer is None and self._buffer_file is not None:
+            return dict(self._bounds_cache or {})
         if self.buffer is None or not self.buffer.num_rows:
             return out
         cfg = self.cfg
@@ -345,6 +396,7 @@ class OrderedPartitionState:
         ``mark_clean()`` — the incremental-checkpoint path (a full-counter
         write per epoch is O(total keys) and dominates at millions of keys;
         restore merges epoch deltas last-wins, see checkpoint.py)."""
+        self._load_buffer()  # checkpoints always materialize the buffer
         keys = self.dirty if dirty_only else self.counters.keys()
         return {
             "counters": {

@@ -220,3 +220,34 @@ def test_status_thinning_every_k_epochs():
     from ray_ordered_stream.fixtures import oracle_ordered
 
     assert total_results == len(oracle_ordered(t))
+
+
+def test_buffer_offload_pathological_gap(tmp_path):
+    # turn 0 of a big conversation withheld until the end: every other row
+    # buffers; with offload enabled the buffer lives on disk between calls.
+    import glob as _glob
+
+    t = gen_transcripts(n_convs=1, min_turns=400, max_turns=400, end_sentinel=False)
+    t = t.drop_columns([ARRIVAL])
+    withheld = t.slice(0, 1)
+    rest = t.slice(1)
+    scratch = str(tmp_path / "scratch")
+    st = OrderedPartitionState(
+        OrderedConfig(buffer_offload_rows=50, scratch_dir=scratch)
+    )
+    parts = []
+    for lo in range(0, rest.num_rows, 37):
+        e, s = st.process(rest.slice(lo, 37), TS)
+        parts.append(e)
+    assert st.buffer is None and st._buffer_file is not None  # offloaded
+    assert len(_glob.glob(f"{scratch}/*.parquet")) == 1
+    assert st.buffered_row_count() == rest.num_rows
+    # status bounds still served from the cache while offloaded
+    b = st._buffered_bounds()
+    assert list(b.values())[0][0] == rest.num_rows
+    e, s = st.process(withheld, TS)  # gap fills -> full drain
+    parts.append(e)
+    emitted = pa.concat_tables(parts)
+    assert_matches_oracle(t, emitted)
+    assert st.buffered_row_count() == 0
+    assert len(_glob.glob(f"{scratch}/*.parquet")) == 0  # scratch reclaimed
