@@ -28,7 +28,12 @@ def _dir(root: str, partition: int, epoch: int) -> Path:
     return Path(root) / "ckpt" / f"p={partition:05d}" / f"epoch-{epoch:05d}"
 
 
-def write_partition_checkpoint(root: str, partition: int, epoch: int, snap: dict) -> str:
+def write_partition_checkpoint(
+    root: str, partition: int, epoch: int, snap: dict, full: bool = False
+) -> str:
+    """``full=True`` marks this epoch's counters as a complete snapshot (not a
+    delta): restore then merges deltas only from the newest full epoch, which
+    bounds resume cost on long streams (compaction)."""
     d = _dir(root, partition, epoch)
     d.mkdir(parents=True, exist_ok=True)
 
@@ -36,6 +41,12 @@ def write_partition_checkpoint(root: str, partition: int, epoch: int, snap: dict
         tmp = d / "buffer.parquet.tmp"
         pq.write_table(snap["buffer"], tmp)
         os.replace(tmp, d / "buffer.parquet")
+    else:
+        # A re-run may overwrite an epoch dir that previously committed with
+        # a non-empty buffer (crash recovery / changed config reusing the
+        # out_root). A committed checkpoint must contain only files from the
+        # current write, else resume restores phantom buffered rows.
+        (d / "buffer.parquet").unlink(missing_ok=True)
 
     c = snap["counters"]
     keys = sorted(c)
@@ -54,7 +65,7 @@ def write_partition_checkpoint(root: str, partition: int, epoch: int, snap: dict
     pq.write_table(counters, tmp)
     os.replace(tmp, d / "counters.parquet")
 
-    extras = {}
+    extras = {"call_count": snap.get("call_count", 0)}
     if "windows" in snap:
         w = snap["windows"]
         extras["windows"] = {
@@ -66,6 +77,14 @@ def write_partition_checkpoint(root: str, partition: int, epoch: int, snap: dict
     tmp = d / "extras.json.tmp"
     tmp.write_text(json.dumps(extras))
     os.replace(tmp, d / "extras.json")
+
+    full_marker = d / "_FULL"
+    if full:
+        tmp = d / "_FULL.tmp"
+        tmp.write_text("ok")
+        os.replace(tmp, full_marker)
+    else:
+        full_marker.unlink(missing_ok=True)  # re-run may change the cadence
 
     tmp = d / "_COMMIT.tmp"
     tmp.write_text("ok")
@@ -81,18 +100,23 @@ def read_partition_checkpoint(root: str, partition: int, epoch: int) -> dict | N
     if (d / "buffer.parquet").exists():
         buffer = pq.read_table(d / "buffer.parquet")
     ct = pq.read_table(d / "counters.parquet")
-    counters = {}
-    for i in range(ct.num_rows):
-        counters[ct["key"][i].as_py()] = (
-            ct["received"][i].as_py(),
-            ct["duplicates"][i].as_py(),
-            ct["results"][i].as_py(),
-            ct["next_seq"][i].as_py(),
-            ct["last_event"][i].as_py(),
-            ct["digest"][i].as_py(),
+    cols = ct.to_pydict()  # one Python conversion per column, not per cell
+    counters = dict(
+        zip(
+            cols["key"],
+            zip(
+                cols["received"],
+                cols["duplicates"],
+                cols["results"],
+                cols["next_seq"],
+                cols["last_event"],
+                cols["digest"],
+            ),
         )
+    )
     snap: dict = {"counters": counters, "buffer": buffer}
     extras = json.loads((d / "extras.json").read_text())
+    snap["call_count"] = extras.get("call_count", 0)
     if "windows" in extras:
         snap["windows"] = {
             "watermark": extras["windows"]["watermark"],
@@ -108,14 +132,22 @@ def read_partition_checkpoint(root: str, partition: int, epoch: int) -> dict | N
 
 def read_merged_checkpoint(root: str, partition: int, epoch: int) -> dict | None:
     """Reconstruct partition state at ``epoch`` from incremental counter
-    deltas: merge counters of all committed epochs <= epoch in ascending
-    order (last write per key wins); buffer and window/join extras are
-    written in full each epoch, so only the target epoch's are used."""
+    deltas: merge counters of committed epochs in ascending order (last write
+    per key wins) starting from the newest FULL snapshot <= epoch (compaction
+    bound — restore cost is O(epochs since last full), not O(all epochs));
+    buffer and window/join extras are written in full each epoch, so only the
+    target epoch's are used."""
     latest = read_partition_checkpoint(root, partition, epoch)
     if latest is None:
         return None
+    base = 0
+    for e in range(epoch, -1, -1):
+        d = _dir(root, partition, e)
+        if (d / "_FULL").exists() and (d / "_COMMIT").exists():
+            base = e
+            break
     merged: dict = {}
-    for e in range(epoch + 1):
+    for e in range(base, epoch + 1):
         snap = read_partition_checkpoint(root, partition, e)
         if snap is None:
             continue  # partitions may skip epochs only if never committed

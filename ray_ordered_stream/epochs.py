@@ -81,6 +81,7 @@ def run_stream(
     files_per_epoch: int = 2,
     resume: bool = True,
     fail_after_epoch: int | None = None,
+    checkpoint_full_every: int = 16,
 ) -> StreamResult:
     """Run the full streaming pipeline over an arrival-ordered file list.
 
@@ -154,8 +155,11 @@ def run_stream(
             {name: s.part_path(epoch, p) for name, s in sinks.items()}
             for p in range(P)
         ]
+        # compaction cadence: every k-th epoch writes a FULL counter snapshot
+        # (restore merges deltas only from the newest full epoch)
+        full_ckpt = checkpoint_full_every > 0 and epoch % checkpoint_full_every == 0
         out_refs = proc.feed_epoch_to_sinks(
-            refs, status_ts, paths, final=final, ckpt=(out_root, epoch)
+            refs, status_ts, paths, final=final, ckpt=(out_root, epoch, full_ckpt)
         )
         pending.append((epoch, out_refs))
     while pending:

@@ -197,15 +197,16 @@ class OrderedWorker:
             d = self.take_dlq()
             out["dlq"] = write_part_atomic(d, sink_paths["dlq"]) if d is not None else 0
         if ckpt is not None:
-            self.checkpoint_to(ckpt[0], ckpt[1])
+            self.checkpoint_to(*ckpt)
         return out
 
     def drain(self, status_ts):
         """Drain buffered overflow after a capped round (≙ re-firing of the
         batch timer; used with max_emit_per_round). Returns
         (emitted, status, n_emitted)."""
-        if self.state.buffer is None or not self.state.buffer.num_rows:
+        if not self.state.buffered_row_count():
             return None, None, 0
+        self.state._load_buffer()  # buffer may be offloaded to scratch Parquet
         empty = self.state.buffer.slice(0, 0)
         emitted, status = self.state.process(empty, status_ts)
         return emitted, status, emitted.num_rows
@@ -240,8 +241,8 @@ class OrderedWorker:
             return None
         return pa.concat_tables(out) if len(out) > 1 else out[0]
 
-    def snapshot(self):
-        snap = self.state.snapshot()
+    def snapshot(self, dirty_only: bool = False):
+        snap = self.state.snapshot(dirty_only=dirty_only)
         if self.windows is not None:
             snap["windows"] = self.windows.snapshot()
         if self.joiner is not None:
@@ -256,15 +257,18 @@ class OrderedWorker:
             self.joiner.restore(snap["join"])
         self._join_out = []
 
-    def checkpoint_to(self, root: str, epoch: int) -> str:
+    def checkpoint_to(self, root: str, epoch: int, full: bool = False) -> str:
         """Write this partition's state checkpoint: INCREMENTAL counters
         (keys dirtied since the last checkpoint; restore merges epoch deltas
-        last-wins), full buffer + window/join extras — see checkpoint.py."""
+        last-wins), full buffer + window/join extras — see checkpoint.py.
+        ``full=True`` writes all counters and marks the epoch as a compaction
+        base, bounding restore cost on long streams."""
         from .checkpoint import write_partition_checkpoint
 
-        snap = self.snapshot()
-        snap["counters"] = self.state.snapshot(dirty_only=True)["counters"]
-        path = write_partition_checkpoint(root, self._partition_id, epoch, snap)
+        snap = self.snapshot(dirty_only=not full)
+        path = write_partition_checkpoint(
+            root, self._partition_id, epoch, snap, full=full
+        )
         self.state.mark_clean()
         return path
 

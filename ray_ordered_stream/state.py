@@ -103,6 +103,7 @@ class OrderedPartitionState:
         self.dirty: set[str] = set()          # keys mutated since last checkpoint
         self._buffer_file: str | None = None  # offloaded buffer (buffer_offload_rows)
         self._bounds_cache: dict | None = None
+        self._call_count = 0                  # status_every_epochs thinning phase
 
     def _load_buffer(self) -> None:
         """Read back an offloaded buffer before combining (and remove the
@@ -154,6 +155,10 @@ class OrderedPartitionState:
         """
         cfg = self.cfg
         if cfg.status_every_event:
+            if batch.num_rows == 0:
+                # an empty batch is a drain request (max_emit_per_round
+                # overflow); fall through so the buffered run is processed
+                return self._process_vec(batch, status_ts)
             emitted, statuses = [], []
             for i in range(batch.num_rows):
                 e, s = self._process_vec(batch.slice(i, 1), status_ts)
@@ -316,7 +321,7 @@ class OrderedPartitionState:
 
         # 9. status rows for touched keys (thinned by status_every_epochs)
         self.dirty |= touched
-        self._call_count = getattr(self, "_call_count", 0) + 1
+        self._call_count += 1
         if cfg.status_every_epochs > 1 and (
             self._call_count % cfg.status_every_epochs
         ):
@@ -411,6 +416,9 @@ class OrderedPartitionState:
                 for k in keys
             },
             "buffer": self.buffer,
+            # thinning phase must survive kill-and-resume so re-run epochs
+            # write byte-identical status-sink parts (status_every_epochs > 1)
+            "call_count": self._call_count,
         }
 
     def mark_clean(self) -> None:
@@ -425,6 +433,7 @@ class OrderedPartitionState:
             for k, v in snap["counters"].items()
         }
         st.buffer = snap["buffer"]
+        st._call_count = snap.get("call_count", 0)
         return st
 
 

@@ -251,3 +251,47 @@ def test_buffer_offload_pathological_gap(tmp_path):
     assert_matches_oracle(t, emitted)
     assert st.buffered_row_count() == 0
     assert len(_glob.glob(f"{scratch}/*.parquet")) == 0  # scratch reclaimed
+
+
+def test_drain_empty_batch_works_with_offloaded_buffer(tmp_path):
+    # ADVICE r1: an offloaded buffer must still drain on an empty-batch call
+    # (max_emit_per_round overflow), in both status modes.
+    for every_event in (False, True):
+        t = gen_transcripts(n_convs=1, min_turns=200, max_turns=200,
+                            end_sentinel=False).drop_columns([ARRIVAL])
+        st = OrderedPartitionState(
+            OrderedConfig(
+                buffer_offload_rows=10,
+                scratch_dir=str(tmp_path / f"s{every_event}"),
+                status_every_event=every_event,
+            )
+        )
+        # withhold turn 0 -> everything buffers (and offloads)
+        e, _ = st.process(t.slice(1), TS)
+        assert e.num_rows == 0
+        assert st._buffer_file is not None and st.buffer is None
+        e, _ = st.process(t.slice(0, 1), TS)  # gap fills
+        parts = [e]
+        empty = t.slice(0, 0)
+        for _ in range(10):
+            e, _ = st.process(empty, TS)
+            if e.num_rows == 0:
+                break
+            parts.append(e)
+        emitted = pa.concat_tables(parts)
+        assert_matches_oracle(t, emitted)
+
+
+def test_call_count_survives_snapshot_restore():
+    # ADVICE r1: the status_every_epochs thinning phase must survive
+    # kill-and-resume so re-run epochs emit status on the same cadence.
+    t = tiny_fixture("t_multi")
+    st = OrderedPartitionState(OrderedConfig(status_every_epochs=3))
+    st.process(t.slice(0, 50), TS)   # call 1: thinned
+    snap = st.snapshot()
+    st2 = OrderedPartitionState.restore(OrderedConfig(status_every_epochs=3), snap)
+    assert st2._call_count == 1
+    _, s2 = st2.process(t.slice(50, 50), TS)  # call 2: thinned
+    assert s2.num_rows == 0
+    _, s3 = st2.process(t.slice(100, 50), TS)  # call 3: emits
+    assert s3.num_rows > 0

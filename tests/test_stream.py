@@ -161,3 +161,49 @@ def test_partition_count_must_match_checkpoint(stream_files, tmp_path):
     pd.testing.assert_frame_equal(
         got[[KEY, SEQ, "text", "emit_seq"]], exp[[KEY, SEQ, "text", "emit_seq"]]
     )
+
+
+def test_checkpoint_overwrite_clears_stale_buffer(tmp_path):
+    # ADVICE r1: re-writing an epoch checkpoint whose previous write had a
+    # non-empty buffer must not leave the stale buffer.parquet behind.
+    from ray_ordered_stream.checkpoint import (
+        read_partition_checkpoint,
+        write_partition_checkpoint,
+    )
+
+    root = str(tmp_path / "out")
+    buf = pa.table({"conv_id": ["c"], "turn_idx": pa.array([5], pa.int32())})
+    write_partition_checkpoint(root, 0, 3, {"counters": {}, "buffer": buf})
+    snap = read_partition_checkpoint(root, 0, 3)
+    assert snap["buffer"] is not None and snap["buffer"].num_rows == 1
+    write_partition_checkpoint(root, 0, 3, {"counters": {}, "buffer": None})
+    snap = read_partition_checkpoint(root, 0, 3)
+    assert snap["buffer"] is None  # no phantom rows
+
+
+def test_checkpoint_compaction_bounds_restore(tmp_path):
+    # Full snapshots every K epochs bound restore to <= K delta reads.
+    from ray_ordered_stream.checkpoint import (
+        read_merged_checkpoint,
+        write_partition_checkpoint,
+    )
+
+    root = str(tmp_path / "out")
+    for e in range(60):
+        full = e % 16 == 0
+        counters = {f"k{e}": (1, 0, 1, e + 1, False, "")}
+        if full:  # full snapshot carries everything seen so far
+            counters = {f"k{i}": (1, 0, 1, i + 1, False, "") for i in range(e + 1)}
+        write_partition_checkpoint(
+            root, 0, e, {"counters": counters, "buffer": None}, full=full
+        )
+    snap = read_merged_checkpoint(root, 0, 59)
+    assert len(snap["counters"]) == 60
+    assert snap["counters"]["k59"][3] == 60
+    # deleting pre-base epochs must not affect restore (bounded lineage)
+    import shutil
+
+    for e in range(48):
+        shutil.rmtree(tmp_path / "out" / "ckpt" / "p=00000" / f"epoch-{e:05d}")
+    snap2 = read_merged_checkpoint(root, 0, 59)
+    assert {k for k in snap2["counters"]} >= {f"k{i}" for i in range(48, 60)}
