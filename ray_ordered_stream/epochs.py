@@ -34,12 +34,6 @@ from .sink import ManifestSink
 from .state import OrderedConfig
 
 
-@ray.remote
-def _read_file(path: str) -> pa.Table:
-    return pq.read_table(path)
-
-
-
 
 def _resume_point(out_root: str, P: int, sinks: dict) -> int | None:
     """Newest epoch e such that (a) every partition has a committed
@@ -149,7 +143,6 @@ def run_stream(
             continue
         while len(pending) >= max_inflight:
             commit_oldest()
-        refs = [_read_file.remote(f) for f in group]
         status_ts = pd.Timestamp("1970-01-01") + pd.Timedelta(seconds=epoch)
         paths = [
             {name: s.part_path(epoch, p) for name, s in sinks.items()}
@@ -158,8 +151,10 @@ def run_stream(
         # compaction cadence: every k-th epoch writes a FULL counter snapshot
         # (restore merges deltas only from the newest full epoch)
         full_ckpt = checkpoint_full_every > 0 and epoch % checkpoint_full_every == 0
+        # file paths go straight in: the fused read+split task decodes and
+        # shards each file in one step (whole blocks never enter plasma)
         out_refs = proc.feed_epoch_to_sinks(
-            refs, status_ts, paths, final=final, ckpt=(out_root, epoch, full_ckpt)
+            group, status_ts, paths, final=final, ckpt=(out_root, epoch, full_ckpt)
         )
         pending.append((epoch, out_refs))
     while pending:

@@ -55,12 +55,32 @@ def _split_blocks(key: str, P: int, overrides, range_bounds, *tbls: pa.Table) ->
 
 @ray.remote
 def _concat_shards(*tbls: pa.Table) -> pa.Table:
-    """Reduce side: merge one partition's shards into a single table so the
-    state actor resolves ONE object per epoch."""
+    """Merge shards into a single table (P == 1 fast path)."""
     real = [t for t in tbls if t.num_rows]
     if not real:
         return tbls[0].slice(0, 0) if tbls else pa.table({})
     return pa.concat_tables(real, promote_options="none") if len(real) > 1 else real[0]
+
+
+@ray.remote
+def _read_and_split(
+    key: str, P: int, overrides, range_bounds, paths: list[str]
+) -> list[pa.Table]:
+    """Fused source + map side of the exchange: decode Parquet file(s) and
+    split straight into P compact per-partition sub-tables. The whole block
+    never enters the object store — only the shards do — which cuts the
+    full-data plasma crossings per epoch from 3 (read put, split put, concat
+    put) to 1. At 32 cores on one node the exchange is store-bandwidth
+    bound, so this is the main scaling lever (BASELINE.md round-1 analysis)."""
+    import pyarrow.parquet as pq
+
+    # many split tasks run side by side; arrow's default all-cores pool per
+    # task would thrash the node (same reasoning as OrderedWorker.__init__)
+    pa.set_cpu_count(1)
+    pa.set_io_thread_count(1)
+    tbls = [pq.read_table(p) for p in paths]
+    tbl = pa.concat_tables(tbls, promote_options="none") if len(tbls) > 1 else tbls[0]
+    return split_table(tbl, key, P, overrides, range_bounds)
 
 
 @ray.remote
@@ -151,10 +171,15 @@ class OrderedWorker:
             self._dlq.append(batch.filter(bad))
             batch = batch.filter(pc.invert(bad))
         emitted, status = self.state.process(batch, status_ts)
+        codes_kv = None
+        if emitted.num_rows and (self.windows is not None or self.joiner is not None):
+            from .stream_ops import _dict_codes
+
+            codes_kv = _dict_codes(emitted[cfg.key])  # one encode, both ops
         if self.windows is not None:
-            self.windows.update(emitted)
+            self.windows.update(emitted, codes_kv)
         if self.joiner is not None:
-            j = self.joiner.update(emitted)
+            j = self.joiner.update(emitted, codes_kv)
             if j.num_rows:
                 self._join_out.append(j)
         return emitted, status
@@ -321,19 +346,57 @@ class OrderedProcessor:
 
     # -- streaming feed ----------------------------------------------------
 
-    def feed_epoch(self, ds_or_table, status_ts) -> tuple[list, list]:
-        """Run one epoch through the state store. Returns (emitted_refs,
-        status_refs) — one pair per partition; nothing touches the driver."""
+    def _shard_refs(self, ds_or_table) -> tuple[list, "ray.ObjectRef | None"]:
+        """Produce the exchange: a list of shard-ref groups (each group =
+        P refs, one per partition, in arrival order) plus an empty-schema
+        ref. Accepts a Parquet file list (fused read+split tasks — the scale
+        path: whole blocks never enter the object store), a pa.Table, a
+        Dataset, or a list of block refs."""
+        key = self.cfg.key
+        if (
+            isinstance(ds_or_table, list)
+            and ds_or_table
+            and isinstance(ds_or_table[0], str)
+        ):
+            import pyarrow.parquet as pq
+
+            schema = pq.read_schema(ds_or_table[0])
+            _check_names(schema.names, self.cfg)
+            empty_ref = ray.put(schema.empty_table())
+            files = ds_or_table
+            n_map = max(1, min(len(files), max(self.P, _cpu_count())))
+            groups = [
+                list(g)
+                for g in np.array_split(np.array(files, dtype=object), n_map)
+                if len(g)
+            ]
+            if self.P == 1:
+                per_group = [
+                    [_read_and_split.remote(key, 1, None, None, g)] for g in groups
+                ]
+                # num_returns=1 returns the list itself; unwrap via a task
+                per_group = [[_unwrap_single.remote(g[0])] for g in per_group]
+            else:
+                per_group = [
+                    _read_and_split.options(num_returns=self.P).remote(
+                        key, self.P, self.overrides, self.range_bounds, g
+                    )
+                    for g in groups
+                ]
+            return per_group, empty_ref
+
         _check_columns(ds_or_table, self.cfg)
         block_refs = _to_block_refs(ds_or_table)
         if not block_refs:
-            return [], []
-        key = self.cfg.key
+            return [], None
         # group input blocks into ~max(P, cpus) map tasks so every exchange
         # object is large enough for plasma (see _split_blocks docstring)
         n_map = max(1, min(len(block_refs), max(self.P, _cpu_count())))
-        groups = [list(g) for g in np.array_split(np.array(block_refs, dtype=object), n_map)]
-        groups = [g for g in groups if g]
+        groups = [
+            list(g)
+            for g in np.array_split(np.array(block_refs, dtype=object), n_map)
+            if len(g)
+        ]
         if self.P == 1:
             per_group = [[_concat_shards.remote(*g)] for g in groups]
         else:
@@ -343,13 +406,22 @@ class OrderedProcessor:
                 )
                 for g in groups
             ]
-        empty_ref = ray.put(_empty_like(ds_or_table))
+        return per_group, ray.put(_empty_like(ds_or_table))
+
+    def feed_epoch(self, ds_or_table, status_ts) -> tuple[list, list]:
+        """Run one epoch through the state store. Returns (emitted_refs,
+        status_refs) — one pair per partition; nothing touches the driver."""
+        per_group, empty_ref = self._shard_refs(ds_or_table)
+        if not per_group:
+            return [], []
         emitted_refs, status_refs = [], []
         for p, w in enumerate(self.workers):
+            # shard refs go straight to the owning actor (it concats
+            # in-process); a _concat_shards fan-in task would add a full
+            # extra copy + plasma put of every byte
             shards = [pg[p] for pg in per_group]
-            merged = shards[0] if len(shards) == 1 else _concat_shards.remote(*shards)
             e, s = w.process_epoch.options(num_returns=2).remote(
-                status_ts, empty_ref, merged
+                status_ts, empty_ref, *shards
             )
             emitted_refs.append(e)
             status_refs.append(s)
@@ -367,35 +439,16 @@ class OrderedProcessor:
         directly from the state actor (no emitted tables through the object
         store). Returns one ObjectRef per partition resolving to
         {sink_name: rows_written}."""
-        _check_columns(ds_or_table, self.cfg)
-        block_refs = _to_block_refs(ds_or_table)
-        if not block_refs:
+        per_group, empty_ref = self._shard_refs(ds_or_table)
+        if not per_group:
             return []
-        key = self.cfg.key
-        n_map = max(1, min(len(block_refs), max(self.P, _cpu_count())))
-        groups = [
-            list(g)
-            for g in np.array_split(np.array(block_refs, dtype=object), n_map)
-            if len(g)
-        ]
-        if self.P == 1:
-            per_group = [[_concat_shards.remote(*g)] for g in groups]
-        else:
-            per_group = [
-                _split_blocks.options(num_returns=self.P).remote(
-                    key, self.P, self.overrides, self.range_bounds, *g
-                )
-                for g in groups
-            ]
-        empty_ref = ray.put(_empty_like(ds_or_table))
         out = []
         for p, w in enumerate(self.workers):
             shards = [pg[p] for pg in per_group]
-            merged = shards[0] if len(shards) == 1 else _concat_shards.remote(*shards)
             out.append(
                 w.process_epoch_to_sink.remote(
                     status_ts, empty_ref, sink_paths_per_partition[p], final,
-                    ckpt, merged,
+                    ckpt, *shards,
                 )
             )
         return out
@@ -477,6 +530,20 @@ def _default_partitions() -> int:
     return max(2, _cpu_count() // 2)
 
 
+@ray.remote
+def _unwrap_single(shards: list) -> pa.Table:
+    return shards[0]
+
+
+def _check_names(names, cfg: OrderedConfig) -> None:
+    missing = {cfg.key, cfg.seq} - set(names)
+    if missing:
+        raise ValueError(
+            f"input is missing ordered-processing columns {sorted(missing)} "
+            f"(have: {list(names)}); configure OrderedConfig(key=..., seq=...)"
+        )
+
+
 def _check_columns(ds_or_table, cfg: OrderedConfig) -> None:
     """Fail fast with a clear message instead of a KeyError from a remote
     split task."""
@@ -486,12 +553,7 @@ def _check_columns(ds_or_table, cfg: OrderedConfig) -> None:
         names = ds_or_table.schema().names
     else:
         return
-    missing = {cfg.key, cfg.seq} - set(names)
-    if missing:
-        raise ValueError(
-            f"input is missing ordered-processing columns {sorted(missing)} "
-            f"(have: {names}); configure OrderedConfig(key=..., seq=...)"
-        )
+    _check_names(names, cfg)
 
 
 def _empty_like(ds_or_table) -> pa.Table:

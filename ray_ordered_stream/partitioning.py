@@ -17,11 +17,49 @@ reference: per-key order forces serial processing per key).
 
 from __future__ import annotations
 
-import zlib
-
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+
+# 64-bit FNV-1a constants — the vectorized string hash below must be
+# deterministic across processes and across resume (never Python's ``hash``,
+# randomized per process), and must avoid per-key Python (zlib.crc32 over
+# .to_pylist() uniques measured 0.5 s per 470k-key block — the exchange's
+# hottest stage at 32 cores).
+_FNV_OFFSET = np.uint64(0xCBF29CE484222325)
+_FNV_PRIME = np.uint64(0x100000001B3)
+
+
+def hash_string_array(arr: pa.Array) -> np.ndarray:
+    """Deterministic vectorized FNV-1a over a string/large_string array's raw
+    buffers: one pass of byte-column mixing per character position of the
+    LONGEST key (keys are short identifiers, so max_len passes over fully
+    vectorized uint64 ops beat per-row hashing by ~50x). Nulls and empty
+    strings hash to the offset basis."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if pa.types.is_dictionary(arr.type):
+        arr = arr.dictionary_decode()
+    arr = arr.cast(pa.large_string()) if arr.type == pa.string() else arr
+    buffers = arr.buffers()
+    offsets = np.frombuffer(buffers[1], dtype=np.int64)[
+        arr.offset : arr.offset + len(arr) + 1
+    ]
+    data = np.frombuffer(buffers[2], dtype=np.uint8) if buffers[2] is not None else np.empty(0, np.uint8)
+    starts = offsets[:-1]
+    lengths = offsets[1:] - starts
+    n = len(arr)
+    h = np.full(n, _FNV_OFFSET, dtype=np.uint64)
+    max_len = int(lengths.max()) if n else 0
+    with np.errstate(over="ignore"):
+        for j in range(max_len):
+            live = lengths > j
+            idx = starts[live] + j
+            hj = h[live]
+            hj ^= data[idx].astype(np.uint64)
+            hj *= _FNV_PRIME
+            h[live] = hj
+    return h
 
 
 def key_partition_codes(
@@ -29,23 +67,27 @@ def key_partition_codes(
     num_partitions: int,
     overrides: dict[str, int] | None = None,
 ) -> np.ndarray:
-    """Vectorized-by-unique partition assignment: crc32(key) % P with
-    optional per-key overrides. O(rows) take + O(unique) hashing."""
+    """Vectorized partition assignment: fnv1a64(key) % P with optional
+    per-key overrides. No per-row (or per-unique) Python anywhere."""
     if isinstance(keys, pa.ChunkedArray):
         keys = keys.combine_chunks()
-    enc = pc.dictionary_encode(keys)
-    if isinstance(enc, pa.ChunkedArray):
-        enc = enc.combine_chunks()
-    codes = np.asarray(enc.indices.fill_null(-1)).astype(np.int64)
-    uniques = enc.dictionary.to_pylist()
-    part_of_unique = np.empty(len(uniques) + 1, dtype=np.int64)
-    part_of_unique[-1] = 0  # null keys -> partition 0 (quarantined at worker)
-    for i, u in enumerate(uniques):
-        if overrides and u in overrides:
-            part_of_unique[i] = overrides[u] % num_partitions
-        else:
-            part_of_unique[i] = zlib.crc32(u.encode("utf-8")) % num_partitions
-    return part_of_unique[codes]
+    h = hash_string_array(keys)
+    parts = (h % np.uint64(num_partitions)).astype(np.int64)
+    if keys.null_count:
+        nulls = np.asarray(pc.is_null(keys))
+        parts[nulls] = 0  # null keys -> partition 0 (quarantined at worker)
+    if overrides:
+        ov_keys = pa.array(list(overrides.keys()), type=pa.string())
+        hit = np.asarray(pc.is_in(keys, value_set=ov_keys))
+        if hit.any():
+            ov_parts = np.array(
+                [v % num_partitions for v in overrides.values()], dtype=np.int64
+            )
+            pos = np.asarray(
+                pc.index_in(keys, value_set=ov_keys).fill_null(0)
+            ).astype(np.int64)
+            parts[hit] = ov_parts[pos[hit]]
+    return parts
 
 
 def split_table(

@@ -29,11 +29,16 @@ import pyarrow.parquet as pq
 
 
 def write_part_atomic(tbl: pa.Table, path: str) -> int:
-    """Stage + atomic rename; returns rows written."""
+    """Stage + atomic rename; returns rows written.
+
+    zstd-1 instead of the snappy default: ~42% fewer bytes for ~30% more
+    encode CPU (measured on the transcript workload). Disk bandwidth is the
+    one resource that does NOT scale with cores (or with nodes, on shared
+    stores), so trading scalable CPU for unscalable I/O is the right side."""
     p = Path(path)
     p.parent.mkdir(parents=True, exist_ok=True)
     tmp = p.with_suffix(".tmp")
-    pq.write_table(tbl, tmp)
+    pq.write_table(tbl, tmp, compression="zstd", compression_level=1)
     os.replace(tmp, p)
     return tbl.num_rows
 

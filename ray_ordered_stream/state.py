@@ -172,8 +172,12 @@ class OrderedPartitionState:
 
     def _process_vec(self, batch: pa.Table, status_ts) -> tuple[pa.Table, pa.Table]:
         cfg = self.cfg
-        if ARRIVAL in batch.column_names:
-            batch = batch.sort_by(ARRIVAL)
+        if ARRIVAL in batch.column_names and batch.num_rows > 1:
+            arr = batch[ARRIVAL].to_numpy(zero_copy_only=False)
+            # the epoch feed delivers shards in arrival order already — skip
+            # the sort's full-table copy unless actually out of order
+            if (arr[1:] < arr[:-1]).any():
+                batch = batch.sort_by(ARRIVAL)
         payload_cols = [c for c in batch.column_names if c != ARRIVAL]
         batch = batch.select(payload_cols)
 

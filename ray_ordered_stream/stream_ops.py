@@ -10,26 +10,48 @@ shuffle, SURVEY.md §7.3):
   reference's tests (OrderBookProcessingPipelineTest.java:204-217).
 - ``StreamJoiner``: forward as-of join of two role streams. Because the
   ordered processor emits strictly in sequence per key, the join is
-  sequence-driven and needs no watermark: an arriving right-side (assistant)
-  turn matches every pending left-side (user) turn with a smaller turn_idx.
+  sequence-driven and needs no watermark: a left (user) turn pairs with the
+  key's next right (assistant) turn.
 
-Both are pure Python/numpy over Arrow batches (no Ray imports) and
-checkpoint as plain dicts alongside the ordered state.
+Both sit in the state actor's hot path, so ``update`` is vectorized like the
+ordered drain (group-boundary detection over lexsorted key codes + reduceat
+/ searchsorted); per-row Python touches only the small carry-over sets
+(pending lefts, per-group dict slots). No Ray imports; checkpoint as plain
+dicts alongside the ordered state.
 """
 
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from .schema import KEY, SEQ
 
 _US = 1_000_000
 
 
+def _dict_codes(col) -> tuple[np.ndarray, list]:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    enc = pc.dictionary_encode(col)
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    return (
+        np.asarray(enc.indices).astype(np.int64),
+        enc.dictionary.to_pylist(),
+    )
+
+
 class WindowAccumulator:
-    """Tumbling event-time windows with watermark-gated emission."""
+    """Tumbling event-time windows with watermark-gated emission.
+
+    Open-window state is COLUMNAR: parallel numpy arrays sorted by
+    (key_code, window_start), merged with each batch's per-group partial
+    aggregates by one lexsort + reduceat. Per-row / per-group Python is
+    avoided entirely (worst case — every turn its own window — degenerates
+    to a vectorized array merge, not a million dict operations); Python
+    touches only newly-seen KEYS (string interning)."""
 
     def __init__(self, size_s: float, key: str = KEY, ts: str = "ts",
                  allowed_lateness_s: float = 0.0):
@@ -38,58 +60,104 @@ class WindowAccumulator:
         self.ts = ts
         self.lateness = int(allowed_lateness_s * _US)
         self.watermark: int | None = None
-        # (key, window_start) -> [turn_count, n_user, n_assistant]
-        self.acc: dict[tuple[str, int], list[int]] = {}
+        self._intern: dict[str, int] = {}   # key -> global code
+        self._names: list[str] = []         # global code -> key
+        z = np.zeros(0, dtype=np.int64)
+        # sorted by (kc, ws)
+        self._kc, self._ws = z, z.copy()
+        self._cnt, self._nu, self._na = z.copy(), z.copy(), z.copy()
 
-    def update(self, emitted: pa.Table) -> None:
+    def update(self, emitted: pa.Table, codes_kv=None) -> None:
         if emitted.num_rows == 0 or self.ts not in emitted.column_names:
             return
         tsi = emitted[self.ts].cast(pa.int64()).to_numpy(zero_copy_only=False)
         ws = (tsi // self.size) * self.size
-        keys = emitted[self.key].to_numpy(zero_copy_only=False)
-        roles = (
-            emitted["role"].to_numpy(zero_copy_only=False)
-            if "role" in emitted.column_names
-            else np.full(len(keys), "", dtype=object)
-        )
-        for k, w, r in zip(keys, ws, roles):
-            slot = self.acc.setdefault((k, int(w)), [0, 0, 0])
-            slot[0] += 1
-            if r == "user":
-                slot[1] += 1
-            elif r == "assistant":
-                slot[2] += 1
+        # callers co-located with the drain can pass the key encode through
+        codes, key_values = codes_kv or _dict_codes(emitted[self.key])
+        if "role" in emitted.column_names:
+            is_user = np.asarray(pc.equal(emitted["role"], "user"))
+            is_asst = np.asarray(pc.equal(emitted["role"], "assistant"))
+        else:
+            is_user = is_asst = np.zeros(len(codes), dtype=bool)
+
+        # local dictionary codes -> stable global codes (intern new keys)
+        intern, names = self._intern, self._names
+        glob = np.empty(len(key_values), dtype=np.int64)
+        for i, kv in enumerate(key_values):
+            g = intern.get(kv)
+            if g is None:
+                g = len(names)
+                intern[kv] = g
+                names.append(kv)
+            glob[i] = g
+        gc = glob[codes]
+
+        # per-(key, window) partial aggregates: lexsort + boundary + reduceat
+        order = np.lexsort((ws, gc))
+        c_s, w_s = gc[order], ws[order]
+        boundary = np.empty(len(c_s), dtype=bool)
+        boundary[0] = True
+        boundary[1:] = (c_s[1:] != c_s[:-1]) | (w_s[1:] != w_s[:-1])
+        starts = np.flatnonzero(boundary)
+        counts = np.diff(np.append(starts, len(c_s)))
+        nu = np.add.reduceat(is_user[order], starts)
+        na = np.add.reduceat(is_asst[order], starts)
+
+        # merge into the open-window arrays (both sides sorted): concat,
+        # lexsort, collapse duplicate (kc, ws) pairs by reduceat
+        kc = np.concatenate([self._kc, c_s[starts]])
+        wv = np.concatenate([self._ws, w_s[starts]])
+        cnt = np.concatenate([self._cnt, counts])
+        nuv = np.concatenate([self._nu, nu])
+        nav = np.concatenate([self._na, na])
+        m = np.lexsort((wv, kc))
+        kc, wv, cnt, nuv, nav = kc[m], wv[m], cnt[m], nuv[m], nav[m]
+        if len(kc):
+            b2 = np.empty(len(kc), dtype=bool)
+            b2[0] = True
+            b2[1:] = (kc[1:] != kc[:-1]) | (wv[1:] != wv[:-1])
+            s2 = np.flatnonzero(b2)
+            self._kc, self._ws = kc[s2], wv[s2]
+            self._cnt = np.add.reduceat(cnt, s2)
+            self._nu = np.add.reduceat(nuv, s2)
+            self._na = np.add.reduceat(nav, s2)
         mx = int(tsi.max())
         self.watermark = mx if self.watermark is None else max(self.watermark, mx)
 
     def take_closed(self, final: bool = False) -> pa.Table:
         """Release windows whose end precedes the watermark (or everything on
         final flush)."""
-        if self.watermark is None:
+        if self.watermark is None or not len(self._kc):
             return self._empty()
         horizon = self.watermark - self.lateness
-        out_keys, out_ws, rows = [], [], []
-        for (k, w) in sorted(self.acc):
-            if final or w + self.size <= horizon:
-                out_keys.append(k)
-                out_ws.append(w)
-                rows.append(self.acc.pop((k, w)))
-        if not rows:
+        closed = (
+            np.ones(len(self._kc), dtype=bool)
+            if final
+            else self._ws + self.size <= horizon
+        )
+        if not closed.any():
             return self._empty()
-        arr = np.asarray(rows, dtype=np.int64)
-        ws_arr = np.asarray(out_ws, dtype=np.int64)
-        return pa.table(
+        keep = ~closed
+        kc, ws_arr = self._kc[closed], self._ws[closed]
+        out = pa.table(
             {
-                self.key: pa.array(out_keys, pa.string()),
+                self.key: pc.take(
+                    pa.array(self._names, pa.string()), pa.array(kc)
+                ),
                 "window_start": pa.array(ws_arr, pa.int64()).cast(pa.timestamp("us")),
                 "window_end": pa.array(ws_arr + self.size, pa.int64()).cast(
                     pa.timestamp("us")
                 ),
-                "turn_count": pa.array(arr[:, 0], pa.int64()),
-                "n_user": pa.array(arr[:, 1], pa.int64()),
-                "n_assistant": pa.array(arr[:, 2], pa.int64()),
+                "turn_count": pa.array(self._cnt[closed], pa.int64()),
+                "n_user": pa.array(self._nu[closed], pa.int64()),
+                "n_assistant": pa.array(self._na[closed], pa.int64()),
             }
         )
+        self._kc, self._ws = self._kc[keep], self._ws[keep]
+        self._cnt, self._nu, self._na = (
+            self._cnt[keep], self._nu[keep], self._na[keep],
+        )
+        return out
 
     def _empty(self) -> pa.Table:
         return pa.table(
@@ -103,17 +171,47 @@ class WindowAccumulator:
             }
         )
 
+    # dict view (checkpoint format + tests): (key, ws) -> [cnt, nu, na]
+    @property
+    def acc(self) -> dict[tuple[str, int], list[int]]:
+        return {
+            (self._names[k], int(w)): [int(c), int(u), int(a)]
+            for k, w, c, u, a in zip(
+                self._kc, self._ws, self._cnt, self._nu, self._na
+            )
+        }
+
     def snapshot(self) -> dict:
-        return {"watermark": self.watermark, "acc": dict(self.acc)}
+        return {"watermark": self.watermark, "acc": self.acc}
 
     def restore(self, snap: dict) -> None:
         self.watermark = snap["watermark"]
-        self.acc = dict(snap["acc"])
+        items = sorted(snap["acc"].items())
+        self._intern, self._names = {}, []
+        kcs = []
+        for (k, _w), _v in items:
+            g = self._intern.get(k)
+            if g is None:
+                g = len(self._names)
+                self._intern[k] = g
+                self._names.append(k)
+            kcs.append(g)
+        kc = np.asarray(kcs, dtype=np.int64)
+        wv = np.asarray([w for (_k, w), _v in items], dtype=np.int64)
+        vals = np.asarray([v for _kw, v in items], dtype=np.int64).reshape(-1, 3)
+        m = np.lexsort((wv, kc))
+        self._kc, self._ws = kc[m], wv[m]
+        self._cnt, self._nu, self._na = vals[m, 0], vals[m, 1], vals[m, 2]
 
 
 class StreamJoiner:
     """Sequence-driven forward as-of join of role streams on the ordered
-    emission (left=user waits for the next right=assistant turn per key)."""
+    emission (left=user pairs with the key's next right=assistant turn).
+
+    The ordered processor guarantees per-key sequences are emitted strictly
+    increasing ACROSS calls, so every pending left (carried between calls)
+    precedes every sequence of the current batch for its key; within a batch
+    a left's match is the first right-row after it in (key, seq) order."""
 
     def __init__(self, key: str = KEY, seq: str = SEQ,
                  left_role: str = "user", right_role: str = "assistant"):
@@ -124,54 +222,129 @@ class StreamJoiner:
         # key -> list of (turn_idx, text, ts_us) pending left turns
         self.pending: dict[str, list[tuple[int, str, int]]] = {}
 
-    def update(self, emitted: pa.Table) -> pa.Table:
+    def update(self, emitted: pa.Table, codes_kv=None) -> pa.Table:
         """Feed in-sequence emitted rows; returns newly-joined pairs."""
         cols = emitted.column_names
         if emitted.num_rows == 0 or "role" not in cols:
             return self._empty()
-        keys = emitted[self.key].to_numpy(zero_copy_only=False)
-        seqs = emitted[self.seq].to_numpy(zero_copy_only=False)
-        roles = emitted["role"].to_numpy(zero_copy_only=False)
-        texts = (
-            emitted["text"].to_numpy(zero_copy_only=False)
-            if "text" in cols
-            else np.full(len(keys), "", dtype=object)
-        )
+        codes, key_values = codes_kv or _dict_codes(emitted[self.key])
+        seqs = emitted[self.seq].to_numpy(zero_copy_only=False).astype(np.int64)
+        has_text = "text" in cols
+        has_ts = "ts" in cols
         tsi = (
             emitted["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-            if "ts" in cols
-            else np.zeros(len(keys), dtype=np.int64)
+            if has_ts
+            else np.zeros(len(codes), dtype=np.int64)
         )
-        out = {c: [] for c in (
-            self.key, "user_turn_idx", "assistant_turn_idx",
-            "user_text", "assistant_text", "lag_us",
-        )}
-        # rows arrive in per-key sequence order (guaranteed upstream)
-        for k, s, r, txt, t in zip(keys, seqs, roles, texts, tsi):
-            if r == self.left_role:
-                self.pending.setdefault(k, []).append((int(s), txt, int(t)))
-            elif r == self.right_role and self.pending.get(k):
-                matched = [p for p in self.pending[k] if p[0] < s]
-                if matched:
-                    self.pending[k] = [p for p in self.pending[k] if p[0] >= s]
-                    for us, utxt, uts in matched:
-                        out[self.key].append(k)
-                        out["user_turn_idx"].append(us)
-                        out["assistant_turn_idx"].append(int(s))
-                        out["user_text"].append(utxt)
-                        out["assistant_text"].append(txt)
-                        out["lag_us"].append(int(t) - uts)
-        if not out[self.key]:
+        # emission is (key, seq)-grouped in epoch mode; re-sort defensively
+        # (cheap integer lexsort) so group logic holds in every mode
+        order = np.lexsort((seqs, codes))
+        c = codes[order]
+        s = seqs[order]
+        isL = np.asarray(pc.equal(emitted["role"], self.left_role)).astype(bool)[order]
+        isR = np.asarray(pc.equal(emitted["role"], self.right_role)).astype(bool)[order]
+
+        ridx = np.flatnonzero(isR)
+        lidx = np.flatnonzero(isL)
+        # first right-row strictly after each left-row (positions are unique,
+        # so searchsorted lands past the left itself); match only within key
+        j = np.searchsorted(ridx, lidx)
+        matched = np.zeros(len(lidx), dtype=bool)
+        inb = j < len(ridx)
+        matched[inb] = c[ridx[j[inb]]] == c[lidx[inb]]
+        m_l = lidx[matched]
+        m_r = ridx[j[matched]]
+
+        o_l = order[m_l]
+        o_r = order[m_r]
+        key_col = (
+            emitted[self.key].combine_chunks()
+            if isinstance(emitted[self.key], pa.ChunkedArray)
+            else emitted[self.key]
+        )
+        text_col = emitted["text"] if has_text else None
+        parts = []
+        if len(m_l):
+            parts.append(
+                pa.table(
+                    {
+                        self.key: key_col.take(pa.array(o_l)),
+                        "user_turn_idx": pa.array(s[m_l], pa.int32()),
+                        "assistant_turn_idx": pa.array(s[m_r], pa.int32()),
+                        "user_text": text_col.take(pa.array(o_l))
+                        if has_text
+                        else pa.array([""] * len(m_l), pa.string()),
+                        "assistant_text": text_col.take(pa.array(o_r))
+                        if has_text
+                        else pa.array([""] * len(m_l), pa.string()),
+                        "lag_us": pa.array(tsi[o_r] - tsi[o_l], pa.int64()),
+                    },
+                    schema=self._schema(),
+                )
+            )
+
+        # carried-over pending lefts: every one precedes this batch's
+        # sequences, so each pairs with its key's FIRST right in the batch
+        if self.pending and len(ridx):
+            r_first_mask = np.empty(len(ridx), dtype=bool)
+            r_first_mask[0] = True
+            r_first_mask[1:] = c[ridx[1:]] != c[ridx[:-1]]
+            first_r = ridx[r_first_mask]
+            rows = {k: [] for k in (
+                self.key, "user_turn_idx", "assistant_turn_idx",
+                "user_text", "assistant_text", "lag_us",
+            )}
+            fr_orig = order[first_r]
+            fr_text = (
+                text_col.take(pa.array(fr_orig)).to_pylist() if has_text else None
+            )
+            for gi, rp in enumerate(first_r):
+                kv = key_values[c[rp]]
+                plist = self.pending.pop(kv, None)
+                if not plist:
+                    continue
+                rseq = int(s[rp])
+                rtxt = fr_text[gi] if fr_text is not None else ""
+                rts = int(tsi[order[rp]])
+                for us, utxt, uts in plist:
+                    rows[self.key].append(kv)
+                    rows["user_turn_idx"].append(us)
+                    rows["assistant_turn_idx"].append(rseq)
+                    rows["user_text"].append(utxt)
+                    rows["assistant_text"].append(rtxt)
+                    rows["lag_us"].append(rts - uts)
+            if rows[self.key]:
+                parts.append(pa.table(rows, schema=self._schema()))
+
+        # unmatched lefts (no right after them in this batch) wait
+        un = lidx[~matched]
+        if len(un):
+            o_un = order[un]
+            un_text = (
+                text_col.take(pa.array(o_un)).to_pylist()
+                if has_text
+                else [""] * len(un)
+            )
+            pend = self.pending
+            for p, txt in zip(un, un_text):
+                pend.setdefault(key_values[c[p]], []).append(
+                    (int(s[p]), txt, int(tsi[order[p]]))
+                )
+
+        if not parts:
             return self._empty()
-        return pa.table(
-            {
-                self.key: pa.array(out[self.key], pa.string()),
-                "user_turn_idx": pa.array(out["user_turn_idx"], pa.int32()),
-                "assistant_turn_idx": pa.array(out["assistant_turn_idx"], pa.int32()),
-                "user_text": pa.array(out["user_text"], pa.string()),
-                "assistant_text": pa.array(out["assistant_text"], pa.string()),
-                "lag_us": pa.array(out["lag_us"], pa.int64()),
-            }
+        return pa.concat_tables(parts) if len(parts) > 1 else parts[0]
+
+    def _schema(self) -> pa.Schema:
+        return pa.schema(
+            [
+                (self.key, pa.string()),
+                ("user_turn_idx", pa.int32()),
+                ("assistant_turn_idx", pa.int32()),
+                ("user_text", pa.string()),
+                ("assistant_text", pa.string()),
+                ("lag_us", pa.int64()),
+            ]
         )
 
     def _empty(self) -> pa.Table:
@@ -190,4 +363,4 @@ class StreamJoiner:
         return {"pending": {k: list(v) for k, v in self.pending.items()}}
 
     def restore(self, snap: dict) -> None:
-        self.pending = {k: list(v) for k, v in snap["pending"].items()}
+        self.pending = {k: [tuple(p) for p in v] for k, v in snap["pending"].items()}
