@@ -74,6 +74,8 @@ def write_partition_checkpoint(
         }
     if "join" in snap:
         extras["join"] = snap["join"]
+    if "book" in snap:
+        extras["book"] = snap["book"]
     tmp = d / "extras.json.tmp"
     tmp.write_text(json.dumps(extras))
     os.replace(tmp, d / "extras.json")
@@ -127,6 +129,8 @@ def read_partition_checkpoint(root: str, partition: int, epoch: int) -> dict | N
         snap["join"] = {
             "pending": {k: [tuple(p) for p in v] for k, v in j["pending"].items()}
         }
+    if "book" in extras:
+        snap["book"] = extras["book"]
     return snap
 
 

@@ -50,21 +50,17 @@ def exact_dedup_groups(ds, id_col: str = "doc_id", text_col: str = "text"):
     )
 
 
-def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text"):
-    """Keep the first (min id) document of each distinct content; payload
-    stays distributed — only (hash, id) pairs shuffle, then the keep-set
-    broadcasts back as a filter."""
-    import ray
+def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
+                num_partitions: int = 8):
+    """Keep the first (min id) document of each distinct content.
 
+    Fully distributed: the keep-set (one id per distinct content, from the
+    (hash, id)-only groupby) is SEMI-JOINED back to the payload on id — a
+    hash-partitioned ``Dataset.join``, never a driver-side id set (at 100 TB
+    the keep-set is ~every doc id and cannot live on the driver)."""
     keep = exact_dedup_groups(ds, id_col, text_col).select_columns(["keep_id"])
-    keep_ids = set(keep.to_pandas()["keep_id"])  # small: one per distinct doc
-    keep_ref = ray.put(keep_ids)
-
-    def f(b: pd.DataFrame) -> pd.DataFrame:
-        ids = ray.get(keep_ref)
-        return b[b[id_col].isin(ids)]
-
-    return ds.map_batches(f, batch_format="pandas")
+    # the right key column is folded into the left's in the join output
+    return ds.join(keep, "inner", num_partitions, on=(id_col,), right_on=("keep_id",))
 
 
 # ---------------------------------------------------------------------------
@@ -75,10 +71,36 @@ def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text"):
 _POLY_BASE = np.uint64(1099511628211)  # FNV prime; u64 arithmetic wraps
 
 
+def _normalize(texts: pa.Array) -> pa.Array:
+    """lower + collapse whitespace (the per-doc `' '.join(t.split())`,
+    vectorized with Arrow kernels)."""
+    import pyarrow.compute as pc
+
+    t = pc.utf8_lower(texts)
+    t = pc.replace_substring_regex(t, r"\s+", " ")
+    return pc.utf8_trim_whitespace(t)
+
+
+def _string_buffers(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """(byte data as u8, per-string offsets) of a string array, zero-copy."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    arr = arr.cast(pa.large_string())
+    bufs = arr.buffers()
+    offsets = np.frombuffer(bufs[1], dtype=np.int64)[
+        arr.offset : arr.offset + len(arr) + 1
+    ]
+    data = (
+        np.frombuffer(bufs[2], dtype=np.uint8)
+        if bufs[2] is not None
+        else np.empty(0, np.uint8)
+    )
+    return data, offsets
+
+
 def _shingle_hashes(text: str, k: int) -> np.ndarray:
-    """Character k-gram shingle hash set (u64), fully vectorized: one
-    polynomial rolling hash over the byte string instead of a Python hash
-    call per k-gram (was the hot spot: ~2000 md5 calls per document)."""
+    """Character k-gram shingle hash set (u64) of ONE document (verification
+    kernel); the batch path below never calls this per row."""
     t = " ".join(text.lower().split())
     b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
     if len(b) < k:
@@ -91,7 +113,11 @@ def _shingle_hashes(text: str, k: int) -> np.ndarray:
 
 
 class MinHasher:
-    """Per-actor state: the (a, b) hash-family parameters (seeded)."""
+    """Per-actor state: the (a, b) hash-family parameters (seeded).
+
+    ``signatures`` is BATCH-vectorized end to end: one rolling hash over the
+    column's concatenated byte buffer (k passes), then (a·x+b) mod M61 mins
+    per document via ``minimum.reduceat`` — zero per-document Python."""
 
     def __init__(self, num_perm: int = 64, k: int = 5, seed: int = 7):
         rng = np.random.default_rng(seed)
@@ -102,12 +128,55 @@ class MinHasher:
 
     def signature(self, text: str) -> np.ndarray:
         sh = _shingle_hashes(text, self.k).astype(np.uint64)
-        # (a*x + b) mod M61 over the shingle set, min per permutation
         vals = (sh[None, :] * self.a[:, None] + self.b[:, None]) % np.uint64(_M61)
         return vals.min(axis=1)
 
+    def signatures(self, texts: pa.Array) -> np.ndarray:
+        """(n_docs, num_perm) u64 signatures for a whole column."""
+        k = self.k
+        data, offsets = _string_buffers(_normalize(texts))
+        n_docs = len(offsets) - 1
+        du = data.astype(np.uint64)
+        n_pos = max(0, len(du) - k + 1)
+        h = np.zeros(n_pos, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for j in range(k):
+                h = h * _POLY_BASE + du[j : j + n_pos]
+        starts = offsets[:-1]
+        ends = np.maximum(offsets[1:] - (k - 1), starts)
+        counts = ends - starts                      # valid shingles per doc
+        doc_of = np.repeat(np.arange(n_docs), counts)
+        css = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        flat = starts[doc_of] + (np.arange(counts.sum()) - css[doc_of])
+        sh = h[flat]
+
+        sig = np.empty((n_docs, self.num_perm), dtype=np.uint64)
+        nz = counts > 0
+        idx = css[nz].astype(np.int64)
+        chunk = max(1, (8 << 20) // max(1, 8 * len(sh)))  # ~8 MB per slab
+        with np.errstate(over="ignore"):
+            for lo in range(0, self.num_perm, chunk):
+                a = self.a[lo : lo + chunk, None]
+                b = self.b[lo : lo + chunk, None]
+                vals = (sh[None, :] * a + b) % np.uint64(_M61)
+                if len(idx):
+                    sig[nz, lo : lo + chunk] = np.minimum.reduceat(
+                        vals, idx, axis=1
+                    ).T
+        if (~nz).any():
+            # short documents: hash the whole normalized text as the one
+            # "shingle" (same family)
+            from ..partitioning import hash_string_array
+
+            short = hash_string_array(_normalize(texts)).astype(np.uint64)[~nz]
+            with np.errstate(over="ignore"):
+                sig[~nz, :] = (
+                    short[:, None] * self.a[None, :] + self.b[None, :]
+                ) % np.uint64(_M61)
+        return sig
+
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        sigs = np.stack([self.signature(t) for t in batch["text"]])
+        sigs = self.signatures(pa.array(batch["text"], pa.string()))
         batch["minhash"] = list(sigs)
         return batch
 
@@ -125,37 +194,41 @@ def minhash_lsh_candidates(
 
     signature -> split into ``bands`` bands -> (band_id, band_hash, id) rows
     -> groupby band bucket -> pairs within bucket. Returns a Dataset of
-    (id_a, id_b, est_jaccard) with id_a < id_b, deduplicated across bands by
-    a final groupby.
+    (id_a, id_b, n_bands) with id_a < id_b, deduplicated across bands by a
+    final groupby; only the 8-byte band hash ever shuffles, never the
+    signature or the payload. Verification happens downstream
+    (near_dup_pairs).
     """
     rows_per_band = num_perm // bands
 
     def to_bands(b: pd.DataFrame) -> pd.DataFrame:
         mh = MinHasher(num_perm, k, seed)
-        sigs = np.stack([mh.signature(t) for t in b["text"]])  # (n, num_perm)
+        sigs = mh.signatures(pa.array(b["text"], pa.string()))  # (n, num_perm)
         n = len(b)
         band_ids = np.repeat(np.arange(bands), n)
         ids = np.tile(b[id_col].to_numpy(), bands)
         hashes = []
-        for band in range(bands):
-            seg = sigs[:, band * rows_per_band : (band + 1) * rows_per_band]
-            hashes.append(
-                np.array([hash(tuple(r)) & 0x7FFFFFFFFFFFFFFF for r in seg], dtype=np.int64)
-            )
-        sig_lists = list(np.tile(sigs, (bands, 1)))
+        with np.errstate(over="ignore"):
+            for band in range(bands):
+                seg = sigs[:, band * rows_per_band : (band + 1) * rows_per_band]
+                # vectorized polynomial hash of the band SEGMENT — only the
+                # 8-byte band hash travels through the shuffle, never the
+                # full signature (8x fewer exchange bytes)
+                h = np.zeros(n, dtype=np.uint64)
+                for c in range(seg.shape[1]):
+                    h = h * _POLY_BASE + seg[:, c]
+                hashes.append((h >> np.uint64(1)).astype(np.int64))
         return pd.DataFrame(
             {
                 "band_id": band_ids,
                 "band_hash": np.concatenate(hashes),
                 id_col: ids,
-                "minhash": sig_lists,
             }
         )
 
     def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
-            {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"),
-             "est_jaccard": pd.Series(dtype="float64")}
+            {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64")}
         )
         if len(g) < 2:
             return empty
@@ -169,25 +242,22 @@ def minhash_lsh_candidates(
                 len(g), max_bucket,
             )
             return empty
-        g = g.sort_values(id_col)
-        ids = g[id_col].to_numpy()
-        sigs = np.stack(g["minhash"].to_numpy())  # (b, num_perm)
-        eq = (sigs[:, None, :] == sigs[None, :, :]).mean(axis=2)
+        ids = np.sort(g[id_col].to_numpy())
         ia, ib = np.triu_indices(len(ids), k=1)
         return pd.DataFrame(
-            {"id_a": ids[ia].astype("int64"), "id_b": ids[ib].astype("int64"),
-             "est_jaccard": eq[ia, ib]}
+            {"id_a": ids[ia].astype("int64"), "id_b": ids[ib].astype("int64")}
         )
 
-    from ray.data.aggregate import Max
+    from ray.data.aggregate import Count
 
     banded = ds.map_batches(to_bands, batch_format="pandas")
     pairs = banded.groupby(["band_id", "band_hash"]).map_groups(
         pairs_in_bucket, batch_format="pandas"
     )
-    # a pair can surface from several bands -> dedup
+    # a pair can surface from several bands -> dedup; n_bands = how many
+    # bands collided (a crude similarity signal, refined by exact verify)
     return pairs.groupby(["id_a", "id_b"]).aggregate(
-        Max("est_jaccard", alias_name="est_jaccard")
+        Count(alias_name="n_bands")
     )
 
 
@@ -202,19 +272,117 @@ def ngram_jaccard(text_a: str, text_b: str, k: int = 5) -> float:
 
 
 def near_dup_pairs(
-    ds, threshold: float = 0.7, id_col: str = "doc_id", k: int = 7, **lsh_kw
+    ds, threshold: float = 0.7, id_col: str = "doc_id", k: int = 7,
+    num_partitions: int = 8, **lsh_kw,
 ):
-    """MinHash-LSH candidates filtered by estimated Jaccard >= threshold.
-    (For exact verification join texts back by id and apply
-    ``ngram_jaccard`` — the estimate is within ~1/sqrt(num_perm).)"""
+    """Exact-verified near-duplicate pairs: MinHash-LSH candidate pairs,
+    texts joined back by id (two hash-partitioned ``Dataset.join``s moving
+    only candidate rows + the text column), then filtered by EXACT n-gram
+    Jaccard >= threshold. LSH banding alone over-/under-shoots by
+    ~1/sqrt(num_perm); the reference pattern for corpus dedup is
+    candidates -> verify."""
+    import ray
+    import ray.data
+
     cands = minhash_lsh_candidates(ds, id_col=id_col, k=k, **lsh_kw)
+    docs = ds.select_columns([id_col, "text"])
 
-    def f(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
+    # hash-partitioned join-back of texts with the repo's own exchange
+    # (split tasks aligned on the SAME id hash for both sides, one pandas
+    # merge per partition). Partitioning assumption: both sides of a pair
+    # route by the id being resolved, so each partition joins locally.
+    # (Dataset.join currently mis-handles partitions whose one side is
+    # empty, which candidate pairs routinely produce.)
+    P = num_partitions
+    c_refs = list(cands.to_arrow_refs())
+    d_refs = list(docs.to_arrow_refs())
 
-        return t.filter(pc.greater_equal(t["est_jaccard"], threshold))
+    stage1 = _exchange_merge(c_refs, d_refs, "id_a", id_col, "text_a", P)
+    stage2 = _exchange_merge(stage1, d_refs, "id_b", id_col, "text_b", P)
 
-    return cands.map_batches(f, batch_format="pyarrow")
+    def verify(b: pd.DataFrame) -> pd.DataFrame:
+        jac = np.fromiter(
+            (ngram_jaccard(x, y, k) for x, y in zip(b["text_a"], b["text_b"])),
+            dtype=np.float64,
+            count=len(b),
+        )
+        out = pd.DataFrame(
+            {
+                "id_a": b["id_a"].astype("int64"),
+                "id_b": b["id_b"].astype("int64"),
+                "jaccard": np.round(jac, 6),
+            }
+        )
+        return out[out["jaccard"] >= threshold]
+
+    return ray.data.from_arrow_refs(stage2).map_batches(
+        verify, batch_format="pandas"
+    )
+
+
+def _int_partition(ids: np.ndarray, P: int) -> np.ndarray:
+    with np.errstate(over="ignore"):
+        return (
+            (ids.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+            % np.uint64(P)
+        ).astype(np.int64)
+
+
+def _exchange_merge(left_refs, right_refs, left_key, right_key, text_out, P):
+    """Split both sides by the same id hash; merge per partition. Returns
+    one table ref per partition: left columns + ``text_out``."""
+    import ray
+
+    @ray.remote
+    def split_by(col: str, P: int, *tbls: pa.Table) -> list[pa.Table]:
+        real = [t for t in tbls if t.num_rows and col in t.column_names]
+        if not real:
+            e = tbls[0].slice(0, 0) if tbls else pa.table({})
+            return [e] * P
+        tbl = (
+            pa.concat_tables(real, promote_options="none")
+            if len(real) > 1
+            else real[0]
+        )
+        ids = tbl[col].to_numpy(zero_copy_only=False).astype(np.int64)
+        parts = _int_partition(ids, P)
+        order = np.argsort(parts, kind="stable")
+        bounds = np.searchsorted(parts[order], np.arange(P + 1))
+        return [
+            tbl.take(pa.array(order[bounds[p] : bounds[p + 1]]))
+            for p in range(P)
+        ]
+
+    @ray.remote
+    def merge(n_left: int, lk: str, rk: str, out: str, *tbls: pa.Table) -> pa.Table:
+        lt = [t for t in tbls[:n_left] if t.num_rows]
+        rt = [t for t in tbls[n_left:] if t.num_rows]
+        if not lt:
+            base = tbls[0].slice(0, 0).to_pandas()
+            base[out] = pd.Series(dtype="object")
+            return pa.Table.from_pandas(base, preserve_index=False)
+        left = pd.concat([t.to_pandas() for t in lt], ignore_index=True)
+        if rt:
+            right = pd.concat(
+                [t.to_pandas() for t in rt], ignore_index=True
+            ).rename(columns={rk: lk, "text": out})
+            merged = left.merge(right, on=lk, how="inner")
+        else:
+            merged = left.iloc[0:0].copy()
+            merged[out] = pd.Series(dtype="object")
+        return pa.Table.from_pandas(merged, preserve_index=False)
+
+    P = max(2, P)  # num_returns=1 would return the shard list itself
+    l_split = [split_by.options(num_returns=P).remote(left_key, P, r) for r in left_refs]
+    r_split = [split_by.options(num_returns=P).remote(right_key, P, r) for r in right_refs]
+    out = []
+    for p in range(P):
+        ls = [s[p] for s in l_split]
+        rs = [s[p] for s in r_split]
+        out.append(
+            merge.remote(len(ls), left_key, right_key, text_out, *ls, *rs)
+        )
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -223,27 +391,54 @@ def near_dup_pairs(
 
 
 class SimHasher:
-    """64-bit SimHash over word tokens; bucket key = top 16 bits."""
+    """64-bit SimHash over word tokens; bucket key = top 16 bits.
+
+    Batch-vectorized: tokenization via the Arrow split kernel, one FNV-1a
+    pass over ALL tokens of the batch, then 64 bit-plane bincounts per
+    document — no per-token (or per-document) Python."""
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        sims = np.fromiter(
-            (self.simhash(t) for t in batch["text"]), dtype=np.uint64, count=len(batch)
-        )
+        sims = self.simhash_batch(pa.array(batch["text"], pa.string()))
         batch["simhash"] = sims.astype("int64")  # reinterpret for Arrow
         batch["simhash_bucket"] = (sims >> np.uint64(48)).astype("int64")
         return batch
 
     @staticmethod
+    def simhash_batch(texts: pa.Array) -> np.ndarray:
+        import pyarrow.compute as pc
+
+        from ..partitioning import hash_string_array
+
+        toks = pc.utf8_split_whitespace(pc.utf8_lower(texts))
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        n_docs = len(toks)
+        counts = pc.list_value_length(toks).fill_null(0).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        doc_of = np.repeat(np.arange(n_docs), counts)
+        h = hash_string_array(flat)
+        # the whitespace split emits empty tokens at string edges; str.split()
+        # semantics drop them
+        keep = (
+            pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+            > 0
+        )
+        h, doc_of = h[keep], doc_of[keep]
+        n_tok = np.bincount(doc_of, minlength=n_docs).astype(np.int64)
+        out = np.zeros(n_docs, dtype=np.uint64)
+        for i in range(64):
+            bit = ((h >> np.uint64(i)) & np.uint64(1)).astype(np.int64)
+            ones = np.bincount(doc_of, weights=bit, minlength=n_docs)
+            acc = 2 * ones - n_tok  # (+1 per set bit, -1 per clear bit)
+            out |= (acc > 0).astype(np.uint64) << np.uint64(i)
+        return out
+
+    @staticmethod
     def simhash(text: str) -> int:
-        acc = np.zeros(64, dtype=np.int64)
-        for w in text.lower().split():
-            h = _stable_u64(w)
-            bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-            acc += np.where(bits.astype(bool), 1, -1)
-        out = np.uint64(0)
-        for i in np.flatnonzero(acc > 0):
-            out |= np.uint64(1) << np.uint64(i)
-        return int(out)
+        """Single-document reference kernel (tests)."""
+        return int(SimHasher.simhash_batch(pa.array([text], pa.string()))[0])
 
 
 def simhash(ds):

@@ -70,10 +70,21 @@ def knn_bruteforce(
 
 
 def train_centroids(ds, n_centroids: int = 16, vec_col: str = "embedding",
-                    sample_frac: float = 0.2, iters: int = 10, seed: int = 3):
+                    max_sample: int = 100_000, iters: int = 10, seed: int = 3):
     """Lloyd's k-means on a driver-side sample (coarse quantizer).
-    The sample is small; training is a few numpy matmuls."""
-    sample = ds.random_sample(sample_frac, seed=seed).to_pandas()
+
+    The sample is capped ABSOLUTELY (``max_sample`` rows), never as a
+    fraction of the dataset — a fractional sample of a 100 TB table is a
+    driver OOM. 100k vectors are ample to place a handful of coarse
+    centroids."""
+    n = ds.count()
+    frac = min(1.0, (2.0 * max_sample) / max(1, n))  # oversample, then cap
+    sample = (
+        ds.select_columns([vec_col])
+        .random_sample(frac, seed=seed)
+        .limit(max_sample)
+        .to_pandas()
+    )
     x = np.stack(sample[vec_col].to_numpy()).astype(np.float64)
     rng = np.random.default_rng(seed)
     cent = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]

@@ -99,8 +99,13 @@ class OrderedWorker:
         self.state = OrderedPartitionState(cfg)
         self.windows = None
         self.joiner = None
+        self.book = None
         self._join_out: list[pa.Table] = []
         self._dlq: list[pa.Table] = []
+        if cfg.with_book:
+            from .book import BookState
+
+            self.book = BookState(key=cfg.key, seq=cfg.seq)
         if cfg.window_size_s > 0:
             from .stream_ops import WindowAccumulator
 
@@ -182,6 +187,8 @@ class OrderedWorker:
             j = self.joiner.update(emitted, codes_kv)
             if j.num_rows:
                 self._join_out.append(j)
+        if self.book is not None and emitted.num_rows:
+            self.book.update(emitted)
         return emitted, status
 
     def process_epoch_to_sink(
@@ -272,6 +279,8 @@ class OrderedWorker:
             snap["windows"] = self.windows.snapshot()
         if self.joiner is not None:
             snap["join"] = self.joiner.snapshot()
+        if self.book is not None:
+            snap["book"] = self.book.snapshot()
         return snap
 
     def restore(self, snap):
@@ -280,7 +289,16 @@ class OrderedWorker:
             self.windows.restore(snap["windows"])
         if self.joiner is not None and "join" in snap:
             self.joiner.restore(snap["join"])
+        if self.book is not None and "book" in snap:
+            self.book.restore(snap["book"])
         self._join_out = []
+
+    def book_depth(self, depth: int | None = None, with_trade: bool = True):
+        """Current market depth of this partition's keys (nested table,
+        ≙ getCurrentMarketDepth over every live book)."""
+        if self.book is None:
+            return None
+        return self.book.depth_table(depth or self.cfg.book_depth, with_trade)
 
     def checkpoint_to(self, root: str, epoch: int, full: bool = False) -> str:
         """Write this partition's state checkpoint: INCREMENTAL counters
@@ -498,6 +516,17 @@ class OrderedProcessor:
 
     def buffered_rows(self) -> int:
         return sum(ray.get([w.buffered_rows.remote() for w in self.workers]))
+
+    def book_depth_table(self, depth: int | None = None, with_trade: bool = True) -> pa.Table:
+        """Consolidated top-k market depth across all partitions (small:
+        one nested row per key)."""
+        tables = ray.get(
+            [w.book_depth.remote(depth, with_trade) for w in self.workers]
+        )
+        real = [t for t in tables if t is not None]
+        if not real:
+            raise ValueError("with_book is not enabled on this processor")
+        return pa.concat_tables(real)
 
     def shutdown(self):
         for w in self.workers:

@@ -295,7 +295,9 @@ SQL_DOC_FINGERPRINT = (
 
 
 def q_doc_near_dups(sf_dir: str):
-    """MinHash-LSH near-dup candidate pairs (no SQL oracle — sketch-based)."""
+    """MinHash-LSH candidates exact-verified by n-gram Jaccard (no SQL
+    oracle for the LSH stage, but every reported pair carries its EXACT
+    jaccard from the text join-back — see functions/dedup.near_dup_pairs)."""
     from ..functions.dedup import near_dup_pairs
 
     return near_dup_pairs(
@@ -345,13 +347,37 @@ FROM s QUALIFY rank <= 5
 
 
 def q_knn_ivf(sf_dir: str):
-    """IVF approximate knn (no SQL oracle — approximate by construction)."""
-    from ..functions.similarity import knn_ivf, train_centroids
+    """IVF approximate knn, gated by recall vs the (oracled) brute-force
+    result: the output is a deterministic verdict row (mean recall@5 over
+    the query set >= 0.6), so the driver's hash compare fails whenever the
+    approximate index stops agreeing with exact search."""
+    from ..functions.similarity import knn_bruteforce, knn_ivf, train_centroids
 
     ds = _read(sf_dir, "embeddings")
     cent = train_centroids(ds, n_centroids=8)
     q, qids = _load_queries(sf_dir)
-    return knn_ivf(ds, q, qids, cent, k=5)
+    approx = knn_ivf(ds, q, qids, cent, k=5)
+    exact = knn_bruteforce(_read(sf_dir, "embeddings"), q, qids, k=5)
+    a = approx.groupby("query_id")["neighbor_id"].apply(set)
+    e = exact.groupby("query_id")["neighbor_id"].apply(set)
+    recalls = [
+        len(a.get(qid, set()) & e[qid]) / len(e[qid]) for qid in e.index
+    ]
+    mean_recall = float(np.mean(recalls)) if recalls else 0.0
+    return pd.DataFrame(
+        {
+            "metric": ["recall_at_5_vs_bruteforce"],
+            "n_queries": [int(len(e.index))],
+            "meets_0_6": [bool(mean_recall >= 0.6)],
+        }
+    )
+
+
+SQL_KNN_IVF = """
+SELECT 'recall_at_5_vs_bruteforce' AS metric,
+       (SELECT count(*) FROM embeddings WHERE vec_id < 10)::bigint AS n_queries,
+       true AS meets_0_6
+"""
 
 
 def q_embedding_label_stats(sf_dir: str):
@@ -705,11 +731,80 @@ SQL_CONV_STATS = (
 )
 
 
+def q_order_book_depth(sf_dir: str):
+    """Per-key incremental order book through the ordered engine (≙
+    OrderBookBuilder + getCurrentMarketDepth, OrderBookBuilder.java:39-141):
+    deterministic book events derived from ``events`` are replayed in
+    shuffled arrival order; the in-actor BookState mutates per-key price
+    levels in sequence and the final top-5 depth is projected per side.
+    Output is the SQL-comparable flat projection of the nested
+    bids/offers list<struct> table (book.flatten_depth)."""
+    import pandas as pd
+
+    from ..book import flatten_depth
+    from ..ordered import OrderedProcessor
+    from ..state import OrderedConfig
+    from .transcripts import derive_transcripts, with_shuffled_arrival
+
+    t = derive_transcripts(_read(sf_dir, "events"))
+
+    def mk(tb: pa.Table) -> pa.Table:
+        ev = tb["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        side = np.where(ev % 2 == 0, "BUY", "SELL")
+        typ = np.where(ev % 5 == 0, "EXECUTED", "NEW")
+        return pa.table(
+            {
+                KEY: tb[KEY],
+                SEQ: tb[SEQ],
+                "type": pa.array(typ, pa.string()),
+                "side": pa.array(side, pa.string()),
+                "price": pa.array(ev % 20 + 1, pa.int64()),
+                "qty": pa.array(ev % 7 + 1, pa.int64()),
+                "ts": tb["ts"],
+                "event_id": tb["event_id"],
+            }
+        )
+
+    stream = with_shuffled_arrival(t.map_batches(mk, batch_format="pyarrow"))
+    proc = OrderedProcessor(
+        OrderedConfig(with_book=True, book_depth=5), num_partitions=4
+    )
+    proc.feed_epoch(stream, pd.Timestamp("1970-01-01"))
+    depth = proc.book_depth_table()
+    proc.shutdown()
+    return flatten_depth(depth)
+
+
+SQL_ORDER_BOOK_DEPTH = """
+WITH ev AS (
+  SELECT cast(user_id AS varchar) AS conv_id,
+         CASE WHEN event_id % 2 = 0 THEN 'BUY' ELSE 'SELL' END AS side,
+         (event_id % 20) + 1 AS price,
+         CASE WHEN event_id % 5 = 0 THEN -((event_id % 7) + 1)
+              ELSE (event_id % 7) + 1 END AS delta
+  FROM events
+), lv AS (
+  SELECT conv_id, side, price, sum(delta)::bigint AS quantity
+  FROM ev GROUP BY conv_id, side, price HAVING sum(delta) <> 0
+), rk AS (
+  SELECT conv_id, side, price, quantity,
+         row_number() OVER (
+           PARTITION BY conv_id, side
+           ORDER BY CASE WHEN side='BUY' THEN -price ELSE price END
+         ) AS level
+  FROM lv
+)
+SELECT conv_id, side, level::bigint AS level, price::bigint AS price, quantity
+FROM rk WHERE level <= 5
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
 QUERIES = {
+    "order_book_depth": (q_order_book_depth, SQL_ORDER_BOOK_DEPTH),
     "ordered_replay": (q_ordered_replay, SQL_ORDERED_REPLAY),
     "ordered_final_status": (q_ordered_final_status, SQL_ORDERED_FINAL_STATUS),
     "windows_tumbling": (q_windows_tumbling, SQL_WINDOWS_TUMBLING),
@@ -724,7 +819,7 @@ QUERIES = {
     "doc_near_dups": (q_doc_near_dups, None),
     "doc_simhash": (q_doc_simhash, None),
     "knn_bruteforce": (q_knn_bruteforce, SQL_KNN_BRUTEFORCE),
-    "knn_ivf": (q_knn_ivf, None),
+    "knn_ivf": (q_knn_ivf, SQL_KNN_IVF),
     "embedding_label_stats": (q_embedding_label_stats, SQL_EMBEDDING_LABEL_STATS),
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "top_orders": (q_top_orders, SQL_TOP_ORDERS),

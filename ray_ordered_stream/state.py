@@ -56,6 +56,11 @@ class OrderedConfig:
     status_every_epochs: int = 1
     max_emit_per_round: int = 0   # ≙ maxOutputElementsPerBundle (0 = unlimited)
     with_digest: bool = False     # demo order-dependent MutableState (≙ OrderBookBuilder)
+    # per-key incremental order book over the emitted stream (≙ the real
+    # OrderBookBuilder/MarketDepth business logic, book.py); the input must
+    # carry type/side/price/qty columns
+    with_book: bool = False
+    book_depth: int = 10          # top-k levels in depth projections
     # in-actor streaming operators over the ordered emission (stream_ops.py)
     window_size_s: float = 0.0    # > 0 enables watermark-gated tumbling windows
     window_lateness_s: float = 0.0

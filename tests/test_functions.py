@@ -45,10 +45,10 @@ def test_minhash_near_dups(docs_with_dups):
     found = set(map(tuple, pairs[["id_a", "id_b"]].values))
     assert (3, 10) in found          # exact dup pair
     assert (5, 20) in found          # planted near dup
-    # estimates should track exact jaccard
-    exact = ngram_jaccard(df.text[5], df.text[20])
-    est = pairs.set_index(["id_a", "id_b"]).loc[(5, 20), "est_jaccard"]
-    assert abs(est - exact) < 0.25
+    # pairs are exact-verified: reported jaccard IS the exact n-gram jaccard
+    exact = ngram_jaccard(df.text[5], df.text[20], k=7)
+    got = pairs.set_index(["id_a", "id_b"]).loc[(5, 20), "jaccard"]
+    assert abs(got - exact) < 1e-6
 
 
 def test_simhash_similarity(docs_with_dups):
@@ -106,7 +106,7 @@ def test_knn_ivf_recall(embeddings):
 
     v, ds = embeddings
     q = v[:5].astype(np.float64)
-    cent = train_centroids(ds, n_centroids=8, sample_frac=0.5)
+    cent = train_centroids(ds, n_centroids=8, max_sample=500)
     exact = knn_bruteforce(ds, q, np.arange(5), k=5)
     approx = knn_ivf(ds, q, np.arange(5), cent, k=5, n_probe=4)
     # recall@5 of IVF with half the lists probed should be high on n=200
