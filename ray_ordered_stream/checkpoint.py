@@ -65,7 +65,8 @@ def write_partition_checkpoint(
     pq.write_table(counters, tmp)
     os.replace(tmp, d / "counters.parquet")
 
-    extras = {"call_count": snap.get("call_count", 0)}
+    extras = {"call_count": snap.get("call_count", 0),
+              "last_status_us": snap.get("last_status_us")}
     if "windows" in snap:
         w = snap["windows"]
         extras["windows"] = {
@@ -119,6 +120,7 @@ def read_partition_checkpoint(root: str, partition: int, epoch: int) -> dict | N
     snap: dict = {"counters": counters, "buffer": buffer}
     extras = json.loads((d / "extras.json").read_text())
     snap["call_count"] = extras.get("call_count", 0)
+    snap["last_status_us"] = extras.get("last_status_us")
     if "windows" in extras:
         snap["windows"] = {
             "watermark": extras["windows"]["watermark"],

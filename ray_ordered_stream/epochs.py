@@ -172,3 +172,173 @@ def run_stream(
         final_status=fin,
         sinks=sinks,
     )
+
+
+# ---------------------------------------------------------------------------
+# continuous (unbounded) mode
+# ---------------------------------------------------------------------------
+
+
+def _epoch_record_dir(out_root: str) -> Path:
+    return Path(out_root) / "epochs"
+
+
+def _record_epoch(out_root: str, epoch: int, files: list[str]) -> None:
+    """Durably pin an epoch's file group BEFORE feeding it, so a resumed run
+    re-forms identical epochs regardless of what has landed since."""
+    import json
+    import os
+
+    d = _epoch_record_dir(out_root)
+    d.mkdir(parents=True, exist_ok=True)
+    tmp = d / f"epoch-{epoch:05d}.json.tmp"
+    tmp.write_text(json.dumps({"epoch": epoch, "files": files}))
+    os.replace(tmp, d / f"epoch-{epoch:05d}.json")
+
+
+def _load_epoch_records(out_root: str) -> list[list[str]]:
+    import json
+
+    d = _epoch_record_dir(out_root)
+    if not d.exists():
+        return []
+    groups = []
+    for f in sorted(d.glob("epoch-*.json")):
+        rec = json.loads(f.read_text())
+        assert rec["epoch"] == len(groups), "epoch records must be contiguous"
+        groups.append(rec["files"])
+    return groups
+
+
+def run_stream_continuous(
+    landing_dir: str,
+    out_root: str,
+    cfg: OrderedConfig | None = None,
+    num_partitions: int = 4,
+    files_per_epoch: int = 2,
+    poll_interval_s: float = 0.2,
+    idle_timeout_s: float = 30.0,
+    stop_file: str = "_STOP",
+    resume: bool = True,
+    fail_after_epoch: int | None = None,
+    checkpoint_full_every: int = 16,
+) -> StreamResult:
+    """Unbounded micro-batch streaming over a LANDING DIRECTORY (≙ the
+    reference's Pub/Sub subscription, OrderBookProcessingPipeline.java:103-105
+    — the honest file-based equivalent of an unbounded source).
+
+    The directory is polled; newly landed Parquet files (producers must
+    write-then-rename, never write in place) are grouped into epochs of
+    ``files_per_epoch`` in name order. Each epoch's file group is durably
+    recorded under ``out_root/epochs/`` BEFORE it is fed, so crash + resume
+    re-forms byte-identical epochs and the run_stream exactly-once protocol
+    (sink manifests -> checkpoint, idempotent re-run) carries over unchanged.
+    The loop ends when ``<landing_dir>/<stop_file>`` exists and every landed
+    file has been processed, or after ``idle_timeout_s`` without new files.
+    """
+    import time as _time
+
+    cfg = cfg or OrderedConfig()
+    out = Path(out_root)
+    out.mkdir(parents=True, exist_ok=True)
+    land = Path(landing_dir)
+
+    sinks = {"ordered": ManifestSink(out_root, "ordered"),
+             "status": ManifestSink(out_root, "status"),
+             "dlq": ManifestSink(out_root, "dlq")}
+    if cfg.window_size_s > 0:
+        sinks["windows"] = ManifestSink(out_root, "windows")
+    if cfg.stream_join:
+        sinks["joined"] = ManifestSink(out_root, "joined")
+
+    proc = OrderedProcessor(cfg, num_partitions)
+    P = proc.P
+    ray.get([w.set_partition_id.remote(p) for p, w in enumerate(proc.workers)])
+
+    groups = _load_epoch_records(out_root)
+    start = 0
+    if resume and groups:
+        e_star = _resume_point(out_root, P, sinks)
+        if e_star is not None:
+            ray.get([w.restore_from.remote(out_root, e_star) for w in proc.workers])
+            start = e_star + 1
+
+    total_emitted = 0
+    epochs_run = 0
+    pending: list[tuple[int, list]] = []
+    max_inflight = 3
+
+    def commit_oldest():
+        nonlocal total_emitted, epochs_run
+        epoch, refs = pending.pop(0)
+        rows_per_part = ray.get(refs)
+        for name, s in sinks.items():
+            rows = {p: r.get(name, 0) for p, r in enumerate(rows_per_part)}
+            s.commit_epoch(epoch, rows)
+            if name == "ordered":
+                total_emitted += sum(rows.values())
+        epochs_run += 1
+        if fail_after_epoch is not None and epoch == fail_after_epoch:
+            proc.shutdown()
+            raise RuntimeError(f"injected failure after epoch {epoch}")
+
+    def feed(epoch: int, group: list[str], final: bool):
+        while len(pending) >= max_inflight:
+            commit_oldest()
+        status_ts = pd.Timestamp("1970-01-01") + pd.Timedelta(seconds=epoch)
+        paths = [
+            {name: s.part_path(epoch, p) for name, s in sinks.items()}
+            for p in range(P)
+        ]
+        full_ckpt = checkpoint_full_every > 0 and epoch % checkpoint_full_every == 0
+        pending.append((epoch, proc.feed_epoch_to_sinks(
+            group, status_ts, paths, final=final, ckpt=(out_root, epoch, full_ckpt)
+        )))
+
+    # 1. replay already-recorded epochs (deterministic composition)
+    for epoch, group in enumerate(groups):
+        if epoch < start:
+            continue
+        feed(epoch, group, final=False)
+
+    assigned = {f for g in groups for f in g}
+    next_epoch = len(groups)
+    last_new = _time.monotonic()
+
+    # 2. poll for newly landed files
+    while True:
+        stop = (land / stop_file).exists()
+        new = [
+            str(f) for f in sorted(land.glob("*.parquet")) if str(f) not in assigned
+        ]
+        if new:
+            last_new = _time.monotonic()
+        while len(new) >= files_per_epoch or (stop and new):
+            group = new[:files_per_epoch]
+            new = new[files_per_epoch:]
+            is_final = stop and not new
+            _record_epoch(out_root, next_epoch, group)
+            assigned.update(group)
+            feed(next_epoch, group, final=is_final)
+            next_epoch += 1
+        if stop and not new:
+            break
+        if not new and _time.monotonic() - last_new > idle_timeout_s:
+            break
+        _time.sleep(poll_interval_s)
+
+    while pending:
+        commit_oldest()
+
+    fin = proc.final_status_table(
+        pd.Timestamp("1970-01-01") + pd.Timedelta(seconds=next_epoch)
+    ).to_pandas()
+    proc.shutdown()
+    return StreamResult(
+        out_root=out_root,
+        epochs_run=epochs_run,
+        epochs_skipped=start,
+        total_emitted=total_emitted,
+        final_status=fin,
+        sinks=sinks,
+    )

@@ -54,6 +54,12 @@ class OrderedConfig:
     # per-epoch-per-key status is itself a large output; thin it here.
     # Counters keep accumulating regardless; final_status is always complete.
     status_every_epochs: int = 1
+    # time-based thinning, the reference's actual knob
+    # (OrderBookProducer.java:65-68 withStatusUpdateFrequency(Duration)):
+    # suppress status until status_ts has advanced >= this many seconds
+    # since the last emission (0 = disabled). Composes with
+    # status_every_epochs (either knob can suppress).
+    status_interval_s: float = 0.0
     max_emit_per_round: int = 0   # ≙ maxOutputElementsPerBundle (0 = unlimited)
     with_digest: bool = False     # demo order-dependent MutableState (≙ OrderBookBuilder)
     # per-key incremental order book over the emitted stream (≙ the real
@@ -109,6 +115,7 @@ class OrderedPartitionState:
         self._buffer_file: str | None = None  # offloaded buffer (buffer_offload_rows)
         self._bounds_cache: dict | None = None
         self._call_count = 0                  # status_every_epochs thinning phase
+        self._last_status_us: int | None = None  # status_interval_s phase
 
     def _load_buffer(self) -> None:
         """Read back an offloaded buffer before combining (and remove the
@@ -331,12 +338,24 @@ class OrderedPartitionState:
         # 9. status rows for touched keys (thinned by status_every_epochs)
         self.dirty |= touched
         self._call_count += 1
-        if cfg.status_every_epochs > 1 and (
+        suppress = cfg.status_every_epochs > 1 and bool(
             self._call_count % cfg.status_every_epochs
+        )
+        ts_us = _ts_us(status_ts)
+        if (
+            not suppress
+            and cfg.status_interval_s > 0
+            and self._last_status_us is not None
+            and ts_us is not None
+            and ts_us - self._last_status_us < cfg.status_interval_s * 1e6
         ):
+            suppress = True
+        if suppress:
             status = _empty_status()
         else:
             status = self._status_for(sorted(touched), status_ts)
+            if ts_us is not None:
+                self._last_status_us = ts_us
         self._maybe_offload_buffer()
         return emitted, status
 
@@ -426,8 +445,10 @@ class OrderedPartitionState:
             },
             "buffer": self.buffer,
             # thinning phase must survive kill-and-resume so re-run epochs
-            # write byte-identical status-sink parts (status_every_epochs > 1)
+            # write byte-identical status-sink parts (status_every_epochs /
+            # status_interval_s > 0)
             "call_count": self._call_count,
+            "last_status_us": self._last_status_us,
         }
 
     def mark_clean(self) -> None:
@@ -443,7 +464,14 @@ class OrderedPartitionState:
         }
         st.buffer = snap["buffer"]
         st._call_count = snap.get("call_count", 0)
+        st._last_status_us = snap.get("last_status_us")
         return st
+
+
+def _ts_us(status_ts) -> int | None:
+    """Event-time micros of a status timestamp (None if not timestamp-like)."""
+    v = getattr(status_ts, "value", None)
+    return None if v is None else int(v) // 1000  # pd.Timestamp.value is ns
 
 
 def _empty_status() -> pa.Table:

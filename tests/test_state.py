@@ -295,3 +295,25 @@ def test_call_count_survives_snapshot_restore():
     assert s2.num_rows == 0
     _, s3 = st2.process(t.slice(100, 50), TS)  # call 3: emits
     assert s3.num_rows > 0
+
+
+def test_status_interval_time_based():
+    # ≙ withStatusUpdateFrequency(Duration): status suppressed until event
+    # time has advanced >= the interval; counters always complete.
+    t = tiny_fixture("t_multi")
+    st = OrderedPartitionState(OrderedConfig(status_interval_s=10.0))
+    base = pd.Timestamp("2025-01-01")
+    rows_at = []
+    n = t.num_rows
+    step = n // 6 + 1
+    for i, lo in enumerate(range(0, n, step)):
+        _, s = st.process(t.slice(lo, step), base + pd.Timedelta(seconds=4 * i))
+        rows_at.append(s.num_rows > 0)
+    # emissions at t=0,12,24s... -> pattern True,False,False,True,...
+    assert rows_at[0] is True
+    assert rows_at[1] is False and rows_at[2] is False
+    assert rows_at[3] is True
+    # the phase survives snapshot/restore
+    snap = st.snapshot()
+    st2 = OrderedPartitionState.restore(OrderedConfig(status_interval_s=10.0), snap)
+    assert st2._last_status_us == st._last_status_us

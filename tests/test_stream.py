@@ -207,3 +207,92 @@ def test_checkpoint_compaction_bounds_restore(tmp_path):
         shutil.rmtree(tmp_path / "out" / "ckpt" / "p=00000" / f"epoch-{e:05d}")
     snap2 = read_merged_checkpoint(root, 0, 59)
     assert {k for k in snap2["counters"]} >= {f"k{i}" for i in range(48, 60)}
+
+
+def _write_files_atomic(tbl, d, n_files, start=0, total=None):
+    import os
+
+    total = total or n_files
+    n = tbl.num_rows
+    step = -(-n // total)
+    out = []
+    for i in range(start, start + n_files):
+        tmp = d / f"part-{i:05d}.parquet.tmp"
+        pq.write_table(tbl.slice(i * step, step), tmp)
+        os.replace(tmp, d / f"part-{i:05d}.parquet")
+        out.append(str(d / f"part-{i:05d}.parquet"))
+    return out
+
+
+def test_continuous_source_processes_midrun_files(tmp_path, ray_session):
+    # files land WHILE the loop runs (producer thread, write+rename), then a
+    # stop sentinel; every turn must be processed exactly once.
+    import threading
+    import time
+
+    from ray_ordered_stream.epochs import run_stream_continuous
+
+    t = gen_transcripts(n_convs=10, min_turns=8, max_turns=30, lateness=40,
+                        dup_rate=0.02, seed=33)
+    land = tmp_path / "landing"
+    land.mkdir()
+    _write_files_atomic(t, land, 4, start=0, total=10)
+
+    def producer():
+        time.sleep(0.6)
+        _write_files_atomic(t, land, 6, start=4, total=10)
+        time.sleep(0.3)
+        (land / "_STOP").write_text("")
+
+    th = threading.Thread(target=producer)
+    th.start()
+    res = run_stream_continuous(
+        str(land), str(tmp_path / "out"), OrderedConfig(window_size_s=60.0),
+        num_partitions=3, files_per_epoch=2, poll_interval_s=0.1,
+    )
+    th.join()
+    exp = oracle_ordered(t)
+    assert res.total_emitted == len(exp)
+    got = (
+        read_sink(res, "ordered")
+        .sort_values([KEY, SEQ], kind="stable")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[[KEY, SEQ, "text", "emit_seq"]], exp[[KEY, SEQ, "text", "emit_seq"]]
+    )
+    assert (res.final_status["buffered_count"] == 0).all()
+
+
+def test_continuous_crash_resume_exactly_once(tmp_path, ray_session):
+    # crash after epoch 1, more files land, resume -> identical output to an
+    # uninterrupted run over the same file sequence.
+    from ray_ordered_stream.epochs import run_stream, run_stream_continuous
+
+    t = gen_transcripts(n_convs=8, min_turns=8, max_turns=25, lateness=30,
+                        dup_rate=0.02, seed=34)
+    land = tmp_path / "landing"
+    land.mkdir()
+    files = _write_files_atomic(t, land, 6, start=0, total=6)
+
+    out = str(tmp_path / "out")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_stream_continuous(
+            str(land), out, num_partitions=3, files_per_epoch=2,
+            poll_interval_s=0.05, fail_after_epoch=1,
+        )
+    (land / "_STOP").write_text("")
+    res = run_stream_continuous(
+        str(land), out, num_partitions=3, files_per_epoch=2, poll_interval_s=0.05
+    )
+    assert res.epochs_skipped >= 1
+
+    ref = run_stream(files, str(tmp_path / "ref"), num_partitions=3,
+                     files_per_epoch=2)
+    for sink in ("ordered", "status"):
+        a = read_sink(res, sink)
+        b = read_sink(ref, sink)
+        cols = sorted(a.columns)
+        a = a[cols].sort_values(cols, kind="stable").reset_index(drop=True)
+        b = b[cols].sort_values(cols, kind="stable").reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
