@@ -731,6 +731,98 @@ SQL_CONV_STATS = (
 )
 
 
+_PLANT_OFFSET = 1_000_000
+
+
+def _docs_with_planted_copies(sf_dir: str):
+    """documents ∪ an id-offset copy of itself — a corpus whose near-dup
+    pair set is exactly known (every doc and its copy), which turns the
+    sketch pipelines into ORACLED queries: LSH banding must bucket each
+    copy with its original, the text join-back must resolve both sides,
+    and the exact-jaccard verify must return 1.0."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def copy_ids(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pc.add(t["doc_id"], _PLANT_OFFSET),
+                "text": t["text"],
+            }
+        )
+
+    return ds.union(ds.map_batches(copy_ids, batch_format="pyarrow"))
+
+
+def q_doc_near_dups_planted(sf_dir: str):
+    """End-to-end oracle for the MinHash-LSH + exact-verify pipeline: on the
+    planted corpus the result at threshold 1.0 must be exactly one pair per
+    document (the organic corpus has no exact dups — verified by
+    doc_exact_dedup)."""
+    from ..functions.dedup import near_dup_pairs
+
+    pairs = near_dup_pairs(_docs_with_planted_copies(sf_dir), threshold=1.0)
+
+    def exact_only(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t["jaccard"], 1.0))
+
+    return pairs.map_batches(exact_only, batch_format="pyarrow")
+
+
+SQL_DOC_NEAR_DUPS_PLANTED = f"""
+SELECT doc_id AS id_a, doc_id + {_PLANT_OFFSET} AS id_b, 1.0 AS jaccard
+FROM documents
+"""
+
+
+def q_doc_simhash_planted(sf_dir: str):
+    """SimHash invariant gate: a document and its planted copy must receive
+    identical 64-bit signatures (the signature values themselves are not
+    SQL-expressible; equality under duplication is)."""
+    from ..functions.dedup import simhash
+
+    sh = simhash(_docs_with_planted_copies(sf_dir)).select_columns(
+        ["doc_id", "simhash"]
+    )
+
+    def tag(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "orig_id": pa.array(np.where(ids >= _PLANT_OFFSET, ids - _PLANT_OFFSET, ids), pa.int64()),
+                "simhash": t["simhash"],
+            }
+        )
+
+    from ray.data.aggregate import Count, Max, Min
+
+    agg = (
+        sh.map_batches(tag, batch_format="pyarrow")
+        .groupby("orig_id")
+        .aggregate(
+            Count(alias_name="n"),
+            Min("simhash", alias_name="lo"),
+            Max("simhash", alias_name="hi"),
+        )
+    )
+
+    def verdict(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "orig_id": t["orig_id"],
+                "copies_match": pc.and_(
+                    pc.equal(t["n"], 2), pc.equal(t["lo"], t["hi"])
+                ),
+            }
+        )
+
+    return agg.map_batches(verdict, batch_format="pyarrow")
+
+
+SQL_DOC_SIMHASH_PLANTED = """
+SELECT doc_id AS orig_id, true AS copies_match FROM documents
+"""
+
+
 def q_order_book_depth(sf_dir: str):
     """Per-key incremental order book through the ordered engine (≙
     OrderBookBuilder + getCurrentMarketDepth, OrderBookBuilder.java:39-141):
@@ -817,7 +909,9 @@ QUERIES = {
     "doc_lang_id": (q_doc_lang_id, SQL_DOC_LANG_ID),
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
     "doc_near_dups": (q_doc_near_dups, None),
+    "doc_near_dups_planted": (q_doc_near_dups_planted, SQL_DOC_NEAR_DUPS_PLANTED),
     "doc_simhash": (q_doc_simhash, None),
+    "doc_simhash_planted": (q_doc_simhash_planted, SQL_DOC_SIMHASH_PLANTED),
     "knn_bruteforce": (q_knn_bruteforce, SQL_KNN_BRUTEFORCE),
     "knn_ivf": (q_knn_ivf, SQL_KNN_IVF),
     "embedding_label_stats": (q_embedding_label_stats, SQL_EMBEDDING_LABEL_STATS),

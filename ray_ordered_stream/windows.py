@@ -67,11 +67,13 @@ def tumbling_counts(ds, size_s: float, key: str = KEY, ts: str = "ts"):
                 "role": t["role"].to_pandas(),
             }
         )
+        df["n_user"] = (df["role"] == "user").astype("int64")
+        df["n_assistant"] = (df["role"] == "assistant").astype("int64")
         g = df.groupby([key, "window_start"], sort=False)
         out = g.agg(
             turn_count=("role", "size"),
-            n_user=("role", lambda s: int((s == "user").sum())),
-            n_assistant=("role", lambda s: int((s == "assistant").sum())),
+            n_user=("n_user", "sum"),
+            n_assistant=("n_assistant", "sum"),
         ).reset_index()
         return pa.Table.from_pandas(out, preserve_index=False)
 
@@ -153,32 +155,88 @@ def sliding_counts(ds, size_s: float, step_s: float, key: str = KEY, ts: str = "
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
-def session_windows(ds, gap_s: float, key: str = KEY, ts: str = "ts"):
+def session_windows(ds, gap_s: float, key: str = KEY, ts: str = "ts",
+                    num_partitions: int | None = None):
     """Session windows: per-key gap merge (a new session starts when the gap
-    to the previous turn exceeds ``gap_s``). Per-key sorted replay via
-    map_groups — gap merge is inherently per-key (SURVEY.md §7.3)."""
+    to the previous turn exceeds ``gap_s``).
+
+    One hash exchange on the key, then a fully VECTORIZED multi-key merge
+    per partition (lexsort by (key, ts) + boundary flags + cumsum session
+    ids + reduceat bounds) — the same shape as the ordered drain. A
+    groupby(key).map_groups would pay a Python callback per key, which at
+    10^9 keys dominates everything else (SURVEY.md §7.3)."""
+    import ray
+    import ray.data
+
+    from .partitioning import split_table
+
     gap = _size_us(gap_s)
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(ts, kind="stable")
-        tsi = g[ts].astype("datetime64[us]").astype("int64").to_numpy()
-        new_session = np.ones(len(g), dtype=bool)
-        new_session[1:] = (tsi[1:] - tsi[:-1]) > gap
-        sid = np.cumsum(new_session) - 1
-        out = (
-            pd.DataFrame({"sid": sid, "tsv": tsi})
-            .groupby("sid")
-            .agg(session_start=("tsv", "min"), session_end=("tsv", "max"), turn_count=("tsv", "size"))
-            .reset_index()
-        )
-        out[key] = g[key].iloc[0]
-        out["session_id"] = out["sid"].astype("int64")
-        out["session_start"] = pd.to_datetime(out["session_start"], unit="us").astype(
-            "datetime64[us]"
-        )
-        out["session_end"] = pd.to_datetime(out["session_end"], unit="us").astype(
-            "datetime64[us]"
-        )
-        return out[[key, "session_id", "session_start", "session_end", "turn_count"]]
+    @ray.remote
+    def split(P: int, *tbls: pa.Table) -> list[pa.Table]:
+        real = [t for t in tbls if t.num_rows]
+        if not real:
+            return [tbls[0].slice(0, 0)] * P
+        tbl = pa.concat_tables(real, promote_options="none") if len(real) > 1 else real[0]
+        return split_table(tbl.select([key, ts]), key, P)
 
-    return ds.groupby(key).map_groups(per_key, batch_format="pandas")
+    @ray.remote
+    def sessions(*shards: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                key: pa.array([], pa.string()),
+                "session_id": pa.array([], pa.int64()),
+                "session_start": pa.array([], pa.timestamp("us")),
+                "session_end": pa.array([], pa.timestamp("us")),
+                "turn_count": pa.array([], pa.int64()),
+            }
+        )
+        real = [t for t in shards if t.num_rows]
+        if not real:
+            return empty
+        tbl = pa.concat_tables(real, promote_options="none") if len(real) > 1 else real[0]
+        col = tbl[key].combine_chunks() if isinstance(tbl[key], pa.ChunkedArray) else tbl[key]
+        enc = pc.dictionary_encode(col)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = np.asarray(enc.indices).astype(np.int64)
+        tsi = tbl[ts].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        n = len(codes)
+        order = np.lexsort((tsi, codes))
+        c, tv = codes[order], tsi[order]
+        new_key = np.empty(n, dtype=bool)
+        new_key[0] = True
+        new_key[1:] = c[1:] != c[:-1]
+        new_session = new_key.copy()
+        new_session[1:] |= (tv[1:] - tv[:-1]) > gap
+        g_sid = np.cumsum(new_session) - 1                  # global session no.
+        # per-key session_id = global - global at the key's first session
+        key_first_sid = np.maximum.accumulate(np.where(new_key, g_sid, 0))
+        sid = g_sid - key_first_sid
+        starts = np.flatnonzero(new_session)
+        ends = np.append(starts[1:], n) - 1
+        return pa.table(
+            {
+                key: pc.take(enc.dictionary, pa.array(c[starts])),
+                "session_id": pa.array(sid[starts], pa.int64()),
+                "session_start": pa.array(tv[starts], pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+                "session_end": pa.array(tv[ends], pa.int64()).cast(pa.timestamp("us")),
+                "turn_count": pa.array(ends - starts + 1, pa.int64()),
+            }
+        )
+
+    P = num_partitions or max(2, int(ray.cluster_resources().get("CPU", 4)) // 2)
+    block_refs = list(ds.to_arrow_refs())
+    if not block_refs:
+        return ds
+    n_map = max(1, min(len(block_refs), 2 * P))
+    groups = [
+        list(g)
+        for g in np.array_split(np.array(block_refs, dtype=object), n_map)
+        if len(g)
+    ]
+    per_group = [split.options(num_returns=P).remote(P, *g) for g in groups]
+    out = [sessions.remote(*[pg[p] for pg in per_group]) for p in range(P)]
+    return ray.data.from_arrow_refs(out)
