@@ -226,34 +226,94 @@ def minhash_lsh_candidates(
             }
         )
 
-    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
-            {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64")}
+    import ray
+    import ray.data
+
+    @ray.remote
+    def split_bands(P: int, *tbls: pa.Table) -> list[pa.Table]:
+        real = [t for t in tbls if t.num_rows]
+        if not real:
+            return [tbls[0].slice(0, 0) if tbls else pa.table({})] * P
+        tbl = (
+            pa.concat_tables(real, promote_options="none")
+            if len(real) > 1
+            else real[0]
         )
-        if len(g) < 2:
+        h = tbl["band_hash"].to_numpy(zero_copy_only=False).astype(np.int64)
+        parts = _int_partition(h, P)
+        order = np.argsort(parts, kind="stable")
+        bounds = np.searchsorted(parts[order], np.arange(P + 1))
+        return [
+            tbl.take(pa.array(order[bounds[p] : bounds[p + 1]]))
+            for p in range(P)
+        ]
+
+    @ray.remote
+    def pairs_in_partition(*shards: pa.Table) -> pa.Table:
+        """All candidate pairs of this partition's buckets, VECTORIZED over
+        buckets (lexsort + boundary detection; Python touches only buckets
+        with >= 2 members — a groupby().map_groups here would pay a pandas
+        callback for every singleton bucket, which is nearly all of them)."""
+        empty = pa.table(
+            {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
+        )
+        real = [t for t in shards if t.num_rows]
+        if not real:
             return empty
-        if len(g) > max_bucket:
-            # NOT silent: a bucket this big means the banding is not
-            # selective for this corpus — log and skip rather than O(b^2).
+        tbl = (
+            pa.concat_tables(real, promote_options="none")
+            if len(real) > 1
+            else real[0]
+        )
+        bid = tbl["band_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bh = tbl["band_hash"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = tbl[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ids, bh, bid))
+        bid, bh, ids = bid[order], bh[order], ids[order]
+        n = len(ids)
+        boundary = np.empty(n, dtype=bool)
+        boundary[0] = True
+        boundary[1:] = (bid[1:] != bid[:-1]) | (bh[1:] != bh[:-1])
+        starts = np.flatnonzero(boundary)
+        sizes = np.diff(np.append(starts, n))
+        out_a, out_b = [], []
+        dropped = 0
+        for st, m in zip(starts[sizes >= 2], sizes[sizes >= 2]):
+            if m > max_bucket:
+                dropped += 1
+                continue
+            seg = ids[st : st + m]
+            ia, ib = np.triu_indices(m, k=1)
+            out_a.append(seg[ia])
+            out_b.append(seg[ib])
+        if dropped:
+            # NOT silent: buckets this big mean the banding is not selective
+            # for this corpus — log and skip rather than O(b^2).
             import logging
 
             logging.getLogger(__name__).warning(
-                "minhash-lsh: dropping bucket of %d docs (> max_bucket=%d)",
-                len(g), max_bucket,
+                "minhash-lsh: dropped %d buckets larger than max_bucket=%d",
+                dropped, max_bucket,
             )
+        if not out_a:
             return empty
-        ids = np.sort(g[id_col].to_numpy())
-        ia, ib = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame(
-            {"id_a": ids[ia].astype("int64"), "id_b": ids[ib].astype("int64")}
+        return pa.table(
+            {
+                "id_a": pa.array(np.concatenate(out_a), pa.int64()),
+                "id_b": pa.array(np.concatenate(out_b), pa.int64()),
+            }
         )
 
     from ray.data.aggregate import Count
 
     banded = ds.map_batches(to_bands, batch_format="pandas")
-    pairs = banded.groupby(["band_id", "band_hash"]).map_groups(
-        pairs_in_bucket, batch_format="pandas"
-    )
+    refs = list(banded.to_arrow_refs())
+    P = max(2, min(16, len(refs) * 2))
+    per_group = [split_bands.options(num_returns=P).remote(P, r) for r in refs]
+    pair_refs = [
+        pairs_in_partition.remote(*[pg[p] for pg in per_group]) for p in range(P)
+    ]
+    pairs = ray.data.from_arrow_refs(pair_refs)
     # a pair can surface from several bands -> dedup; n_bands = how many
     # bands collided (a crude similarity signal, refined by exact verify)
     return pairs.groupby(["id_a", "id_b"]).aggregate(
@@ -269,6 +329,45 @@ def ngram_jaccard(text_a: str, text_b: str, k: int = 5) -> float:
     if not a and not b:
         return 1.0
     return len(a & b) / len(a | b)
+
+
+def _batch_shingle_sets(texts: pa.Array, k: int) -> list[np.ndarray]:
+    """Sorted-unique shingle-hash sets for a whole column: ONE rolling hash
+    over the concatenated buffer + per-doc ``np.unique`` slices (the
+    batch counterpart of ``_shingle_hashes``; same hash family)."""
+    data, offsets = _string_buffers(_normalize(texts))
+    du = data.astype(np.uint64)
+    n_pos = max(0, len(du) - k + 1)
+    h = np.zeros(n_pos, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(k):
+            h = h * _POLY_BASE + du[j : j + n_pos]
+    out = []
+    norm = None
+    for i in range(len(offsets) - 1):
+        lo, hi = offsets[i], offsets[i + 1] - (k - 1)
+        if hi > lo:
+            out.append(np.unique(h[lo:hi]))
+        else:
+            if norm is None:
+                norm = _normalize(texts).to_pylist()
+            out.append(np.array([_stable_u64(norm[i])], dtype=np.uint64))
+    return out
+
+
+def ngram_jaccard_pairs(
+    texts_a: pa.Array, texts_b: pa.Array, k: int = 5
+) -> np.ndarray:
+    """Exact Jaccard for aligned text pairs, batch-vectorized (one rolling
+    hash per column, per-pair sorted-set intersection)."""
+    sa = _batch_shingle_sets(texts_a, k)
+    sb = _batch_shingle_sets(texts_b, k)
+    out = np.empty(len(sa), dtype=np.float64)
+    for i, (a, b) in enumerate(zip(sa, sb)):
+        inter = len(np.intersect1d(a, b, assume_unique=True))
+        union = len(a) + len(b) - inter
+        out[i] = inter / union if union else 1.0
+    return out
 
 
 def near_dup_pairs(
@@ -301,11 +400,11 @@ def near_dup_pairs(
     stage2 = _exchange_merge(stage1, d_refs, "id_b", id_col, "text_b", P)
 
     def verify(b: pd.DataFrame) -> pd.DataFrame:
-        jac = np.fromiter(
-            (ngram_jaccard(x, y, k) for x, y in zip(b["text_a"], b["text_b"])),
-            dtype=np.float64,
-            count=len(b),
-        )
+        jac = ngram_jaccard_pairs(
+            pa.array(b["text_a"].astype(str), pa.string()),
+            pa.array(b["text_b"].astype(str), pa.string()),
+            k,
+        ) if len(b) else np.zeros(0)
         out = pd.DataFrame(
             {
                 "id_a": b["id_a"].astype("int64"),

@@ -823,6 +823,46 @@ SELECT doc_id AS orig_id, true AS copies_match FROM documents
 """
 
 
+def q_emb_near_dups_planted(sf_dir: str):
+    """End-to-end oracle for hyperplane-LSH embedding near-dup: on
+    embeddings ∪ an id-offset copy, every vector's only >= 0.9999-cosine
+    neighbour is its copy (64-dim random vectors never collide that high
+    organically), and identical vectors always share every hyperplane
+    sign, so bucketing cannot lose the pair."""
+    from ..functions.dedup import embedding_near_dups
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def copy_ids(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "vec_id": pc.add(t["vec_id"], _PLANT_OFFSET),
+                "embedding": t["embedding"],
+            }
+        )
+
+    both = ds.union(ds.map_batches(copy_ids, batch_format="pyarrow"))
+    pairs = embedding_near_dups(both, threshold=0.9999, id_col="vec_id")
+    return pairs.select_columns(["id_a", "id_b"])
+
+
+SQL_EMB_NEAR_DUPS_PLANTED = f"""
+SELECT vec_id AS id_a, vec_id + {_PLANT_OFFSET} AS id_b FROM embeddings
+"""
+
+
+def q_doc_exact_dedup_keep(sf_dir: str):
+    """The exact-dedup KEEP facade (distributed semi-join, not a driver
+    id-set) on the planted corpus: keep-first-by-id must return exactly the
+    original documents."""
+    from ..functions.dedup import exact_dedup
+
+    return exact_dedup(_docs_with_planted_copies(sf_dir))
+
+
+SQL_DOC_EXACT_DEDUP_KEEP = "SELECT doc_id, text FROM documents"
+
+
 def q_order_book_depth(sf_dir: str):
     """Per-key incremental order book through the ordered engine (≙
     OrderBookBuilder + getCurrentMarketDepth, OrderBookBuilder.java:39-141):
@@ -912,6 +952,8 @@ QUERIES = {
     "doc_near_dups_planted": (q_doc_near_dups_planted, SQL_DOC_NEAR_DUPS_PLANTED),
     "doc_simhash": (q_doc_simhash, None),
     "doc_simhash_planted": (q_doc_simhash_planted, SQL_DOC_SIMHASH_PLANTED),
+    "emb_near_dups_planted": (q_emb_near_dups_planted, SQL_EMB_NEAR_DUPS_PLANTED),
+    "doc_exact_dedup_keep": (q_doc_exact_dedup_keep, SQL_DOC_EXACT_DEDUP_KEEP),
     "knn_bruteforce": (q_knn_bruteforce, SQL_KNN_BRUTEFORCE),
     "knn_ivf": (q_knn_ivf, SQL_KNN_IVF),
     "embedding_label_stats": (q_embedding_label_stats, SQL_EMBEDDING_LABEL_STATS),
