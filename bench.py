@@ -129,9 +129,10 @@ def run_headline(num_cpus: int) -> dict:
                      num_partitions=P, files_per_epoch=files_per_epoch,
                      resume=False)
     wall = time.time() - t0
-    fin = res.final_status
-    n_results = int(fin["result_count"].sum())
-    assert (fin["buffered_count"] == 0).all(), "stream did not drain"
+    # perf-protocol completion (O(1) per-partition summaries, not the
+    # per-key table): sum(result_count) == sink rows, every buffer empty
+    n_results = res.summary["results"]
+    assert res.summary["buffered"] == 0, "stream did not drain"
     assert res.total_emitted == n_results, "sink rows != status result_count"
     return {
         "headline_sec": round(wall, 3),

@@ -65,6 +65,9 @@ class StreamResult:
     total_emitted: int
     final_status: pd.DataFrame
     sinks: dict = field(default_factory=dict)
+    # O(1) perf-protocol completion summary (scale path; final_status is the
+    # per-key table, fine at test scale, a driver materialization at 10^9)
+    summary: dict = field(default_factory=dict)
 
 
 def run_stream(
@@ -163,6 +166,7 @@ def run_stream(
     fin = proc.final_status_table(
         pd.Timestamp("1970-01-01") + pd.Timedelta(seconds=len(groups))
     ).to_pandas()
+    summary = proc.completion_summary()
     proc.shutdown()
     return StreamResult(
         out_root=out_root,
@@ -171,6 +175,7 @@ def run_stream(
         total_emitted=total_emitted,
         final_status=fin,
         sinks=sinks,
+        summary=summary,
     )
 
 
@@ -333,6 +338,7 @@ def run_stream_continuous(
     fin = proc.final_status_table(
         pd.Timestamp("1970-01-01") + pd.Timedelta(seconds=next_epoch)
     ).to_pandas()
+    summary = proc.completion_summary()
     proc.shutdown()
     return StreamResult(
         out_root=out_root,
@@ -341,4 +347,5 @@ def run_stream_continuous(
         total_emitted=total_emitted,
         final_status=fin,
         sinks=sinks,
+        summary=summary,
     )

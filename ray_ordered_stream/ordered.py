@@ -246,6 +246,26 @@ class OrderedWorker:
     def final_status(self, status_ts):
         return self.state._status_for(sorted(self.state.counters), status_ts)
 
+    def completion_summary(self) -> dict:
+        """O(keys) -> O(1) reduction of this partition's accounting (the
+        scale path for the perf-protocol completion poll: at 10^9 keys the
+        per-key final-status table cannot concat on the driver)."""
+        received = results = duplicates = 0
+        all_last = True
+        for c in self.state.counters.values():
+            received += c.received
+            results += c.results
+            duplicates += c.duplicates
+            all_last &= c.last_event
+        return {
+            "keys": len(self.state.counters),
+            "received": received,
+            "results": results,
+            "duplicates": duplicates,
+            "buffered": self.state.buffered_row_count(),
+            "all_last_event": all_last,
+        }
+
     def buffered_rows(self) -> int:
         return self.state.buffered_row_count()
 
@@ -516,6 +536,18 @@ class OrderedProcessor:
 
     def buffered_rows(self) -> int:
         return sum(ray.get([w.buffered_rows.remote() for w in self.workers]))
+
+    def completion_summary(self) -> dict:
+        """Aggregated perf-protocol completion check (≙ run-perf-test.sh
+        check_processing_progress): per-partition O(1) summaries summed on
+        the driver — scale-safe at any key count."""
+        parts = ray.get([w.completion_summary.remote() for w in self.workers])
+        out = {
+            k: sum(p[k] for p in parts)
+            for k in ("keys", "received", "results", "duplicates", "buffered")
+        }
+        out["all_last_event"] = all(p["all_last_event"] for p in parts)
+        return out
 
     def book_depth_table(self, depth: int | None = None, with_trade: bool = True) -> pa.Table:
         """Consolidated top-k market depth across all partitions (small:

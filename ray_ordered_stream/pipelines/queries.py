@@ -863,6 +863,79 @@ def q_doc_exact_dedup_keep(sf_dir: str):
 SQL_DOC_EXACT_DEDUP_KEEP = "SELECT doc_id, text FROM documents"
 
 
+def _docs_as_media(sf_dir: str):
+    """documents -> MEDIA-shaped rows (payload = utf8 bytes of text,
+    media_type cycled by id): real binary columns + typed metadata for the
+    multimodal actor-pool stages, with SQL-mirrorable byte counts."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def to_media(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        kinds = np.array(["image", "audio", "video"], dtype=object)[ids % 3]
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "media_type": pa.array(kinds, pa.string()),
+                "payload": t["text"].cast(pa.binary()),
+            }
+        )
+
+    return docs.map_batches(to_media, batch_format="pyarrow")
+
+
+def q_media_decode(sf_dir: str):
+    """Multimodal decode stage (actor pool, small batches for wide binary
+    rows): payload bytes -> feature vector + byte count. The codec is the
+    clearly-marked deterministic fake (this environment has no image libs;
+    functions/multimodal.py), so the oracle checks the SQL-expressible
+    metadata while the feature plumbing runs for real."""
+    from ..functions.multimodal import decode_images
+
+    out = decode_images(_docs_as_media(sf_dir), batch_size=64, concurrency=2)
+    return out.select_columns(["media_id", "media_type", "n_bytes"])
+
+
+SQL_MEDIA_DECODE = """
+SELECT doc_id AS media_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+            ELSE 'video' END AS media_type,
+       octet_length(encode(text))::bigint AS n_bytes
+FROM documents
+"""
+
+
+def q_media_frames(sf_dir: str):
+    """Frame-sampling stage (uniform byte-slice 'frames' per payload):
+    emitted frame sizes are fully determined by payload length, so the
+    plumbing is SQL-oracled end to end."""
+    from ..functions.multimodal import sample_frames
+
+    frames = sample_frames(_docs_as_media(sf_dir), n_samples=4,
+                           batch_size=64, concurrency=2)
+
+    def sizes(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "media_id": t["media_id"],
+                "frame_idx": t["frame_idx"],
+                "frame_bytes": pc.cast(pc.binary_length(t["frame"]), pa.int64()),
+            }
+        )
+
+    return frames.map_batches(sizes, batch_format="pyarrow")
+
+
+SQL_MEDIA_FRAMES = """
+WITH m AS (SELECT doc_id AS media_id, octet_length(encode(text)) AS L
+           FROM documents),
+f AS (SELECT media_id, L, greatest(1, L // 4) AS step,
+             unnest(range(4)) AS fi FROM m)
+SELECT media_id, fi::int AS frame_idx,
+       least(16, greatest(0, L - fi * step))::bigint AS frame_bytes
+FROM f
+"""
+
+
 def q_order_book_depth(sf_dir: str):
     """Per-key incremental order book through the ordered engine (≙
     OrderBookBuilder + getCurrentMarketDepth, OrderBookBuilder.java:39-141):
@@ -954,6 +1027,8 @@ QUERIES = {
     "doc_simhash_planted": (q_doc_simhash_planted, SQL_DOC_SIMHASH_PLANTED),
     "emb_near_dups_planted": (q_emb_near_dups_planted, SQL_EMB_NEAR_DUPS_PLANTED),
     "doc_exact_dedup_keep": (q_doc_exact_dedup_keep, SQL_DOC_EXACT_DEDUP_KEEP),
+    "media_decode": (q_media_decode, SQL_MEDIA_DECODE),
+    "media_frames": (q_media_frames, SQL_MEDIA_FRAMES),
     "knn_bruteforce": (q_knn_bruteforce, SQL_KNN_BRUTEFORCE),
     "knn_ivf": (q_knn_ivf, SQL_KNN_IVF),
     "embedding_label_stats": (q_embedding_label_stats, SQL_EMBEDDING_LABEL_STATS),
