@@ -12,10 +12,11 @@ Prints ONE JSON line:
   {"metric": ..., "value": <headline sec>, "unit": "sec",
    "queries": {...}, "sf": ..., "num_cpus": N, ...}
 
-``--scaling``: runs the headline pipeline in two fresh processes at
-num_cpus=8 and num_cpus=32 on the same input and reports the throughput at
-both plus scaling efficiency (sandbox substitute for the N- vs 4N-node
-cluster criterion; see BASELINE.md).
+``--scaling``: runs the headline pipeline in fresh processes at
+num_cpus=2/8/32 (best-of-2 each) on the same input and reports throughput
+per level, the 2->8 and 8->32 N-vs-4N efficiencies, and a
+bare-multiprocessing hardware control for 8->32 (sandbox substitute for
+the N- vs 4N-node cluster criterion; see BASELINE.md).
 """
 
 from __future__ import annotations

@@ -2,10 +2,11 @@
 resume (SURVEY.md §7.0 — the micro-batch streaming shape).
 
 The stream source is a landing directory / list of Parquet files in arrival
-order; each epoch consumes a contiguous group of files:
+order; each epoch consumes a contiguous group of files (bounded
+``run_stream`` below, unbounded directory-polling ``run_stream_continuous``):
 
     for each epoch:
-        read file group (one task per file, arrival order by construction)
+        fused read+split tasks (whole blocks never enter the object store)
           -> feed through the long-lived state actors (ordered drain,
              in-actor windows/join gated by the event-time watermark)
           -> stage every partition's outputs, then commit sink manifests

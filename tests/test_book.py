@@ -178,3 +178,65 @@ def test_flatten_depth_levels():
         ("k", "BUY", 2, 98, 5),
         ("k", "SELL", 1, 101, 7),
     }
+
+
+def test_book_through_engine_checkpoint_resume(tmp_path, ray_session):
+    # with_book rides the ordered drain; kill-and-resume via the partition
+    # checkpoints must reproduce the same final depth as an unbroken run.
+    from ray_ordered_stream.ordered import OrderedProcessor
+    from ray_ordered_stream.state import OrderedConfig
+
+    rng = np.random.default_rng(11)
+    n = 600
+    keys = [f"c{rng.integers(5)}" for _ in range(n)]
+    seqs = {}
+    rows = {"conv_id": [], "turn_idx": [], "type": [], "side": [],
+            "price": [], "qty": [], "ts": []}
+    for k in keys:
+        s = seqs.get(k, 0)
+        seqs[k] = s + 1
+        rows["conv_id"].append(k)
+        rows["turn_idx"].append(s)
+        rows["type"].append(["NEW", "NEW", "EXECUTED"][int(rng.integers(3))])
+        rows["side"].append(["BUY", "SELL"][int(rng.integers(2))])
+        rows["price"].append(int(rng.integers(95, 105)))
+        rows["qty"].append(int(rng.integers(1, 9)))
+        rows["ts"].append(s * 1000)
+    t = pa.table(
+        {
+            "conv_id": pa.array(rows["conv_id"], pa.string()),
+            "turn_idx": pa.array(rows["turn_idx"], pa.int32()),
+            "type": pa.array(rows["type"], pa.string()),
+            "side": pa.array(rows["side"], pa.string()),
+            "price": pa.array(rows["price"], pa.int64()),
+            "qty": pa.array(rows["qty"], pa.int64()),
+            "ts": pa.array(rows["ts"], pa.int64()).cast(pa.timestamp("us")),
+        }
+    )
+    cfg = OrderedConfig(with_book=True, book_depth=5)
+    root = str(tmp_path / "out")
+
+    # unbroken run
+    p1 = OrderedProcessor(cfg, 3)
+    p1.feed_epoch(t, pd.Timestamp("1970-01-01"))
+    full = p1.book_depth_table().to_pandas().sort_values("key").reset_index(drop=True)
+    p1.shutdown()
+
+    # half, checkpoint, new processor, restore, second half
+    half = t.num_rows // 2
+    p2 = OrderedProcessor(cfg, 3)
+    import ray
+
+    ray.get([w.set_partition_id.remote(i) for i, w in enumerate(p2.workers)])
+    p2.feed_epoch(t.slice(0, half), pd.Timestamp("1970-01-01"))
+    ray.get([w.checkpoint_to.remote(root, 0) for w in p2.workers])
+    p2.shutdown()
+
+    p3 = OrderedProcessor(cfg, 3)
+    ray.get([w.set_partition_id.remote(i) for i, w in enumerate(p3.workers)])
+    assert all(ray.get([w.restore_from.remote(root, 0) for w in p3.workers]))
+    p3.feed_epoch(t.slice(half), pd.Timestamp("1970-01-01") + pd.Timedelta(seconds=1))
+    resumed = p3.book_depth_table().to_pandas().sort_values("key").reset_index(drop=True)
+    p3.shutdown()
+
+    pd.testing.assert_frame_equal(full, resumed)
