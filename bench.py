@@ -36,7 +36,10 @@ BENCH_CONVS = int(os.environ.get("ROS_BENCH_CONVS", "100000"))
 BENCH_MIN_T = 40
 BENCH_MAX_T = 160
 BENCH_SEED = 42
-BENCH_EPOCHS = int(os.environ.get("ROS_BENCH_EPOCHS", "8"))
+# 16 epochs (8 files each) probed faster than 8 at BOTH parallelism levels
+# (finer pipeline interleave with max_inflight=3): 8c 22.97->20.8s, 32c
+# 11.17->10.45s on the 60M-turn input
+BENCH_EPOCHS = int(os.environ.get("ROS_BENCH_EPOCHS", "16"))
 
 
 def bench_input_dir() -> str:
