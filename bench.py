@@ -36,10 +36,13 @@ BENCH_CONVS = int(os.environ.get("ROS_BENCH_CONVS", "100000"))
 BENCH_MIN_T = 40
 BENCH_MAX_T = 160
 BENCH_SEED = 42
-# 16 epochs (8 files each) probed faster than 8 at BOTH parallelism levels
-# (finer pipeline interleave with max_inflight=3): 8c 22.97->20.8s, 32c
-# 11.17->10.45s on the 60M-turn input
-BENCH_EPOCHS = int(os.environ.get("ROS_BENCH_EPOCHS", "16"))
+# Epoch count tracks input size (probed sweet spots: 8 epochs for the
+# 12M-turn per-round headline, 16 for the 60M-turn --scaling input where
+# 16x8-file epochs beat 8x16 at BOTH levels: 8c 22.97->19.5s, 32c
+# 11.17->9.9s).
+BENCH_EPOCHS = int(
+    os.environ.get("ROS_BENCH_EPOCHS", "0")
+) or max(4, min(16, BENCH_CONVS // 12_500))
 
 
 def bench_input_dir() -> str:
@@ -228,8 +231,11 @@ def main():
 
     if "--scaling" in sys.argv:
         os.environ.setdefault("ROS_BENCH_CONVS", "500000")
-        global BENCH_CONVS
+        global BENCH_CONVS, BENCH_EPOCHS
         BENCH_CONVS = int(os.environ["ROS_BENCH_CONVS"])
+        BENCH_EPOCHS = int(
+            os.environ.get("ROS_BENCH_EPOCHS", "0")
+        ) or max(4, min(16, BENCH_CONVS // 12_500))
         ensure_bench_input()  # generate before timing anything
         res = {}
         for n in (2, 8, 32):
