@@ -90,3 +90,99 @@ def test_emit_cap_never_breaks_contiguity(perm_seed, cap):
     exp = oracle_ordered(t)
     assert list(got["emit_seq"]) == list(exp["emit_seq"])
     assert list(got["text"]) == list(exp["text"])
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    seed=st.integers(0, 10_000),
+    n_keys=st.integers(1, 4),
+    n_events=st.integers(1, 120),
+    chunk=st.integers(1, 23),
+)
+def test_book_any_batching_matches_row_builder(seed, n_keys, n_events, chunk):
+    # BookState consumes the ordered emission (per-key in-sequence); ANY
+    # batching of that stream must equal the reference-shaped row builder.
+    from ray_ordered_stream.book import BookState, OrderBookBuilder
+
+    rng = np.random.default_rng(seed)
+    rows = {k: [] for k in ("key", "seq", "type", "side", "price", "qty", "ts")}
+    builders, seqs = {}, {}
+    for i in range(n_events):
+        k = f"k{rng.integers(n_keys)}"
+        s = seqs.get(k, 0)
+        seqs[k] = s + 1
+        typ = ["NEW", "NEW", "EXECUTED", "DELETED"][rng.integers(4)]
+        side = ["BUY", "SELL"][rng.integers(2)]
+        price = int(rng.integers(1, 12))
+        qty = int(rng.integers(1, 9))
+        rows["key"].append(k)
+        rows["seq"].append(s)
+        rows["type"].append(typ)
+        rows["side"].append(side)
+        rows["price"].append(price)
+        rows["qty"].append(qty)
+        rows["ts"].append(i * 1000)
+        builders.setdefault(k, OrderBookBuilder()).process_event(
+            {"type": typ, "side": side, "price": price, "qty": qty,
+             "seq_id": s, "contract_seq_id": s, "contract_id": 1,
+             "timestamp_ms": i}
+        )
+    t = pa.table(
+        {
+            "key": pa.array(rows["key"], pa.string()),
+            "seq": pa.array(rows["seq"], pa.int64()),
+            "type": pa.array(rows["type"], pa.string()),
+            "side": pa.array(rows["side"], pa.string()),
+            "price": pa.array(rows["price"], pa.int64()),
+            "qty": pa.array(rows["qty"], pa.int64()),
+            "ts": pa.array(rows["ts"], pa.int64()).cast(pa.timestamp("us")),
+        }
+    )
+    stt = BookState()
+    for lo in range(0, t.num_rows, chunk):
+        stt.update(t.slice(lo, min(chunk, t.num_rows - lo)))
+    for k, b in builders.items():
+        assert stt.books.get(k, {}) == b.prices, k
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    seed=st.integers(0, 10_000),
+    n_convs=st.integers(1, 4),
+    turns=st.integers(2, 20),
+    chunk=st.integers(1, 13),
+)
+def test_stream_joiner_any_batching_matches_serial(seed, n_convs, turns, chunk):
+    # ANY batching of the in-sequence emission must produce exactly the
+    # serial pairs: each user turn joined to the key's NEXT assistant turn.
+    from ray_ordered_stream.stream_ops import StreamJoiner
+
+    t = gen_transcripts(n_convs=n_convs, min_turns=turns, max_turns=turns,
+                        seed=seed, end_sentinel=False)
+    t = t.drop_columns([ARRIVAL]).sort_by([(KEY, "ascending"), (SEQ, "ascending")])
+    j = StreamJoiner()
+    outs = []
+    for lo in range(0, t.num_rows, chunk):
+        o = j.update(t.slice(lo, min(chunk, t.num_rows - lo)))
+        if o.num_rows:
+            outs.append(o)
+    got = (
+        pa.concat_tables(outs).to_pandas().sort_values([KEY, "user_turn_idx"])
+        .reset_index(drop=True)
+        if outs
+        else pd.DataFrame(columns=[KEY, "user_turn_idx", "assistant_turn_idx"])
+    )
+    df = t.to_pandas()
+    exp = []
+    for k, g in df.groupby(KEY):
+        users = g[g["role"] == "user"]
+        asst = g[g["role"] == "assistant"]
+        for _, u in users.iterrows():
+            nxt = asst[asst[SEQ] > u[SEQ]]
+            if len(nxt):
+                exp.append((k, int(u[SEQ]), int(nxt.iloc[0][SEQ])))
+    assert len(got) == len(exp)
+    assert [
+        (r[KEY], int(r["user_turn_idx"]), int(r["assistant_turn_idx"]))
+        for _, r in got.iterrows()
+    ] == sorted(exp)
