@@ -296,3 +296,53 @@ def test_continuous_crash_resume_exactly_once(tmp_path, ray_session):
         a = a[cols].sort_values(cols, kind="stable").reset_index(drop=True)
         b = b[cols].sort_values(cols, kind="stable").reset_index(drop=True)
         pd.testing.assert_frame_equal(a, b)
+
+
+def test_long_stream_compaction_resume(tmp_path, ray_session):
+    # 12 epochs, full checkpoints every 4: resume after a crash must read
+    # only from the newest FULL base (bounded lineage) and reproduce the
+    # uninterrupted output.
+    from ray_ordered_stream.epochs import run_stream
+
+    t = gen_transcripts(n_convs=10, min_turns=10, max_turns=40, lateness=50,
+                        dup_rate=0.02, seed=77)
+    d = tmp_path / "landing"
+    d.mkdir()
+    n, n_files = t.num_rows, 12
+    step = -(-n // n_files)
+    files = []
+    for i in range(n_files):
+        f = d / f"part-{i:05d}.parquet"
+        pq.write_table(t.slice(i * step, step), f)
+        files.append(str(f))
+
+    ref = run_stream(files, str(tmp_path / "ref"), num_partitions=3,
+                     files_per_epoch=1, checkpoint_full_every=4)
+    assert ref.epochs_run == 12
+
+    out = str(tmp_path / "crash")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_stream(files, out, num_partitions=3, files_per_epoch=1,
+                   checkpoint_full_every=4, fail_after_epoch=9)
+    # FULL markers exist at epochs 0,4,8 for every partition
+    for p in range(3):
+        for e in (0, 4, 8):
+            assert (Path(out) / "ckpt" / f"p={p:05d}" / f"epoch-{e:05d}" / "_FULL").exists()
+    # deleting pre-base delta epochs must not hurt the resume (bounded read)
+    import shutil as _sh
+
+    for p in range(3):
+        for e in range(0, 7):
+            if e % 4 != 0:
+                _sh.rmtree(Path(out) / "ckpt" / f"p={p:05d}" / f"epoch-{e:05d}",
+                           ignore_errors=True)
+    res = run_stream(files, out, num_partitions=3, files_per_epoch=1,
+                     checkpoint_full_every=4)
+    assert res.epochs_skipped >= 9
+    for sink in ("ordered", "status"):
+        a = read_sink(ref, sink)
+        b = read_sink(res, sink)
+        cols = sorted(a.columns)
+        a = a[cols].sort_values(cols, kind="stable").reset_index(drop=True)
+        b = b[cols].sort_values(cols, kind="stable").reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
