@@ -53,6 +53,23 @@ def synth_media_table(n: int = 64, seed: int = 42) -> pa.Table:
     )
 
 
+def _binary_buffers(col) -> tuple[np.ndarray, np.ndarray]:
+    """(byte data, per-item offsets) of a binary column, zero-copy."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    col = col.cast(pa.large_binary())
+    bufs = col.buffers()
+    offsets = np.frombuffer(bufs[1], dtype=np.int64)[
+        col.offset : col.offset + len(col) + 1
+    ]
+    data = (
+        np.frombuffer(bufs[2], dtype=np.uint8)
+        if bufs[2] is not None
+        else np.empty(0, np.uint8)
+    )
+    return data, offsets
+
+
 class DeterministicFakeDecoder:
     """Stand-in for a real codec: maps payload bytes to a fixed-size feature
     vector deterministically (md5-seeded). Swap for PIL/libav in a real
@@ -83,18 +100,26 @@ class ImageDecodeStage:
             raise NotImplementedError(
                 "image codec libraries are not available in this environment"
             )
+        data, offsets = _binary_buffers(batch["payload"])
+        # zero-copy memoryview per payload (``as_py()`` would copy every
+        # payload's bytes); the per-item call is the codec itself
         feats = [
-            self.decoder.decode(p.as_py())
-            for p in batch["payload"]
+            self.decoder.decode(data[offsets[i] : offsets[i + 1]])
+            for i in range(len(offsets) - 1)
         ]
+        flat = np.concatenate(feats) if feats else np.zeros(0, np.float32)
+        feat_arr = pa.ListArray.from_arrays(
+            pa.array(
+                np.arange(len(feats) + 1, dtype=np.int32) * self.decoder.feat_dim
+            ),
+            pa.array(flat, pa.float32()),
+        )
         return pa.table(
             {
                 "media_id": batch["media_id"],
                 "media_type": batch["media_type"],
-                "feature": pa.array([f.tolist() for f in feats], pa.list_(pa.float32())),
-                "n_bytes": pa.array(
-                    [len(p.as_py()) for p in batch["payload"]], pa.int64()
-                ),
+                "feature": feat_arr,
+                "n_bytes": pa.array(np.diff(offsets), pa.int64()),
             }
         )
 
@@ -107,19 +132,35 @@ class AudioFrameSampleStage:
         self.n = n_samples
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids, frame_idx, frames = [], [], []
-        for mid, p in zip(batch["media_id"], batch["payload"]):
-            raw = p.as_py()
-            step = max(1, len(raw) // self.n)
-            for i in range(self.n):
-                ids.append(mid.as_py())
-                frame_idx.append(i)
-                frames.append(raw[i * step : i * step + 16])
+        data, offsets = _binary_buffers(batch["payload"])
+        n_rows = len(offsets) - 1
+        lens = np.diff(offsets)
+        step = np.maximum(1, lens // self.n)
+        fi = np.tile(np.arange(self.n, dtype=np.int64), n_rows)
+        row = np.repeat(np.arange(n_rows), self.n)
+        starts = offsets[:-1][row] + fi * step[row]
+        flen = np.minimum(16, np.maximum(0, lens[row] - fi * step[row]))
+        # assemble the frame binary column from vectorized (start, len)
+        # pairs; the per-frame copy is 16 bytes, payloads are never
+        # converted to Python objects
+        out_off = np.zeros(len(starts) + 1, dtype=np.int32)
+        np.cumsum(flen, out=out_off[1:])
+        buf = np.empty(int(out_off[-1]), dtype=np.uint8)
+        for j in range(len(starts)):
+            buf[out_off[j] : out_off[j + 1]] = data[
+                starts[j] : starts[j] + flen[j]
+            ]
+        frames = pa.Array.from_buffers(
+            pa.binary(),
+            len(starts),
+            [None, pa.py_buffer(out_off.tobytes()), pa.py_buffer(buf.tobytes())],
+        )
+        ids = batch["media_id"].to_numpy(zero_copy_only=False)[row]
         return pa.table(
             {
                 "media_id": pa.array(ids, pa.int64()),
-                "frame_idx": pa.array(frame_idx, pa.int32()),
-                "frame": pa.array(frames, pa.binary()),
+                "frame_idx": pa.array(fi.astype(np.int32), pa.int32()),
+                "frame": frames,
             }
         )
 
