@@ -80,6 +80,7 @@ def run_stream(
     resume: bool = True,
     fail_after_epoch: int | None = None,
     checkpoint_full_every: int = 16,
+    max_inflight: int = 3,
 ) -> StreamResult:
     """Run the full streaming pipeline over an arrival-ordered file list.
 
@@ -125,7 +126,6 @@ def run_stream(
     total_emitted = 0
     epochs_run = 0
     pending: list[tuple[int, list]] = []
-    max_inflight = 3
 
     def commit_oldest():
         nonlocal total_emitted, epochs_run
