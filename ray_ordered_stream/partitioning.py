@@ -151,6 +151,23 @@ def range_partition_codes(
     return part_of_unique[codes]
 
 
+def composite_key(ds, cols: list[str], out: str, sep: str = "\x1f"):
+    """Concatenate columns into one ordering-key column (≙ the reference's
+    composite SessionContractKey = sessionId + contractId,
+    SessionContractKey.java:32-40). Vectorized Arrow kernel; the unit
+    separator keeps ('a','bc') distinct from ('ab','c')."""
+    import pyarrow.compute as pc
+
+    def f(t: pa.Table) -> pa.Table:
+        parts = [pc.cast(t[c], pa.string()) for c in cols]
+        joined = parts[0]
+        for p in parts[1:]:
+            joined = pc.binary_join_element_wise(joined, p, sep)
+        return t.append_column(out, joined)
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def compute_hot_key_overrides(
     sample: pa.Table, key: str, num_partitions: int, top_n: int = 0
 ) -> dict[str, int]:

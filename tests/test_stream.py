@@ -346,3 +346,52 @@ def test_long_stream_compaction_resume(tmp_path, ray_session):
         a = a[cols].sort_values(cols, kind="stable").reset_index(drop=True)
         b = b[cols].sort_values(cols, kind="stable").reset_index(drop=True)
         pd.testing.assert_frame_equal(a, b)
+
+
+def test_rerun_overwrites_byte_identical(tmp_path, stream_files):
+    # deterministic re-run: running the same stream into the same out_root
+    # twice produces byte-identical sink parts (the property exactly-once
+    # overwrite relies on).
+    import hashlib
+
+    from ray_ordered_stream.epochs import run_stream
+
+    t, files = stream_files
+    out = str(tmp_path / "out")
+    run_stream(files, out, num_partitions=3, files_per_epoch=2, resume=False)
+
+    def digest():
+        h = {}
+        for f in sorted(Path(out).glob("ordered/epoch=*/*.parquet")):
+            h[str(f)] = hashlib.md5(f.read_bytes()).hexdigest()
+        return h
+
+    first = digest()
+    assert first
+    run_stream(files, out, num_partitions=3, files_per_epoch=2, resume=False)
+    assert digest() == first
+
+
+def test_composite_key_ordering(ray_session, tmp_path):
+    # composite (session, contract)-style key through the full engine
+    import ray.data as rd
+
+    from ray_ordered_stream.ordered import ordered_process
+    from ray_ordered_stream.partitioning import composite_key
+
+    rows = []
+    for sess in ("s1", "s2"):
+        for contract in (1, 2):
+            for seq in (2, 0, 1):  # shuffled arrival per composite key
+                rows.append(
+                    {"session": sess, "contract": contract, "turn_idx": seq,
+                     "text": f"{sess}/{contract}/{seq}"}
+                )
+    ds = composite_key(rd.from_items(rows), ["session", "contract"], "conv_id")
+    res = ordered_process(ds, OrderedConfig(), num_partitions=2)
+    got = res.ordered.to_pandas().sort_values(["conv_id", "turn_idx"])
+    assert len(got) == len(rows)
+    # per composite key, emit_seq follows turn order
+    for _, g in got.groupby("conv_id"):
+        assert list(g["emit_seq"]) == [1, 2, 3]
+        assert list(g["turn_idx"]) == [0, 1, 2]
