@@ -593,3 +593,109 @@ def embedding_near_dups(
 
     bucketed = ds.map_batches(Bucketer, batch_format="pandas", concurrency=(1, 4))
     return bucketed.groupby("bucket").map_groups(pairs, batch_format="pandas")
+
+
+def simhash_near_dups(
+    ds, max_hamming: int = 3, id_col: str = "doc_id", max_bucket: int = 2048,
+    num_partitions: int = 8,
+):
+    """SimHash near-duplicate pairs: 64-bit signatures split into four
+    16-bit bands (two signatures within hamming distance <= 3 must agree on
+    at least one band by pigeonhole when the differing bits spread, and
+    identical docs always agree on all four); candidates collide on a band,
+    verified by exact hamming distance (vectorized xor + popcount). Same
+    exchange shape as the MinHash-LSH pair generation: only (band_key, id,
+    signature) rows shuffle, never text."""
+    import ray
+    import ray.data
+
+    sh = simhash(ds).select_columns([id_col, "simhash"])
+
+    def to_bands(b: pd.DataFrame) -> pd.DataFrame:
+        s = b["simhash"].to_numpy().astype(np.int64).view(np.uint64)
+        n = len(b)
+        band_ids = np.repeat(np.arange(4, dtype=np.int64), n)
+        keys = np.concatenate(
+            [((s >> np.uint64(16 * i)) & np.uint64(0xFFFF)).astype(np.int64)
+             for i in range(4)]
+        )
+        return pd.DataFrame(
+            {
+                "band_id": band_ids,
+                "band_hash": keys,
+                id_col: np.tile(b[id_col].to_numpy(), 4),
+                "simhash": np.tile(b["simhash"].to_numpy(), 4),
+            }
+        )
+
+    @ray.remote
+    def split_bands(P: int, *tbls: pa.Table) -> list[pa.Table]:
+        real = [t for t in tbls if t.num_rows]
+        if not real:
+            return [tbls[0].slice(0, 0) if tbls else pa.table({})] * P
+        tbl = pa.concat_tables(real, promote_options="none") if len(real) > 1 else real[0]
+        h = (
+            tbl["band_hash"].to_numpy(zero_copy_only=False).astype(np.int64)
+            + (tbl["band_id"].to_numpy(zero_copy_only=False).astype(np.int64) << 16)
+        )
+        parts = _int_partition(h, P)
+        order = np.argsort(parts, kind="stable")
+        bounds = np.searchsorted(parts[order], np.arange(P + 1))
+        return [tbl.take(pa.array(order[bounds[p]:bounds[p + 1]])) for p in range(P)]
+
+    @ray.remote
+    def pairs_in_partition(*shards: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+             "hamming": pa.array([], pa.int64())}
+        )
+        real = [t for t in shards if t.num_rows]
+        if not real:
+            return empty
+        tbl = pa.concat_tables(real, promote_options="none") if len(real) > 1 else real[0]
+        bid = tbl["band_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bh = tbl["band_hash"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = tbl[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        sig = tbl["simhash"].to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+        order = np.lexsort((ids, bh, bid))
+        bid, bh, ids, sig = bid[order], bh[order], ids[order], sig[order]
+        n = len(ids)
+        boundary = np.empty(n, dtype=bool)
+        boundary[0] = True
+        boundary[1:] = (bid[1:] != bid[:-1]) | (bh[1:] != bh[:-1])
+        starts = np.flatnonzero(boundary)
+        sizes = np.diff(np.append(starts, n))
+        out_a, out_b, out_h = [], [], []
+        for st, m in zip(starts[sizes >= 2], sizes[sizes >= 2]):
+            if m > max_bucket:
+                continue
+            seg_id, seg_s = ids[st:st + m], sig[st:st + m]
+            ia, ib = np.triu_indices(m, k=1)
+            x = seg_s[ia] ^ seg_s[ib]
+            ham = np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1)
+            keep = ham <= max_hamming
+            out_a.append(seg_id[ia[keep]])
+            out_b.append(seg_id[ib[keep]])
+            out_h.append(ham[keep])
+        if not out_a:
+            return empty
+        return pa.table(
+            {
+                "id_a": pa.array(np.concatenate(out_a), pa.int64()),
+                "id_b": pa.array(np.concatenate(out_b), pa.int64()),
+                "hamming": pa.array(np.concatenate(out_h).astype(np.int64), pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Min
+
+    banded = sh.map_batches(to_bands, batch_format="pandas")
+    refs = list(banded.to_arrow_refs())
+    P = max(2, min(num_partitions, len(refs) * 2))
+    per_group = [split_bands.options(num_returns=P).remote(P, r) for r in refs]
+    pair_refs = [
+        pairs_in_partition.remote(*[pg[p] for pg in per_group]) for p in range(P)
+    ]
+    return ray.data.from_arrow_refs(pair_refs).groupby(["id_a", "id_b"]).aggregate(
+        Min("hamming", alias_name="hamming")
+    )

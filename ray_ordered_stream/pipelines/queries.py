@@ -774,6 +774,18 @@ FROM documents
 """
 
 
+def q_doc_simhash_pairs(sf_dir: str):
+    """SimHash near-dup pairs (banded 16-bit buckets + exact hamming
+    verify). Rows-only: organic simhash collisions at tiny hamming exist in
+    the synthetic corpus, so no closed-form SQL oracle; the machinery is
+    gated by doc_simhash_planted (copies -> identical signatures)."""
+    from ..functions.dedup import simhash_near_dups
+
+    return simhash_near_dups(
+        _read(sf_dir, "documents", ["doc_id", "text"]), max_hamming=3
+    )
+
+
 def q_doc_simhash_planted(sf_dir: str):
     """SimHash invariant gate: a document and its planted copy must receive
     identical 64-bit signatures (the signature values themselves are not
@@ -1024,6 +1036,7 @@ QUERIES = {
     "doc_near_dups": (q_doc_near_dups, None),
     "doc_near_dups_planted": (q_doc_near_dups_planted, SQL_DOC_NEAR_DUPS_PLANTED),
     "doc_simhash": (q_doc_simhash, None),
+    "doc_simhash_pairs": (q_doc_simhash_pairs, None),
     "doc_simhash_planted": (q_doc_simhash_planted, SQL_DOC_SIMHASH_PLANTED),
     "emb_near_dups_planted": (q_emb_near_dups_planted, SQL_EMB_NEAR_DUPS_PLANTED),
     "doc_exact_dedup_keep": (q_doc_exact_dedup_keep, SQL_DOC_EXACT_DEDUP_KEEP),

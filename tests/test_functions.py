@@ -177,3 +177,15 @@ def test_multimodal_plumbing(ray_session):
 
     with pytest.raises(NotImplementedError):
         ImageDecodeStage(strict=True)(t)
+
+
+def test_simhash_near_dups(docs_with_dups):
+    from ray_ordered_stream.functions.dedup import simhash_near_dups
+
+    df, ds = docs_with_dups
+    pairs = simhash_near_dups(ds, max_hamming=8).to_pandas()
+    found = {tuple(r) for r in pairs[["id_a", "id_b"]].values}
+    assert (3, 10) in found  # exact dup: hamming 0
+    h = pairs.set_index(["id_a", "id_b"]).loc[(3, 10), "hamming"]
+    assert h == 0
+    assert (5, 20) in found  # planted near dup: few differing words
