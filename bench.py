@@ -171,7 +171,10 @@ def run_queries(sf_dir: str) -> dict:
 
 def _hw_worker(args):
     cpu, files = args
-    os.sched_setaffinity(0, {cpu})
+    try:
+        os.sched_setaffinity(0, {cpu % os.cpu_count()})
+    except (AttributeError, OSError):
+        pass
     import pyarrow as pa
     import pyarrow.parquet as pq
 

@@ -68,6 +68,10 @@ class OrderBookBuilder:
             self.prices[sp] = q
         else:
             self.prices.pop(sp, None)
+        # NOT a latch, by reference parity: a zero-delta event skips this
+        # assignment (early return above) and any later event overwrites it —
+        # exactly OrderBookBuilder.java:66-68 (return on qty==0) and :87
+        # (unconditional assignment after the level update)
         self.received_last_contract_message = bool(ev.get("last_contract_message", False))
 
     def get_current_market_depth(self, depth: int, with_trade: bool) -> dict:
@@ -181,11 +185,16 @@ class BookState:
         lastmask = np.empty(len(c2), dtype=bool)
         lastmask[-1] = True
         lastmask[:-1] = c2[1:] != c2[:-1]
-        types = tbl["type"].to_pylist()
-        for pos in np.flatnonzero(lastmask):
-            r = order2[pos]
+        last_pos = np.flatnonzero(lastmask)
+        last_rows = order2[last_pos]
+        # convert ONLY the per-key last rows (not the whole type column)
+        type_col = tbl["type"]
+        if isinstance(type_col, pa.ChunkedArray):
+            type_col = type_col.combine_chunks()
+        last_types = type_col.take(pa.array(last_rows)).to_pylist()
+        for pos, r, ty in zip(last_pos, last_rows, last_types):
             self.last[key_values[c2[pos]]] = (
-                int(seq[r]), int(tsv[r]), types[r], int(price[r]), int(qty[r]),
+                int(seq[r]), int(tsv[r]), ty, int(price[r]), int(qty[r]),
             )
 
     def depth_table(self, depth: int, with_trade: bool = True) -> pa.Table:

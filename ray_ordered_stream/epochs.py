@@ -301,37 +301,69 @@ def run_stream_continuous(
             group, status_ts, paths, final=final, ckpt=(out_root, epoch, full_ckpt)
         )))
 
-    # 1. replay already-recorded epochs (deterministic composition)
+    def feed_flush(epoch: int):
+        """Re-emit the open-window/join flush as a first-class epoch."""
+        while len(pending) >= max_inflight:
+            commit_oldest()
+        paths = [
+            {name: s.part_path(epoch, p) for name, s in sinks.items()}
+            for p in range(P)
+        ]
+        pending.append(
+            (epoch, [w.flush_final_to_sink.remote(paths[p])
+                     for p, w in enumerate(proc.workers)])
+        )
+
+    # 1. replay already-recorded epochs (deterministic composition); an
+    # empty recorded group is a flush epoch from a previous run
     for epoch, group in enumerate(groups):
         if epoch < start:
             continue
-        feed(epoch, group, final=False)
+        if group:
+            feed(epoch, group, final=False)
+        else:
+            feed_flush(epoch)
 
     assigned = {f for g in groups for f in g}
+    known = set(assigned)  # every file ever OBSERVED (for the idle clock)
     next_epoch = len(groups)
+    last_was_flush = bool(groups) and not groups[-1]
     last_new = _time.monotonic()
 
     # 2. poll for newly landed files
     while True:
         stop = (land / stop_file).exists()
-        new = [
-            str(f) for f in sorted(land.glob("*.parquet")) if str(f) not in assigned
-        ]
-        if new:
+        files_now = [str(f) for f in sorted(land.glob("*.parquet"))]
+        # the idle clock resets only on files NEWLY LANDED, not on files
+        # that merely remain unassigned (a partial trailing group would
+        # otherwise reset it every poll and the timeout could never fire)
+        fresh = [f for f in files_now if f not in known]
+        if fresh:
+            known.update(fresh)
             last_new = _time.monotonic()
-        while len(new) >= files_per_epoch or (stop and new):
+        new = [f for f in files_now if f not in assigned]
+        exiting = stop or (_time.monotonic() - last_new > idle_timeout_s)
+        # full groups always; the partial remainder only when exiting
+        while len(new) >= files_per_epoch or (exiting and new):
             group = new[:files_per_epoch]
             new = new[files_per_epoch:]
-            is_final = stop and not new
             _record_epoch(out_root, next_epoch, group)
             assigned.update(group)
-            feed(next_epoch, group, final=is_final)
+            feed(next_epoch, group, final=False)
             next_epoch += 1
-        if stop and not new:
-            break
-        if not new and _time.monotonic() - last_new > idle_timeout_s:
+            last_was_flush = False
+        if exiting:
             break
         _time.sleep(poll_interval_s)
+
+    # 3. final flush: open windows (and any terminal operator output) are
+    # released by run_stream's final=True epoch; here the exit usually races
+    # the stop sentinel past the last data epoch, so flush explicitly as one
+    # more recorded epoch (idempotent on re-run like any other epoch).
+    if ("windows" in sinks or "joined" in sinks) and next_epoch and not last_was_flush:
+        _record_epoch(out_root, next_epoch, [])
+        feed_flush(next_epoch)
+        next_epoch += 1
 
     while pending:
         commit_oldest()

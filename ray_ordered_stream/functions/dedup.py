@@ -165,10 +165,17 @@ class MinHasher:
                     ).T
         if (~nz).any():
             # short documents: hash the whole normalized text as the one
-            # "shingle" (same family)
+            # "shingle" (same family); hash ONLY the short rows — the
+            # masked-pass hasher costs one pass per char of the longest
+            # input, so feeding it multi-KB normal docs would dwarf the
+            # whole signature computation
+            import pyarrow.compute as pc
+
             from ..partitioning import hash_string_array
 
-            short = hash_string_array(_normalize(texts)).astype(np.uint64)[~nz]
+            short_rows = np.flatnonzero(~nz)
+            short_texts = _normalize(texts).take(pa.array(short_rows))
+            short = hash_string_array(short_texts).astype(np.uint64)
             with np.errstate(over="ignore"):
                 sig[~nz, :] = (
                     short[:, None] * self.a[None, :] + self.b[None, :]
@@ -349,9 +356,12 @@ def _batch_shingle_sets(texts: pa.Array, k: int) -> list[np.ndarray]:
         if hi > lo:
             out.append(np.unique(h[lo:hi]))
         else:
+            # short doc: decode just this row (not the whole column)
             if norm is None:
-                norm = _normalize(texts).to_pylist()
-            out.append(np.array([_stable_u64(norm[i])], dtype=np.uint64))
+                norm = _normalize(texts)
+            out.append(
+                np.array([_stable_u64(norm[i].as_py())], dtype=np.uint64)
+            )
     return out
 
 
@@ -666,8 +676,10 @@ def simhash_near_dups(
         starts = np.flatnonzero(boundary)
         sizes = np.diff(np.append(starts, n))
         out_a, out_b, out_h = [], [], []
+        dropped = 0
         for st, m in zip(starts[sizes >= 2], sizes[sizes >= 2]):
             if m > max_bucket:
+                dropped += 1
                 continue
             seg_id, seg_s = ids[st:st + m], sig[st:st + m]
             ia, ib = np.triu_indices(m, k=1)
@@ -677,6 +689,15 @@ def simhash_near_dups(
             out_a.append(seg_id[ia[keep]])
             out_b.append(seg_id[ib[keep]])
             out_h.append(ham[keep])
+        if dropped:
+            # NOT silent (same policy as minhash): a degenerate band value
+            # shared by >max_bucket docs loses its pairs — say so.
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "simhash: dropped %d buckets larger than max_bucket=%d",
+                dropped, max_bucket,
+            )
         if not out_a:
             return empty
         return pa.table(

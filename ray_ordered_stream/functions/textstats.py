@@ -36,12 +36,11 @@ class TokenCounter:
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         import pyarrow.compute as pc
 
-        toks = batch["text"].str.count(WORD_RE)
-        batch["n_tokens"] = toks.astype("int64")
-        # BPE-ish estimate: words + extra splits for long words (~4 chars per
-        # subword), matching common tokenizer heuristics. Vectorized: word
-        # lengths via Arrow split + list flatten, per-doc sums via bincount
-        # (no per-row findall/map).
+        # One vectorized Arrow tokenization feeds BOTH columns (word counts
+        # and the BPE-ish subword estimate: words + one extra split per 4
+        # chars beyond the first). RE2 \W matches the DuckDB oracle's \w+
+        # semantics; a second tokenizer (e.g. pandas' unicode-aware \w+)
+        # would disagree with it — and with itself — on non-ASCII text.
         arr = pa.array(batch["text"].astype(str), pa.string())
         words = pc.utf8_split_whitespace(
             pc.replace_substring_regex(arr, r"\W+", " ")
@@ -55,9 +54,11 @@ class TokenCounter:
         wl = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
         doc_of = np.repeat(np.arange(len(batch)), counts)
         nz = wl > 0  # split emits empty strings at edges
+        toks = np.bincount(doc_of[nz], minlength=len(batch)).astype(np.int64)
         extra_per_word = np.maximum(0, (wl[nz] - 1) // 4)
         extra = np.bincount(doc_of[nz], weights=extra_per_word, minlength=len(batch))
-        batch["n_subwords_est"] = (toks.to_numpy() + extra).astype("int64")
+        batch["n_tokens"] = toks
+        batch["n_subwords_est"] = (toks + extra).astype("int64")
         return batch
 
 

@@ -232,6 +232,22 @@ class OrderedWorker:
             self.checkpoint_to(*ckpt)
         return out
 
+    def flush_final_to_sink(self, sink_paths: dict) -> dict:
+        """Terminal flush epoch: release still-open windows (final=True) and
+        any pending join output to their sink parts; data sinks get empty
+        parts so every sink's manifest prefix stays contiguous. Idempotent
+        like any epoch (deterministic given the restored state)."""
+        from .sink import write_part_atomic
+
+        out = {}
+        if "windows" in sink_paths and self.windows is not None:
+            w = self.take_window_output(final=True)
+            out["windows"] = write_part_atomic(w, sink_paths["windows"]) if w is not None else 0
+        if "joined" in sink_paths and self.joiner is not None:
+            j = self.take_join_output()
+            out["joined"] = write_part_atomic(j, sink_paths["joined"]) if j is not None else 0
+        return out
+
     def drain(self, status_ts):
         """Drain buffered overflow after a capped round (≙ re-firing of the
         batch timer; used with max_emit_per_round). Returns

@@ -186,7 +186,11 @@ class WindowAccumulator:
 
     def restore(self, snap: dict) -> None:
         self.watermark = snap["watermark"]
-        items = sorted(snap["acc"].items())
+        # intern in snapshot ITERATION order (= original first-seen order,
+        # preserved by the acc property and the JSON round-trip): sorting
+        # here would re-code keys and break the byte-identical re-run of
+        # already-committed window sink parts after a resume
+        items = list(snap["acc"].items())
         self._intern, self._names = {}, []
         kcs = []
         for (k, _w), _v in items:

@@ -395,3 +395,33 @@ def test_composite_key_ordering(ray_session, tmp_path):
     for _, g in got.groupby("conv_id"):
         assert list(g["emit_seq"]) == [1, 2, 3]
         assert list(g["turn_idx"]) == [0, 1, 2]
+
+
+def test_continuous_idle_timeout_flushes_partial_group(tmp_path, ray_session):
+    # 3 files with files_per_epoch=2 and NO stop sentinel: the idle timeout
+    # must fire (review r2: unassigned leftovers used to reset the idle
+    # clock forever), the partial group must be processed, and open windows
+    # must be flushed by the terminal flush epoch.
+    from ray_ordered_stream.epochs import run_stream_continuous
+
+    t = gen_transcripts(n_convs=6, min_turns=6, max_turns=20, lateness=20,
+                        dup_rate=0.0, seed=55)
+    land = tmp_path / "landing"
+    land.mkdir()
+    _write_files_atomic(t, land, 3, start=0, total=3)
+    res = run_stream_continuous(
+        str(land), str(tmp_path / "out"),
+        OrderedConfig(window_size_s=3600.0),
+        num_partitions=2, files_per_epoch=2,
+        poll_interval_s=0.05, idle_timeout_s=1.0,
+    )
+    exp = oracle_ordered(t)
+    assert res.total_emitted == len(exp)  # all 3 files processed
+    # every (key, window) present — including those only closed by the
+    # terminal flush
+    win = read_sink(res, "windows")
+    df = exp.copy()
+    df["window_start"] = df["ts"].dt.floor("3600s")
+    n_exp = df.groupby([KEY, "window_start"]).ngroups
+    assert len(win) == n_exp
+    assert win["turn_count"].sum() == len(exp)
