@@ -236,24 +236,7 @@ def minhash_lsh_candidates(
     import ray
     import ray.data
 
-    @ray.remote
-    def split_bands(P: int, *tbls: pa.Table) -> list[pa.Table]:
-        real = [t for t in tbls if t.num_rows]
-        if not real:
-            return [tbls[0].slice(0, 0) if tbls else pa.table({})] * P
-        tbl = (
-            pa.concat_tables(real, promote_options="none")
-            if len(real) > 1
-            else real[0]
-        )
-        h = tbl["band_hash"].to_numpy(zero_copy_only=False).astype(np.int64)
-        parts = _int_partition(h, P)
-        order = np.argsort(parts, kind="stable")
-        bounds = np.searchsorted(parts[order], np.arange(P + 1))
-        return [
-            tbl.take(pa.array(order[bounds[p] : bounds[p + 1]]))
-            for p in range(P)
-        ]
+    from ..exchange import shard_refs
 
     @ray.remote
     def pairs_in_partition(*shards: pa.Table) -> pa.Table:
@@ -316,7 +299,9 @@ def minhash_lsh_candidates(
     banded = ds.map_batches(to_bands, batch_format="pandas")
     refs = list(banded.to_arrow_refs())
     P = max(2, min(16, len(refs) * 2))
-    per_group = [split_bands.options(num_returns=P).remote(P, r) for r in refs]
+    # a (band_id, band_hash) bucket is whole within the partition chosen by
+    # band_hash alone, so the shared by-int split is bucket-preserving
+    per_group = shard_refs(refs, "band_hash", P, by_int=True)
     pair_refs = [
         pairs_in_partition.remote(*[pg[p] for pg in per_group]) for p in range(P)
     ]
@@ -429,38 +414,12 @@ def near_dup_pairs(
     )
 
 
-def _int_partition(ids: np.ndarray, P: int) -> np.ndarray:
-    with np.errstate(over="ignore"):
-        return (
-            (ids.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
-            % np.uint64(P)
-        ).astype(np.int64)
-
-
 def _exchange_merge(left_refs, right_refs, left_key, right_key, text_out, P):
     """Split both sides by the same id hash; merge per partition. Returns
     one table ref per partition: left columns + ``text_out``."""
     import ray
 
-    @ray.remote
-    def split_by(col: str, P: int, *tbls: pa.Table) -> list[pa.Table]:
-        real = [t for t in tbls if t.num_rows and col in t.column_names]
-        if not real:
-            e = tbls[0].slice(0, 0) if tbls else pa.table({})
-            return [e] * P
-        tbl = (
-            pa.concat_tables(real, promote_options="none")
-            if len(real) > 1
-            else real[0]
-        )
-        ids = tbl[col].to_numpy(zero_copy_only=False).astype(np.int64)
-        parts = _int_partition(ids, P)
-        order = np.argsort(parts, kind="stable")
-        bounds = np.searchsorted(parts[order], np.arange(P + 1))
-        return [
-            tbl.take(pa.array(order[bounds[p] : bounds[p + 1]]))
-            for p in range(P)
-        ]
+    from ..exchange import shard_refs
 
     @ray.remote
     def merge(n_left: int, lk: str, rk: str, out: str, *tbls: pa.Table) -> pa.Table:
@@ -481,9 +440,9 @@ def _exchange_merge(left_refs, right_refs, left_key, right_key, text_out, P):
             merged[out] = pd.Series(dtype="object")
         return pa.Table.from_pandas(merged, preserve_index=False)
 
-    P = max(2, P)  # num_returns=1 would return the shard list itself
-    l_split = [split_by.options(num_returns=P).remote(left_key, P, r) for r in left_refs]
-    r_split = [split_by.options(num_returns=P).remote(right_key, P, r) for r in right_refs]
+    P = max(2, P)
+    l_split = shard_refs(left_refs, left_key, P, by_int=True, n_map=len(left_refs))
+    r_split = shard_refs(right_refs, right_key, P, by_int=True, n_map=len(right_refs))
     out = []
     for p in range(P):
         ls = [s[p] for s in l_split]
@@ -638,20 +597,7 @@ def simhash_near_dups(
             }
         )
 
-    @ray.remote
-    def split_bands(P: int, *tbls: pa.Table) -> list[pa.Table]:
-        real = [t for t in tbls if t.num_rows]
-        if not real:
-            return [tbls[0].slice(0, 0) if tbls else pa.table({})] * P
-        tbl = pa.concat_tables(real, promote_options="none") if len(real) > 1 else real[0]
-        h = (
-            tbl["band_hash"].to_numpy(zero_copy_only=False).astype(np.int64)
-            + (tbl["band_id"].to_numpy(zero_copy_only=False).astype(np.int64) << 16)
-        )
-        parts = _int_partition(h, P)
-        order = np.argsort(parts, kind="stable")
-        bounds = np.searchsorted(parts[order], np.arange(P + 1))
-        return [tbl.take(pa.array(order[bounds[p]:bounds[p + 1]])) for p in range(P)]
+    from ..exchange import shard_refs
 
     @ray.remote
     def pairs_in_partition(*shards: pa.Table) -> pa.Table:
@@ -713,7 +659,7 @@ def simhash_near_dups(
     banded = sh.map_batches(to_bands, batch_format="pandas")
     refs = list(banded.to_arrow_refs())
     P = max(2, min(num_partitions, len(refs) * 2))
-    per_group = [split_bands.options(num_returns=P).remote(P, r) for r in refs]
+    per_group = shard_refs(refs, "band_hash", P, by_int=True)
     pair_refs = [
         pairs_in_partition.remote(*[pg[p] for pg in per_group]) for p in range(P)
     ]

@@ -27,7 +27,6 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
-from ..partitioning import split_table
 from ..schema import ARRIVAL, KEY, SEQ
 
 
@@ -44,15 +43,6 @@ def _project(t: pa.Table) -> pa.Table:
             "event_id": pc.cast(t["event_id"], pa.int64()),
         }
     )
-
-
-@ray.remote
-def _split(key: str, P: int, *tbls: pa.Table) -> list[pa.Table]:
-    real = [t for t in tbls if t.num_rows]
-    if not real:
-        return [tbls[0].slice(0, 0)] * P
-    tbl = pa.concat_tables(real, promote_options="none") if len(real) > 1 else real[0]
-    return split_table(tbl, key, P)
 
 
 @ray.remote
@@ -102,16 +92,12 @@ def derive_transcripts(events_ds, num_partitions: int | None = None):
     block_refs = list(events_ds.to_arrow_refs())
     if not block_refs:
         return events_ds
+    from ..exchange import shard_refs
+
     projected = [_project.remote(b) for b in block_refs]
     if P == 1:
         return ray.data.from_arrow_refs([_rank_partition.remote(*projected)])
-    n_map = max(1, min(len(projected), 2 * P))
-    groups = [
-        list(g)
-        for g in np.array_split(np.array(projected, dtype=object), n_map)
-        if len(g)
-    ]
-    per_group = [_split.options(num_returns=P).remote(KEY, P, *g) for g in groups]
+    per_group = shard_refs(projected, KEY, P)
     ranked = [
         _rank_partition.remote(*[pg[p] for pg in per_group]) for p in range(P)
     ]

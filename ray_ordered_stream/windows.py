@@ -168,17 +168,9 @@ def session_windows(ds, gap_s: float, key: str = KEY, ts: str = "ts",
     import ray
     import ray.data
 
-    from .partitioning import split_table
+    from .exchange import shard_refs
 
     gap = _size_us(gap_s)
-
-    @ray.remote
-    def split(P: int, *tbls: pa.Table) -> list[pa.Table]:
-        real = [t for t in tbls if t.num_rows]
-        if not real:
-            return [tbls[0].slice(0, 0)] * P
-        tbl = pa.concat_tables(real, promote_options="none") if len(real) > 1 else real[0]
-        return split_table(tbl.select([key, ts]), key, P)
 
     @ray.remote
     def sessions(*shards: pa.Table) -> pa.Table:
@@ -228,15 +220,10 @@ def session_windows(ds, gap_s: float, key: str = KEY, ts: str = "ts",
         )
 
     P = num_partitions or max(2, int(ray.cluster_resources().get("CPU", 4)) // 2)
-    block_refs = list(ds.to_arrow_refs())
+    # project BEFORE the exchange: only (key, ts) ever shuffles
+    block_refs = list(ds.select_columns([key, ts]).to_arrow_refs())
     if not block_refs:
         return ds
-    n_map = max(1, min(len(block_refs), 2 * P))
-    groups = [
-        list(g)
-        for g in np.array_split(np.array(block_refs, dtype=object), n_map)
-        if len(g)
-    ]
-    per_group = [split.options(num_returns=P).remote(P, *g) for g in groups]
+    per_group = shard_refs(block_refs, key, P)
     out = [sessions.remote(*[pg[p] for pg in per_group]) for p in range(P)]
     return ray.data.from_arrow_refs(out)
