@@ -69,6 +69,9 @@ class StreamResult:
     # O(1) perf-protocol completion summary (scale path; final_status is the
     # per-key table, fine at test scale, a driver materialization at 10^9)
     summary: dict = field(default_factory=dict)
+    # per-epoch throughput/latency surface (metrics.StatsTracker summaries,
+    # ≙ the reference StatsTracker's ops/s + latency percentiles)
+    metrics: dict = field(default_factory=dict)
 
 
 def run_stream(
@@ -123,19 +126,31 @@ def run_stream(
     # epoch with BOTH a full checkpoint cut AND a contiguous manifest prefix,
     # and later epochs re-run deterministically (overwriting their files and
     # stale checkpoints byte-identically).
+    import time as _t
+
+    from .metrics import StatsTracker
+
+    stats = StatsTracker()
+    epoch_stage = stats.stage("epoch_commit")
     total_emitted = 0
     epochs_run = 0
-    pending: list[tuple[int, list]] = []
+    pending: list[tuple[int, list, float]] = []
 
     def commit_oldest():
         nonlocal total_emitted, epochs_run
-        epoch, refs = pending.pop(0)
+        epoch, refs, t_submit = pending.pop(0)
         rows_per_part = ray.get(refs)
+        e_rows = 0
         for name, s in sinks.items():
             rows = {p: r.get(name, 0) for p, r in enumerate(rows_per_part)}
             s.commit_epoch(epoch, rows)
             if name == "ordered":
-                total_emitted += sum(rows.values())
+                e_rows = sum(rows.values())
+                total_emitted += e_rows
+        # submit->commit latency + emitted rows, per epoch (pipelined, so
+        # concurrent-epoch latencies overlap; rates() gives the true rate)
+        epoch_stage.record(e_rows, _t.monotonic() - t_submit)
+        stats.record(e_rows)
         epochs_run += 1
         if fail_after_epoch is not None and epoch == fail_after_epoch:
             proc.shutdown()
@@ -160,7 +175,7 @@ def run_stream(
         out_refs = proc.feed_epoch_to_sinks(
             group, status_ts, paths, final=final, ckpt=(out_root, epoch, full_ckpt)
         )
-        pending.append((epoch, out_refs))
+        pending.append((epoch, out_refs, _t.monotonic()))
     while pending:
         commit_oldest()
 
@@ -177,6 +192,7 @@ def run_stream(
         final_status=fin,
         sinks=sinks,
         summary=summary,
+        metrics={"rates": stats.rates(), "stages": stats.summaries()},
     )
 
 
@@ -269,20 +285,28 @@ def run_stream_continuous(
             ray.get([w.restore_from.remote(out_root, e_star) for w in proc.workers])
             start = e_star + 1
 
+    from .metrics import StatsTracker
+
+    stats = StatsTracker()
+    epoch_stage = stats.stage("epoch_commit")
     total_emitted = 0
     epochs_run = 0
-    pending: list[tuple[int, list]] = []
+    pending: list[tuple[int, list, float]] = []
     max_inflight = 3
 
     def commit_oldest():
         nonlocal total_emitted, epochs_run
-        epoch, refs = pending.pop(0)
+        epoch, refs, t_submit = pending.pop(0)
         rows_per_part = ray.get(refs)
+        e_rows = 0
         for name, s in sinks.items():
             rows = {p: r.get(name, 0) for p, r in enumerate(rows_per_part)}
             s.commit_epoch(epoch, rows)
             if name == "ordered":
-                total_emitted += sum(rows.values())
+                e_rows = sum(rows.values())
+                total_emitted += e_rows
+        epoch_stage.record(e_rows, _time.monotonic() - t_submit)
+        stats.record(e_rows)
         epochs_run += 1
         if fail_after_epoch is not None and epoch == fail_after_epoch:
             proc.shutdown()
@@ -299,7 +323,7 @@ def run_stream_continuous(
         full_ckpt = checkpoint_full_every > 0 and epoch % checkpoint_full_every == 0
         pending.append((epoch, proc.feed_epoch_to_sinks(
             group, status_ts, paths, final=final, ckpt=(out_root, epoch, full_ckpt)
-        )))
+        ), _time.monotonic()))
 
     def feed_flush(epoch: int):
         """Re-emit the open-window/join flush as a first-class epoch."""
@@ -311,7 +335,7 @@ def run_stream_continuous(
         ]
         pending.append(
             (epoch, [w.flush_final_to_sink.remote(paths[p])
-                     for p, w in enumerate(proc.workers)])
+                     for p, w in enumerate(proc.workers)], _time.monotonic())
         )
 
     # 1. replay already-recorded epochs (deterministic composition); an
@@ -381,4 +405,5 @@ def run_stream_continuous(
         final_status=fin,
         sinks=sinks,
         summary=summary,
+        metrics={"rates": stats.rates(), "stages": stats.summaries()},
     )

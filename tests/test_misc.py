@@ -44,3 +44,22 @@ def test_stats_tracker_rates_and_percentiles():
     st.record(1, 0, t=100.0)
     r2 = st.rates(t=100.0)
     assert r2["rows_per_sec"] >= 0
+
+
+def test_stream_result_metrics_surface(tmp_path, ray_session):
+    import pyarrow.parquet as pq
+
+    from ray_ordered_stream.epochs import run_stream
+    from ray_ordered_stream.fixtures import gen_transcripts
+
+    t = gen_transcripts(n_convs=4, min_turns=5, max_turns=10, seed=9)
+    f = tmp_path / "in.parquet"
+    pq.write_table(t, f)
+    res = run_stream([str(f)], str(tmp_path / "out"), num_partitions=2,
+                     files_per_epoch=1)
+    m = res.metrics
+    assert m["rates"]["rows_per_sec"] > 0
+    (stage,) = [s for s in m["stages"] if s["stage"] == "epoch_commit"]
+    assert stage["rows"] == res.total_emitted
+    assert stage["calls"] == res.epochs_run
+    assert stage["lat_p50"] >= 0
