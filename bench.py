@@ -172,7 +172,7 @@ def run_queries(sf_dir: str) -> dict:
 def _hw_worker(args):
     cpu, files = args
     try:
-        os.sched_setaffinity(0, {cpu % os.cpu_count()})
+        os.sched_setaffinity(0, {cpu % (os.cpu_count() or 1)})
     except (AttributeError, OSError):
         pass
     import pyarrow as pa

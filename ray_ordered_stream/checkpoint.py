@@ -72,6 +72,7 @@ def write_partition_checkpoint(
         extras["windows"] = {
             "watermark": w["watermark"],
             "acc": [[k, ws, v] for (k, ws), v in w["acc"].items()],
+            "names": w.get("names", []),
         }
     if "join" in snap:
         extras["join"] = snap["join"]
@@ -124,6 +125,7 @@ def read_partition_checkpoint(root: str, partition: int, epoch: int) -> dict | N
     if "windows" in extras:
         snap["windows"] = {
             "watermark": extras["windows"]["watermark"],
+            "names": extras["windows"].get("names", []),
             "acc": {(k, ws): v for k, ws, v in extras["windows"]["acc"]},
         }
     if "join" in extras:

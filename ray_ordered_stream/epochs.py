@@ -178,6 +178,9 @@ def run_stream(
         pending.append((epoch, out_refs, _t.monotonic()))
     while pending:
         commit_oldest()
+    # snapshot the sliding-window rate NOW: final-status collection and
+    # actor teardown below can outlast the window and trim it to zero
+    rates = stats.rates()
 
     fin = proc.final_status_table(
         pd.Timestamp("1970-01-01") + pd.Timedelta(seconds=len(groups))
@@ -192,7 +195,7 @@ def run_stream(
         final_status=fin,
         sinks=sinks,
         summary=summary,
-        metrics={"rates": stats.rates(), "stages": stats.summaries()},
+        metrics={"rates": rates, "stages": stats.summaries()},
     )
 
 
@@ -391,6 +394,9 @@ def run_stream_continuous(
 
     while pending:
         commit_oldest()
+    # snapshot the sliding-window rate NOW: final-status collection and
+    # actor teardown below can outlast the window and trim it to zero
+    rates = stats.rates()
 
     fin = proc.final_status_table(
         pd.Timestamp("1970-01-01") + pd.Timedelta(seconds=next_epoch)
@@ -405,5 +411,5 @@ def run_stream_continuous(
         final_status=fin,
         sinks=sinks,
         summary=summary,
-        metrics={"rates": stats.rates(), "stages": stats.summaries()},
+        metrics={"rates": rates, "stages": stats.summaries()},
     )

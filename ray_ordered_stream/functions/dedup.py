@@ -134,7 +134,8 @@ class MinHasher:
     def signatures(self, texts: pa.Array) -> np.ndarray:
         """(n_docs, num_perm) u64 signatures for a whole column."""
         k = self.k
-        data, offsets = _string_buffers(_normalize(texts))
+        norm = _normalize(texts)
+        data, offsets = _string_buffers(norm)
         n_docs = len(offsets) - 1
         du = data.astype(np.uint64)
         n_pos = max(0, len(du) - k + 1)
@@ -169,12 +170,10 @@ class MinHasher:
             # masked-pass hasher costs one pass per char of the longest
             # input, so feeding it multi-KB normal docs would dwarf the
             # whole signature computation
-            import pyarrow.compute as pc
-
             from ..partitioning import hash_string_array
 
             short_rows = np.flatnonzero(~nz)
-            short_texts = _normalize(texts).take(pa.array(short_rows))
+            short_texts = norm.take(pa.array(short_rows))
             short = hash_string_array(short_texts).astype(np.uint64)
             with np.errstate(over="ignore"):
                 sig[~nz, :] = (

@@ -27,11 +27,9 @@ LANG_MARKERS = {
 
 
 class TokenCounter:
-    """Whitespace/word-regex token counting + a BPE-ish subword estimate.
-    Compile-once-per-actor; vectorized per batch."""
-
-    def __init__(self):
-        self.word = re.compile(WORD_RE)
+    """Word-token counting + a BPE-ish subword estimate, fully vectorized
+    per batch (WORD_RE itself is used only by QualityScorer's counts;
+    tokenization here is the Arrow RE2 split below)."""
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         import pyarrow.compute as pc

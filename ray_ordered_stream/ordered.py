@@ -234,9 +234,12 @@ class OrderedWorker:
 
     def flush_final_to_sink(self, sink_paths: dict) -> dict:
         """Terminal flush epoch: release still-open windows (final=True) and
-        any pending join output to their sink parts; data sinks get empty
-        parts so every sink's manifest prefix stays contiguous. Idempotent
-        like any epoch (deterministic given the restored state)."""
+        any pending join output to their sink parts. Data sinks get NO part
+        files for this epoch — their manifests commit with zero rows, which
+        keeps every sink's manifest prefix contiguous because readers
+        consult manifests and skip rows==0 entries (sink.committed_files).
+        Idempotent like any epoch (deterministic given the restored
+        state)."""
         from .sink import write_part_atomic
 
         out = {}

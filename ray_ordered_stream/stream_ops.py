@@ -182,20 +182,26 @@ class WindowAccumulator:
         }
 
     def snapshot(self) -> dict:
-        return {"watermark": self.watermark, "acc": self.acc}
+        # the FULL intern table rides along: emission order in take_closed
+        # follows key codes, so codes must survive resume even for keys
+        # whose windows all closed before the checkpoint — else a re-run
+        # epoch's part file is not byte-identical to the committed one
+        return {"watermark": self.watermark, "acc": self.acc,
+                "names": list(self._names)}
 
     def restore(self, snap: dict) -> None:
         self.watermark = snap["watermark"]
-        # intern in snapshot ITERATION order (= original first-seen order,
-        # preserved by the acc property and the JSON round-trip): sorting
-        # here would re-code keys and break the byte-identical re-run of
-        # already-committed window sink parts after a resume
         items = list(snap["acc"].items())
         self._intern, self._names = {}, []
+        for k in snap.get("names", ()):  # authoritative code assignment
+            self._intern[k] = len(self._names)
+            self._names.append(k)
         kcs = []
         for (k, _w), _v in items:
             g = self._intern.get(k)
             if g is None:
+                # legacy snapshot without names: intern in iteration order
+                # (= original first-seen order)
                 g = len(self._names)
                 self._intern[k] = g
                 self._names.append(k)
