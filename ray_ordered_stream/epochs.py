@@ -100,6 +100,8 @@ def run_stream(
              "dlq": ManifestSink(out_root, "dlq")}
     if cfg.window_size_s > 0:
         sinks["windows"] = ManifestSink(out_root, "windows")
+    if cfg.session_gap_s > 0:
+        sinks["sessions"] = ManifestSink(out_root, "sessions")
     if cfg.stream_join:
         sinks["joined"] = ManifestSink(out_root, "joined")
 
@@ -273,6 +275,8 @@ def run_stream_continuous(
              "dlq": ManifestSink(out_root, "dlq")}
     if cfg.window_size_s > 0:
         sinks["windows"] = ManifestSink(out_root, "windows")
+    if cfg.session_gap_s > 0:
+        sinks["sessions"] = ManifestSink(out_root, "sessions")
     if cfg.stream_join:
         sinks["joined"] = ManifestSink(out_root, "joined")
 
@@ -387,7 +391,8 @@ def run_stream_continuous(
     # released by run_stream's final=True epoch; here the exit usually races
     # the stop sentinel past the last data epoch, so flush explicitly as one
     # more recorded epoch (idempotent on re-run like any other epoch).
-    if ("windows" in sinks or "joined" in sinks) and next_epoch and not last_was_flush:
+    if (("windows" in sinks or "sessions" in sinks or "joined" in sinks)
+            and next_epoch and not last_was_flush):
         _record_epoch(out_root, next_epoch, [])
         feed_flush(next_epoch)
         next_epoch += 1

@@ -98,6 +98,7 @@ class OrderedWorker:
         self.cfg = cfg
         self.state = OrderedPartitionState(cfg)
         self.windows = None
+        self.sessions = None
         self.joiner = None
         self.book = None
         self._join_out: list[pa.Table] = []
@@ -110,7 +111,14 @@ class OrderedWorker:
             from .stream_ops import WindowAccumulator
 
             self.windows = WindowAccumulator(
-                cfg.window_size_s, cfg.key, "ts", cfg.window_lateness_s
+                cfg.window_size_s, cfg.key, "ts", cfg.window_lateness_s,
+                step_s=cfg.window_step_s or None,
+            )
+        if cfg.session_gap_s > 0:
+            from .stream_ops import SessionAccumulator
+
+            self.sessions = SessionAccumulator(
+                cfg.session_gap_s, cfg.key, "ts", cfg.session_lateness_s
             )
         if cfg.stream_join:
             from .stream_ops import StreamJoiner
@@ -177,12 +185,18 @@ class OrderedWorker:
             batch = batch.filter(pc.invert(bad))
         emitted, status = self.state.process(batch, status_ts)
         codes_kv = None
-        if emitted.num_rows and (self.windows is not None or self.joiner is not None):
+        if emitted.num_rows and (
+            self.windows is not None
+            or self.sessions is not None
+            or self.joiner is not None
+        ):
             from .stream_ops import _dict_codes
 
-            codes_kv = _dict_codes(emitted[cfg.key])  # one encode, both ops
+            codes_kv = _dict_codes(emitted[cfg.key])  # one encode, all ops
         if self.windows is not None:
             self.windows.update(emitted, codes_kv)
+        if self.sessions is not None:
+            self.sessions.update(emitted, codes_kv)
         if self.joiner is not None:
             j = self.joiner.update(emitted, codes_kv)
             if j.num_rows:
@@ -220,6 +234,9 @@ class OrderedWorker:
         if "windows" in sink_paths and self.windows is not None:
             w = self.take_window_output(final)
             out["windows"] = write_part_atomic(w, sink_paths["windows"]) if w is not None else 0
+        if "sessions" in sink_paths and self.sessions is not None:
+            w = self.take_session_output(final)
+            out["sessions"] = write_part_atomic(w, sink_paths["sessions"]) if w is not None else 0
         if "joined" in sink_paths and self.joiner is not None:
             j = self.take_join_output()
             out["joined"] = (
@@ -246,6 +263,9 @@ class OrderedWorker:
         if "windows" in sink_paths and self.windows is not None:
             w = self.take_window_output(final=True)
             out["windows"] = write_part_atomic(w, sink_paths["windows"]) if w is not None else 0
+        if "sessions" in sink_paths and self.sessions is not None:
+            w = self.take_session_output(final=True)
+            out["sessions"] = write_part_atomic(w, sink_paths["sessions"]) if w is not None else 0
         if "joined" in sink_paths and self.joiner is not None:
             j = self.take_join_output()
             out["joined"] = write_part_atomic(j, sink_paths["joined"]) if j is not None else 0
@@ -294,6 +314,12 @@ class OrderedWorker:
             return None
         return self.windows.take_closed(final=final)
 
+    def take_session_output(self, final: bool = False):
+        """Sessions closed by the current watermark (stream_ops)."""
+        if self.sessions is None:
+            return None
+        return self.sessions.take_closed(final=final)
+
     def take_dlq(self):
         """Quarantined rows since the last take (DLQ side output)."""
         out = self._dlq
@@ -316,6 +342,8 @@ class OrderedWorker:
         snap = self.state.snapshot(dirty_only=dirty_only)
         if self.windows is not None:
             snap["windows"] = self.windows.snapshot()
+        if self.sessions is not None:
+            snap["sessions"] = self.sessions.snapshot()
         if self.joiner is not None:
             snap["join"] = self.joiner.snapshot()
         if self.book is not None:
@@ -326,6 +354,8 @@ class OrderedWorker:
         self.state = OrderedPartitionState.restore(self.cfg, snap)
         if self.windows is not None and "windows" in snap:
             self.windows.restore(snap["windows"])
+        if self.sessions is not None and "sessions" in snap:
+            self.sessions.restore(snap["sessions"])
         if self.joiner is not None and "join" in snap:
             self.joiner.restore(snap["join"])
         if self.book is not None and "book" in snap:

@@ -68,8 +68,14 @@ class OrderedConfig:
     with_book: bool = False
     book_depth: int = 10          # top-k levels in depth projections
     # in-actor streaming operators over the ordered emission (stream_ops.py)
-    window_size_s: float = 0.0    # > 0 enables watermark-gated tumbling windows
+    window_size_s: float = 0.0    # > 0 enables watermark-gated fixed windows
+    # 0 (or == size) = tumbling; 0 < step < size = sliding hops
+    window_step_s: float = 0.0
     window_lateness_s: float = 0.0
+    # > 0 enables streaming session windows (gap merge) as a separate
+    # 'sessions' side output; independent of the fixed-window operator
+    session_gap_s: float = 0.0
+    session_lateness_s: float = 0.0
     stream_join: bool = False     # enables the sequence-driven as-of join
     partitions: int = 0           # 0 = auto (set by ordered.py)
     # State actors are long-lived RPC-style stores whose calls serialize per

@@ -4,10 +4,17 @@ These are the streaming counterparts of windows.py / join.py, co-located
 with the ordered state in the same partition actor (same key => no extra
 shuffle, SURVEY.md §7.3):
 
-- ``WindowAccumulator``: per (key, window) tumbling counts; window rows are
-  released when the event-time watermark (max ts seen - allowed lateness)
-  passes window_end — the role Beam's watermark machinery plays in the
-  reference's tests (OrderBookProcessingPipelineTest.java:204-217).
+- ``WindowAccumulator``: per (key, window) tumbling OR sliding counts
+  (``step_s`` < ``size_s`` gives overlapping hops; each row explodes into its
+  covering windows, vectorized); window rows are released when the
+  event-time watermark (max ts seen - allowed lateness) passes window_end —
+  the role Beam's watermark machinery plays in the reference's tests
+  (OrderBookProcessingPipelineTest.java:204-217).
+- ``SessionAccumulator``: per-key gap-merged sessions (the streaming
+  counterpart of windows.session_windows); open sessions are columnar
+  intervals merged per batch with a vectorized chain-merge, and a session
+  closes once the watermark passes ``session_end + gap`` (no in-flight event
+  can extend it).
 - ``StreamJoiner``: forward as-of join of two role streams. Because the
   ordered processor emits strictly in sequence per key, the join is
   sequence-driven and needs no watermark: a left (user) turn pairs with the
@@ -44,7 +51,12 @@ def _dict_codes(col) -> tuple[np.ndarray, list]:
 
 
 class WindowAccumulator:
-    """Tumbling event-time windows with watermark-gated emission.
+    """Tumbling/sliding event-time windows with watermark-gated emission.
+
+    ``step_s`` defaults to the window size (tumbling); a smaller step gives
+    sliding windows: each row is exploded (vectorized) into the
+    ceil(size/step) hops containing it, after which the state machinery is
+    identical.
 
     Open-window state is COLUMNAR: parallel numpy arrays sorted by
     (key_code, window_start), merged with each batch's per-group partial
@@ -54,8 +66,11 @@ class WindowAccumulator:
     touches only newly-seen KEYS (string interning)."""
 
     def __init__(self, size_s: float, key: str = KEY, ts: str = "ts",
-                 allowed_lateness_s: float = 0.0):
+                 allowed_lateness_s: float = 0.0, step_s: float | None = None):
         self.size = int(size_s * _US)
+        self.step = int(step_s * _US) if step_s else self.size
+        if not (0 < self.step <= self.size):
+            raise ValueError("window step must be in (0, size]")
         self.key = key
         self.ts = ts
         self.lateness = int(allowed_lateness_s * _US)
@@ -71,7 +86,6 @@ class WindowAccumulator:
         if emitted.num_rows == 0 or self.ts not in emitted.column_names:
             return
         tsi = emitted[self.ts].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        ws = (tsi // self.size) * self.size
         # callers co-located with the drain can pass the key encode through
         codes, key_values = codes_kv or _dict_codes(emitted[self.key])
         if "role" in emitted.column_names:
@@ -91,6 +105,21 @@ class WindowAccumulator:
                 names.append(kv)
             glob[i] = g
         gc = glob[codes]
+
+        if self.step == self.size:  # tumbling: one window per row
+            ws = (tsi // self.size) * self.size
+        else:
+            # sliding: explode each row into its covering hops (same
+            # construction as windows.sliding_counts, kept vectorized)
+            n_w = -(-self.size // self.step)
+            last_ws = (tsi // self.step) * self.step
+            offs = (np.arange(n_w, dtype=np.int64) * self.step)[None, :]
+            wm = last_ws[:, None] - offs                  # (rows, n_w)
+            valid = ((wm + self.size) > tsi[:, None]) & (wm >= 0)
+            flat = valid.ravel()
+            ws = wm.ravel()[flat]
+            rep = np.repeat(np.arange(len(gc)), n_w)[flat]
+            gc, is_user, is_asst = gc[rep], is_user[rep], is_asst[rep]
 
         # per-(key, window) partial aggregates: lexsort + boundary + reduceat
         order = np.lexsort((ws, gc))
@@ -212,6 +241,177 @@ class WindowAccumulator:
         m = np.lexsort((wv, kc))
         self._kc, self._ws = kc[m], wv[m]
         self._cnt, self._nu, self._na = vals[m, 0], vals[m, 1], vals[m, 2]
+
+
+class SessionAccumulator:
+    """Streaming session windows: per-key gap merge with watermark-gated
+    release (the in-actor counterpart of ``windows.session_windows``).
+
+    Open sessions are COLUMNAR intervals — parallel arrays sorted by
+    (key_code, session_start) — merged with each batch's per-key
+    mini-sessions by a vectorized chain-merge (lexsort + boundary flags +
+    reduceat; containment chains converge in a couple of passes). A session
+    is released once ``watermark - lateness > session_end + gap``: no event
+    still in flight (within the lateness bound) can extend it. Per-key
+    ``session_id`` assignment matches the batch operator (index in
+    session_start order), valid because sessions of a key close in start
+    order."""
+
+    def __init__(self, gap_s: float, key: str = KEY, ts: str = "ts",
+                 allowed_lateness_s: float = 0.0):
+        self.gap = int(gap_s * _US)
+        self.key = key
+        self.ts = ts
+        self.lateness = int(allowed_lateness_s * _US)
+        self.watermark: int | None = None
+        self._intern: dict[str, int] = {}
+        self._names: list[str] = []
+        z = np.zeros(0, dtype=np.int64)
+        # open sessions, sorted by (kc, start)
+        self._kc, self._start, self._end = z, z.copy(), z.copy()
+        self._cnt, self._nu, self._na = z.copy(), z.copy(), z.copy()
+        self._next_sid = z.copy()   # per key code: next session_id to emit
+
+    def update(self, emitted: pa.Table, codes_kv=None) -> None:
+        if emitted.num_rows == 0 or self.ts not in emitted.column_names:
+            return
+        tsi = emitted[self.ts].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        codes, key_values = codes_kv or _dict_codes(emitted[self.key])
+        if "role" in emitted.column_names:
+            is_user = np.asarray(pc.equal(emitted["role"], "user"))
+            is_asst = np.asarray(pc.equal(emitted["role"], "assistant"))
+        else:
+            is_user = is_asst = np.zeros(len(codes), dtype=bool)
+
+        intern, names = self._intern, self._names
+        glob = np.empty(len(key_values), dtype=np.int64)
+        for i, kv in enumerate(key_values):
+            g = intern.get(kv)
+            if g is None:
+                g = len(names)
+                intern[kv] = g
+                names.append(kv)
+            glob[i] = g
+        if len(names) > len(self._next_sid):
+            grown = np.zeros(len(names), dtype=np.int64)
+            grown[: len(self._next_sid)] = self._next_sid
+            self._next_sid = grown
+        gc = glob[codes]
+
+        # batch mini-sessions: lexsort by (ts within key) + gap boundaries
+        order = np.lexsort((tsi, gc))
+        c_s, t_s = gc[order], tsi[order]
+        new_sess = np.empty(len(c_s), dtype=bool)
+        new_sess[0] = True
+        new_sess[1:] = (c_s[1:] != c_s[:-1]) | ((t_s[1:] - t_s[:-1]) > self.gap)
+        starts = np.flatnonzero(new_sess)
+        ends_idx = np.append(starts[1:], len(c_s)) - 1
+        kc = np.concatenate([self._kc, c_s[starts]])
+        sv = np.concatenate([self._start, t_s[starts]])
+        ev = np.concatenate([self._end, t_s[ends_idx]])
+        cnt = np.concatenate([self._cnt, np.diff(np.append(starts, len(c_s)))])
+        nu = np.concatenate([self._nu, np.add.reduceat(is_user[order], starts)])
+        na = np.concatenate([self._na, np.add.reduceat(is_asst[order], starts)])
+
+        # chain-merge open + batch sessions per key (sorted by start; repeat
+        # because a long session can swallow several later-starting ones)
+        for _ in range(64):
+            m = np.lexsort((sv, kc))
+            kc, sv, ev = kc[m], sv[m], ev[m]
+            cnt, nu, na = cnt[m], nu[m], na[m]
+            b = np.empty(len(kc), dtype=bool)
+            b[0] = True
+            b[1:] = (kc[1:] != kc[:-1]) | ((sv[1:] - ev[:-1]) > self.gap)
+            if b.all():
+                break
+            s2 = np.flatnonzero(b)
+            kc, sv = kc[s2], sv[s2]
+            ev = np.maximum.reduceat(ev, s2)
+            cnt = np.add.reduceat(cnt, s2)
+            nu = np.add.reduceat(nu, s2)
+            na = np.add.reduceat(na, s2)
+        self._kc, self._start, self._end = kc, sv, ev
+        self._cnt, self._nu, self._na = cnt, nu, na
+        mx = int(tsi.max())
+        self.watermark = mx if self.watermark is None else max(self.watermark, mx)
+
+    def take_closed(self, final: bool = False) -> pa.Table:
+        if self.watermark is None or not len(self._kc):
+            return self._empty()
+        horizon = self.watermark - self.lateness
+        closed = (
+            np.ones(len(self._kc), dtype=bool)
+            if final
+            else self._end + self.gap < horizon
+        )
+        if not closed.any():
+            return self._empty()
+        keep = ~closed
+        kc, sv, ev = self._kc[closed], self._start[closed], self._end[closed]
+        cnt, nu, na = self._cnt[closed], self._nu[closed], self._na[closed]
+        # per-key session ids continue from the last released session; the
+        # closed subset is (kc, start)-sorted, so rank-within-key + offset
+        b = np.empty(len(kc), dtype=bool)
+        b[0] = True
+        b[1:] = kc[1:] != kc[:-1]
+        firsts = np.flatnonzero(b)
+        key_first = np.repeat(firsts, np.diff(np.append(firsts, len(kc))))
+        rank = np.arange(len(kc)) - key_first
+        sid = self._next_sid[kc] + rank
+        self._next_sid[kc[firsts]] += np.diff(np.append(firsts, len(kc)))
+        out = pa.table(
+            {
+                self.key: pc.take(pa.array(self._names, pa.string()), pa.array(kc)),
+                "session_id": pa.array(sid, pa.int64()),
+                "session_start": pa.array(sv, pa.int64()).cast(pa.timestamp("us")),
+                "session_end": pa.array(ev, pa.int64()).cast(pa.timestamp("us")),
+                "turn_count": pa.array(cnt, pa.int64()),
+                "n_user": pa.array(nu, pa.int64()),
+                "n_assistant": pa.array(na, pa.int64()),
+            }
+        )
+        self._kc, self._start, self._end = self._kc[keep], self._start[keep], self._end[keep]
+        self._cnt, self._nu, self._na = self._cnt[keep], self._nu[keep], self._na[keep]
+        return out
+
+    def _empty(self) -> pa.Table:
+        return pa.table(
+            {
+                self.key: pa.array([], pa.string()),
+                "session_id": pa.array([], pa.int64()),
+                "session_start": pa.array([], pa.timestamp("us")),
+                "session_end": pa.array([], pa.timestamp("us")),
+                "turn_count": pa.array([], pa.int64()),
+                "n_user": pa.array([], pa.int64()),
+                "n_assistant": pa.array([], pa.int64()),
+            }
+        )
+
+    def snapshot(self) -> dict:
+        return {
+            "watermark": self.watermark,
+            "names": list(self._names),
+            "open": [
+                [int(k), int(s), int(e), int(c), int(u), int(a)]
+                for k, s, e, c, u, a in zip(
+                    self._kc, self._start, self._end, self._cnt, self._nu, self._na
+                )
+            ],
+            "next_sid": [int(x) for x in self._next_sid],
+        }
+
+    def restore(self, snap: dict) -> None:
+        self.watermark = snap["watermark"]
+        self._intern, self._names = {}, []
+        for k in snap["names"]:
+            self._intern[k] = len(self._names)
+            self._names.append(k)
+        rows = np.asarray(snap["open"], dtype=np.int64).reshape(-1, 6)
+        m = np.lexsort((rows[:, 1], rows[:, 0]))
+        rows = rows[m]
+        self._kc, self._start, self._end = rows[:, 0], rows[:, 1], rows[:, 2]
+        self._cnt, self._nu, self._na = rows[:, 3], rows[:, 4], rows[:, 5]
+        self._next_sid = np.asarray(snap["next_sid"], dtype=np.int64)
 
 
 class StreamJoiner:
