@@ -92,3 +92,244 @@ def _dtype(col: str):
     if col in ("user_turn_idx", "assistant_turn_idx"):
         return "int32"
     return "int64"
+
+
+# ---------------------------------------------------------------------------
+# generic as-of / interval (range) joins
+# ---------------------------------------------------------------------------
+
+
+def _concat_df(shards) -> pd.DataFrame | None:
+    """Concat shard tables to pandas; None only if NO shard carries a schema
+    (the exchange preserves schemas on empty shards, so in practice this
+    means an empty input dataset)."""
+    withcols = [t for t in shards if t.num_rows or t.column_names]
+    if not withcols:
+        return None
+    real = [t for t in withcols if t.num_rows]
+    tbl = (
+        pa.concat_tables(real, promote_options="none")
+        if real
+        else withcols[0].slice(0, 0)
+    )
+    return tbl.to_pandas()
+
+
+def _ts_i64(s: pd.Series) -> np.ndarray:
+    if np.issubdtype(s.dtype, np.datetime64):
+        return s.astype("datetime64[us]").astype("int64").to_numpy()
+    return s.astype("int64").to_numpy()
+
+
+def asof_join(
+    left,
+    right,
+    key: str,
+    on: str,
+    right_key: str | None = None,
+    right_on: str | None = None,
+    right_cols: list[str] | None = None,
+    right_tiebreak: str | None = None,
+    direction: str = "backward",
+    by_int: bool = False,
+    num_partitions: int | None = None,
+):
+    """Distributed as-of join: for every left row, the right row of the same
+    key whose ``right_on`` is closest <= (backward) / >= (forward) the left
+    row's ``on``. Inner join — left rows with no match are dropped.
+
+    Scale shape: ONE hash exchange of both sides on the key
+    (exchange.shard_refs — co-partitioned, each partition joins
+    independently), then a vectorized ``pandas.merge_asof`` per partition;
+    nothing materializes on the driver. ``right_tiebreak`` makes ties on
+    (key, right_on) deterministic: the right side is deduped keep-last per
+    (key, right_on) after a stable sort by (key, right_on, tiebreak).
+    """
+    import ray
+    import ray.data
+
+    from .exchange import shard_refs
+
+    rk = right_key or key
+    ro = right_on or on
+
+    @ray.remote
+    def join_part(n_left: int, *shards: pa.Table) -> pa.Table:
+        ldf = _concat_df(shards[:n_left])
+        rdf = _concat_df(shards[n_left:])
+        if ldf is None or rdf is None:
+            return pa.table({})
+        if right_tiebreak is not None:
+            rdf = rdf.sort_values([rk, ro, right_tiebreak], kind="stable")
+            rdf = rdf.drop_duplicates([rk, ro], keep="last")
+        keep = list(dict.fromkeys([ro, *(right_cols or rdf.columns)]))
+        rdf = rdf[[rk, *[c for c in keep if c != rk]]]
+        r_dtypes = {c: rdf[c].dtype for c in rdf.columns if c != rk}
+        if rk != key:
+            rdf = rdf.rename(columns={rk: key})
+        ldf = ldf.sort_values(on, kind="stable")
+        rdf = rdf.sort_values(ro, kind="stable")
+        m = pd.merge_asof(
+            ldf, rdf, left_on=on, right_on=ro, by=key, direction=direction,
+            allow_exact_matches=True,
+            suffixes=("", "_r"),
+        )
+        probe = ro if ro != on else next(c for c in r_dtypes if c != ro)
+        probe = probe if probe in m.columns else f"{probe}_r"
+        m = m.dropna(subset=[probe])
+        # merge_asof floats right int columns (NaN for misses); restore
+        for c, dt in r_dtypes.items():
+            cc = c if c in m.columns else f"{c}_r"
+            if m[cc].dtype != dt:
+                m[cc] = m[cc].astype(dt)
+        return pa.Table.from_pandas(m.reset_index(drop=True), preserve_index=False)
+
+    P = num_partitions or _default_P()
+    l_groups = shard_refs(list(left.to_arrow_refs()), key, P, by_int=by_int)
+    r_groups = shard_refs(list(right.to_arrow_refs()), rk, P, by_int=by_int)
+    out = [
+        join_part.remote(
+            len(l_groups), *[g[p] for g in l_groups], *[g[p] for g in r_groups]
+        )
+        for p in range(P)
+    ]
+    return ray.data.from_arrow_refs(out)
+
+
+def interval_join(
+    left,
+    right,
+    key: str,
+    left_on: str,
+    right_on: str,
+    lower_us: int,
+    upper_us: int,
+    value_col: str | None = None,
+    mode: str = "pairs",
+    by_int: bool = False,
+    num_partitions: int | None = None,
+):
+    """Distributed interval (range) join: pair every left row with the right
+    rows of the same key whose ``right_on`` lies in
+    ``(left_on + lower_us, left_on + upper_us]`` (open below, closed above).
+
+    ``mode="pairs"`` emits one row per (left, right) pair (right columns
+    suffixed ``_r`` on collision); ``mode="agg"`` emits one row per LEFT row
+    with ``n_matches`` and, when ``value_col`` is given, ``sum_<value_col>``
+    — aggregated inside the partition, so a hot key's million matches never
+    materialize as pairs.
+
+    Scale shape: one hash exchange of both sides on the key; per partition
+    the right side is sorted by (key, right_on) once, each left row's match
+    range is found by two vectorized ``merge_asof`` rank lookups, and pair
+    expansion is a numpy repeat/arange construction (no per-row Python).
+    """
+    import ray
+    import ray.data
+
+    from .exchange import shard_refs
+
+    if mode not in ("pairs", "agg"):
+        raise ValueError("mode must be 'pairs' or 'agg'")
+
+    @ray.remote
+    def part(n_left: int, *shards: pa.Table) -> pa.Table:
+        ldf = _concat_df(shards[:n_left])
+        rdf = _concat_df(shards[n_left:])
+        if ldf is None:
+            return pa.table({})
+        lon = _ts_i64(ldf[left_on])
+        if rdf is not None and len(rdf):
+            rdf = rdf.sort_values([key, right_on], kind="stable").reset_index(drop=True)
+            ron = _ts_i64(rdf[right_on])
+            rank = pd.DataFrame(
+                {key: rdf[key], "__on": ron, "__pos": np.arange(len(rdf), dtype=np.int64)}
+            )
+            # merge_asof needs the right `on` GLOBALLY sorted even with by=;
+            # a stable sort keeps within-key position order intact
+            rank = rank.sort_values("__on", kind="stable")
+
+            def lookup(bounds: np.ndarray) -> np.ndarray:
+                q = pd.DataFrame({key: ldf[key], "__b": bounds})
+                srt = np.argsort(bounds, kind="stable")
+                inv = np.empty(len(srt), dtype=np.int64)
+                inv[srt] = np.arange(len(srt))
+                m = pd.merge_asof(
+                    q.iloc[srt], rank, left_on="__b", right_on="__on",
+                    by=key, direction="backward", allow_exact_matches=True,
+                )
+                return m["__pos"].to_numpy()[inv]
+
+            lo_m = lookup(lon + lower_us)
+            hi_m = lookup(lon + upper_us)
+            kf = rank.groupby(key, sort=False)["__pos"].min()
+            key_first = ldf[key].map(kf).to_numpy(dtype=np.float64, na_value=np.nan)
+            has_key = ~np.isnan(key_first)
+            lo_x = np.where(
+                np.isnan(lo_m), np.where(has_key, key_first, 1.0) - 1.0, lo_m
+            )
+            hi_x = np.where(np.isnan(hi_m) | ~has_key, lo_x, hi_m)
+            lens = (hi_x - lo_x).astype(np.int64)
+            np.maximum(lens, 0, out=lens)
+        else:
+            rdf, lens, lo_x = None, np.zeros(len(ldf), dtype=np.int64), None
+
+        def pair_indices():
+            li = np.repeat(np.arange(len(ldf)), lens)
+            starts = np.zeros(len(ldf), dtype=np.int64)
+            starts[1:] = np.cumsum(lens)[:-1]
+            ri = (
+                np.arange(int(lens.sum()), dtype=np.int64)
+                - np.repeat(starts, lens)
+                + np.repeat((lo_x + 1).astype(np.int64), lens)
+            )
+            return li, ri
+
+        if mode == "agg":
+            out = ldf.copy()
+            out["n_matches"] = lens
+            if value_col is not None:
+                s = np.zeros(len(ldf))
+                if rdf is not None and lens.sum():
+                    li, ri = pair_indices()
+                    s = np.bincount(
+                        li, weights=rdf[value_col].to_numpy()[ri], minlength=len(ldf)
+                    )
+                out[f"sum_{value_col}"] = s
+            return pa.Table.from_pandas(out, preserve_index=False)
+
+        if rdf is None or not lens.sum():
+            # schema-stable empty pairs table
+            lp = ldf.iloc[:0]
+            rp = (rdf.drop(columns=["__pos"], errors="ignore").iloc[:0]
+                  if rdf is not None else pd.DataFrame())
+            rp = rp.rename(
+                columns={c: (f"{c}_r" if c in lp.columns else c) for c in rp.columns}
+            )
+            return pa.Table.from_pandas(
+                pd.concat([lp, rp], axis=1), preserve_index=False
+            )
+        li, ri = pair_indices()
+        lp = ldf.iloc[li].reset_index(drop=True)
+        rp = rdf.iloc[ri].reset_index(drop=True)
+        rp = rp.rename(
+            columns={c: (f"{c}_r" if c in lp.columns else c) for c in rp.columns}
+        )
+        return pa.Table.from_pandas(pd.concat([lp, rp], axis=1), preserve_index=False)
+
+    P = num_partitions or _default_P()
+    l_groups = shard_refs(list(left.to_arrow_refs()), key, P, by_int=by_int)
+    r_groups = shard_refs(list(right.to_arrow_refs()), key, P, by_int=by_int)
+    out = [
+        part.remote(
+            len(l_groups), *[g[p] for g in l_groups], *[g[p] for g in r_groups]
+        )
+        for p in range(P)
+    ]
+    return ray.data.from_arrow_refs(out)
+
+
+def _default_P() -> int:
+    import ray
+
+    return max(2, int(ray.cluster_resources().get("CPU", 4)) // 2)

@@ -206,6 +206,93 @@ JOIN a ON a.conv_id = p.conv_id AND a.turn_idx = p.assistant_turn_idx
 """
 
 
+def q_asof_event_order(sf_dir: str):
+    """Generic distributed as-of join (the custom operator the task brief
+    calls out; Ray Data has no asof join): for every event, the customer's
+    most recent order at the event's timestamp. Ties on (custkey, orderdate)
+    are broken deterministically by the largest o_orderkey (right_tiebreak),
+    mirrored by the SQL's QUALIFY dedup before DuckDB's native ASOF JOIN."""
+    from ..join import asof_join
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]
+    )
+    out = asof_join(
+        ev,
+        orders,
+        key="user_id",
+        on="ts",
+        right_key="o_custkey",
+        right_on="o_orderdate",
+        right_cols=["o_orderdate", "o_orderkey", "o_totalprice"],
+        right_tiebreak="o_orderkey",
+        by_int=True,
+    )
+    return out.select_columns(["event_id", "user_id", "o_orderkey", "o_totalprice"])
+
+
+SQL_ASOF_EVENT_ORDER = """
+WITH o AS (
+  SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice FROM orders
+  QUALIFY row_number() OVER (
+    PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey DESC) = 1
+)
+SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice
+FROM events e ASOF JOIN o
+  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+"""
+
+
+def q_interval_follow_purchases(sf_dir: str):
+    """Interval (range) join in partition-side aggregate mode: for every
+    signup event, the count and value-sum of the same user's purchases in
+    the hour after it. Matching rows are never materialized as pairs."""
+    from ..join import interval_join
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type", "value"])
+
+    def split(which):
+        def f(t: pa.Table) -> pa.Table:
+            return t.filter(pc.equal(t["event_type"], which))
+
+        return f
+
+    left = ev.map_batches(split("signup"), batch_format="pyarrow").select_columns(
+        ["event_id", "user_id", "ts"]
+    )
+    right = ev.map_batches(split("purchase"), batch_format="pyarrow").select_columns(
+        ["user_id", "ts", "value"]
+    )
+    out = interval_join(
+        left, right, key="user_id", left_on="ts", right_on="ts",
+        lower_us=0, upper_us=3_600_000_000, value_col="value", mode="agg",
+        by_int=True,
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "n_matches": t["n_matches"],
+                "sum_value": pc.round(t["sum_value"], 2),
+            }
+        )
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
+SQL_INTERVAL_FOLLOW_PURCHASES = """
+SELECT l.event_id, count(r.ts)::bigint AS n_matches,
+       round(coalesce(sum(r.value), 0), 2) AS sum_value
+FROM events l LEFT JOIN events r
+  ON r.user_id = l.user_id AND r.event_type = 'purchase'
+ AND r.ts > l.ts AND r.ts <= l.ts + INTERVAL 1 HOUR
+WHERE l.event_type = 'signup'
+GROUP BY l.event_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # documents: dedup + text analysis
 # ---------------------------------------------------------------------------
@@ -1028,6 +1115,8 @@ QUERIES = {
     "windows_sliding": (q_windows_sliding, SQL_WINDOWS_SLIDING),
     "windows_session": (q_windows_session, SQL_WINDOWS_SESSION),
     "join_user_assistant": (q_join_user_assistant, SQL_JOIN_USER_ASSISTANT),
+    "asof_event_order": (q_asof_event_order, SQL_ASOF_EVENT_ORDER),
+    "interval_follow_purchases": (q_interval_follow_purchases, SQL_INTERVAL_FOLLOW_PURCHASES),
     "doc_exact_dedup": (q_doc_exact_dedup, SQL_DOC_EXACT_DEDUP),
     "doc_token_count": (q_doc_token_count, SQL_DOC_TOKEN_COUNT),
     "doc_quality": (q_doc_quality, SQL_DOC_QUALITY),

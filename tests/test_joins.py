@@ -1,0 +1,173 @@
+"""Generic as-of and interval (range) join operators (join.py) vs brute-force
+pandas oracles. The oracled end-to-end variants are queries
+``asof_event_order`` / ``interval_follow_purchases``."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _ds(df: pd.DataFrame):
+    import ray.data
+
+    return ray.data.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+
+
+@pytest.fixture(scope="module")
+def frames(ray_session):
+    rng = np.random.default_rng(11)
+    n_l, n_r = 400, 300
+    left = pd.DataFrame(
+        {
+            "k": rng.integers(0, 12, n_l),
+            "lt": rng.integers(0, 1000, n_l).astype("int64"),
+            "lid": np.arange(n_l, dtype="int64"),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": rng.integers(0, 15, n_r),  # some keys absent on either side
+            "rt": rng.integers(0, 1000, n_r).astype("int64"),
+            "rid": np.arange(n_r, dtype="int64"),
+            "v": rng.normal(size=n_r),
+        }
+    )
+    return left, right
+
+
+def test_asof_join_backward_matches_bruteforce(frames):
+    from ray_ordered_stream.join import asof_join
+
+    left, right = frames
+    # deterministic: dedup right per (k, rt) keep max rid, like the operator
+    got = (
+        asof_join(
+            _ds(left), _ds(right), key="k", on="lt", right_on="rt",
+            right_cols=["rt", "rid"], right_tiebreak="rid", by_int=True,
+            num_partitions=3,
+        )
+        .to_pandas()
+        .sort_values("lid")
+        .reset_index(drop=True)
+    )
+    rd = (
+        right.sort_values(["k", "rt", "rid"], kind="stable")
+        .drop_duplicates(["k", "rt"], keep="last")
+    )
+    rows = []
+    for _, lr in left.iterrows():
+        cand = rd[(rd["k"] == lr["k"]) & (rd["rt"] <= lr["lt"])]
+        if len(cand):
+            best = cand.sort_values(["rt", "rid"]).iloc[-1]
+            rows.append((lr["lid"], best["rid"]))
+    exp = pd.DataFrame(rows, columns=["lid", "rid"]).astype("int64")
+    assert len(got) == len(exp)
+    pd.testing.assert_frame_equal(
+        got[["lid", "rid"]].reset_index(drop=True),
+        exp.sort_values("lid").reset_index(drop=True),
+    )
+
+
+def test_asof_join_forward(frames):
+    from ray_ordered_stream.join import asof_join
+
+    left, right = frames
+    got = (
+        asof_join(
+            _ds(left), _ds(right), key="k", on="lt", right_on="rt",
+            right_cols=["rt", "rid"], right_tiebreak="rid",
+            direction="forward", by_int=True, num_partitions=3,
+        )
+        .to_pandas()
+    )
+    rd = (
+        right.sort_values(["k", "rt", "rid"], kind="stable")
+        .drop_duplicates(["k", "rt"], keep="last")
+    )
+    n_exp = sum(
+        bool(len(rd[(rd["k"] == lr["k"]) & (rd["rt"] >= lr["lt"])]))
+        for _, lr in left.iterrows()
+    )
+    assert len(got) == n_exp
+    # forward: matched rt >= lt
+    assert (got["rt"] >= got["lt"]).all()
+
+
+def test_interval_join_pairs_matches_bruteforce(frames):
+    from ray_ordered_stream.join import interval_join
+
+    left, right = frames
+    lo, hi = 0, 100
+    got = (
+        interval_join(
+            _ds(left), _ds(right), key="k", left_on="lt", right_on="rt",
+            lower_us=lo, upper_us=hi, mode="pairs", by_int=True,
+            num_partitions=3,
+        )
+        .to_pandas()
+        .sort_values(["lid", "rid"])
+        .reset_index(drop=True)
+    )
+    m = left.merge(right, on="k")
+    m = m[(m["rt"] > m["lt"] + lo) & (m["rt"] <= m["lt"] + hi)]
+    exp = m[["lid", "rid"]].sort_values(["lid", "rid"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[["lid", "rid"]], exp)
+
+
+def test_interval_join_agg_counts_and_sums(frames):
+    from ray_ordered_stream.join import interval_join
+
+    left, right = frames
+    got = (
+        interval_join(
+            _ds(left), _ds(right), key="k", left_on="lt", right_on="rt",
+            lower_us=0, upper_us=100, value_col="v", mode="agg", by_int=True,
+            num_partitions=3,
+        )
+        .to_pandas()
+        .sort_values("lid")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(left)  # every left row present, zero-match included
+    m = left.merge(right, on="k")
+    m = m[(m["rt"] > m["lt"]) & (m["rt"] <= m["lt"] + 100)]
+    exp_n = m.groupby("lid").size().reindex(left["lid"], fill_value=0)
+    assert (got.set_index("lid")["n_matches"].reindex(left["lid"]) == exp_n).all()
+    exp_s = m.groupby("lid")["v"].sum().reindex(left["lid"], fill_value=0.0)
+    assert np.allclose(
+        got.set_index("lid")["sum_v"].reindex(left["lid"]), exp_s, atol=1e-9
+    )
+
+
+def test_asof_join_timestamp_columns(ray_session):
+    """Datetime on-columns work end to end (the oracled query's shape)."""
+    from ray_ordered_stream.join import asof_join
+
+    left = pd.DataFrame(
+        {
+            "k": [1, 1, 2],
+            "ts": pd.to_datetime(["2024-01-05", "2024-01-20", "2024-01-10"]),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": [1, 1, 2, 3],
+            "rts": pd.to_datetime(
+                ["2024-01-01", "2024-01-10", "2024-02-01", "2024-01-01"]
+            ),
+            "tag": ["a", "b", "c", "d"],
+        }
+    )
+    got = (
+        asof_join(
+            _ds(left), _ds(right), key="k", on="ts", right_on="rts",
+            right_cols=["rts", "tag"], right_tiebreak="tag", by_int=True,
+            num_partitions=2,
+        )
+        .to_pandas()
+        .sort_values("ts")
+        .reset_index(drop=True)
+    )
+    # k=2 event at 01-10 has no rts <= it?  01-10 < 02-01 -> no match, dropped
+    assert got["tag"].tolist() == ["a", "b"]
