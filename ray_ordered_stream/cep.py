@@ -1,0 +1,270 @@
+"""CEP sequence-pattern detection over ordered turn streams.
+
+Owned by our engine design (the north rule frames the engine as a
+structured-streaming / CEP engine; the reference itself has no pattern
+operator — its ordered guarantee is exactly what makes one possible):
+detect occurrences of a fixed role/event-type sequence on CONSECUTIVE turns
+of one conversation, optionally bounded by event time
+(``ts[last] - ts[first] <= within_us``).
+
+Because per-key sequences are dense post-dedup (turn_idx is a per-key
+row_number), a match is fully characterized by two vectorized conditions on
+the (key, seq)-lexsorted stream: every offset j carries pattern[j]'s role,
+and ``seq[i+L-1] - seq[i] == L-1`` with ``key[i+L-1] == key[i]`` (strictly
+increasing seqs within a key make intermediate rows both same-key and
+consecutive automatically). No per-row Python, no NFA needed for
+fixed-length patterns.
+
+Two surfaces:
+- ``match_pattern(ds, pattern)``: batch operator — one hash exchange on the
+  key, per-partition vectorized scan.
+- ``PatternMatcher``: the streaming counterpart riding the ordered emission
+  inside the state actors (stream_ops-style); it carries the last L-1 turns
+  per key between calls so matches spanning epoch boundaries are found
+  exactly once.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .schema import KEY, SEQ
+
+MATCH_COLUMNS = ["start_seq", "end_seq", "start_ts", "end_ts"]
+
+
+def _find_matches(
+    key_col: pa.Array,
+    sq: np.ndarray,
+    role_col: pa.Array,
+    tsi: np.ndarray | None,
+    pattern: list[str],
+    within_us: int | None,
+) -> np.ndarray:
+    """Start indices of pattern matches in a (key, seq)-lexsorted stream.
+    ``key_col``/``role_col`` are Arrow (string compares stay in C)."""
+    L = len(pattern)
+    n = len(sq)
+    if n < L:
+        return np.zeros(0, dtype=np.int64)
+    m = n - L + 1
+    base = np.ones(m, dtype=bool)
+    for j, want in enumerate(pattern):
+        base &= np.asarray(pc.equal(role_col, want)).astype(bool)[j : m + j]
+    base &= (sq[L - 1 :] - sq[:m]) == (L - 1)
+    base &= np.asarray(
+        pc.equal(key_col.slice(L - 1, m), key_col.slice(0, m))
+    ).astype(bool)
+    if within_us is not None and tsi is not None:
+        base &= (tsi[L - 1 :] - tsi[:m]) <= within_us
+    return np.flatnonzero(base)
+
+
+def _matches_table(
+    key_col, sq, tsi, starts: np.ndarray, L: int, key_name: str
+) -> pa.Table:
+    ends = starts + L - 1
+    return pa.table(
+        {
+            key_name: key_col.take(pa.array(starts)),
+            "start_seq": pa.array(sq[starts].astype(np.int64), pa.int64()),
+            "end_seq": pa.array(sq[ends].astype(np.int64), pa.int64()),
+            "start_ts": pa.array(tsi[starts], pa.int64()).cast(pa.timestamp("us")),
+            "end_ts": pa.array(tsi[ends], pa.int64()).cast(pa.timestamp("us")),
+        }
+    )
+
+
+def _empty_matches(key_name: str) -> pa.Table:
+    return pa.table(
+        {
+            key_name: pa.array([], pa.string()),
+            "start_seq": pa.array([], pa.int64()),
+            "end_seq": pa.array([], pa.int64()),
+            "start_ts": pa.array([], pa.timestamp("us")),
+            "end_ts": pa.array([], pa.timestamp("us")),
+        }
+    )
+
+
+def match_pattern(
+    ds,
+    pattern: list[str],
+    key: str = KEY,
+    seq: str = SEQ,
+    role: str = "role",
+    ts: str = "ts",
+    within_us: int | None = None,
+    num_partitions: int | None = None,
+):
+    """Batch CEP: all occurrences of ``pattern`` on consecutive turns per
+    key. Returns a Dataset of (key, start_seq, end_seq, start_ts, end_ts).
+
+    Scale shape: project to the four needed columns BEFORE the exchange,
+    one hash shuffle on the key, vectorized per-partition scan."""
+    import ray
+    import ray.data
+
+    from .exchange import shard_refs
+
+    pattern = list(pattern)
+    L = len(pattern)
+    if L < 1:
+        raise ValueError("pattern must be non-empty")
+
+    @ray.remote
+    def scan(*shards: pa.Table) -> pa.Table:
+        real = [t for t in shards if t.num_rows]
+        if not real:
+            return _empty_matches(key)
+        tbl = (
+            pa.concat_tables(real, promote_options="none")
+            if len(real) > 1
+            else real[0]
+        )
+        kc_enc = pc.dictionary_encode(
+            tbl[key].combine_chunks()
+            if isinstance(tbl[key], pa.ChunkedArray)
+            else tbl[key]
+        )
+        if isinstance(kc_enc, pa.ChunkedArray):
+            kc_enc = kc_enc.combine_chunks()
+        codes = np.asarray(kc_enc.indices).astype(np.int64)
+        sq = tbl[seq].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((sq, codes))
+        tbl = tbl.take(pa.array(order))
+        key_col = (
+            tbl[key].combine_chunks()
+            if isinstance(tbl[key], pa.ChunkedArray)
+            else tbl[key]
+        )
+        role_col = (
+            tbl[role].combine_chunks()
+            if isinstance(tbl[role], pa.ChunkedArray)
+            else tbl[role]
+        )
+        sq = sq[order]
+        tsi = tbl[ts].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        starts = _find_matches(key_col, sq, role_col, tsi, pattern, within_us)
+        if not len(starts):
+            return _empty_matches(key)
+        return _matches_table(key_col, sq, tsi, starts, L, key)
+
+    P = num_partitions or max(2, int(ray.cluster_resources().get("CPU", 4)) // 2)
+    proj = ds.select_columns([key, seq, role, ts])
+    groups = shard_refs(list(proj.to_arrow_refs()), key, P)
+    out = [scan.remote(*[g[p] for g in groups]) for p in range(P)]
+    return ray.data.from_arrow_refs(out)
+
+
+class PatternMatcher:
+    """Streaming CEP riding the in-sequence emission (stream_ops-style;
+    lives inside the ordered state actors, same key partitioning => no extra
+    shuffle). Carries the trailing L-1 turns of every key between calls as a
+    small columnar table; a match is emitted exactly once, in the call whose
+    batch contains its LAST row."""
+
+    def __init__(self, pattern: list[str], key: str = KEY, seq: str = SEQ,
+                 role: str = "role", ts: str = "ts",
+                 within_us: int | None = None):
+        self.pattern = list(pattern)
+        if not self.pattern:
+            raise ValueError("pattern must be non-empty")
+        self.key = key
+        self.seq = seq
+        self.role = role
+        self.ts = ts
+        self.within_us = within_us
+        self._carry: pa.Table | None = None  # (key, seq, role, ts) per-key tail
+
+    def _project(self, t: pa.Table) -> pa.Table:
+        # normalized dtypes so carry/batch concat and restore round-trip
+        return pa.table(
+            {
+                self.key: t[self.key].cast(pa.string()),
+                self.seq: t[self.seq].cast(pa.int64()),
+                self.role: t[self.role].cast(pa.string()),
+                self.ts: t[self.ts].cast(pa.timestamp("us")),
+            }
+        )
+
+    def update(self, emitted: pa.Table, codes_kv=None) -> pa.Table:
+        if emitted.num_rows == 0 or not {self.role, self.ts} <= set(
+            emitted.column_names
+        ):
+            return _empty_matches(self.key)
+        L = len(self.pattern)
+        new = self._project(emitted)
+        n_carry = self._carry.num_rows if self._carry is not None else 0
+        comb = (
+            pa.concat_tables([self._carry, new], promote_options="none")
+            if n_carry
+            else new
+        )
+        is_new = np.zeros(comb.num_rows, dtype=bool)
+        is_new[n_carry:] = True
+
+        kc_enc = pc.dictionary_encode(comb[self.key].combine_chunks()
+                                      if isinstance(comb[self.key], pa.ChunkedArray)
+                                      else comb[self.key])
+        if isinstance(kc_enc, pa.ChunkedArray):
+            kc_enc = kc_enc.combine_chunks()
+        codes = np.asarray(kc_enc.indices).astype(np.int64)
+        sq = comb[self.seq].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((sq, codes))
+        comb = comb.take(pa.array(order))
+        codes, sq, is_new = codes[order], sq[order], is_new[order]
+        key_col = (comb[self.key].combine_chunks()
+                   if isinstance(comb[self.key], pa.ChunkedArray)
+                   else comb[self.key])
+        role_col = (comb[self.role].combine_chunks()
+                    if isinstance(comb[self.role], pa.ChunkedArray)
+                    else comb[self.role])
+        tsi = comb[self.ts].cast(pa.int64()).to_numpy(zero_copy_only=False)
+
+        starts = _find_matches(key_col, sq, role_col, tsi, self.pattern,
+                               self.within_us)
+        # exactly-once across calls: only matches ENDING in a new row
+        starts = starts[is_new[starts + L - 1]]
+        out = (
+            _matches_table(key_col, sq, tsi, starts, L, self.key)
+            if len(starts)
+            else _empty_matches(self.key)
+        )
+
+        # trailing L-1 rows per key become the next carry
+        if L > 1 and len(codes):
+            last_of_key = np.empty(len(codes), dtype=np.int64)
+            b = np.empty(len(codes), dtype=bool)
+            b[:-1] = codes[1:] != codes[:-1]
+            b[-1] = True
+            lasts = np.flatnonzero(b)
+            firsts = np.concatenate([[0], lasts[:-1] + 1])
+            reps = lasts - firsts + 1
+            last_of_key = np.repeat(lasts, reps)
+            keep = (last_of_key - np.arange(len(codes))) < (L - 1)
+            self._carry = comb.take(pa.array(np.flatnonzero(keep)))
+        else:
+            self._carry = None
+        return out
+
+    def snapshot(self) -> dict:
+        if self._carry is None or self._carry.num_rows == 0:
+            return {"carry": None}
+        return {"carry": self._carry.to_pydict()}
+
+    def restore(self, snap: dict) -> None:
+        c = snap.get("carry")
+        if c is None:
+            self._carry = None
+            return
+        self._carry = pa.table(
+            {
+                self.key: pa.array(c[self.key], pa.string()),
+                self.seq: pa.array(c[self.seq], pa.int64()),
+                self.role: pa.array(c[self.role], pa.string()),
+                self.ts: pa.array(c[self.ts], pa.timestamp("us")),
+            }
+        )

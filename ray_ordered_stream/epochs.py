@@ -104,6 +104,8 @@ def run_stream(
         sinks["sessions"] = ManifestSink(out_root, "sessions")
     if cfg.stream_join:
         sinks["joined"] = ManifestSink(out_root, "joined")
+    if cfg.pattern:
+        sinks["matches"] = ManifestSink(out_root, "matches")
 
     groups = [
         files[i : i + files_per_epoch] for i in range(0, len(files), files_per_epoch)
@@ -279,6 +281,8 @@ def run_stream_continuous(
         sinks["sessions"] = ManifestSink(out_root, "sessions")
     if cfg.stream_join:
         sinks["joined"] = ManifestSink(out_root, "joined")
+    if cfg.pattern:
+        sinks["matches"] = ManifestSink(out_root, "matches")
 
     proc = OrderedProcessor(cfg, num_partitions)
     P = proc.P
@@ -391,7 +395,8 @@ def run_stream_continuous(
     # released by run_stream's final=True epoch; here the exit usually races
     # the stop sentinel past the last data epoch, so flush explicitly as one
     # more recorded epoch (idempotent on re-run like any other epoch).
-    if (("windows" in sinks or "sessions" in sinks or "joined" in sinks)
+    if (("windows" in sinks or "sessions" in sinks or "joined" in sinks
+         or "matches" in sinks)
             and next_epoch and not last_was_flush):
         _record_epoch(out_root, next_epoch, [])
         feed_flush(next_epoch)

@@ -100,8 +100,10 @@ class OrderedWorker:
         self.windows = None
         self.sessions = None
         self.joiner = None
+        self.matcher = None
         self.book = None
         self._join_out: list[pa.Table] = []
+        self._match_out: list[pa.Table] = []
         self._dlq: list[pa.Table] = []
         if cfg.with_book:
             from .book import BookState
@@ -124,6 +126,13 @@ class OrderedWorker:
             from .stream_ops import StreamJoiner
 
             self.joiner = StreamJoiner(cfg.key, cfg.seq)
+        if cfg.pattern:
+            from .cep import PatternMatcher
+
+            self.matcher = PatternMatcher(
+                list(cfg.pattern), cfg.key, cfg.seq,
+                within_us=int(cfg.pattern_within_s * 1_000_000) or None,
+            )
         self._warmup()
 
     def _warmup(self, rows: int | None = None):
@@ -189,6 +198,7 @@ class OrderedWorker:
             self.windows is not None
             or self.sessions is not None
             or self.joiner is not None
+            or self.matcher is not None
         ):
             from .stream_ops import _dict_codes
 
@@ -201,6 +211,10 @@ class OrderedWorker:
             j = self.joiner.update(emitted, codes_kv)
             if j.num_rows:
                 self._join_out.append(j)
+        if self.matcher is not None:
+            mt = self.matcher.update(emitted, codes_kv)
+            if mt.num_rows:
+                self._match_out.append(mt)
         if self.book is not None and emitted.num_rows:
             self.book.update(emitted)
         return emitted, status
@@ -242,6 +256,11 @@ class OrderedWorker:
             out["joined"] = (
                 write_part_atomic(j, sink_paths["joined"]) if j is not None else 0
             )
+        if "matches" in sink_paths and self.matcher is not None:
+            mt = self.take_match_output()
+            out["matches"] = (
+                write_part_atomic(mt, sink_paths["matches"]) if mt is not None else 0
+            )
         if "dlq" in sink_paths:
             d = self.take_dlq()
             out["dlq"] = write_part_atomic(d, sink_paths["dlq"]) if d is not None else 0
@@ -269,6 +288,9 @@ class OrderedWorker:
         if "joined" in sink_paths and self.joiner is not None:
             j = self.take_join_output()
             out["joined"] = write_part_atomic(j, sink_paths["joined"]) if j is not None else 0
+        if "matches" in sink_paths and self.matcher is not None:
+            mt = self.take_match_output()
+            out["matches"] = write_part_atomic(mt, sink_paths["matches"]) if mt is not None else 0
         return out
 
     def drain(self, status_ts):
@@ -338,6 +360,16 @@ class OrderedWorker:
             return None
         return pa.concat_tables(out) if len(out) > 1 else out[0]
 
+    def take_match_output(self):
+        """CEP pattern matches produced since the last take (cep)."""
+        if self.matcher is None:
+            return None
+        out = self._match_out
+        self._match_out = []
+        if not out:
+            return None
+        return pa.concat_tables(out) if len(out) > 1 else out[0]
+
     def snapshot(self, dirty_only: bool = False):
         snap = self.state.snapshot(dirty_only=dirty_only)
         if self.windows is not None:
@@ -346,6 +378,8 @@ class OrderedWorker:
             snap["sessions"] = self.sessions.snapshot()
         if self.joiner is not None:
             snap["join"] = self.joiner.snapshot()
+        if self.matcher is not None:
+            snap["cep"] = self.matcher.snapshot()
         if self.book is not None:
             snap["book"] = self.book.snapshot()
         return snap
@@ -358,6 +392,9 @@ class OrderedWorker:
             self.sessions.restore(snap["sessions"])
         if self.joiner is not None and "join" in snap:
             self.joiner.restore(snap["join"])
+        if self.matcher is not None and "cep" in snap:
+            self.matcher.restore(snap["cep"])
+        self._match_out = []
         if self.book is not None and "book" in snap:
             self.book.restore(snap["book"])
         self._join_out = []

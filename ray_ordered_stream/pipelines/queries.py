@@ -293,6 +293,40 @@ GROUP BY l.event_id
 """
 
 
+def q_cep_funnel(sf_dir: str):
+    """CEP pattern detection (cep.match_pattern): every view->click->purchase
+    on three CONSECUTIVE turns of one user's event transcript. SQL mirror is
+    the LEAD-window formulation."""
+    from ..cep import match_pattern
+    from .transcripts import derive_transcripts
+
+    t = derive_transcripts(_read(sf_dir, "events"))
+    out = match_pattern(t, ["view", "click", "purchase"])
+    return out
+
+
+SQL_CEP_FUNNEL = """
+WITH t AS (
+  SELECT cast(user_id AS varchar) AS conv_id,
+         cast(row_number() OVER w - 1 AS int) AS turn_idx,
+         event_type AS role, ts
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT conv_id, turn_idx, role, ts,
+         lead(role, 1) OVER w AS r1, lead(turn_idx, 1) OVER w AS i1,
+         lead(role, 2) OVER w AS r2, lead(turn_idx, 2) OVER w AS i2,
+         lead(ts, 2) OVER w AS ts2
+  FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+)
+SELECT conv_id, turn_idx::bigint AS start_seq, i2::bigint AS end_seq,
+       ts AS start_ts, ts2 AS end_ts
+FROM s
+WHERE role = 'view' AND r1 = 'click' AND r2 = 'purchase'
+  AND i1 = turn_idx + 1 AND i2 = turn_idx + 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # documents: dedup + text analysis
 # ---------------------------------------------------------------------------
@@ -1117,6 +1151,7 @@ QUERIES = {
     "join_user_assistant": (q_join_user_assistant, SQL_JOIN_USER_ASSISTANT),
     "asof_event_order": (q_asof_event_order, SQL_ASOF_EVENT_ORDER),
     "interval_follow_purchases": (q_interval_follow_purchases, SQL_INTERVAL_FOLLOW_PURCHASES),
+    "cep_funnel": (q_cep_funnel, SQL_CEP_FUNNEL),
     "doc_exact_dedup": (q_doc_exact_dedup, SQL_DOC_EXACT_DEDUP),
     "doc_token_count": (q_doc_token_count, SQL_DOC_TOKEN_COUNT),
     "doc_quality": (q_doc_quality, SQL_DOC_QUALITY),

@@ -77,6 +77,10 @@ class OrderedConfig:
     session_gap_s: float = 0.0
     session_lateness_s: float = 0.0
     stream_join: bool = False     # enables the sequence-driven as-of join
+    # non-empty enables streaming CEP: emit a match whenever these roles
+    # occur on consecutive turns of one key (cep.PatternMatcher side output)
+    pattern: tuple = ()
+    pattern_within_s: float = 0.0  # 0 = no event-time bound on a match
     partitions: int = 0           # 0 = auto (set by ordered.py)
     # State actors are long-lived RPC-style stores whose calls serialize per
     # actor; reserving whole CPUs for them starves the stateless split/read

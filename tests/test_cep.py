@@ -1,0 +1,141 @@
+"""CEP pattern detection (cep.py): batch operator vs brute force, streaming
+matcher vs batch (epoch-boundary matches, snapshot/restore), e2e sink."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from ray_ordered_stream.cep import PatternMatcher, match_pattern
+from ray_ordered_stream.fixtures import gen_transcripts, oracle_ordered
+from ray_ordered_stream.schema import KEY, SEQ
+
+PAT = ["user", "tool", "user"]
+
+
+def _brute(df: pd.DataFrame, pattern, within_us=None) -> pd.DataFrame:
+    rows = []
+    for k, g in df.sort_values([KEY, SEQ]).groupby(KEY, sort=True):
+        roles = g["role"].tolist()
+        seqs = g[SEQ].tolist()
+        tss = g["ts"].tolist()
+        L = len(pattern)
+        for i in range(len(g) - L + 1):
+            if roles[i : i + L] == pattern and seqs[i + L - 1] - seqs[i] == L - 1:
+                if within_us is not None:
+                    d = (
+                        pd.Timestamp(tss[i + L - 1]).value // 1000
+                        - pd.Timestamp(tss[i]).value // 1000
+                    )
+                    if d > within_us:
+                        continue
+                rows.append((k, seqs[i], seqs[i + L - 1]))
+    return pd.DataFrame(rows, columns=[KEY, "start_seq", "end_seq"]).astype(
+        {"start_seq": "int64", "end_seq": "int64"}
+    )
+
+
+@pytest.fixture(scope="module")
+def transcript():
+    t = gen_transcripts(n_convs=10, min_turns=12, max_turns=60, seed=13)
+    return oracle_ordered(t)
+
+
+def test_match_pattern_batch_vs_bruteforce(transcript, ray_session):
+    import ray.data
+
+    ds = ray.data.from_arrow(
+        pa.Table.from_pandas(transcript, preserve_index=False)
+    )
+    got = (
+        match_pattern(ds, PAT, num_partitions=3)
+        .to_pandas()
+        .sort_values([KEY, "start_seq"])
+        .reset_index(drop=True)
+    )
+    exp = _brute(transcript, PAT).sort_values([KEY, "start_seq"]).reset_index(drop=True)
+    assert len(exp) > 0
+    pd.testing.assert_frame_equal(got[[KEY, "start_seq", "end_seq"]], exp)
+
+
+def test_pattern_matcher_epoch_boundary_exactly_once(transcript):
+    tbl = pa.Table.from_pandas(
+        transcript.sort_values([KEY, SEQ]), preserve_index=False
+    )
+    exp = _brute(transcript, PAT).sort_values([KEY, "start_seq"]).reset_index(drop=True)
+    # feed in many tiny chunks so matches straddle chunk boundaries
+    for n_chunks in (1, 7, 23):
+        m = PatternMatcher(PAT)
+        outs = []
+        step = -(-tbl.num_rows // n_chunks)
+        for i in range(n_chunks):
+            outs.append(m.update(tbl.slice(i * step, step)))
+        got = (
+            pa.concat_tables(outs)
+            .to_pandas()
+            .sort_values([KEY, "start_seq"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got[[KEY, "start_seq", "end_seq"]], exp)
+
+
+def test_pattern_matcher_snapshot_restore(transcript):
+    tbl = pa.Table.from_pandas(
+        transcript.sort_values([KEY, SEQ]), preserve_index=False
+    )
+    half = tbl.num_rows // 2
+    a = PatternMatcher(PAT)
+    out1 = a.update(tbl.slice(0, half))
+    snap = a.snapshot()
+    b = PatternMatcher(PAT)
+    b.restore(snap)
+    out2a = a.update(tbl.slice(half))
+    out2b = b.update(tbl.slice(half))
+    pd.testing.assert_frame_equal(out2a.to_pandas(), out2b.to_pandas())
+    total = pa.concat_tables([out1, out2a]).num_rows
+    assert total == len(_brute(transcript, PAT))
+
+
+def test_pattern_within_us_bound(transcript):
+    # per-conv turn spacing in the fixture is n_convs/rate = 1.0s; a 1.5s
+    # bound kills every 3-turn match, a 3s bound keeps them all
+    tbl = pa.Table.from_pandas(
+        transcript.sort_values([KEY, SEQ]), preserve_index=False
+    )
+    tight = PatternMatcher(PAT, within_us=1_500_000).update(tbl)
+    loose = PatternMatcher(PAT, within_us=3_000_000).update(tbl)
+    assert tight.num_rows == 0
+    assert loose.num_rows == len(_brute(transcript, PAT))
+
+
+def test_stream_matches_sink_e2e(tmp_path, ray_session):
+    from ray_ordered_stream.epochs import run_stream
+    from ray_ordered_stream.state import OrderedConfig
+
+    t = gen_transcripts(
+        n_convs=8, min_turns=10, max_turns=40, lateness=25, dup_rate=0.02, seed=3
+    )
+    d = tmp_path / "landing"
+    d.mkdir()
+    files = []
+    n, nf = t.num_rows, 5
+    step = -(-n // nf)
+    for i in range(nf):
+        f = d / f"part-{i:05d}.parquet"
+        pq.write_table(t.slice(i * step, step), f)
+        files.append(str(f))
+    cfg = OrderedConfig(pattern=tuple(PAT))
+    res = run_stream(files, str(tmp_path / "out"), cfg, num_partitions=3,
+                     files_per_epoch=2)
+    got = (
+        res.sinks["matches"].read().to_pandas()
+        .sort_values([KEY, "start_seq"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        _brute(oracle_ordered(t), PAT)
+        .sort_values([KEY, "start_seq"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[[KEY, "start_seq", "end_seq"]], exp)
