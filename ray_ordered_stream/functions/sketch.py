@@ -1,0 +1,196 @@
+"""Sketch aggregates for 100-TB-scale profiling: HyperLogLog distinct
+counting and distributed quantiles with an exact rank certificate.
+
+Task-mandated training-data extensions (no reference counterpart — the
+reference delegates analytics to BigQuery SQL, README.md:105-140). Both
+operators are deterministic (fixed FNV-1a / splitmix64 hashing, seeded
+nothing), mergeable, and never materialize data on the driver beyond
+O(blocks) partial rows:
+
+- ``approx_distinct``: per-batch HLL register partials (one m-byte row per
+  block) -> elementwise-max merge of the tiny partials -> bias-corrected
+  estimate. Registers, not values, cross the wire.
+- ``distributed_quantiles``: per-block evenly-spaced sorted candidates ->
+  one counting pass (#values <= candidate, vectorized searchsorted per
+  block) -> smallest candidate covering the target rank. Rank error is
+  bounded by N / candidates_per_block and the EXACT rank of the chosen
+  value is returned, so callers can certify the bound (the oracled query
+  does exactly that).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..partitioning import hash_string_array
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Deterministic 64-bit mix of int64/uint64 values (splitmix64 finalizer)."""
+    z = x.astype(np.uint64, copy=True)
+    with np.errstate(over="ignore"):
+        z += np.uint64(0x9E3779B97F4A7C15)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        z ^= z >> np.uint64(31)
+    return z
+
+
+def _hash_column(col) -> np.ndarray:
+    """64-bit deterministic hash of a string or integer Arrow column."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+        # FNV-1a avalanches weakly in the high bits on short keys, and HLL
+        # takes its bucket index from the TOP p bits — finalize with
+        # splitmix64 for full-width dispersion
+        return _splitmix64(hash_string_array(col))
+    return _splitmix64(col.cast(pa.int64()).to_numpy(zero_copy_only=False))
+
+
+class HLL:
+    """Mergeable HyperLogLog with 2^p registers (p >= 4; p <= 12 keeps the
+    sub-bucket bits within float64's exact-integer range for the vectorized
+    log2 rho computation). Relative error ~= 1.04 / sqrt(2^p)."""
+
+    def __init__(self, p: int = 12, registers: np.ndarray | None = None):
+        if not 4 <= p <= 12:
+            raise ValueError("p must be in [4, 12]")
+        self.p = p
+        self.m = 1 << p
+        self.registers = (
+            registers.astype(np.uint8, copy=True)
+            if registers is not None
+            else np.zeros(self.m, dtype=np.uint8)
+        )
+
+    def add_hashes(self, h: np.ndarray) -> "HLL":
+        if not len(h):
+            return self
+        p = np.uint64(self.p)
+        idx = (h >> (np.uint64(64) - p)).astype(np.int64)
+        bits = h & np.uint64((1 << (64 - self.p)) - 1)
+        # rho = position of the leftmost 1 in the low 64-p bits (1-based
+        # from the top); all-zero bits -> 64-p+1
+        fl = np.zeros(len(bits), dtype=np.int64)
+        nz = bits > 0
+        fl[nz] = np.floor(np.log2(bits[nz].astype(np.float64))).astype(np.int64)
+        rho = np.where(nz, (64 - self.p) - fl, (64 - self.p) + 1).astype(np.int64)
+        order = np.argsort(idx, kind="stable")
+        idx_s, rho_s = idx[order], rho[order]
+        b = np.empty(len(idx_s), dtype=bool)
+        b[0] = True
+        b[1:] = idx_s[1:] != idx_s[:-1]
+        starts = np.flatnonzero(b)
+        best = np.maximum.reduceat(rho_s, starts)
+        regs = idx_s[starts]
+        self.registers[regs] = np.maximum(
+            self.registers[regs], np.minimum(best, 255).astype(np.uint8)
+        )
+        return self
+
+    def add_column(self, col) -> "HLL":
+        return self.add_hashes(_hash_column(col))
+
+    def merge(self, other: "HLL") -> "HLL":
+        np.maximum(self.registers, other.registers, out=self.registers)
+        return self
+
+    def estimate(self) -> float:
+        m = self.m
+        alpha = 0.7213 / (1 + 1.079 / m)
+        e = alpha * m * m / np.sum(np.power(2.0, -self.registers.astype(np.float64)))
+        v = int(np.sum(self.registers == 0))
+        if e <= 2.5 * m and v > 0:  # small-range (linear counting) correction
+            return m * np.log(m / v)
+        return float(e)
+
+
+def approx_distinct(ds, col: str, p: int = 12) -> float:
+    """Distributed HLL distinct count of ``ds[col]``. One m-byte register row
+    leaves each block; the merge is an elementwise max over O(blocks) tiny
+    rows (driver-side by design — registers, never values)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        h = HLL(p).add_column(t[col])
+        return pa.table(
+            {"registers": pa.array([h.registers], pa.list_(pa.uint8(), h.m))}
+        )
+
+    parts = ds.select_columns([col]).map_batches(
+        partial, batch_format="pyarrow"
+    ).take_all()
+    out = HLL(p)
+    for row in parts:
+        out.merge(HLL(p, registers=np.asarray(row["registers"], dtype=np.uint8)))
+    return out.estimate()
+
+
+def distributed_quantiles(
+    ds,
+    col: str,
+    qs: list[float],
+    candidates_per_block: int = 128,
+) -> dict[float, dict]:
+    """Exact-rank-certified distributed quantiles.
+
+    Two streaming passes, no global sort: (1) each block contributes its
+    sorted values at ``candidates_per_block`` evenly spaced ranks; (2) one
+    counting pass computes, per block, how many values are <= each candidate
+    (vectorized searchsorted), summed into exact global ranks. The reported
+    value for q is the smallest candidate whose rank covers ceil(q * n);
+    its true rank is off the target by at most N / candidates_per_block
+    (adjacent candidates of one block bracket <= stride of its values, summed
+    over blocks). Returns {q: {"value", "rank", "n", "max_rank_err"}}.
+    """
+    import ray
+
+    proj = ds.select_columns([col])
+
+    def cand(t: pa.Table) -> pa.Table:
+        v = np.sort(t[col].to_numpy(zero_copy_only=False))
+        v = v[~np.isnan(v)] if v.dtype.kind == "f" else v
+        if not len(v):
+            return pa.table({"c": pa.array([], pa.float64())})
+        k = min(candidates_per_block, len(v))
+        pos = ((np.arange(k) + 1) * len(v)) // k - 1
+        return pa.table({"c": pa.array(v[pos].astype(np.float64))})
+
+    cdf = proj.map_batches(cand, batch_format="pyarrow").to_pandas()
+    cands = np.unique(cdf["c"].to_numpy()) if "c" in cdf.columns else np.zeros(0)
+    if not len(cands):
+        return {q: {"value": None, "rank": 0, "n": 0, "max_rank_err": 0} for q in qs}
+    cands_ref = ray.put(cands)
+
+    def count_le(t: pa.Table) -> pa.Table:
+        cs = ray.get(cands_ref)
+        v = np.sort(t[col].to_numpy(zero_copy_only=False).astype(np.float64))
+        v = v[~np.isnan(v)]
+        le = np.searchsorted(v, cs, side="right").astype(np.int64)
+        return pa.table(
+            {
+                "le": pa.array([le], pa.list_(pa.int64(), len(cs))),
+                "n": pa.array([len(v)], pa.int64()),
+            }
+        )
+
+    parts = proj.map_batches(count_le, batch_format="pyarrow").take_all()
+    ranks = np.zeros(len(cands), dtype=np.int64)
+    n = 0
+    for row in parts:
+        ranks += np.asarray(row["le"], dtype=np.int64)
+        n += int(row["n"])
+    out = {}
+    for q in qs:
+        target = max(1, int(np.ceil(q * n)))
+        i = int(np.searchsorted(ranks, target, side="left"))
+        i = min(i, len(cands) - 1)
+        out[q] = {
+            "value": float(cands[i]),
+            "rank": int(ranks[i]),
+            "n": n,
+            "max_rank_err": -(-n // candidates_per_block),
+        }
+    return out

@@ -327,6 +327,51 @@ WHERE role = 'view' AND r1 = 'click' AND r2 = 'purchase'
 """
 
 
+def q_sketch_certify(sf_dir: str):
+    """Sketch operators with an EXACT certificate (the planted-oracle style):
+    HLL distinct counts are checked against the true cardinality (computed
+    distributedly on the Ray side, by count(DISTINCT) in SQL) within the
+    3-sigma HLL bound, and each distributed quantile's exact rank (returned
+    by the counting pass) is checked against its target within the
+    documented N/candidates bound. The SQL mirror asserts ok=true, so a
+    sketch regression breaks the hash compare."""
+    from ..functions.sketch import approx_distinct, distributed_quantiles
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+
+    def n_distinct(col):
+        return ev.groupby(col).count().count()
+
+    checks = []
+    for name, col in (("hll_event_ids", "event_id"), ("hll_users", "user_id")):
+        exact = int(n_distinct(col))
+        est = approx_distinct(ev, col, p=12)
+        ok = abs(est - exact) <= max(3 * 1.04 / (1 << 6), 0.05) * exact
+        checks.append((name, exact, bool(ok)))
+    qres = distributed_quantiles(ev, "value", [0.5, 0.9, 0.99])
+    for q in (0.5, 0.9, 0.99):
+        r = qres[q]
+        ok = abs(r["rank"] - q * r["n"]) <= r["max_rank_err"] + 1
+        checks.append((f"p{int(q * 100)}_rank", r["n"], bool(ok)))
+    checks.sort()
+    return pa.table(
+        {
+            "check": pa.array([c[0] for c in checks], pa.string()),
+            "n_exact": pa.array([c[1] for c in checks], pa.int64()),
+            "ok": pa.array([c[2] for c in checks], pa.bool_()),
+        }
+    )
+
+
+SQL_SKETCH_CERTIFY = """
+SELECT 'hll_event_ids' AS "check", count(DISTINCT event_id)::bigint AS n_exact, true AS ok FROM events
+UNION ALL SELECT 'hll_users', count(DISTINCT user_id)::bigint, true FROM events
+UNION ALL SELECT 'p50_rank', count(*)::bigint, true FROM events
+UNION ALL SELECT 'p90_rank', count(*)::bigint, true FROM events
+UNION ALL SELECT 'p99_rank', count(*)::bigint, true FROM events
+"""
+
+
 # ---------------------------------------------------------------------------
 # documents: dedup + text analysis
 # ---------------------------------------------------------------------------
@@ -1152,6 +1197,7 @@ QUERIES = {
     "asof_event_order": (q_asof_event_order, SQL_ASOF_EVENT_ORDER),
     "interval_follow_purchases": (q_interval_follow_purchases, SQL_INTERVAL_FOLLOW_PURCHASES),
     "cep_funnel": (q_cep_funnel, SQL_CEP_FUNNEL),
+    "sketch_certify": (q_sketch_certify, SQL_SKETCH_CERTIFY),
     "doc_exact_dedup": (q_doc_exact_dedup, SQL_DOC_EXACT_DEDUP),
     "doc_token_count": (q_doc_token_count, SQL_DOC_TOKEN_COUNT),
     "doc_quality": (q_doc_quality, SQL_DOC_QUALITY),

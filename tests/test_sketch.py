@@ -1,0 +1,76 @@
+"""HLL distinct-count and distributed-quantile sketches (functions/sketch)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from ray_ordered_stream.functions.sketch import (
+    HLL,
+    approx_distinct,
+    distributed_quantiles,
+)
+
+
+def test_hll_error_bound_and_merge():
+    rng = np.random.default_rng(4)
+    vals = rng.integers(0, 1 << 62, size=200_000)
+    n_true = len(np.unique(vals))
+    one = HLL(12).add_column(pa.array(vals, pa.int64()))
+    est = one.estimate()
+    assert abs(est - n_true) / n_true < 0.05  # 3 sigma ~ 4.9% at p=12
+
+    # merge of halves == single-shot registers
+    a = HLL(12).add_column(pa.array(vals[:100_000], pa.int64()))
+    b = HLL(12).add_column(pa.array(vals[100_000:], pa.int64()))
+    a.merge(b)
+    assert (a.registers == one.registers).all()
+
+
+def test_hll_small_range_is_near_exact():
+    h = HLL(12).add_column(pa.array([f"k{i}" for i in range(150)], pa.string()))
+    assert abs(h.estimate() - 150) <= 8  # linear-counting regime, ~3.3 sigma
+
+
+def test_hll_string_and_int_columns_differ_but_are_deterministic():
+    s = HLL(12).add_column(pa.array(["1", "2", "3"], pa.string()))
+    s2 = HLL(12).add_column(pa.array(["1", "2", "3"], pa.string()))
+    assert (s.registers == s2.registers).all()
+
+
+def test_approx_distinct_distributed(ray_session):
+    import ray.data
+
+    rng = np.random.default_rng(9)
+    vals = rng.integers(0, 50_000, size=120_000)
+    n_true = len(np.unique(vals))
+    ds = ray.data.from_arrow(
+        pa.table({"v": pa.array(vals, pa.int64())})
+    ).repartition(6)
+    est = approx_distinct(ds, "v", p=12)
+    assert abs(est - n_true) / n_true < 0.05
+
+
+def test_distributed_quantiles_rank_certificate(ray_session):
+    import ray.data
+
+    rng = np.random.default_rng(2)
+    vals = rng.normal(size=80_000)
+    ds = ray.data.from_arrow(
+        pa.table({"v": pa.array(vals, pa.float64())})
+    ).repartition(5)
+    res = distributed_quantiles(ds, "v", [0.5, 0.9, 0.99], candidates_per_block=128)
+    for q, r in res.items():
+        assert r["n"] == len(vals)
+        # certificate: the returned EXACT rank covers the target within bound
+        assert abs(r["rank"] - q * r["n"]) <= r["max_rank_err"] + 1
+        # value-space closeness is only indirect (the guarantee is the rank
+        # bound); still, candidates are dense enough to land nearby
+        assert abs(r["value"] - np.quantile(vals, q)) < 0.15
+
+
+def test_distributed_quantiles_empty(ray_session):
+    import ray.data
+
+    ds = ray.data.from_arrow(pa.table({"v": pa.array([], pa.float64())}))
+    res = distributed_quantiles(ds, "v", [0.5])
+    assert res[0.5]["value"] is None and res[0.5]["n"] == 0
