@@ -78,6 +78,38 @@ def ensure_bench_input(n_files: int = 128) -> str:
     return str(out)
 
 
+def _init_ray(num_cpus: int) -> None:
+    """Robust local init: preallocated plasma arenas avoid mmap/TLB churn
+    (see BASELINE.md) but page-touching the arena counts against Ray's
+    ~120 s node-startup timeout, and this VM's shm fault rate varies ~10x
+    with host contention (16 GB measured 22 s..>120 s across a day). 8 GB
+    keeps a wide margin and still covers the in-flight epoch working set;
+    if startup still times out, fall back to no preallocation rather than
+    failing the bench."""
+    import ray
+
+    if ray.is_initialized():
+        return
+    store = int(float(os.environ.get("ROS_STORE_GB", "8")) * 1e9)
+    try:
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            logging_level="ERROR",
+            object_store_memory=store,
+        )
+    except Exception:
+        os.environ["RAY_preallocate_plasma_memory"] = "0"
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            logging_level="ERROR",
+            object_store_memory=store,
+        )
+
+
 def run_headline(num_cpus: int) -> dict:
     import pandas as pd
     import ray
@@ -88,14 +120,7 @@ def run_headline(num_cpus: int) -> dict:
 
     path = ensure_bench_input()
     _pin_cpus(num_cpus)
-    if not ray.is_initialized():
-        ray.init(
-            address="local",
-            num_cpus=num_cpus,
-            include_dashboard=False,
-            logging_level="ERROR",
-            object_store_memory=16_000_000_000,
-        )
+    _init_ray(num_cpus)
     # Warm the page cache AND the Ray worker pool (cold worker processes pay
     # seconds of first-run page-fault/lazy-binding cost); the reference perf
     # protocol likewise measures steady state after the pipeline reports
@@ -297,14 +322,7 @@ def main():
 
     import ray
 
-    if not ray.is_initialized():
-        ray.init(
-            address="local",
-            num_cpus=num_cpus,
-            include_dashboard=False,
-            logging_level="ERROR",
-            object_store_memory=16_000_000_000,
-        )
+    _init_ray(num_cpus)
 
     head = run_headline(num_cpus)
     if "--headline-only" in sys.argv:
