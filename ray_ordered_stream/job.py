@@ -1,0 +1,133 @@
+"""``ray job submit`` entrypoint for the streaming engine.
+
+The north rule's deployment shape is ``ray job submit`` onto a fixed-size
+multi-node cluster; this module is that job script:
+
+    ray job submit --working-dir . -- \\
+        python -m ray_ordered_stream.job \\
+        --input /data/landing --out /data/out \\
+        --partitions 256 --files-per-epoch 16 --spread-actors \\
+        --window-size 3600 --session-gap 900 --stream-join \\
+        --pattern view,click,purchase
+
+Inside a submitted job ``ray.init(address="auto")`` attaches to the
+cluster; standalone it starts a local session (guarded — never re-inits).
+On a real cluster pass ``--spread-actors`` so the state store spreads
+across nodes, and size ``--partitions`` ~ total cores (state.OrderedConfig
+notes). Exactly-once resume is the default: re-submitting the same job
+after a failure skips committed epochs and continues from the consistent
+checkpoint cut (epochs.run_stream protocol).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def build_config(args) -> "OrderedConfig":
+    from .state import OrderedConfig
+
+    return OrderedConfig(
+        window_size_s=args.window_size,
+        window_step_s=args.window_step,
+        window_lateness_s=args.window_lateness,
+        session_gap_s=args.session_gap,
+        session_lateness_s=args.session_lateness,
+        stream_join=args.stream_join,
+        pattern=tuple(args.pattern.split(",")) if args.pattern else (),
+        pattern_within_s=args.pattern_within,
+        with_book=args.with_book,
+        status_every_epochs=args.status_every_epochs,
+        status_interval_s=args.status_interval,
+        spread_actors=args.spread_actors,
+        warmup_rows=args.warmup_rows,
+    )
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    ap.add_argument("--input", required=True,
+                    help="landing directory of arrival-ordered Parquet files")
+    ap.add_argument("--out", required=True, help="output root (sinks + checkpoints)")
+    ap.add_argument("--partitions", type=int, default=4)
+    ap.add_argument("--files-per-epoch", type=int, default=16)
+    ap.add_argument("--max-inflight", type=int, default=3)
+    ap.add_argument("--checkpoint-full-every", type=int, default=16)
+    ap.add_argument("--continuous", action="store_true",
+                    help="poll --input for newly landed files (unbounded mode)")
+    ap.add_argument("--idle-timeout", type=float, default=30.0)
+    ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument("--window-size", type=float, default=0.0)
+    ap.add_argument("--window-step", type=float, default=0.0)
+    ap.add_argument("--window-lateness", type=float, default=0.0)
+    ap.add_argument("--session-gap", type=float, default=0.0)
+    ap.add_argument("--session-lateness", type=float, default=0.0)
+    ap.add_argument("--stream-join", action="store_true")
+    ap.add_argument("--pattern", default="",
+                    help="comma-separated roles for CEP matching")
+    ap.add_argument("--pattern-within", type=float, default=0.0)
+    ap.add_argument("--with-book", action="store_true")
+    ap.add_argument("--status-every-epochs", type=int, default=1)
+    ap.add_argument("--status-interval", type=float, default=0.0)
+    ap.add_argument("--spread-actors", action="store_true")
+    ap.add_argument("--warmup-rows", type=int, default=8192)
+    ap.add_argument("--address", default="auto",
+                    help="Ray address ('auto' in a submitted job, 'local' standalone)")
+    args = ap.parse_args(argv)
+
+    import ray
+
+    if not ray.is_initialized():
+        try:
+            ray.init(address=args.address, logging_level="ERROR")
+        except ConnectionError:
+            ray.init(address="local", include_dashboard=False,
+                     logging_level="ERROR")
+
+    from pathlib import Path
+
+    from .epochs import run_stream, run_stream_continuous
+
+    cfg = build_config(args)
+    if args.continuous:
+        res = run_stream_continuous(
+            args.input, args.out, cfg,
+            num_partitions=args.partitions,
+            files_per_epoch=args.files_per_epoch,
+            idle_timeout_s=args.idle_timeout,
+            resume=not args.no_resume,
+            checkpoint_full_every=args.checkpoint_full_every,
+        )
+    else:
+        files = [str(f) for f in sorted(Path(args.input).glob("*.parquet"))]
+        if not files:
+            print(json.dumps({"error": f"no parquet files in {args.input}"}))
+            return 2
+        res = run_stream(
+            files, args.out, cfg,
+            num_partitions=args.partitions,
+            files_per_epoch=args.files_per_epoch,
+            resume=not args.no_resume,
+            checkpoint_full_every=args.checkpoint_full_every,
+            max_inflight=args.max_inflight,
+        )
+    print(
+        json.dumps(
+            {
+                "out_root": res.out_root,
+                "epochs_run": res.epochs_run,
+                "epochs_skipped": res.epochs_skipped,
+                "total_emitted": res.total_emitted,
+                "summary": res.summary,
+                "rates": res.metrics.get("rates", {}),
+                "sinks": {k: "committed" for k in res.sinks},
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -372,6 +372,27 @@ UNION ALL SELECT 'p99_rank', count(*)::bigint, true FROM events
 """
 
 
+def q_top_orders_per_cust(sf_dir: str):
+    """Grouped top-k WITHOUT a global sort (functions/topk.grouped_topk):
+    per-batch partial prune -> shuffle of <= k rows per (group, block) ->
+    vectorized per-partition rank. SQL mirror is the QUALIFY row_number
+    formulation."""
+    from ..functions.topk import grouped_topk
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    return grouped_topk(
+        orders, "o_custkey", "o_totalprice", 3, tiebreak="o_orderkey",
+        by_int=True,
+    )
+
+
+SQL_TOP_ORDERS_PER_CUST = """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+QUALIFY row_number() OVER (
+  PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey DESC) <= 3
+"""
+
+
 # ---------------------------------------------------------------------------
 # documents: dedup + text analysis
 # ---------------------------------------------------------------------------
@@ -1198,6 +1219,7 @@ QUERIES = {
     "interval_follow_purchases": (q_interval_follow_purchases, SQL_INTERVAL_FOLLOW_PURCHASES),
     "cep_funnel": (q_cep_funnel, SQL_CEP_FUNNEL),
     "sketch_certify": (q_sketch_certify, SQL_SKETCH_CERTIFY),
+    "top_orders_per_cust": (q_top_orders_per_cust, SQL_TOP_ORDERS_PER_CUST),
     "doc_exact_dedup": (q_doc_exact_dedup, SQL_DOC_EXACT_DEDUP),
     "doc_token_count": (q_doc_token_count, SQL_DOC_TOKEN_COUNT),
     "doc_quality": (q_doc_quality, SQL_DOC_QUALITY),

@@ -1,0 +1,51 @@
+"""The ray-job-submit entrypoint (ray_ordered_stream.job) end to end:
+bounded run with several operators enabled, then an idempotent re-submit
+(exactly-once resume skips all committed epochs)."""
+
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+import pyarrow.parquet as pq
+
+from ray_ordered_stream.fixtures import gen_transcripts
+
+REPO = str(Path(__file__).resolve().parent.parent)
+
+
+def _run(args):
+    out = subprocess.run(
+        [sys.executable, "-m", "ray_ordered_stream.job", *args],
+        capture_output=True, text=True, timeout=240,
+        cwd="/tmp", env={"PYTHONPATH": REPO, "PATH": "/usr/bin:/bin",
+                         "HOME": "/root", "RAY_ADDRESS": "local"},
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def test_job_cli_run_and_resume(tmp_path):
+    t = gen_transcripts(n_convs=5, min_turns=6, max_turns=16, lateness=8, seed=9)
+    land = tmp_path / "landing"
+    land.mkdir()
+    n, nf = t.num_rows, 4
+    step = -(-n // nf)
+    for i in range(nf):
+        pq.write_table(t.slice(i * step, step), land / f"part-{i:05d}.parquet")
+    args = [
+        "--input", str(land), "--out", str(tmp_path / "out"),
+        "--partitions", "2", "--files-per-epoch", "2", "--address", "local",
+        "--warmup-rows", "0",
+        "--window-size", "60", "--session-gap", "0.5",
+        "--pattern", "user,tool,user",
+    ]
+    res = _run(args)
+    assert res["total_emitted"] == res["summary"]["results"] > 0
+    assert res["summary"]["buffered"] == 0
+    for sink in ("ordered", "status", "windows", "sessions", "matches"):
+        assert res["sinks"][sink] == "committed"
+
+    res2 = _run(args)  # idempotent re-submit: everything already committed
+    assert res2["epochs_run"] == 0
+    assert res2["epochs_skipped"] >= 1
