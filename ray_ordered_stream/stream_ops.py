@@ -255,7 +255,11 @@ class SessionAccumulator:
     still in flight (within the lateness bound) can extend it. Per-key
     ``session_id`` assignment matches the batch operator (index in
     session_start order), valid because sessions of a key close in start
-    order."""
+    order. Caveat (standard streaming-session semantics): an event later
+    than the allowed lateness opens a NEW session even if its ts precedes an
+    already-released one, so its session_id reflects release order, not
+    global start order — size ``allowed_lateness_s`` to the source's real
+    disorder when batch/stream equality matters."""
 
     def __init__(self, gap_s: float, key: str = KEY, ts: str = "ts",
                  allowed_lateness_s: float = 0.0):
