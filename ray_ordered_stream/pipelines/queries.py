@@ -393,6 +393,70 @@ QUALIFY row_number() OVER (
 """
 
 
+def q_corpus_curation(sf_dir: str):
+    """Flagship training-data CURATION pipeline — five operators composed,
+    nothing materialized between stages: content fingerprint -> exact
+    content-dedup keep-first (grouped_topk k=1, no global sort) -> quality
+    scoring -> filter -> language id -> per-(lang, source) aggregate. Every
+    stage reuses an independently-oracled operator; the SQL mirrors the
+    whole chain."""
+    import pyarrow.compute as _pc
+
+    from ray.data.aggregate import Sum
+
+    from ..functions.textstats import fingerprint, lang_id, quality_score
+    from ..functions.topk import grouped_topk
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+    deduped = grouped_topk(
+        fingerprint(docs), "fingerprint", "doc_id", 1, tiebreak="doc_id",
+        descending=False,
+    )
+    scored = quality_score(deduped)
+
+    def keep_quality(t: pa.Table) -> pa.Table:
+        t = t.filter(_pc.greater_equal(t["n_words"], 5))
+        return t.append_column("n_docs", pa.array(np.ones(t.num_rows, np.int64)))
+
+    filtered = scored.map_batches(keep_quality, batch_format="pyarrow")
+    tagged = lang_id(filtered)
+    agg = tagged.groupby(["lang_guess", "source"]).aggregate(
+        Sum("n_docs", alias_name="n_docs"),
+        Sum("n_words", alias_name="sum_words"),
+    )
+    return agg
+
+
+SQL_CORPUS_CURATION = r"""
+WITH norm AS (
+  SELECT doc_id, text, source,
+         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+  FROM documents),
+kept AS (
+  SELECT doc_id, text, source FROM norm
+  QUALIFY row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) = 1),
+q AS (
+  SELECT doc_id, text, source,
+         length(regexp_extract_all(text, '\w+'))::bigint AS n_words
+  FROM kept),
+f AS (SELECT * FROM q WHERE n_words >= 5),
+c AS (
+  SELECT source, n_words,
+    length(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|ich|ein|zu|den)\b')) AS de,
+    length(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|that|for|with|was)\b')) AS en,
+    length(regexp_extract_all(lower(text), '\b(el|la|los|las|y|de|que|en|un|una)\b')) AS es,
+    length(regexp_extract_all(lower(text), '\b(le|la|les|et|de|des|un|une|est|dans)\b')) AS fr
+  FROM f)
+SELECT CASE WHEN greatest(de, en, es, fr) = 0 THEN 'und'
+            WHEN de >= en AND de >= es AND de >= fr THEN 'de'
+            WHEN en >= es AND en >= fr THEN 'en'
+            WHEN es >= fr THEN 'es'
+            ELSE 'fr' END AS lang_guess,
+       source, count(*)::bigint AS n_docs, sum(n_words)::bigint AS sum_words
+FROM c GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # documents: dedup + text analysis
 # ---------------------------------------------------------------------------
@@ -1220,6 +1284,7 @@ QUERIES = {
     "cep_funnel": (q_cep_funnel, SQL_CEP_FUNNEL),
     "sketch_certify": (q_sketch_certify, SQL_SKETCH_CERTIFY),
     "top_orders_per_cust": (q_top_orders_per_cust, SQL_TOP_ORDERS_PER_CUST),
+    "corpus_curation": (q_corpus_curation, SQL_CORPUS_CURATION),
     "doc_exact_dedup": (q_doc_exact_dedup, SQL_DOC_EXACT_DEDUP),
     "doc_token_count": (q_doc_token_count, SQL_DOC_TOKEN_COUNT),
     "doc_quality": (q_doc_quality, SQL_DOC_QUALITY),
