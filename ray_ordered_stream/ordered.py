@@ -105,6 +105,9 @@ class OrderedWorker:
         self._join_out: list[pa.Table] = []
         self._match_out: list[pa.Table] = []
         self._dlq: list[pa.Table] = []
+        # event-time frontier observed by THIS actor since (re)start
+        # (observability only — not checkpointed; see completion_summary)
+        self._max_ts_us: int | None = None
         if cfg.with_book:
             from .book import BookState
 
@@ -192,6 +195,14 @@ class OrderedWorker:
             bad = pc.or_(pc.is_null(batch[cfg.key]), pc.is_null(batch[cfg.seq]))
             self._dlq.append(batch.filter(bad))
             batch = batch.filter(pc.invert(bad))
+        if "ts" in batch.column_names and batch.num_rows:
+            import pyarrow.compute as pc
+
+            mx = pc.max(batch["ts"].cast(pa.int64())).as_py()
+            if mx is not None:
+                self._max_ts_us = (
+                    mx if self._max_ts_us is None else max(self._max_ts_us, mx)
+                )
         emitted, status = self.state.process(batch, status_ts)
         codes_kv = None
         if emitted.num_rows and (
@@ -325,6 +336,7 @@ class OrderedWorker:
             "duplicates": duplicates,
             "buffered": self.state.buffered_row_count(),
             "all_last_event": all_last,
+            "watermark_us": self._max_ts_us,
         }
 
     def buffered_rows(self) -> int:
@@ -633,6 +645,11 @@ class OrderedProcessor:
             for k in ("keys", "received", "results", "duplicates", "buffered")
         }
         out["all_last_event"] = all(p["all_last_event"] for p in parts)
+        # global event-time watermark = the frontier of the slowest
+        # partition (None if any partition has seen no timestamped data
+        # since (re)start — the frontier is then unbounded below)
+        wms = [p["watermark_us"] for p in parts]
+        out["watermark_us"] = None if any(w is None for w in wms) else min(wms)
         return out
 
     def book_depth_table(self, depth: int | None = None, with_trade: bool = True) -> pa.Table:

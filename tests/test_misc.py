@@ -63,3 +63,25 @@ def test_stream_result_metrics_surface(tmp_path, ray_session):
     assert stage["rows"] == res.total_emitted
     assert stage["calls"] == res.epochs_run
     assert stage["lat_p50"] >= 0
+
+
+def test_completion_summary_watermark(ray_session):
+    import pandas as pd
+
+    from ray_ordered_stream.fixtures import gen_transcripts
+    from ray_ordered_stream.ordered import OrderedProcessor
+    from ray_ordered_stream.state import OrderedConfig
+
+    t = gen_transcripts(n_convs=6, min_turns=4, max_turns=10, seed=8)
+    proc = OrderedProcessor(OrderedConfig(warmup_rows=0), num_partitions=2)
+    proc.feed_epoch(t, pd.Timestamp("1970-01-01"))
+    s = proc.completion_summary()
+    # the global watermark is the slowest partition's frontier: somewhere
+    # between the stream's earliest and latest event time
+    import pyarrow.compute as pc
+
+    lo = pc.min(t["ts"].cast("int64")).as_py()
+    hi = pc.max(t["ts"].cast("int64")).as_py()
+    assert s["watermark_us"] is not None
+    assert lo <= s["watermark_us"] <= hi
+    proc.shutdown()
