@@ -168,7 +168,7 @@ class PatternMatcher:
 
     def __init__(self, pattern: list[str], key: str = KEY, seq: str = SEQ,
                  role: str = "role", ts: str = "ts",
-                 within_us: int | None = None):
+                 within_us: int | None = None, end_role: str | None = None):
         self.pattern = list(pattern)
         if not self.pattern:
             raise ValueError("pattern must be non-empty")
@@ -177,6 +177,10 @@ class PatternMatcher:
         self.role = role
         self.ts = ts
         self.within_us = within_us
+        # carry cleanup (≙ EventExaminer.isLastEvent): once a key's terminal
+        # turn passes, no further turns can arrive, so its carried tail is
+        # dropped — without this the carry grows with every key ever seen
+        self.end_role = end_role
         self._carry: pa.Table | None = None  # (key, seq, role, ts) per-key tail
 
     def _project(self, t: pa.Table) -> pa.Table:
@@ -245,6 +249,11 @@ class PatternMatcher:
             reps = lasts - firsts + 1
             last_of_key = np.repeat(lasts, reps)
             keep = (last_of_key - np.arange(len(codes))) < (L - 1)
+            if self.end_role is not None:
+                ended = np.asarray(
+                    pc.equal(role_col.take(pa.array(lasts)), self.end_role)
+                ).astype(bool)
+                keep &= ~np.repeat(ended, reps)
             self._carry = comb.take(pa.array(np.flatnonzero(keep)))
         else:
             self._carry = None

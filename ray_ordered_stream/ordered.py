@@ -135,6 +135,7 @@ class OrderedWorker:
             self.matcher = PatternMatcher(
                 list(cfg.pattern), cfg.key, cfg.seq,
                 within_us=int(cfg.pattern_within_s * 1_000_000) or None,
+                end_role=cfg.last_value if cfg.last_col == "role" else None,
             )
         self._warmup()
 

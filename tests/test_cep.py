@@ -139,3 +139,30 @@ def test_stream_matches_sink_e2e(tmp_path, ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got[[KEY, "start_seq", "end_seq"]], exp)
+
+
+def test_pattern_matcher_carry_dropped_after_end_sentinel():
+    m = PatternMatcher(PAT, end_role="end")
+    t1 = pa.table(
+        {
+            KEY: pa.array(["a", "a", "b", "b"], pa.string()),
+            SEQ: pa.array([0, 1, 0, 1], pa.int32()),
+            "role": pa.array(["user", "end", "user", "tool"], pa.string()),
+            "ts": pa.array([0, 1, 0, 1], pa.int64()).cast(pa.timestamp("us")),
+        }
+    )
+    m.update(t1)
+    carried = m._carry.to_pydict()
+    # key 'a' ended -> its tail is dropped; key 'b' keeps its last 2 turns
+    assert set(carried[KEY]) == {"b"}
+    # and 'b' can still complete the pattern across the boundary
+    t2 = pa.table(
+        {
+            KEY: pa.array(["b"], pa.string()),
+            SEQ: pa.array([2], pa.int32()),
+            "role": pa.array(["user"], pa.string()),
+            "ts": pa.array([2], pa.int64()).cast(pa.timestamp("us")),
+        }
+    )
+    out = m.update(t2).to_pandas()
+    assert len(out) == 1 and out["start_seq"].iloc[0] == 0
