@@ -194,3 +194,133 @@ def distributed_quantiles(
             "max_rank_err": -(-n // candidates_per_block),
         }
     return out
+
+
+def grouped_quantiles(
+    ds,
+    col: str,
+    group: str,
+    qs: list[float],
+    candidates_per_block: int = 64,
+) -> dict:
+    """Per-GROUP exact-rank-certified quantiles (same two-pass construction
+    as ``distributed_quantiles``, with candidates and counts keyed by group).
+
+    Intended for MODERATE group cardinality (event types, languages,
+    sources): the driver-side candidate/rank state is
+    O(groups x candidates_per_block x blocks). For millions of groups use
+    the keyed state store / grouped_topk instead. Returns
+    {group: {q: {"value", "rank", "n", "max_rank_err"}}}.
+    """
+    import ray
+
+    proj = ds.select_columns([group, col])
+
+    def cand(t: pa.Table) -> pa.Table:
+        gcol = (
+            t[group].combine_chunks()
+            if isinstance(t[group], pa.ChunkedArray)
+            else t[group]
+        )
+        enc = pc.dictionary_encode(gcol)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = np.asarray(enc.indices).astype(np.int64)
+        v = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        ok = ~np.isnan(v)
+        codes, v = codes[ok], v[ok]
+        if not len(v):
+            return pa.table({"g": pa.array([], pa.string()),
+                             "c": pa.array([], pa.float64())})
+        order = np.lexsort((v, codes))
+        c_s, v_s = codes[order], v[order]
+        b = np.empty(len(c_s), dtype=bool)
+        b[0] = True
+        b[1:] = c_s[1:] != c_s[:-1]
+        firsts = np.flatnonzero(b)
+        counts = np.diff(np.append(firsts, len(c_s)))
+        k_g = np.minimum(candidates_per_block, counts)
+        total = int(k_g.sum())
+        starts = np.zeros(len(k_g), dtype=np.int64)
+        starts[1:] = np.cumsum(k_g)[:-1]
+        j = np.arange(total) - np.repeat(starts, k_g)          # 0..k_i-1
+        n_rep = np.repeat(counts, k_g)
+        k_rep = np.repeat(k_g, k_g)
+        pos = np.repeat(firsts, k_g) + ((j + 1) * n_rep) // k_rep - 1
+        return pa.table(
+            {
+                "g": pc.take(enc.dictionary, pa.array(c_s[pos])).cast(pa.string()),
+                "c": pa.array(v_s[pos], pa.float64()),
+            }
+        )
+
+    cdf = proj.map_batches(cand, batch_format="pyarrow").to_pandas()
+    if cdf.empty or "g" not in cdf.columns:
+        return {}
+    per_group = {
+        g: np.unique(sub["c"].to_numpy()) for g, sub in cdf.groupby("g", sort=True)
+    }
+    cands_ref = ray.put(per_group)
+
+    def count_le(t: pa.Table) -> pa.Table:
+        cg = ray.get(cands_ref)
+        gcol = (
+            t[group].combine_chunks()
+            if isinstance(t[group], pa.ChunkedArray)
+            else t[group]
+        )
+        enc = pc.dictionary_encode(gcol)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = np.asarray(enc.indices).astype(np.int64)
+        v = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        ok = ~np.isnan(v)
+        codes, v = codes[ok], v[ok]
+        names = [str(x) for x in enc.dictionary.to_pylist()]
+        order = np.lexsort((v, codes))
+        c_s, v_s = codes[order], v[order]
+        b = np.empty(len(c_s), dtype=bool)
+        if len(c_s):
+            b[0] = True
+            b[1:] = c_s[1:] != c_s[:-1]
+        firsts = np.flatnonzero(b) if len(c_s) else np.zeros(0, np.int64)
+        ends = np.append(firsts[1:], len(c_s))
+        gs, les, ns = [], [], []
+        for f, e in zip(firsts, ends):       # one iteration per group present
+            gname = names[c_s[f]]
+            cs = cg.get(gname)
+            if cs is None:
+                continue
+            seg = v_s[f:e]
+            gs.append(gname)
+            les.append(np.searchsorted(seg, cs, side="right").astype(np.int64))
+            ns.append(e - f)
+        return pa.table(
+            {
+                "g": pa.array(gs, pa.string()),
+                "le": pa.array([x.tolist() for x in les], pa.list_(pa.int64())),
+                "n": pa.array(ns, pa.int64()),
+            }
+        )
+
+    rows = proj.map_batches(count_le, batch_format="pyarrow").take_all()
+    ranks = {g: np.zeros(len(cs), dtype=np.int64) for g, cs in per_group.items()}
+    totals = {g: 0 for g in per_group}
+    for r in rows:
+        ranks[r["g"]] += np.asarray(r["le"], dtype=np.int64)
+        totals[r["g"]] += int(r["n"])
+    out = {}
+    for g, cs in per_group.items():
+        n = totals[g]
+        res = {}
+        for q in qs:
+            target = max(1, int(np.ceil(q * n)))
+            i = min(int(np.searchsorted(ranks[g], target, side="left")), len(cs) - 1)
+            res[q] = {
+                "value": float(cs[i]),
+                "rank": int(ranks[g][i]),
+                "n": n,
+                "max_rank_err": -(-n // candidates_per_block),
+            }
+        out[g] = res
+    return out

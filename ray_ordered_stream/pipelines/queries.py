@@ -457,6 +457,38 @@ FROM c GROUP BY 1, 2
 """
 
 
+def q_events_quantiles_by_type(sf_dir: str):
+    """Per-group certified quantiles (functions/sketch.grouped_quantiles):
+    p50/p90 of value per event_type, each checked against its exact rank
+    certificate (same self-certifying oracle style as sketch_certify)."""
+    from ..functions.sketch import grouped_quantiles
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+    res = grouped_quantiles(ev, "value", "event_type", [0.5, 0.9])
+    rows = []
+    for g in sorted(res):
+        for q in (0.5, 0.9):
+            r = res[g][q]
+            ok = abs(r["rank"] - q * r["n"]) <= r["max_rank_err"] + 1
+            rows.append((g, q, r["n"], bool(ok)))
+    return pa.table(
+        {
+            "event_type": pa.array([r[0] for r in rows], pa.string()),
+            "q": pa.array([r[1] for r in rows], pa.float64()),
+            "n_exact": pa.array([r[2] for r in rows], pa.int64()),
+            "ok": pa.array([r[3] for r in rows], pa.bool_()),
+        }
+    )
+
+
+SQL_EVENTS_QUANTILES_BY_TYPE = """
+SELECT event_type, 0.5 AS q, count(*)::bigint AS n_exact, true AS ok
+FROM events GROUP BY event_type
+UNION ALL
+SELECT event_type, 0.9, count(*)::bigint, true FROM events GROUP BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # documents: dedup + text analysis
 # ---------------------------------------------------------------------------
@@ -1285,6 +1317,7 @@ QUERIES = {
     "sketch_certify": (q_sketch_certify, SQL_SKETCH_CERTIFY),
     "top_orders_per_cust": (q_top_orders_per_cust, SQL_TOP_ORDERS_PER_CUST),
     "corpus_curation": (q_corpus_curation, SQL_CORPUS_CURATION),
+    "events_quantiles_by_type": (q_events_quantiles_by_type, SQL_EVENTS_QUANTILES_BY_TYPE),
     "doc_exact_dedup": (q_doc_exact_dedup, SQL_DOC_EXACT_DEDUP),
     "doc_token_count": (q_doc_token_count, SQL_DOC_TOKEN_COUNT),
     "doc_quality": (q_doc_quality, SQL_DOC_QUALITY),

@@ -74,3 +74,27 @@ def test_distributed_quantiles_empty(ray_session):
     ds = ray.data.from_arrow(pa.table({"v": pa.array([], pa.float64())}))
     res = distributed_quantiles(ds, "v", [0.5])
     assert res[0.5]["value"] is None and res[0.5]["n"] == 0
+
+
+def test_grouped_quantiles_rank_certificates(ray_session):
+    import ray.data
+
+    from ray_ordered_stream.functions.sketch import grouped_quantiles
+
+    rng = np.random.default_rng(12)
+    n = 60_000
+    groups = np.array(["a", "b", "c"], dtype=object)[rng.integers(0, 3, n)]
+    vals = rng.normal(loc=(groups == "b") * 3.0, size=n)
+    ds = ray.data.from_arrow(
+        pa.table(
+            {"g": pa.array(groups, pa.string()), "v": pa.array(vals, pa.float64())}
+        )
+    ).repartition(5)
+    res = grouped_quantiles(ds, "v", "g", [0.5, 0.9], candidates_per_block=64)
+    assert set(res) == {"a", "b", "c"}
+    for g, per_q in res.items():
+        gv = vals[groups == g]
+        for q, r in per_q.items():
+            assert r["n"] == len(gv)
+            assert abs(r["rank"] - q * r["n"]) <= r["max_rank_err"] + 1
+            assert abs(r["value"] - np.quantile(gv, q)) < 0.3
