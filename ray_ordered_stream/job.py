@@ -36,6 +36,7 @@ def build_config(args) -> "OrderedConfig":
         session_gap_s=args.session_gap,
         session_lateness_s=args.session_lateness,
         stream_join=args.stream_join,
+        join_within_s=args.join_within,
         pattern=tuple(args.pattern.split(",")) if args.pattern else (),
         pattern_within_s=args.pattern_within,
         with_book=args.with_book,
@@ -65,6 +66,7 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--session-gap", type=float, default=0.0)
     ap.add_argument("--session-lateness", type=float, default=0.0)
     ap.add_argument("--stream-join", action="store_true")
+    ap.add_argument("--join-within", type=float, default=0.0)
     ap.add_argument("--pattern", default="",
                     help="comma-separated roles for CEP matching")
     ap.add_argument("--pattern-within", type=float, default=0.0)

@@ -128,7 +128,10 @@ class OrderedWorker:
         if cfg.stream_join:
             from .stream_ops import StreamJoiner
 
-            self.joiner = StreamJoiner(cfg.key, cfg.seq)
+            self.joiner = StreamJoiner(
+                cfg.key, cfg.seq,
+                within_us=int(cfg.join_within_s * 1_000_000) or None,
+            )
         if cfg.pattern:
             from .cep import PatternMatcher
 

@@ -77,6 +77,7 @@ class OrderedConfig:
     session_gap_s: float = 0.0
     session_lateness_s: float = 0.0
     stream_join: bool = False     # enables the sequence-driven as-of join
+    join_within_s: float = 0.0    # > 0 bounds joined pairs by event time
     # non-empty enables streaming CEP: emit a match whenever these roles
     # occur on consecutive turns of one key (cep.PatternMatcher side output)
     pattern: tuple = ()

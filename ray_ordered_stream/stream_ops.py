@@ -428,11 +428,16 @@ class StreamJoiner:
     a left's match is the first right-row after it in (key, seq) order."""
 
     def __init__(self, key: str = KEY, seq: str = SEQ,
-                 left_role: str = "user", right_role: str = "assistant"):
+                 left_role: str = "user", right_role: str = "assistant",
+                 within_us: int | None = None):
         self.key = key
         self.seq = seq
         self.left_role = left_role
         self.right_role = right_role
+        # event-time bound (parity with join_user_assistant's within_us):
+        # a pair whose lag exceeds it is DROPPED, not kept pending — the
+        # match is defined as the next right turn, bounded afterwards
+        self.within_us = within_us
         # key -> list of (turn_idx, text, ts_us) pending left turns
         self.pending: dict[str, list[tuple[int, str, int]]] = {}
 
@@ -547,7 +552,10 @@ class StreamJoiner:
 
         if not parts:
             return self._empty()
-        return pa.concat_tables(parts) if len(parts) > 1 else parts[0]
+        out = pa.concat_tables(parts) if len(parts) > 1 else parts[0]
+        if self.within_us is not None and out.num_rows:
+            out = out.filter(pc.less_equal(out["lag_us"], self.within_us))
+        return out
 
     def _schema(self) -> pa.Schema:
         return pa.schema(

@@ -236,3 +236,46 @@ def test_stream_sliding_and_session_sinks_e2e(sliding_stream_files, tmp_path):
         ses["session_start"].astype("datetime64[us]").to_numpy()
         == sexp["ts"].astype("datetime64[us]").to_numpy()
     ).all()
+
+
+def test_stream_joiner_within_us_matches_batch(ray_session):
+    """Streaming joiner with an event-time bound == batch join_user_assistant
+    with the same within_us."""
+    import ray.data
+
+    from ray_ordered_stream.join import join_user_assistant
+    from ray_ordered_stream.stream_ops import StreamJoiner
+
+    t = gen_transcripts(n_convs=8, min_turns=10, max_turns=40, seed=17)
+    exp_df = oracle_ordered(t)
+    within = 3_000_000  # 3s; per-conv spacing is 1s -> some pairs drop
+    inorder = pa.Table.from_pandas(
+        exp_df.sort_values([KEY, SEQ], kind="stable"), preserve_index=False
+    )
+    j = StreamJoiner(within_us=within)
+    outs = []
+    n_chunks = 6
+    step = -(-inorder.num_rows // n_chunks)
+    for i in range(n_chunks):
+        outs.append(j.update(inorder.slice(i * step, step)))
+    got = (
+        pa.concat_tables(outs)
+        .to_pandas()
+        .sort_values([KEY, "user_turn_idx"])
+        .reset_index(drop=True)
+    )
+    ds = ray.data.from_arrow(
+        pa.Table.from_pandas(exp_df, preserve_index=False)
+    )
+    exp = (
+        join_user_assistant(ds, within_us=within)
+        .to_pandas()
+        .sort_values([KEY, "user_turn_idx"])
+        .reset_index(drop=True)
+    )
+    assert len(exp) > 0
+    pd.testing.assert_frame_equal(
+        got[[KEY, "user_turn_idx", "assistant_turn_idx", "lag_us"]],
+        exp[[KEY, "user_turn_idx", "assistant_turn_idx", "lag_us"]],
+        check_dtype=False,
+    )
