@@ -152,7 +152,9 @@ def match_pattern(
             return _empty_matches(key)
         return _matches_table(key_col, sq, tsi, starts, L, key)
 
-    P = num_partitions or max(2, int(ray.cluster_resources().get("CPU", 4)) // 2)
+    from .exchange import default_partitions
+
+    P = num_partitions or default_partitions()
     proj = ds.select_columns([key, seq, role, ts])
     groups = shard_refs(list(proj.to_arrow_refs()), key, P)
     out = [scan.remote(*[g[p] for g in groups]) for p in range(P)]
@@ -240,7 +242,6 @@ class PatternMatcher:
 
         # trailing L-1 rows per key become the next carry
         if L > 1 and len(codes):
-            last_of_key = np.empty(len(codes), dtype=np.int64)
             b = np.empty(len(codes), dtype=bool)
             b[:-1] = codes[1:] != codes[:-1]
             b[-1] = True

@@ -23,6 +23,13 @@ import ray
 from .partitioning import key_partition_codes
 
 
+def default_partitions() -> int:
+    """Default partition count for an exchange: half the cluster CPUs
+    (leaves headroom for the stateless split/read tasks), min 2 (shard_refs
+    requires P >= 2). Shared so every wide operator sizes identically."""
+    return max(2, int(ray.cluster_resources().get("CPU", 4)) // 2)
+
+
 def int_partition_codes(ids: np.ndarray, P: int) -> np.ndarray:
     """Deterministic partition of int64 ids (Fibonacci-hash mix)."""
     with np.errstate(over="ignore"):

@@ -51,13 +51,13 @@ def _hash_column(col) -> np.ndarray:
 
 
 class HLL:
-    """Mergeable HyperLogLog with 2^p registers (p >= 4; p <= 12 keeps the
-    sub-bucket bits within float64's exact-integer range for the vectorized
-    log2 rho computation). Relative error ~= 1.04 / sqrt(2^p)."""
+    """Mergeable HyperLogLog with 2^p registers. p >= 11 keeps the
+    64-p sub-bucket bits within float64's 53-bit exact-integer range so the
+    vectorized floor(log2) rho is exact. Relative error ~= 1.04 / sqrt(2^p)."""
 
     def __init__(self, p: int = 12, registers: np.ndarray | None = None):
-        if not 4 <= p <= 12:
-            raise ValueError("p must be in [4, 12]")
+        if not 11 <= p <= 16:
+            raise ValueError("p must be in [11, 16]")
         self.p = p
         self.m = 1 << p
         self.registers = (

@@ -19,6 +19,15 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
+def _desc_key(a: np.ndarray) -> np.ndarray:
+    """Sort key for descending order. Plain negation WRAPS on unsigned
+    dtypes (0 would rank as the largest value); flip against the dtype max
+    instead."""
+    if a.dtype.kind == "u":
+        return np.iinfo(a.dtype).max - a
+    return -a
+
+
 def _rank_topk(
     tbl: pa.Table, group: str, value: str, tiebreak: str, k: int,
     descending: bool,
@@ -36,8 +45,8 @@ def _rank_topk(
     codes = np.asarray(enc.indices).astype(np.int64)
     v = tbl[value].to_numpy(zero_copy_only=False)
     tb = tbl[tiebreak].to_numpy(zero_copy_only=False)
-    sv = -v if descending else v
-    stb = -tb if descending else tb
+    sv = _desc_key(v) if descending else v
+    stb = _desc_key(tb) if descending else tb
     order = np.lexsort((stb, sv, codes))
     c_s = codes[order]
     b = np.empty(len(c_s), dtype=bool)
@@ -84,7 +93,9 @@ def grouped_topk(
         return _rank_topk(tbl, group, value, tiebreak, k, descending)
 
     pruned = ds.map_batches(partial, batch_format="pyarrow")
-    P = num_partitions or max(2, int(ray.cluster_resources().get("CPU", 4)) // 2)
+    from ..exchange import default_partitions
+
+    P = num_partitions or default_partitions()
     groups = shard_refs(list(pruned.to_arrow_refs()), group, P, by_int=by_int)
     out = [final.remote(*[g[p] for g in groups]) for p in range(P)]
     return ray.data.from_arrow_refs(out)

@@ -167,6 +167,13 @@ def asof_join(
         r_dtypes = {c: rdf[c].dtype for c in rdf.columns if c != rk}
         if rk != key:
             rdf = rdf.rename(columns={rk: key})
+        # explicit match indicator: inferring "matched" from some right value
+        # column being non-null silently drops matches whose value IS null
+        # (and breaks when the right side carries no extra column at all)
+        flag = "__asof_matched__"
+        while flag in ldf.columns or flag in rdf.columns:
+            flag += "_"
+        rdf[flag] = True
         ldf = ldf.sort_values(on, kind="stable")
         rdf = rdf.sort_values(ro, kind="stable")
         m = pd.merge_asof(
@@ -174,13 +181,11 @@ def asof_join(
             allow_exact_matches=True,
             suffixes=("", "_r"),
         )
-        probe = ro if ro != on else next(c for c in r_dtypes if c != ro)
-        probe = probe if probe in m.columns else f"{probe}_r"
-        m = m.dropna(subset=[probe])
+        m = m[m[flag].notna()].drop(columns=[flag])
         # merge_asof floats right int columns (NaN for misses); restore
         for c, dt in r_dtypes.items():
-            cc = c if c in m.columns else f"{c}_r"
-            if m[cc].dtype != dt:
+            cc = f"{c}_r" if f"{c}_r" in m.columns else c
+            if cc in m.columns and m[cc].dtype != dt:
                 m[cc] = m[cc].astype(dt)
         return pa.Table.from_pandas(m.reset_index(drop=True), preserve_index=False)
 
@@ -330,6 +335,6 @@ def interval_join(
 
 
 def _default_P() -> int:
-    import ray
+    from .exchange import default_partitions
 
-    return max(2, int(ray.cluster_resources().get("CPU", 4)) // 2)
+    return default_partitions()

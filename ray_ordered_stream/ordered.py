@@ -213,11 +213,12 @@ class OrderedWorker:
             self.windows is not None
             or self.sessions is not None
             or self.joiner is not None
-            or self.matcher is not None
         ):
             from .stream_ops import _dict_codes
 
-            codes_kv = _dict_codes(emitted[cfg.key])  # one encode, all ops
+            # one encode shared by windows/sessions/joiner; the CEP matcher
+            # re-encodes over carry+batch anyway, so it is not a consumer
+            codes_kv = _dict_codes(emitted[cfg.key])
         if self.windows is not None:
             self.windows.update(emitted, codes_kv)
         if self.sessions is not None:

@@ -317,17 +317,22 @@ class SessionAccumulator:
         nu = np.concatenate([self._nu, np.add.reduceat(is_user[order], starts)])
         na = np.concatenate([self._na, np.add.reduceat(is_asst[order], starts)])
 
-        # chain-merge open + batch sessions per key (sorted by start; repeat
-        # because a long session can swallow several later-starting ones)
-        for _ in range(64):
-            m = np.lexsort((sv, kc))
-            kc, sv, ev = kc[m], sv[m], ev[m]
-            cnt, nu, na = cnt[m], nu[m], na[m]
-            b = np.empty(len(kc), dtype=bool)
-            b[0] = True
-            b[1:] = (kc[1:] != kc[:-1]) | ((sv[1:] - ev[:-1]) > self.gap)
-            if b.all():
-                break
+        # merge open + batch sessions per key: textbook single-pass interval
+        # merge — sorted by (key, start), a session chains onto the group iff
+        # its start is within gap of the RUNNING max end of the group so far
+        # (per-key cummax via pandas' cython grouped cummax; comparing only
+        # against the previous element's end would need one pass per nested
+        # session and silently mis-merge under a pass cap)
+        import pandas as pd
+
+        m = np.lexsort((sv, kc))
+        kc, sv, ev = kc[m], sv[m], ev[m]
+        cnt, nu, na = cnt[m], nu[m], na[m]
+        cmax = pd.Series(ev).groupby(pd.Series(kc)).cummax().to_numpy()
+        b = np.empty(len(kc), dtype=bool)
+        b[0] = True
+        b[1:] = (kc[1:] != kc[:-1]) | ((sv[1:] - cmax[:-1]) > self.gap)
+        if not b.all():
             s2 = np.flatnonzero(b)
             kc, sv = kc[s2], sv[s2]
             ev = np.maximum.reduceat(ev, s2)

@@ -171,3 +171,54 @@ def test_asof_join_timestamp_columns(ray_session):
     )
     # k=2 event at 01-10 has no rts <= it?  01-10 < 02-01 -> no match, dropped
     assert got["tag"].tolist() == ["a", "b"]
+
+
+def test_asof_join_null_right_values_still_match(ray_session):
+    """A match whose right VALUE is null must survive (match detection uses
+    an explicit indicator, not value non-nullness)."""
+    from ray_ordered_stream.join import asof_join
+
+    left = pd.DataFrame({"k": [1, 1], "lt": [10, 20]})
+    right = pd.DataFrame(
+        {"k": [1, 1], "rt": [5, 15], "val": pd.array([None, 7.0], dtype="float64")}
+    )
+    got = (
+        asof_join(_ds(left), _ds(right), key="k", on="lt", right_on="rt",
+                  right_cols=["rt", "val"], by_int=True, num_partitions=2)
+        .to_pandas()
+        .sort_values("lt")
+        .reset_index(drop=True)
+    )
+    assert len(got) == 2          # lt=10 matches rt=5 (val null), lt=20 rt=15
+    assert np.isnan(got["val"].iloc[0]) and got["val"].iloc[1] == 7.0
+
+
+def test_asof_join_right_only_time_column(ray_session):
+    """'Does a preceding right row exist' — right side carries nothing but
+    the key and the on column."""
+    from ray_ordered_stream.join import asof_join
+
+    left = pd.DataFrame({"k": [1, 2], "lt": [10, 10]})
+    right = pd.DataFrame({"k": [1], "rt": [5]})
+    got = asof_join(
+        _ds(left), _ds(right), key="k", on="lt", right_on="rt",
+        right_cols=["rt"], by_int=True, num_partitions=2,
+    ).to_pandas()
+    assert got["k"].tolist() == [1]  # k=2 has no right rows -> dropped
+
+
+def test_asof_join_left_column_named_like_right_on(ray_session):
+    """A left column sharing the right_on name must not defeat the
+    matched-row filter."""
+    from ray_ordered_stream.join import asof_join
+
+    left = pd.DataFrame({"k": [1, 2], "lt": [10, 10], "rt": [999, 999]})
+    right = pd.DataFrame({"k": [1], "rt": [5], "rid": [42]})
+    got = asof_join(
+        _ds(left), _ds(right), key="k", on="lt", right_on="rt",
+        right_cols=["rt", "rid"], by_int=True, num_partitions=2,
+    ).to_pandas()
+    # only k=1 matches; k=2's unmatched row must be dropped (not kept with
+    # a NaN rid crashing the int restore)
+    assert got["k"].tolist() == [1]
+    assert got["rid"].tolist() == [42]

@@ -279,3 +279,15 @@ def test_stream_joiner_within_us_matches_batch(ray_session):
         exp[[KEY, "user_turn_idx", "assistant_turn_idx", "lag_us"]],
         check_dtype=False,
     )
+
+
+def test_session_merge_many_nested_singletons_converges():
+    """Regression (review): one long open session + 65+ late singletons
+    inside it must collapse to ONE session (per-key cummax merge, not a
+    capped prev-element chain)."""
+    acc = SessionAccumulator(5.0, allowed_lateness_s=10_000.0)
+    acc.update(_mk([("k", 0.0), ("k", 4.0), ("k", 1000.0)]))  # opens [0,4],[1000]
+    acc.update(_mk([("k", 4.0 + 4.96 * i) for i in range(1, 202)]))  # bridge chain
+    out = acc.take_closed(final=True).to_pandas()
+    assert len(out) == 1
+    assert out["turn_count"].iloc[0] == 204

@@ -51,3 +51,26 @@ def test_grouped_topk_ascending(ray_session):
         .reset_index(drop=True)
     )
     assert got["v"].tolist() == [1.0, 2.0, 9.0]
+
+
+def test_grouped_topk_unsigned_value_column(ray_session):
+    """Regression (review): descending sort keys must not wrap on unsigned
+    dtypes (0 would rank as the maximum)."""
+    import ray.data
+
+    from ray_ordered_stream.functions.topk import grouped_topk
+
+    t = pa.table(
+        {
+            "g": pa.array([1, 1, 1], pa.int64()),
+            "v": pa.array([0, 5, 3], pa.uint32()),
+            "id": pa.array([0, 1, 2], pa.int64()),
+        }
+    )
+    got = (
+        grouped_topk(ray.data.from_arrow(t), "g", "v", 2, tiebreak="id",
+                     by_int=True, num_partitions=2)
+        .to_pandas()
+        .sort_values("v", ascending=False)
+    )
+    assert got["v"].tolist() == [5, 3]
