@@ -247,7 +247,9 @@ def test_continuous_source_processes_midrun_files(tmp_path, ray_session):
     th = threading.Thread(target=producer)
     th.start()
     res = run_stream_continuous(
-        str(land), str(tmp_path / "out"), OrderedConfig(window_size_s=60.0),
+        str(land), str(tmp_path / "out"),
+        OrderedConfig(window_size_s=60.0, session_gap_s=0.5,
+                      pattern=("user", "tool", "user")),
         num_partitions=3, files_per_epoch=2, poll_interval_s=0.1,
     )
     th.join()
@@ -262,6 +264,20 @@ def test_continuous_source_processes_midrun_files(tmp_path, ray_session):
         got[[KEY, SEQ, "text", "emit_seq"]], exp[[KEY, SEQ, "text", "emit_seq"]]
     )
     assert (res.final_status["buffered_count"] == 0).all()
+
+    # the session and CEP side outputs also commit exactly once in
+    # continuous mode (flush epoch covers whatever the watermark left open)
+    ses = read_sink(res, "sessions")
+    assert len(ses) == len(exp)  # gap 0.5s < 1.0s spacing -> one per turn
+    assert (ses["turn_count"] == 1).all()
+    matches = read_sink(res, "matches")
+    n_pat = 0
+    for _k, g in exp.sort_values([KEY, SEQ]).groupby(KEY):
+        rs = g["role"].tolist()
+        n_pat += sum(
+            rs[i : i + 3] == ["user", "tool", "user"] for i in range(len(rs) - 2)
+        )
+    assert len(matches) == n_pat > 0
 
 
 def test_continuous_crash_resume_exactly_once(tmp_path, ray_session):
