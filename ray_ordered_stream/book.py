@@ -130,6 +130,11 @@ class BookState:
         self.books: dict[str, dict[int, int]] = {}
         # key -> (seq, ts_us, type, price, qty)
         self.last: dict[str, tuple] = {}
+        # keys mutated since the last take_touched_depth (the streaming
+        # market-depth output: per epoch, only touched keys emit a snapshot
+        # — the micro-batch analogue of the reference's per-event
+        # market_depth stream, OrderBookProcessingPipeline.java:107-120)
+        self._touched: set[str] = set()
 
     def update(self, tbl: pa.Table) -> None:
         if tbl.num_rows == 0:
@@ -142,6 +147,7 @@ class BookState:
             enc = enc.combine_chunks()
         codes = np.asarray(enc.indices).astype(np.int64)
         key_values = enc.dictionary.to_pylist()
+        self._touched.update(key_values)
         price = tbl["price"].to_numpy(zero_copy_only=False).astype(np.int64)
         qty = tbl["qty"].to_numpy(zero_copy_only=False).astype(np.int64)
         is_buy = np.asarray(pc.equal(tbl["side"], "BUY"))
@@ -197,12 +203,22 @@ class BookState:
                 int(seq[r]), int(tsv[r]), ty, int(price[r]), int(qty[r]),
             )
 
-    def depth_table(self, depth: int, with_trade: bool = True) -> pa.Table:
-        """Current top-k depth of every key as one nested Arrow table
-        (bids/offers are list<struct<price, quantity>>). Projection path,
-        not the per-event hot path: Python per key+level, vectorized
-        assembly via Arrow offsets."""
-        keys = sorted(self.books.keys() | self.last.keys())
+    def take_touched_depth(self, depth: int, with_trade: bool = True) -> pa.Table:
+        """Depth snapshots of the keys mutated since the last take (and
+        clear the touched set) — one streaming 'depth' sink part per epoch."""
+        touched = sorted(self._touched)
+        self._touched = set()
+        return self.depth_table(depth, with_trade, keys=touched)
+
+    def depth_table(
+        self, depth: int, with_trade: bool = True, keys: list[str] | None = None
+    ) -> pa.Table:
+        """Current top-k depth of every key (or the given subset) as one
+        nested Arrow table (bids/offers are list<struct<price, quantity>>).
+        Projection path, not the per-event hot path: Python per key+level,
+        vectorized assembly via Arrow offsets."""
+        if keys is None:
+            keys = sorted(self.books.keys() | self.last.keys())
         bid_off, off_off = [0], [0]
         bid_p, bid_q, off_p, off_q = [], [], [], []
         lt_p, lt_q = [], []

@@ -106,6 +106,8 @@ def run_stream(
         sinks["joined"] = ManifestSink(out_root, "joined")
     if cfg.pattern:
         sinks["matches"] = ManifestSink(out_root, "matches")
+    if cfg.with_book:
+        sinks["depth"] = ManifestSink(out_root, "depth")
 
     groups = [
         files[i : i + files_per_epoch] for i in range(0, len(files), files_per_epoch)
@@ -283,6 +285,8 @@ def run_stream_continuous(
         sinks["joined"] = ManifestSink(out_root, "joined")
     if cfg.pattern:
         sinks["matches"] = ManifestSink(out_root, "matches")
+    if cfg.with_book:
+        sinks["depth"] = ManifestSink(out_root, "depth")
 
     proc = OrderedProcessor(cfg, num_partitions)
     P = proc.P

@@ -277,6 +277,9 @@ class OrderedWorker:
             out["matches"] = (
                 write_part_atomic(mt, sink_paths["matches"]) if mt is not None else 0
             )
+        if "depth" in sink_paths and self.book is not None:
+            d = self.book.take_touched_depth(self.cfg.book_depth)
+            out["depth"] = write_part_atomic(d, sink_paths["depth"])
         if "dlq" in sink_paths:
             d = self.take_dlq()
             out["dlq"] = write_part_atomic(d, sink_paths["dlq"]) if d is not None else 0

@@ -441,3 +441,81 @@ def test_continuous_idle_timeout_flushes_partial_group(tmp_path, ray_session):
     n_exp = df.groupby([KEY, "window_start"]).ngroups
     assert len(win) == n_exp
     assert win["turn_count"].sum() == len(exp)
+
+
+def _book_stream(seed=19):
+    """Transcript stream augmented with deterministic book-event columns."""
+    import numpy as np
+
+    t = gen_transcripts(n_convs=8, min_turns=8, max_turns=30, lateness=20,
+                        seed=seed)
+    ev = np.arange(t.num_rows, dtype=np.int64)
+    side = np.where(ev % 2 == 0, "BUY", "SELL")
+    typ = np.where(ev % 5 == 0, "EXECUTED", "NEW")
+    return (
+        t.append_column("type", pa.array(typ, pa.string()))
+        .append_column("side", pa.array(side, pa.string()))
+        .append_column("price", pa.array(ev % 15 + 1, pa.int64()))
+        .append_column("qty", pa.array(ev % 6 + 1, pa.int64()))
+    )
+
+
+def test_depth_sink_streams_and_resumes_identically(tmp_path, ray_session):
+    """The 'depth' sink emits per-epoch snapshots of touched keys (the
+    micro-batch analogue of the reference's continuous market_depth
+    output); the last snapshot per key equals the final book, and a
+    crash-resume run reproduces the sink byte-identically."""
+    import pyarrow.compute as pc
+
+    from ray_ordered_stream.book import flatten_depth
+    from ray_ordered_stream.ordered import OrderedProcessor
+
+    t = _book_stream()
+    files = []
+    land = tmp_path / "landing"
+    land.mkdir()
+    n, nf = t.num_rows, 6
+    step = -(-n // nf)
+    for i in range(nf):
+        f = land / f"part-{i:05d}.parquet"
+        pq.write_table(t.slice(i * step, step), f)
+        files.append(str(f))
+    cfg = OrderedConfig(with_book=True, book_depth=4, warmup_rows=0)
+
+    res = run_stream(files, str(tmp_path / "a"), cfg, num_partitions=3,
+                     files_per_epoch=2)
+    depth = res.sinks["depth"].read().to_pandas()
+    assert len(depth) > 0
+
+    # final snapshot per key (max seq_id) == a fresh one-shot run's book
+    import pandas as pd
+
+    last = (
+        depth.sort_values(["key", "seq_id"], kind="stable")
+        .drop_duplicates("key", keep="last")
+        .reset_index(drop=True)
+    )
+    proc = OrderedProcessor(cfg, num_partitions=3)
+    proc.feed_epoch(t, pd.Timestamp("1970-01-01"))
+    exp = proc.book_depth_table(4).to_pandas()
+    proc.shutdown()
+    fl_last = flatten_depth(pa.Table.from_pandas(last, preserve_index=False))
+    fl_exp = flatten_depth(pa.Table.from_pandas(
+        exp.rename(columns={"key": "key"}), preserve_index=False))
+    a = fl_last.to_pandas().sort_values(["conv_id", "side", "level"]).reset_index(drop=True)
+    b = fl_exp.to_pandas().sort_values(["conv_id", "side", "level"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+    # crash after epoch 1, resume: depth sink content identical to run A
+    with pytest.raises(RuntimeError):
+        run_stream(files, str(tmp_path / "b"), cfg, num_partitions=3,
+                   files_per_epoch=2, fail_after_epoch=1)
+    res_b = run_stream(files, str(tmp_path / "b"), cfg, num_partitions=3,
+                       files_per_epoch=2)
+    da = depth.sort_values(["key", "seq_id"], kind="stable").reset_index(drop=True)
+    db = (
+        res_b.sinks["depth"].read().to_pandas()
+        .sort_values(["key", "seq_id"], kind="stable")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(da, db)
