@@ -261,9 +261,19 @@ class PatternMatcher:
         return out
 
     def snapshot(self) -> dict:
+        """JSON-safe (ts as int64 us) so it can ride the checkpoint's
+        extras.json."""
         if self._carry is None or self._carry.num_rows == 0:
             return {"carry": None}
-        return {"carry": self._carry.to_pydict()}
+        c = self._carry
+        return {
+            "carry": {
+                self.key: c[self.key].to_pylist(),
+                self.seq: c[self.seq].to_pylist(),
+                self.role: c[self.role].to_pylist(),
+                self.ts: c[self.ts].cast(pa.int64()).to_pylist(),
+            }
+        }
 
     def restore(self, snap: dict) -> None:
         c = snap.get("carry")
@@ -275,6 +285,6 @@ class PatternMatcher:
                 self.key: pa.array(c[self.key], pa.string()),
                 self.seq: pa.array(c[self.seq], pa.int64()),
                 self.role: pa.array(c[self.role], pa.string()),
-                self.ts: pa.array(c[self.ts], pa.timestamp("us")),
+                self.ts: pa.array(c[self.ts], pa.int64()).cast(pa.timestamp("us")),
             }
         )

@@ -76,6 +76,10 @@ def write_partition_checkpoint(
         }
     if "join" in snap:
         extras["join"] = snap["join"]
+    if "sessions" in snap:
+        extras["sessions"] = snap["sessions"]
+    if "cep" in snap:
+        extras["cep"] = snap["cep"]
     if "book" in snap:
         extras["book"] = snap["book"]
     tmp = d / "extras.json.tmp"
@@ -133,6 +137,16 @@ def read_partition_checkpoint(root: str, partition: int, epoch: int) -> dict | N
         snap["join"] = {
             "pending": {k: [tuple(p) for p in v] for k, v in j["pending"].items()}
         }
+    if "sessions" in extras:
+        s = extras["sessions"]
+        snap["sessions"] = {
+            "watermark": s["watermark"],
+            "names": s["names"],
+            "open": [list(o) for o in s["open"]],
+            "next_sid": list(s["next_sid"]),
+        }
+    if "cep" in extras:
+        snap["cep"] = extras["cep"]
     if "book" in extras:
         snap["book"] = extras["book"]
     return snap

@@ -105,7 +105,9 @@ def test_stream_end_to_end_and_exactly_once(stream_files, tmp_path):
 
 def test_kill_and_resume_equality(stream_files, tmp_path):
     t, files = stream_files
-    cfg = OrderedConfig(window_size_s=60.0, stream_join=True)
+    cfg = OrderedConfig(window_size_s=60.0, stream_join=True,
+                        session_gap_s=0.5,
+                        pattern=("user", "tool", "user"))
 
     out_full = str(tmp_path / "full")
     res_full = run_stream(files, out_full, cfg, num_partitions=3, files_per_epoch=2)
@@ -121,7 +123,7 @@ def test_kill_and_resume_equality(stream_files, tmp_path):
     )
     assert res_resumed.epochs_skipped == 2  # epochs 0,1 committed pre-crash
 
-    for sink in ("ordered", "status", "windows", "joined"):
+    for sink in ("ordered", "status", "windows", "joined", "sessions", "matches"):
         a = read_sink(res_full, sink)
         b = read_sink(res_resumed, sink)
         cols = sorted(a.columns)
