@@ -155,3 +155,57 @@ def test_pattern_matcher_any_roles_any_chunking(
     got = pa.concat_tables(outs).to_pandas()
     got = sorted(zip(got[KEY], got["start_seq"], got["end_seq"]))
     assert got == exp
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    n_keys=st.integers(1, 4),
+    n_events=st.integers(1, 50),
+    seed=st.integers(0, 10_000),
+    n_chunks=st.integers(1, 8),
+    size_s=st.integers(2, 30),
+    step_frac=st.integers(1, 4),
+)
+def test_sliding_accumulator_any_layout_any_chunking(
+    n_keys, n_events, seed, n_chunks, size_s, step_frac
+):
+    from ray_ordered_stream.stream_ops import WindowAccumulator
+
+    step_s = max(1, size_s // step_frac)
+    rng = np.random.default_rng(seed)
+    keys = rng.integers(0, n_keys, n_events)
+    tss = np.sort(rng.uniform(0, 120, n_events))  # global ts-sorted feed
+    tbl = _table(keys, tss)
+
+    # oracle: explode each row into its covering hops, count per (key, ws)
+    size, step = size_s * US, step_s * US
+    tsi = (tss * US).astype("int64")
+    n_w = -(-size // step)
+    last_ws = (tsi // step) * step
+    ws = last_ws[:, None] - (np.arange(n_w) * step)[None, :]
+    valid = ((ws + size) > tsi[:, None]) & (ws >= 0)
+    rep = np.repeat(np.arange(n_events), n_w)[valid.ravel()]
+    exp = {}
+    for i, w in zip(rep, ws.ravel()[valid.ravel()]):
+        exp[(f"k{keys[i]}", int(w))] = exp.get((f"k{keys[i]}", int(w)), 0) + 1
+
+    acc = WindowAccumulator(float(size_s), step_s=float(step_s))
+    outs = []
+    chunk = -(-n_events // n_chunks)
+    for i in range(n_chunks):
+        s = tbl.slice(i * chunk, chunk)
+        if s.num_rows:
+            acc.update(s)
+            outs.append(acc.take_closed())
+    outs.append(acc.take_closed(final=True))
+    got = {}
+    for o in outs:
+        d = o.to_pydict()
+        for k, w, c in zip(
+            d[KEY],
+            [int(pd.Timestamp(x).value // 1000) for x in d["window_start"]],
+            d["turn_count"],
+        ):
+            assert (k, w) not in got, "window released twice"
+            got[(k, w)] = c
+    assert got == exp
