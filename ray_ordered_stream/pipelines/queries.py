@@ -402,8 +402,6 @@ def q_corpus_curation(sf_dir: str):
     whole chain."""
     import pyarrow.compute as _pc
 
-    from ray.data.aggregate import Sum
-
     from ..functions.textstats import fingerprint, lang_id, quality_score
     from ..functions.topk import grouped_topk
 
@@ -420,11 +418,21 @@ def q_corpus_curation(sf_dir: str):
 
     filtered = scored.map_batches(keep_quality, batch_format="pyarrow")
     tagged = lang_id(filtered)
-    agg = tagged.groupby(["lang_guess", "source"]).aggregate(
-        Sum("n_docs", alias_name="n_docs"),
-        Sum("n_words", alias_name="sum_words"),
+
+    # partial per-batch aggregation + a tiny driver-side merge (the final
+    # result is ~#langs x #sources rows; Ray Data's generic Aggregate has
+    # seconds of fixed overhead on such shapes)
+    def part(df):
+        g = df.groupby(["lang_guess", "source"], as_index=False).agg(
+            n_docs=("n_docs", "sum"), sum_words=("n_words", "sum")
+        )
+        return g
+
+    parts = tagged.map_batches(part, batch_format="pandas").to_pandas()
+    out = parts.groupby(["lang_guess", "source"], as_index=False).agg(
+        n_docs=("n_docs", "sum"), sum_words=("sum_words", "sum")
     )
-    return agg
+    return pa.Table.from_pandas(out, preserve_index=False)
 
 
 SQL_CORPUS_CURATION = r"""
