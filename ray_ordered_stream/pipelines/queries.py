@@ -178,6 +178,101 @@ FROM s GROUP BY conv_id, sid
 """
 
 
+def _stream_landing(sf_dir: str, tag: str):
+    """Write the derived transcript stream as an arrival-ordered landing dir
+    (rows shuffled WITHIN each block by a deterministic event hash), for
+    queries that drive the FULL multi-epoch streaming engine through the
+    driver's correctness gate. Output content is arrival-invariant by the
+    engine's core guarantee, so block/file composition may vary freely."""
+    import tempfile
+
+    import pyarrow.parquet as pq
+    import ray
+
+    from .transcripts import derive_transcripts
+
+    d = tempfile.mkdtemp(prefix=f"ros_q_{tag}_")
+    t = derive_transcripts(_read(sf_dir, "events"))
+
+    def shuf(tb: pa.Table) -> pa.Table:
+        ev = tb["event_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        arr = (ev * np.uint64(2654435761)) % np.uint64(1 << 32)
+        return tb.take(pa.array(np.argsort(arr, kind="stable")))
+
+    ds = t.map_batches(shuf, batch_format="pyarrow")
+    files = []
+    for i, ref in enumerate(ds.to_arrow_refs()):
+        tb = ray.get(ref)
+        if tb.num_rows == 0:
+            continue
+        f = f"{d}/part-{i:05d}.parquet"
+        pq.write_table(tb, f)
+        files.append(f)
+    return d, files
+
+
+def _run_stream_query(sf_dir: str, tag: str, cfg, sink: str, columns):
+    import shutil
+    import tempfile
+
+    from ..epochs import run_stream
+
+    d, files = _stream_landing(sf_dir, tag)
+    out = tempfile.mkdtemp(prefix=f"ros_q_{tag}_out_")
+    try:
+        res = run_stream(
+            files, out, cfg, num_partitions=4,
+            files_per_epoch=max(1, len(files) // 4),
+        )
+        ds = res.sinks[sink].read().select_columns(columns)
+        import pyarrow as _pa
+        import ray as _ray
+
+        tbls = [t for t in _ray.get(list(ds.to_arrow_refs())) if t.num_rows]
+        return _pa.concat_tables(tbls, promote_options="none")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def q_ordered_stream_replay(sf_dir: str):
+    """The FULL multi-epoch streaming engine (epochs, exactly-once manifest
+    sinks, checkpoints) through the driver gate: the committed 'ordered'
+    sink of a shuffled-arrival run equals the SQL-ordered stream —
+    ordered_replay's guarantee, but exercised through run_stream instead of
+    the one-shot facade."""
+    from ..state import OrderedConfig
+
+    return _run_stream_query(
+        sf_dir, "replay", OrderedConfig(warmup_rows=0), "ordered",
+        [KEY, SEQ, "role", "text", "ts", "emit_seq"],
+    )
+
+
+SQL_ORDERED_STREAM_REPLAY = SQL_ORDERED_REPLAY
+
+
+def q_stream_sessions(sf_dir: str):
+    """Streaming session windows (SessionAccumulator in the state actors,
+    'sessions' sink) through the driver gate, same 4h gap as the batch
+    windows_session query. Lateness is set past the stream's ts span so no
+    session releases before the final flush — release timing under a
+    shuffled arrival is watermark policy, session CONTENT is not."""
+    from ..state import OrderedConfig
+
+    cfg = OrderedConfig(
+        warmup_rows=0, session_gap_s=4 * 3600.0,
+        session_lateness_s=100 * 86400.0,
+    )
+    return _run_stream_query(
+        sf_dir, "sessions", cfg, "sessions",
+        [KEY, "session_id", "session_start", "session_end", "turn_count"],
+    )
+
+
+SQL_STREAM_SESSIONS = SQL_WINDOWS_SESSION
+
+
 # ---------------------------------------------------------------------------
 # stream-stream join
 # ---------------------------------------------------------------------------
@@ -1318,6 +1413,8 @@ QUERIES = {
     "windows_tumbling": (q_windows_tumbling, SQL_WINDOWS_TUMBLING),
     "windows_sliding": (q_windows_sliding, SQL_WINDOWS_SLIDING),
     "windows_session": (q_windows_session, SQL_WINDOWS_SESSION),
+    "ordered_stream_replay": (q_ordered_stream_replay, SQL_ORDERED_STREAM_REPLAY),
+    "stream_sessions": (q_stream_sessions, SQL_STREAM_SESSIONS),
     "join_user_assistant": (q_join_user_assistant, SQL_JOIN_USER_ASSISTANT),
     "asof_event_order": (q_asof_event_order, SQL_ASOF_EVENT_ORDER),
     "interval_follow_purchases": (q_interval_follow_purchases, SQL_INTERVAL_FOLLOW_PURCHASES),
