@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 from pathlib import Path
 
 import pyarrow as pa
@@ -191,8 +192,73 @@ def committed_epoch(root: str, partition: int) -> int | None:
     return max(epochs) if epochs else None
 
 
+def write_lineage_meta(
+    root: str, partitions: int, clear_mismatched: bool = False
+) -> None:
+    """Record the partition count the checkpoint lineage was written with
+    (SURVEY.md §7.4.1: P is part of the lineage). ``clear_mismatched`` is
+    for the stream drivers: if an existing lineage was written with a
+    DIFFERENT P it is invalid for the new run and is cleared — that path is
+    only reachable with resume=False (resume raises first), so the caller
+    already opted into a from-scratch rerun. ``rescale_checkpoint`` instead
+    updates the meta in place after migrating the partition state."""
+    ck = Path(root) / "ckpt"
+    meta = read_lineage_meta(root)
+    if (
+        meta is not None
+        and meta.get("partitions") != partitions
+        and clear_mismatched
+    ):
+        shutil.rmtree(ck)
+    ck.mkdir(parents=True, exist_ok=True)
+    write_lineage_meta_raw(root, {"partitions": partitions})
+
+
+def write_lineage_meta_raw(root: str, meta: dict) -> None:
+    ck = Path(root) / "ckpt"
+    ck.mkdir(parents=True, exist_ok=True)
+    tmp = ck / "meta.json.tmp"
+    tmp.write_text(json.dumps(meta))
+    os.replace(tmp, ck / "meta.json")
+
+
+def read_lineage_meta(root: str) -> dict | None:
+    """The lineage meta dict ({"partitions": P, optional "migrating_to": Q})
+    or None for a pre-meta / fresh lineage."""
+    f = Path(root) / "ckpt" / "meta.json"
+    if not f.exists():
+        return None
+    return json.loads(f.read_text())
+
+
 def resume_epoch(root: str, partitions: int) -> int | None:
-    """Newest epoch committed by ALL partitions (the consistent cut)."""
+    """Newest epoch committed by ALL partitions (the consistent cut).
+
+    Raises if the lineage records a different partition count: resuming
+    with fewer partitions would silently drop the extra partitions' keyed
+    state (counters, buffers, open windows/sessions); resuming with more
+    would re-run with partial state. Rescaling is an explicit operation
+    (``rescale.rescale_checkpoint``). Also raises while a rescale is
+    in flight (``migrating_to`` marker): the lineage is mixed-routing until
+    the rescale completes, and re-running the rescale is the only safe move.
+    """
+    meta = read_lineage_meta(root)
+    if meta is not None and meta.get("migrating_to") is not None:
+        raise ValueError(
+            f"checkpoint lineage at {root} has an interrupted rescale "
+            f"({meta['partitions']} -> {meta['migrating_to']} partitions); "
+            "re-run rescale.rescale_checkpoint(...) to complete it (the "
+            "migration is idempotent), or pass resume=False to restart."
+        )
+    recorded = None if meta is None else meta.get("partitions")
+    if recorded is not None and recorded != partitions:
+        raise ValueError(
+            f"checkpoint lineage at {root} was written with {recorded} "
+            f"partitions but this run uses {partitions}; resuming would "
+            "silently lose keyed state. Migrate with "
+            "rescale.rescale_checkpoint(...), rerun with the recorded "
+            "partition count, or pass resume=False to restart from scratch."
+        )
     per = [committed_epoch(root, p) for p in range(partitions)]
     if any(e is None for e in per):
         return None

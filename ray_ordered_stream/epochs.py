@@ -29,7 +29,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import ray
 
-from .checkpoint import resume_epoch
+from .checkpoint import resume_epoch, write_lineage_meta
 from .ordered import OrderedProcessor
 from .sink import ManifestSink
 from .state import OrderedConfig
@@ -123,6 +123,7 @@ def run_stream(
         if e_star is not None:
             ray.get([w.restore_from.remote(out_root, e_star) for w in proc.workers])
             start = e_star + 1
+    write_lineage_meta(out_root, P, clear_mismatched=True)
 
     # Pipelined execution, NO per-epoch barrier: each partition's actor call
     # queue serializes drain(k) -> checkpoint(k) -> drain(k+1); the driver
@@ -299,6 +300,7 @@ def run_stream_continuous(
         if e_star is not None:
             ray.get([w.restore_from.remote(out_root, e_star) for w in proc.workers])
             start = e_star + 1
+    write_lineage_meta(out_root, P, clear_mismatched=True)
 
     from .metrics import StatsTracker
 

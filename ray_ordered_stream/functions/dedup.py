@@ -46,6 +46,14 @@ def _min_count_by_hash(tbl: pa.Table, id_col: str, counts_col: str | None) -> pa
     counts 1."""
     import pyarrow.compute as pc
 
+    if tbl.num_rows == 0:
+        return pa.table(
+            {
+                "content_hash": pa.array([], pa.string()),
+                "keep_id": pa.array([], pa.int64()),
+                "n_docs": pa.array([], pa.int64()),
+            }
+        )
     col = tbl["content_hash"]
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()

@@ -191,13 +191,18 @@ def _stream_landing(sf_dir: str, tag: str):
 
     from .transcripts import derive_transcripts
 
-    d = tempfile.mkdtemp(prefix=f"ros_q_{tag}_")
-    t = derive_transcripts(_read(sf_dir, "events"))
+    from .transcripts import ARRIVAL, with_shuffled_arrival
 
+    d = tempfile.mkdtemp(prefix=f"ros_q_{tag}_")
+    t = with_shuffled_arrival(derive_transcripts(_read(sf_dir, "events")))
+
+    # sort WITHIN each block by the shared deterministic arrival hash (one
+    # formula, owned by transcripts.with_shuffled_arrival), then drop it
     def shuf(tb: pa.Table) -> pa.Table:
-        ev = tb["event_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        arr = (ev * np.uint64(2654435761)) % np.uint64(1 << 32)
-        return tb.take(pa.array(np.argsort(arr, kind="stable")))
+        order = np.argsort(
+            tb[ARRIVAL].to_numpy(zero_copy_only=False), kind="stable"
+        )
+        return tb.drop_columns([ARRIVAL]).take(pa.array(order))
 
     ds = t.map_batches(shuf, batch_format="pyarrow")
     files = []

@@ -4,7 +4,9 @@ P_new partitions at a consistent cut.
 Real streaming engines must rescale keyed state without replaying the
 stream (Flink's savepoint rescaling is the canonical example); without this
 a changed partition count invalidates the checkpoint lineage by design
-(resume_epoch finds no consistent cut and the stream re-runs from scratch).
+(the lineage records its partition count in ``ckpt/meta.json``;
+``resume_epoch`` raises on a mismatch rather than silently resuming from a
+partial cut, and ``resume=False`` restarts from scratch).
 
 ``rescale_checkpoint`` reads every old partition's merged state at the cut
 epoch, re-routes every keyed piece with the SAME deterministic hash the
@@ -15,8 +17,10 @@ partition at the same epoch:
 - ordered counters (per-key tuples) and the out-of-order buffer (split by
   the key column);
 - window accumulator (acc entries by key; names rebuilt sorted; watermark =
-  max over contributing partitions — at a consistent cut every partition
-  has processed the same epochs, so the frontier is comparable);
+  MIN over contributing partitions — a key inheriting a FARTHER frontier
+  than its old partition's would release its windows/sessions early and
+  split them vs an uninterrupted run; min only delays release, which is
+  content-invariant under bounded lateness);
 - session accumulator (open intervals + per-key session_id counters);
 - stream-join pending lefts, CEP carry tails, order-book levels/last.
 
@@ -32,6 +36,8 @@ continuation.
 
 from __future__ import annotations
 
+import json
+import os
 import shutil
 from pathlib import Path
 
@@ -39,7 +45,9 @@ import numpy as np
 import pyarrow as pa
 
 from .checkpoint import (
+    read_lineage_meta,
     read_merged_checkpoint,
+    write_lineage_meta_raw,
     write_partition_checkpoint,
 )
 from .partitioning import key_partition_codes, split_table
@@ -51,32 +59,106 @@ def _route(keys: list[str], new_P: int) -> np.ndarray:
     return key_partition_codes(pa.array(keys, pa.string()), new_P)
 
 
+def _derive_old_P(root: str) -> int | None:
+    """The lineage's actual partition count: the recorded meta if present,
+    else the number of ``p=*`` directories (pre-meta lineages)."""
+    meta = read_lineage_meta(root)
+    if meta is not None and meta.get("partitions") is not None:
+        return meta["partitions"]
+    dirs = sorted((Path(root) / "ckpt").glob("p=*"))
+    return len(dirs) or None
+
+
 def rescale_checkpoint(
     root: str, epoch: int, old_P: int, new_P: int, key: str = "conv_id"
 ) -> None:
     """Rewrite the checkpoint lineage at ``epoch`` from ``old_P`` to
     ``new_P`` partitions. ``key`` is the ordering-key column of the buffered
     rows. Raises if any old partition lacks a committed checkpoint at the
-    cut (no consistent state to migrate)."""
-    snaps = []
-    for p in range(old_P):
-        s = read_merged_checkpoint(root, p, epoch)
-        if s is None:
-            raise ValueError(
-                f"partition {p} has no committed checkpoint at epoch {epoch}; "
-                "rescale needs a consistent cut"
-            )
-        snaps.append(s)
+    cut (no consistent state to migrate), or if ``old_P`` does not match the
+    lineage's actual partition count (an understated old_P would leave
+    un-migrated partitions behind as silent mixed-lineage corruption)."""
+    actual = _derive_old_P(root)
+    if actual is not None and actual != old_P:
+        raise ValueError(
+            f"old_P={old_P} but the checkpoint lineage at {root} was written "
+            f"with {actual} partitions; rescaling a subset would corrupt the "
+            "lineage"
+        )
+    meta = read_lineage_meta(root)
+    resuming_migration = (
+        meta is not None and meta.get("migrating_to") is not None
+    )
+    if resuming_migration and meta["migrating_to"] != new_P:
+        raise ValueError(
+            f"an interrupted rescale targets {meta['migrating_to']} "
+            f"partitions; finish it (same new_P) before rescaling to {new_P}"
+        )
 
+    # Two-phase crash-safe protocol. Phase boundaries on disk:
+    #   meta "migrating_to"  — set before anything is modified; resume_epoch
+    #                          raises while present
+    #   _rescale/stage.json  — written after ALL migrated checkpoints are
+    #                          staged (old lineage still untouched)
+    #   swap                 — replace cut-epoch dirs from the stage, drop
+    #                          stale lineage; every step derivable from the
+    #                          stage alone, so re-running the swap after a
+    #                          crash is idempotent
+    # A crash before stage.json re-runs the (pure) rebuild; a crash after it
+    # re-runs only the swap; old state is never modified before the stage is
+    # complete, so no key is ever without a durable home.
+    ck = Path(root) / "ckpt"
+    stage_root = ck / "_rescale"
+    stage_marker = stage_root / "stage.json"
+    stage_ready = False
+    if resuming_migration and stage_marker.exists():
+        sm = json.loads(stage_marker.read_text())
+        stage_ready = sm.get("epoch") == epoch and sm.get("new_P") == new_P
+
+    if not stage_ready:
+        snaps = []
+        for p in range(old_P):
+            s = read_merged_checkpoint(root, p, epoch)
+            if s is None:
+                raise ValueError(
+                    f"partition {p} has no committed checkpoint at epoch "
+                    f"{epoch}; rescale needs a consistent cut"
+                )
+            snaps.append(s)
+        new = _migrate_snapshots(snaps, new_P, key)
+        write_lineage_meta_raw(
+            root, {"partitions": old_P, "migrating_to": new_P}
+        )
+        if stage_root.exists():  # stale stage from an older aborted attempt
+            shutil.rmtree(stage_root)
+        for q in range(new_P):
+            write_partition_checkpoint(str(stage_root), q, epoch, new[q],
+                                       full=True)
+        tmp = stage_root / "stage.json.tmp"
+        tmp.write_text(json.dumps({"epoch": epoch, "new_P": new_P}))
+        os.replace(tmp, stage_marker)
+
+    _swap_stage(ck, stage_root, epoch, new_P)
+    write_lineage_meta_raw(root, {"partitions": new_P})
+    shutil.rmtree(stage_root, ignore_errors=True)
+
+
+def _migrate_snapshots(snaps: list[dict], new_P: int, key: str) -> list[dict]:
+    """Pure re-route of ``old_P`` merged snapshots into ``new_P`` migrated
+    snapshots (no disk I/O — re-runnable after any crash)."""
     new: list[dict] = [
         {
             "counters": {},
             "buffer": None,
             "call_count": max(s.get("call_count", 0) for s in snaps),
+            # NB: 0 is a legitimate value (status_ts epoch ladder starts at
+            # 1970-01-01) and must not collapse to None, or the interval-
+            # suppression phase is lost on resume.
             "last_status_us": max(
-                (s.get("last_status_us") or 0 for s in snaps), default=0
-            )
-            or None,
+                (s["last_status_us"] for s in snaps
+                 if s.get("last_status_us") is not None),
+                default=None,
+            ),
         }
         for _ in range(new_P)
     ]
@@ -97,9 +179,13 @@ def rescale_checkpoint(
         for q, part in enumerate(split_table(tbl, key, new_P)):
             new[q]["buffer"] = part if part.num_rows else None
 
-    # windows accumulator
+    # windows accumulator. Watermark merges with MIN: the frontier is
+    # per-partition event time, so a key moved next to faster keys must not
+    # inherit their farther frontier (early release splits its windows /
+    # sessions vs an uninterrupted run); min only delays release, which is
+    # content-invariant under bounded lateness.
     if any("windows" in s for s in snaps):
-        wm = max(
+        wm = min(
             (s["windows"]["watermark"] for s in snaps
              if "windows" in s and s["windows"]["watermark"] is not None),
             default=None,
@@ -125,9 +211,9 @@ def rescale_checkpoint(
                 "names": sorted(names[q]),
             }
 
-    # session accumulator
+    # session accumulator (watermark min-merge: same reasoning as windows)
     if any("sessions" in s for s in snaps):
-        wm = max(
+        wm = min(
             (s["sessions"]["watermark"] for s in snaps
              if "sessions" in s and s["sessions"]["watermark"] is not None),
             default=None,
@@ -213,9 +299,14 @@ def rescale_checkpoint(
         for q in range(new_P):
             new[q]["book"] = {"books": books[q], "last": lasts[q]}
 
-    # drop stale lineage FIRST (epochs after the cut, partitions >= new_P),
-    # then write the rescaled FULL checkpoints at the cut epoch
-    ck = Path(root) / "ckpt"
+    return new
+
+
+def _swap_stage(ck: Path, stage_root: Path, epoch: int, new_P: int) -> None:
+    """Install the staged migrated checkpoints over the live lineage. Every
+    step is derivable from the stage alone and idempotent: stale lineage
+    deletion re-runs harmlessly, and a staged dir already moved by a
+    previous (crashed) swap is skipped (its dest carries the _COMMIT)."""
     for pdir in sorted(ck.glob("p=*")):
         pnum = int(pdir.name.split("=")[1])
         if pnum >= new_P:
@@ -225,4 +316,11 @@ def rescale_checkpoint(
             if int(edir.name.split("-")[1]) > epoch:
                 shutil.rmtree(edir)
     for q in range(new_P):
-        write_partition_checkpoint(root, q, epoch, new[q], full=True)
+        src = stage_root / "ckpt" / f"p={q:05d}" / f"epoch-{epoch:05d}"
+        dst = ck / f"p={q:05d}" / f"epoch-{epoch:05d}"
+        if not src.exists():
+            continue  # moved by a previous (crashed) swap
+        if dst.exists():
+            shutil.rmtree(dst)  # replace old cut-epoch state wholesale
+        dst.parent.mkdir(parents=True, exist_ok=True)
+        os.replace(src, dst)

@@ -84,7 +84,7 @@ def test_rescale_checkpoint_resume_content_equality(tmp_path, ray_session):
                  "windows"):
         a = _content(res_full, sink, agg_windows=True)
         b = _content(res, sink, agg_windows=True)
-        pd.testing.assert_frame_equal(a, b), sink
+        pd.testing.assert_frame_equal(a, b, obj=sink)
 
     # completion accounting identical
     assert res.summary["results"] == res_full.summary["results"]
@@ -122,3 +122,64 @@ def test_rescale_shrink(tmp_path, ray_session):
     a = _content(res_full, "ordered")
     b = _content(res, "ordered")
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_rescale_crash_between_stage_and_swap(tmp_path, ray_session,
+                                              monkeypatch):
+    """Crash-safety of the two-phase protocol: kill the rescale after the
+    stage is complete but before the swap touches the live lineage. Resume
+    must refuse (migration in flight); re-running the SAME rescale completes
+    from the stage; sink content equals an uninterrupted run."""
+    import ray_ordered_stream.rescale as rescale_mod
+
+    t = _book_stream(seed=5)
+    files = _files(t, tmp_path / "landing", 8)
+    cfg = OrderedConfig(**CFG)
+    res_full = run_stream(files, str(tmp_path / "full"), cfg,
+                          num_partitions=3, files_per_epoch=2)
+
+    out = str(tmp_path / "out")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_stream(files, out, cfg, num_partitions=3, files_per_epoch=2,
+                   fail_after_epoch=1)
+
+    def boom(*a, **k):
+        raise RuntimeError("crash before swap")
+
+    monkeypatch.setattr(rescale_mod, "_swap_stage", boom)
+    with pytest.raises(RuntimeError, match="crash before swap"):
+        rescale_checkpoint(out, epoch=1, old_P=3, new_P=4, key=KEY)
+    monkeypatch.undo()
+
+    # migration in flight: resume at EITHER P refuses rather than reading a
+    # mixed lineage
+    with pytest.raises(ValueError, match="interrupted rescale"):
+        run_stream(files, out, cfg, num_partitions=4, files_per_epoch=2)
+    with pytest.raises(ValueError, match="interrupted rescale"):
+        run_stream(files, out, cfg, num_partitions=3, files_per_epoch=2)
+    # a different target P is also refused mid-migration
+    with pytest.raises(ValueError, match="finish it"):
+        rescale_checkpoint(out, epoch=1, old_P=3, new_P=5, key=KEY)
+
+    # re-running the same rescale completes from the stage (idempotent swap)
+    rescale_checkpoint(out, epoch=1, old_P=3, new_P=4, key=KEY)
+    res = run_stream(files, out, cfg, num_partitions=4, files_per_epoch=2)
+    assert res.epochs_skipped == 2
+    for sink in ("ordered", "status", "joined", "sessions", "matches",
+                 "depth", "windows"):
+        pd.testing.assert_frame_equal(
+            _content(res_full, sink, agg_windows=True),
+            _content(res, sink, agg_windows=True), obj=sink)
+    assert res.summary["results"] == res_full.summary["results"]
+
+
+def test_rescale_rejects_wrong_old_P(tmp_path, ray_session):
+    """An understated old_P would leave un-migrated partitions behind as
+    silent mixed-lineage corruption; the lineage meta makes it an error."""
+    t = _book_stream(seed=11)
+    files = _files(t, tmp_path / "landing", 4)
+    out = str(tmp_path / "out")
+    run_stream(files, out, OrderedConfig(warmup_rows=0), num_partitions=4,
+               files_per_epoch=2)
+    with pytest.raises(ValueError, match="4 partitions"):
+        rescale_checkpoint(out, epoch=1, old_P=3, new_P=4, key=KEY)

@@ -147,12 +147,18 @@ def test_resume_noop_when_complete(stream_files, tmp_path):
 
 def test_partition_count_must_match_checkpoint(stream_files, tmp_path):
     # SURVEY.md §7.4.1: P is recorded in the checkpoint lineage; resuming
-    # with a different P must NOT silently resume from a partial cut.
+    # with a different P must NOT silently resume from a partial cut — it
+    # raises (both grow AND shrink, where the extra partitions' keyed state
+    # would otherwise be silently dropped). resume=False restarts clean.
     t, files = stream_files
     out = str(tmp_path / "pmix")
     run_stream(files[:4], out, OrderedConfig(), num_partitions=3, files_per_epoch=2)
-    res = run_stream(files, out, OrderedConfig(), num_partitions=4, files_per_epoch=2)
-    # with a different P there is no consistent cut for partition 3 -> full rerun
+    with pytest.raises(ValueError, match="3 partitions"):
+        run_stream(files, out, OrderedConfig(), num_partitions=4, files_per_epoch=2)
+    with pytest.raises(ValueError, match="3 partitions"):
+        run_stream(files, out, OrderedConfig(), num_partitions=2, files_per_epoch=2)
+    res = run_stream(files, out, OrderedConfig(), num_partitions=4,
+                     files_per_epoch=2, resume=False)
     assert res.epochs_skipped == 0
     exp = oracle_ordered(t)
     got = (
@@ -163,6 +169,10 @@ def test_partition_count_must_match_checkpoint(stream_files, tmp_path):
     pd.testing.assert_frame_equal(
         got[[KEY, SEQ, "text", "emit_seq"]], exp[[KEY, SEQ, "text", "emit_seq"]]
     )
+    # the restart rewrote the lineage meta: same-P resume is a clean no-op
+    res2 = run_stream(files, out, OrderedConfig(), num_partitions=4,
+                      files_per_epoch=2)
+    assert res2.epochs_run == 0
 
 
 def test_checkpoint_overwrite_clears_stale_buffer(tmp_path):
