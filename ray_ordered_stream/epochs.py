@@ -108,6 +108,8 @@ def run_stream(
         sinks["matches"] = ManifestSink(out_root, "matches")
     if cfg.with_book:
         sinks["depth"] = ManifestSink(out_root, "depth")
+    if cfg.late_data == "drop" and (cfg.window_size_s > 0 or cfg.session_gap_s > 0):
+        sinks["late"] = ManifestSink(out_root, "late")
 
     groups = [
         files[i : i + files_per_epoch] for i in range(0, len(files), files_per_epoch)
@@ -288,6 +290,8 @@ def run_stream_continuous(
         sinks["matches"] = ManifestSink(out_root, "matches")
     if cfg.with_book:
         sinks["depth"] = ManifestSink(out_root, "depth")
+    if cfg.late_data == "drop" and (cfg.window_size_s > 0 or cfg.session_gap_s > 0):
+        sinks["late"] = ManifestSink(out_root, "late")
 
     proc = OrderedProcessor(cfg, num_partitions)
     P = proc.P

@@ -105,6 +105,7 @@ class OrderedWorker:
         self._join_out: list[pa.Table] = []
         self._match_out: list[pa.Table] = []
         self._dlq: list[pa.Table] = []
+        self._late: list[pa.Table] = []
         # event-time frontier observed by THIS actor since (re)start
         # (observability only — not checkpointed; see completion_summary)
         self._max_ts_us: int | None = None
@@ -117,13 +118,14 @@ class OrderedWorker:
 
             self.windows = WindowAccumulator(
                 cfg.window_size_s, cfg.key, "ts", cfg.window_lateness_s,
-                step_s=cfg.window_step_s or None,
+                step_s=cfg.window_step_s or None, late_data=cfg.late_data,
             )
         if cfg.session_gap_s > 0:
             from .stream_ops import SessionAccumulator
 
             self.sessions = SessionAccumulator(
-                cfg.session_gap_s, cfg.key, "ts", cfg.session_lateness_s
+                cfg.session_gap_s, cfg.key, "ts", cfg.session_lateness_s,
+                late_data=cfg.late_data,
             )
         if cfg.stream_join:
             from .stream_ops import StreamJoiner
@@ -220,9 +222,13 @@ class OrderedWorker:
             # re-encodes over carry+batch anyway, so it is not a consumer
             codes_kv = _dict_codes(emitted[cfg.key])
         if self.windows is not None:
-            self.windows.update(emitted, codes_kv)
+            lt = self.windows.update(emitted, codes_kv)
+            if lt is not None and lt.num_rows:
+                self._late.append(lt)
         if self.sessions is not None:
-            self.sessions.update(emitted, codes_kv)
+            lt = self.sessions.update(emitted, codes_kv)
+            if lt is not None and lt.num_rows:
+                self._late.append(lt)
         if self.joiner is not None:
             j = self.joiner.update(emitted, codes_kv)
             if j.num_rows:
@@ -283,6 +289,11 @@ class OrderedWorker:
         if "dlq" in sink_paths:
             d = self.take_dlq()
             out["dlq"] = write_part_atomic(d, sink_paths["dlq"]) if d is not None else 0
+        if "late" in sink_paths:
+            lt = self.take_late_output()
+            out["late"] = (
+                write_part_atomic(lt, sink_paths["late"]) if lt is not None else 0
+            )
         if ckpt is not None:
             self.checkpoint_to(*ckpt)
         return out
@@ -366,6 +377,15 @@ class OrderedWorker:
         """Quarantined rows since the last take (DLQ side output)."""
         out = self._dlq
         self._dlq = []
+        if not out:
+            return None
+        return pa.concat_tables(out) if len(out) > 1 else out[0]
+
+    def take_late_output(self):
+        """Late rows dropped by the window/session accumulators since the
+        last take (late_data="drop" side output)."""
+        out = self._late
+        self._late = []
         if not out:
             return None
         return pa.concat_tables(out) if len(out) > 1 else out[0]

@@ -76,6 +76,13 @@ class OrderedConfig:
     # 'sessions' side output; independent of the fixed-window operator
     session_gap_s: float = 0.0
     session_lateness_s: float = 0.0
+    # late-data policy for the streaming window/session accumulators:
+    # "merge" (default) re-opens an already-released window and re-fires a
+    # partial row (downstream aggregates); "drop" routes expired
+    # contributions to a 'late' side-output sink instead, so each
+    # (key, window) fires at most once — Flink's allowedLateness +
+    # sideOutputLateData semantics
+    late_data: str = "merge"
     stream_join: bool = False     # enables the sequence-driven as-of join
     join_within_s: float = 0.0    # > 0 bounds joined pairs by event time
     # non-empty enables streaming CEP: emit a match whenever these roles

@@ -38,6 +38,27 @@ from .schema import KEY, SEQ
 _US = 1_000_000
 
 
+def _late_table(emitted: pa.Table, key: str, ts: str, operator: str,
+                rows_idx: np.ndarray, dropped: np.ndarray) -> pa.Table:
+    """Side-output rows for late data: the offending input rows with which
+    operator dropped them and how many window assignments expired."""
+    key_col = emitted[key]
+    if isinstance(key_col, pa.ChunkedArray):
+        key_col = key_col.combine_chunks()
+    ts_col = emitted[ts].cast(pa.timestamp("us"))
+    if isinstance(ts_col, pa.ChunkedArray):
+        ts_col = ts_col.combine_chunks()
+    idx = pa.array(rows_idx)
+    return pa.table(
+        {
+            key: key_col.take(idx),
+            "ts": ts_col.take(idx),
+            "operator": pa.array([operator] * len(rows_idx), pa.string()),
+            "dropped_windows": pa.array(dropped, pa.int64()),
+        }
+    )
+
+
 def _dict_codes(col) -> tuple[np.ndarray, list]:
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
@@ -66,14 +87,24 @@ class WindowAccumulator:
     touches only newly-seen KEYS (string interning)."""
 
     def __init__(self, size_s: float, key: str = KEY, ts: str = "ts",
-                 allowed_lateness_s: float = 0.0, step_s: float | None = None):
+                 allowed_lateness_s: float = 0.0, step_s: float | None = None,
+                 late_data: str = "merge"):
         self.size = int(size_s * _US)
         self.step = int(step_s * _US) if step_s else self.size
         if not (0 < self.step <= self.size):
             raise ValueError("window step must be in (0, size]")
+        if late_data not in ("merge", "drop"):
+            raise ValueError("late_data must be 'merge' or 'drop'")
         self.key = key
         self.ts = ts
         self.lateness = int(allowed_lateness_s * _US)
+        # "merge": a contribution to an already-released window re-opens it
+        #   and re-fires a partial row (downstream must aggregate; today's
+        #   default). "drop": expired (row, window) contributions are routed
+        #   to a late side output instead — Flink's allowedLateness +
+        #   sideOutputLateData semantics; each (key, window) fires at most
+        #   once.
+        self.late_data = late_data
         self.watermark: int | None = None
         self._intern: dict[str, int] = {}   # key -> global code
         self._names: list[str] = []         # global code -> key
@@ -82,9 +113,11 @@ class WindowAccumulator:
         self._kc, self._ws = z, z.copy()
         self._cnt, self._nu, self._na = z.copy(), z.copy(), z.copy()
 
-    def update(self, emitted: pa.Table, codes_kv=None) -> None:
+    def update(self, emitted: pa.Table, codes_kv=None) -> pa.Table | None:
+        """Merge a batch of in-sequence emitted rows; with
+        ``late_data="drop"`` returns the late side-output rows (or None)."""
         if emitted.num_rows == 0 or self.ts not in emitted.column_names:
-            return
+            return None
         tsi = emitted[self.ts].cast(pa.int64()).to_numpy(zero_copy_only=False)
         # callers co-located with the drain can pass the key encode through
         codes, key_values = codes_kv or _dict_codes(emitted[self.key])
@@ -108,6 +141,7 @@ class WindowAccumulator:
 
         if self.step == self.size:  # tumbling: one window per row
             ws = (tsi // self.size) * self.size
+            rep = None  # (row, window) pairs are exactly the rows
         else:
             # sliding: explode each row into its covering hops (same
             # construction as windows.sliding_counts, kept vectorized)
@@ -120,6 +154,30 @@ class WindowAccumulator:
             ws = wm.ravel()[flat]
             rep = np.repeat(np.arange(len(gc)), n_w)[flat]
             gc, is_user, is_asst = gc[rep], is_user[rep], is_asst[rep]
+
+        # late-data drop: a (row, window) contribution whose window already
+        # released (take_closed's criterion, against the watermark BEFORE
+        # this batch) is diverted to the side output instead of re-opening
+        # the window (≙ Flink allowedLateness + sideOutputLateData)
+        late = None
+        if self.late_data == "drop" and self.watermark is not None:
+            lp = ws + self.size <= self.watermark - self.lateness
+            if lp.any():
+                dropped = (
+                    lp.astype(np.int64)
+                    if rep is None
+                    else np.bincount(rep[lp], minlength=len(tsi))
+                )
+                rl = np.flatnonzero(dropped)
+                late = _late_table(
+                    emitted, self.key, self.ts, "windows", rl, dropped[rl]
+                )
+                keep = ~lp
+                ws, gc = ws[keep], gc[keep]
+                is_user, is_asst = is_user[keep], is_asst[keep]
+                if not len(ws):
+                    self.watermark = max(self.watermark, int(tsi.max()))
+                    return late
 
         # per-(key, window) partial aggregates: lexsort + boundary + reduceat
         order = np.lexsort((ws, gc))
@@ -152,6 +210,7 @@ class WindowAccumulator:
             self._na = np.add.reduceat(nav, s2)
         mx = int(tsi.max())
         self.watermark = mx if self.watermark is None else max(self.watermark, mx)
+        return late
 
     def take_closed(self, final: bool = False) -> pa.Table:
         """Release windows whose end precedes the watermark (or everything on
@@ -262,11 +321,20 @@ class SessionAccumulator:
     disorder when batch/stream equality matters."""
 
     def __init__(self, gap_s: float, key: str = KEY, ts: str = "ts",
-                 allowed_lateness_s: float = 0.0):
+                 allowed_lateness_s: float = 0.0, late_data: str = "merge"):
         self.gap = int(gap_s * _US)
         self.key = key
         self.ts = ts
         self.lateness = int(allowed_lateness_s * _US)
+        if late_data not in ("merge", "drop"):
+            raise ValueError("late_data must be 'merge' or 'drop'")
+        # "drop": an event whose singleton session [ts, ts] would already be
+        # releasable (ts + gap behind the watermark horizon) goes to the
+        # late side output instead of opening a new out-of-order session —
+        # Flink's session-window lateness rule (the element's initial
+        # window is late => drop), which also removes the session_id
+        # release-order caveat below for late events.
+        self.late_data = late_data
         self.watermark: int | None = None
         self._intern: dict[str, int] = {}
         self._names: list[str] = []
@@ -276,9 +344,11 @@ class SessionAccumulator:
         self._cnt, self._nu, self._na = z.copy(), z.copy(), z.copy()
         self._next_sid = z.copy()   # per key code: next session_id to emit
 
-    def update(self, emitted: pa.Table, codes_kv=None) -> None:
+    def update(self, emitted: pa.Table, codes_kv=None) -> pa.Table | None:
+        """Merge a batch of in-sequence emitted rows; with
+        ``late_data="drop"`` returns the late side-output rows (or None)."""
         if emitted.num_rows == 0 or self.ts not in emitted.column_names:
-            return
+            return None
         tsi = emitted[self.ts].cast(pa.int64()).to_numpy(zero_copy_only=False)
         codes, key_values = codes_kv or _dict_codes(emitted[self.key])
         if "role" in emitted.column_names:
@@ -301,6 +371,26 @@ class SessionAccumulator:
             grown[: len(self._next_sid)] = self._next_sid
             self._next_sid = grown
         gc = glob[codes]
+
+        # late-data drop: an event whose singleton session [ts, ts] is
+        # already releasable (take_closed's criterion against the watermark
+        # BEFORE this batch) cannot belong to any still-open session, so it
+        # is diverted to the side output instead of opening a new
+        # out-of-order session
+        late = None
+        if self.late_data == "drop" and self.watermark is not None:
+            lp = tsi + self.gap < self.watermark - self.lateness
+            if lp.any():
+                rl = np.flatnonzero(lp)
+                late = _late_table(
+                    emitted, self.key, self.ts, "sessions", rl,
+                    np.ones(len(rl), dtype=np.int64),
+                )
+                keep = ~lp
+                tsi, gc = tsi[keep], gc[keep]
+                is_user, is_asst = is_user[keep], is_asst[keep]
+                if not len(tsi):
+                    return late
 
         # batch mini-sessions: lexsort by (ts within key) + gap boundaries
         order = np.lexsort((tsi, gc))
@@ -343,6 +433,7 @@ class SessionAccumulator:
         self._cnt, self._nu, self._na = cnt, nu, na
         mx = int(tsi.max())
         self.watermark = mx if self.watermark is None else max(self.watermark, mx)
+        return late
 
     def take_closed(self, final: bool = False) -> pa.Table:
         if self.watermark is None or not len(self._kc):

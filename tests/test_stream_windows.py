@@ -291,3 +291,145 @@ def test_session_merge_many_nested_singletons_converges():
     out = acc.take_closed(final=True).to_pandas()
     assert len(out) == 1
     assert out["turn_count"].iloc[0] == 204
+
+
+# ---------------------------------------------------------------------------
+# late-data policy (late_data="drop": Flink allowedLateness + sideOutputLateData)
+# ---------------------------------------------------------------------------
+
+
+def test_window_late_drop_routes_to_side_output():
+    """With late_data="drop" a contribution to an already-released tumbling
+    window goes to the side output; the window never re-fires."""
+    merge = WindowAccumulator(5.0)
+    drop = WindowAccumulator(5.0, late_data="drop")
+    head = _mk([("a", 0), ("a", 1), ("a", 10)])
+    late = _mk([("a", 2)])
+    for acc in (merge, drop):
+        assert acc.update(head) is None
+        released = acc.take_closed()
+        assert released.num_rows == 1  # window [0,5) closed by watermark 10
+
+    # merge: the late row re-opens [0,5) and re-fires a partial row
+    assert merge.update(late) is None
+    refire = merge.take_closed()
+    assert refire.num_rows == 1
+    assert refire["turn_count"].to_pylist() == [1]
+
+    # drop: the late row is diverted; [0,5) stays closed forever
+    side = drop.update(late)
+    assert side is not None and side.num_rows == 1
+    assert side["operator"].to_pylist() == ["windows"]
+    assert side["dropped_windows"].to_pylist() == [1]
+    assert side[KEY].to_pylist() == ["a"]
+    assert drop.take_closed().num_rows == 0
+    # only the still-open [10,15) window remains for the final flush
+    fin = drop.take_closed(final=True)
+    assert fin.num_rows == 1
+    assert fin["window_start"].to_pandas().iloc[0].timestamp() == 10.0
+
+
+def test_window_late_drop_sliding_partial_expiry():
+    """A sliding-window row whose older hops expired still contributes to
+    its surviving hops; the side output records the expired count."""
+    acc = WindowAccumulator(4.0, step_s=2.0, late_data="drop")
+    acc.update(_mk([("a", 5.0)]))  # watermark 5
+    # ts=3 covers hops [0,4) (end 4 <= 5: expired) and [2,6) (end 6 > 5: open)
+    side = acc.update(_mk([("a", 3.0)]))
+    assert side is not None and side.num_rows == 1
+    assert side["dropped_windows"].to_pylist() == [1]
+    fin = acc.take_closed(final=True).to_pandas()
+    w26 = fin[fin["window_start"].astype("datetime64[us]").astype("int64") == 2 * US]
+    # ts=5 also covers [2,6): count 2 proves the surviving hop kept ts=3
+    assert w26["turn_count"].tolist() == [2]
+
+
+def test_session_late_drop_routes_to_side_output():
+    """With late_data="drop" an event whose singleton session is already
+    releasable opens no out-of-order session."""
+    merge = SessionAccumulator(5.0)
+    drop = SessionAccumulator(5.0, late_data="drop")
+    head = _mk([("a", 0), ("a", 1), ("a", 100)])
+    late = _mk([("a", 3)])  # 3 + 5 < 100: its session could already release
+    for acc in (merge, drop):
+        assert acc.update(head) is None
+        assert acc.take_closed().num_rows == 1  # [0,1] released
+
+    assert merge.update(late) is None          # merge: new session [3,3]
+    assert merge.take_closed(final=True).num_rows == 2
+
+    side = drop.update(late)
+    assert side is not None and side.num_rows == 1
+    assert side["operator"].to_pylist() == ["sessions"]
+    assert side[KEY].to_pylist() == ["a"]
+    fin = drop.take_closed(final=True)
+    assert fin.num_rows == 1                   # only [100,100] remains
+    assert fin["session_id"].to_pylist() == [1]  # sid continuity intact
+
+
+def test_session_late_drop_not_late_within_lateness():
+    """allowed_lateness widens the drop horizon exactly like take_closed's
+    release criterion."""
+    acc = SessionAccumulator(5.0, allowed_lateness_s=50.0, late_data="drop")
+    acc.update(_mk([("a", 0), ("a", 100)]))
+    # 60 + 5 >= 100 - 50: NOT late (still inside the lateness bound)
+    assert acc.update(_mk([("a", 60)])) is None
+    # 3 + 5 < 100 - 50: late
+    side = acc.update(_mk([("a", 3)]))
+    assert side is not None and side.num_rows == 1
+
+
+def test_stream_late_sink_e2e(ray_session, tmp_path):
+    """run_stream with late_data="drop" commits dropped rows to a 'late'
+    sink with exactly-once manifests like any other side output."""
+    import pyarrow.parquet as pq
+
+    from ray_ordered_stream.epochs import run_stream
+
+    def turns(rows):
+        ks, seqs, tss = zip(*rows)
+        return pa.table(
+            {
+                KEY: pa.array(ks, pa.string()),
+                SEQ: pa.array(seqs, pa.int32()),
+                "role": pa.array(
+                    ["user" if s % 2 == 0 else "assistant" for s in seqs],
+                    pa.string(),
+                ),
+                "text": pa.array([f"{k}:{s}" for k, s in zip(ks, seqs)], pa.string()),
+                "ts": pa.array(
+                    (np.asarray(tss) * US).astype("int64"), pa.int64()
+                ).cast(pa.timestamp("us")),
+            }
+        )
+
+    d = tmp_path / "landing"
+    d.mkdir()
+    # epoch 0: key a turns 0-3 (ts 0..3) + key b turn 0 at ts 100 -> the
+    # partition watermark jumps to 100 and window [0,10) for a releases
+    f0 = d / "part-00000.parquet"
+    pq.write_table(
+        turns([("a", 0, 0), ("a", 1, 1), ("a", 2, 2), ("a", 3, 3), ("b", 0, 100)]),
+        f0,
+    )
+    # epoch 1: key a turns 4-5 with ts 4,5 -> late for window [0,10)
+    f1 = d / "part-00001.parquet"
+    pq.write_table(turns([("a", 4, 4), ("a", 5, 5)]), f1)
+
+    cfg = OrderedConfig(window_size_s=10.0, late_data="drop", warmup_rows=0)
+    res = run_stream(
+        [str(f0), str(f1)], str(tmp_path / "run"), cfg,
+        num_partitions=1, files_per_epoch=1,
+    )
+    assert res.total_emitted == 7
+    assert "late" in res.sinks
+    late = res.sinks["late"].read().to_pandas()
+    assert sorted(late[KEY]) == ["a", "a"]
+    assert late["operator"].tolist() == ["windows", "windows"]
+    win = res.sinks["windows"].read().to_pandas()
+    # [0,10) fired exactly once, with only the 4 pre-watermark rows
+    w0 = win[
+        (win[KEY] == "a")
+        & (win["window_start"].astype("datetime64[us]").astype("int64") == 0)
+    ]
+    assert w0["turn_count"].tolist() == [4]
