@@ -35,6 +35,7 @@ def build_config(args) -> "OrderedConfig":
         window_lateness_s=args.window_lateness,
         session_gap_s=args.session_gap,
         session_lateness_s=args.session_lateness,
+        late_data=args.late_data,
         stream_join=args.stream_join,
         join_within_s=args.join_within,
         pattern=tuple(args.pattern.split(",")) if args.pattern else (),
@@ -65,6 +66,9 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--window-lateness", type=float, default=0.0)
     ap.add_argument("--session-gap", type=float, default=0.0)
     ap.add_argument("--session-lateness", type=float, default=0.0)
+    ap.add_argument("--late-data", choices=("merge", "drop"), default="merge",
+                    help="window/session late-data policy: 'drop' diverts "
+                         "expired contributions to a 'late' side-output sink")
     ap.add_argument("--stream-join", action="store_true")
     ap.add_argument("--join-within", type=float, default=0.0)
     ap.add_argument("--pattern", default="",
