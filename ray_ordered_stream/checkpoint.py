@@ -193,7 +193,8 @@ def committed_epoch(root: str, partition: int) -> int | None:
 
 
 def write_lineage_meta(
-    root: str, partitions: int, clear_mismatched: bool = False
+    root: str, partitions: int, clear_mismatched: bool = False,
+    overrides: dict[str, int] | None = None,
 ) -> None:
     """Record the partition count the checkpoint lineage was written with
     (SURVEY.md §7.4.1: P is part of the lineage). ``clear_mismatched`` is
@@ -201,7 +202,11 @@ def write_lineage_meta(
     DIFFERENT P it is invalid for the new run and is cleared — that path is
     only reachable with resume=False (resume raises first), so the caller
     already opted into a from-scratch rerun. ``rescale_checkpoint`` instead
-    updates the meta in place after migrating the partition state."""
+    updates the meta in place after migrating the partition state.
+
+    ``overrides`` (hot-key partition pins from skew salting) are part of the
+    routing and therefore of the lineage: a resumed run MUST route with the
+    recorded overrides or keys would miss their checkpointed state."""
     ck = Path(root) / "ckpt"
     meta = read_lineage_meta(root)
     if (
@@ -211,7 +216,10 @@ def write_lineage_meta(
     ):
         shutil.rmtree(ck)
     ck.mkdir(parents=True, exist_ok=True)
-    write_lineage_meta_raw(root, {"partitions": partitions})
+    m: dict = {"partitions": partitions}
+    if overrides:
+        m["overrides"] = overrides
+    write_lineage_meta_raw(root, m)
 
 
 def write_lineage_meta_raw(root: str, meta: dict) -> None:

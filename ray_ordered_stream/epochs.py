@@ -58,6 +58,41 @@ def _resume_point(out_root: str, P: int, sinks: dict) -> int | None:
     return frontier if frontier >= 0 else None
 
 
+def _lineage_overrides(
+    out_root: str, P: int, salt_hot_keys: bool, sample_files: list[str],
+    key: str, resume: bool = True,
+) -> dict[str, int] | None:
+    """Hot-key partition pins for this run (the north rule's 'skew-salted
+    shuffles on hot conv_ids'). Pins are ROUTING, and routing is lineage: an
+    existing meta written with the same P is authoritative — its overrides
+    (or their absence) are what the checkpoints were routed with, so a
+    resumed run reuses them regardless of the flag. A fresh lineage (or a
+    resume=False restart) with ``salt_hot_keys`` samples the head of the
+    arrival stream — key column only, <=4 files and ~500k rows, so the
+    driver-side cost is bounded at any data scale — and pins the heaviest
+    keys round-robin (partitioning.compute_hot_key_overrides)."""
+    from .checkpoint import read_lineage_meta
+
+    if resume:
+        meta = read_lineage_meta(out_root)
+        if meta is not None and meta.get("partitions") == P:
+            return meta.get("overrides") or None
+    if not salt_hot_keys or not sample_files:
+        return None
+    from .partitioning import compute_hot_key_overrides
+
+    cap = 500_000
+    tbls, rows = [], 0
+    for f in sample_files[:4]:
+        t = pq.read_table(f, columns=[key])
+        tbls.append(t)
+        rows += t.num_rows
+        if rows >= cap:
+            break
+    sample = pa.concat_tables(tbls) if len(tbls) > 1 else tbls[0]
+    return compute_hot_key_overrides(sample.slice(0, cap), key, P) or None
+
+
 @dataclass
 class StreamResult:
     out_root: str
@@ -84,6 +119,7 @@ def run_stream(
     fail_after_epoch: int | None = None,
     checkpoint_full_every: int = 16,
     max_inflight: int = 3,
+    salt_hot_keys: bool = False,
 ) -> StreamResult:
     """Run the full streaming pipeline over an arrival-ordered file list.
 
@@ -115,7 +151,10 @@ def run_stream(
         files[i : i + files_per_epoch] for i in range(0, len(files), files_per_epoch)
     ]
 
-    proc = OrderedProcessor(cfg, num_partitions)
+    overrides = _lineage_overrides(
+        out_root, num_partitions, salt_hot_keys, files, cfg.key, resume
+    )
+    proc = OrderedProcessor(cfg, num_partitions, overrides)
     P = proc.P
     ray.get([w.set_partition_id.remote(p) for p, w in enumerate(proc.workers)])
 
@@ -125,7 +164,7 @@ def run_stream(
         if e_star is not None:
             ray.get([w.restore_from.remote(out_root, e_star) for w in proc.workers])
             start = e_star + 1
-    write_lineage_meta(out_root, P, clear_mismatched=True)
+    write_lineage_meta(out_root, P, clear_mismatched=True, overrides=overrides)
 
     # Pipelined execution, NO per-epoch barrier: each partition's actor call
     # queue serializes drain(k) -> checkpoint(k) -> drain(k+1); the driver
@@ -256,6 +295,7 @@ def run_stream_continuous(
     resume: bool = True,
     fail_after_epoch: int | None = None,
     checkpoint_full_every: int = 16,
+    salt_hot_keys: bool = False,
 ) -> StreamResult:
     """Unbounded micro-batch streaming over a LANDING DIRECTORY (≙ the
     reference's Pub/Sub subscription, OrderBookProcessingPipeline.java:103-105
@@ -293,18 +333,27 @@ def run_stream_continuous(
     if cfg.late_data == "drop" and (cfg.window_size_s > 0 or cfg.session_gap_s > 0):
         sinks["late"] = ManifestSink(out_root, "late")
 
-    proc = OrderedProcessor(cfg, num_partitions)
+    groups = _load_epoch_records(out_root)
+    # salting samples the head of the stream: recorded epochs first (their
+    # composition is durable), else whatever has already landed
+    sample_files = (
+        [f for g in groups[:2] for f in g]
+        or [str(f) for f in sorted(land.glob("*.parquet"))[:4]]
+    )
+    overrides = _lineage_overrides(
+        out_root, num_partitions, salt_hot_keys, sample_files, cfg.key, resume
+    )
+    proc = OrderedProcessor(cfg, num_partitions, overrides)
     P = proc.P
     ray.get([w.set_partition_id.remote(p) for p, w in enumerate(proc.workers)])
 
-    groups = _load_epoch_records(out_root)
     start = 0
     if resume and groups:
         e_star = _resume_point(out_root, P, sinks)
         if e_star is not None:
             ray.get([w.restore_from.remote(out_root, e_star) for w in proc.workers])
             start = e_star + 1
-    write_lineage_meta(out_root, P, clear_mismatched=True)
+    write_lineage_meta(out_root, P, clear_mismatched=True, overrides=overrides)
 
     from .metrics import StatsTracker
 

@@ -77,6 +77,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--with-book", action="store_true")
     ap.add_argument("--status-every-epochs", type=int, default=1)
     ap.add_argument("--status-interval", type=float, default=0.0)
+    ap.add_argument("--salt-hot-keys", action="store_true",
+                    help="sample the stream head and pin the heaviest keys "
+                         "round-robin across partitions (pins persist in the "
+                         "checkpoint lineage; resume reuses them)")
     ap.add_argument("--spread-actors", action="store_true")
     ap.add_argument("--warmup-rows", type=int, default=8192)
     ap.add_argument("--address", default="auto",
@@ -105,6 +109,7 @@ def main(argv: list[str] | None = None) -> int:
             idle_timeout_s=args.idle_timeout,
             resume=not args.no_resume,
             checkpoint_full_every=args.checkpoint_full_every,
+            salt_hot_keys=args.salt_hot_keys,
         )
     else:
         files = [str(f) for f in sorted(Path(args.input).glob("*.parquet"))]
@@ -118,6 +123,7 @@ def main(argv: list[str] | None = None) -> int:
             resume=not args.no_resume,
             checkpoint_full_every=args.checkpoint_full_every,
             max_inflight=args.max_inflight,
+            salt_hot_keys=args.salt_hot_keys,
         )
     print(
         json.dumps(

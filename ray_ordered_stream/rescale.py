@@ -53,10 +53,12 @@ from .checkpoint import (
 from .partitioning import key_partition_codes, split_table
 
 
-def _route(keys: list[str], new_P: int) -> np.ndarray:
+def _route(
+    keys: list[str], new_P: int, overrides: dict[str, int] | None = None
+) -> np.ndarray:
     if not keys:
         return np.zeros(0, dtype=np.int64)
-    return key_partition_codes(pa.array(keys, pa.string()), new_P)
+    return key_partition_codes(pa.array(keys, pa.string()), new_P, overrides)
 
 
 def _derive_old_P(root: str) -> int | None:
@@ -94,6 +96,17 @@ def rescale_checkpoint(
             f"an interrupted rescale targets {meta['migrating_to']} "
             f"partitions; finish it (same new_P) before rescaling to {new_P}"
         )
+    # hot-key pins (skew salting) are routing and routing is lineage: remap
+    # the recorded pins round-robin over new_P (order preserved = heaviest
+    # first), route the migrated state with the NEW pins, and record them in
+    # the new meta so the resumed run routes identically. Deterministic, so
+    # re-running after a crash rebuilds the same stage.
+    old_overrides = (meta or {}).get("overrides") or None
+    new_overrides = (
+        {k: i % new_P for i, k in enumerate(old_overrides)}
+        if old_overrides
+        else None
+    )
 
     # Two-phase crash-safe protocol. Phase boundaries on disk:
     #   meta "migrating_to"  — set before anything is modified; resume_epoch
@@ -125,10 +138,11 @@ def rescale_checkpoint(
                     f"{epoch}; rescale needs a consistent cut"
                 )
             snaps.append(s)
-        new = _migrate_snapshots(snaps, new_P, key)
-        write_lineage_meta_raw(
-            root, {"partitions": old_P, "migrating_to": new_P}
-        )
+        new = _migrate_snapshots(snaps, new_P, key, new_overrides)
+        mig_meta: dict = {"partitions": old_P, "migrating_to": new_P}
+        if old_overrides:
+            mig_meta["overrides"] = old_overrides
+        write_lineage_meta_raw(root, mig_meta)
         if stage_root.exists():  # stale stage from an older aborted attempt
             shutil.rmtree(stage_root)
         for q in range(new_P):
@@ -139,13 +153,22 @@ def rescale_checkpoint(
         os.replace(tmp, stage_marker)
 
     _swap_stage(ck, stage_root, epoch, new_P)
-    write_lineage_meta_raw(root, {"partitions": new_P})
+    final_meta: dict = {"partitions": new_P}
+    if new_overrides:
+        final_meta["overrides"] = new_overrides
+    write_lineage_meta_raw(root, final_meta)
     shutil.rmtree(stage_root, ignore_errors=True)
 
 
-def _migrate_snapshots(snaps: list[dict], new_P: int, key: str) -> list[dict]:
+def _migrate_snapshots(
+    snaps: list[dict], new_P: int, key: str,
+    overrides: dict[str, int] | None = None,
+) -> list[dict]:
     """Pure re-route of ``old_P`` merged snapshots into ``new_P`` migrated
-    snapshots (no disk I/O — re-runnable after any crash)."""
+    snapshots (no disk I/O — re-runnable after any crash). ``overrides`` are
+    the NEW lineage's hot-key pins; every routed piece must use them."""
+    def route(keys: list[str]) -> np.ndarray:
+        return _route(keys, new_P, overrides)
     new: list[dict] = [
         {
             "counters": {},
@@ -169,14 +192,14 @@ def _migrate_snapshots(snaps: list[dict], new_P: int, key: str) -> list[dict]:
         for k, v in s["counters"].items():
             all_keys.append(k)
             all_vals.append(v)
-    for k, v, q in zip(all_keys, all_vals, _route(all_keys, new_P)):
+    for k, v, q in zip(all_keys, all_vals, route(all_keys)):
         new[q]["counters"][k] = v
 
     # buffer rows
     bufs = [s["buffer"] for s in snaps if s["buffer"] is not None and s["buffer"].num_rows]
     if bufs:
         tbl = pa.concat_tables(bufs, promote_options="none") if len(bufs) > 1 else bufs[0]
-        for q, part in enumerate(split_table(tbl, key, new_P)):
+        for q, part in enumerate(split_table(tbl, key, new_P, overrides)):
             new[q]["buffer"] = part if part.num_rows else None
 
     # windows accumulator. Watermark merges with MIN: the frontier is
@@ -198,10 +221,10 @@ def _migrate_snapshots(snaps: list[dict], new_P: int, key: str) -> list[dict]:
             if "windows" in s
             for (k, ws), v in s["windows"]["acc"].items()
         ]
-        for (k, ws, v), q in zip(items, _route([i[0] for i in items], new_P)):
+        for (k, ws, v), q in zip(items, route([i[0] for i in items])):
             accs[q][(k, ws)] = v
         nm = [n for s in snaps if "windows" in s for n in s["windows"].get("names", [])]
-        for n, q in zip(nm, _route(nm, new_P)):
+        for n, q in zip(nm, route(nm)):
             names[q].add(n)
         for q in range(new_P):
             names[q].update(k for (k, _ws) in accs[q])
@@ -226,10 +249,10 @@ def _migrate_snapshots(snaps: list[dict], new_P: int, key: str) -> list[dict]:
             ss = s["sessions"]
             snames = ss["names"]
             rows = [(snames[int(o[0])], *o[1:]) for o in ss["open"]]
-            for r, q in zip(rows, _route([r[0] for r in rows], new_P)):
+            for r, q in zip(rows, route([r[0] for r in rows])):
                 opens[q].append(r)
             nz = [(n, sid) for n, sid in zip(snames, ss["next_sid"]) if sid]
-            for (n, sid), q in zip(nz, _route([n for n, _ in nz], new_P)):
+            for (n, sid), q in zip(nz, route([n for n, _ in nz])):
                 sids[q][n] = sid
         for q in range(new_P):
             nms = sorted({r[0] for r in opens[q]} | set(sids[q]))
@@ -251,7 +274,7 @@ def _migrate_snapshots(snaps: list[dict], new_P: int, key: str) -> list[dict]:
             (k, v) for s in snaps if "join" in s
             for k, v in s["join"]["pending"].items()
         ]
-        for (k, v), q in zip(items, _route([i[0] for i in items], new_P)):
+        for (k, v), q in zip(items, route([i[0] for i in items])):
             pend[q][k] = v
         for q in range(new_P):
             new[q]["join"] = {"pending": pend[q]}
@@ -267,7 +290,7 @@ def _migrate_snapshots(snaps: list[dict], new_P: int, key: str) -> list[dict]:
             cols = list(c.keys())  # (key, seq, role, ts) — key first
             rows.extend(zip(*[c[col] for col in cols]))
         carries: list[list] = [[] for _ in range(new_P)]
-        for r, q in zip(rows, _route([r[0] for r in rows], new_P)):
+        for r, q in zip(rows, route([r[0] for r in rows])):
             carries[q].append(r)
         for q in range(new_P):
             if carries[q] and cols:
@@ -288,13 +311,13 @@ def _migrate_snapshots(snaps: list[dict], new_P: int, key: str) -> list[dict]:
             (k, v) for s in snaps if "book" in s
             for k, v in s["book"]["books"].items()
         ]
-        for (k, v), q in zip(bitems, _route([i[0] for i in bitems], new_P)):
+        for (k, v), q in zip(bitems, route([i[0] for i in bitems])):
             books[q][k] = v
         litems = [
             (k, v) for s in snaps if "book" in s
             for k, v in s["book"]["last"].items()
         ]
-        for (k, v), q in zip(litems, _route([i[0] for i in litems], new_P)):
+        for (k, v), q in zip(litems, route([i[0] for i in litems])):
             lasts[q][k] = v
         for q in range(new_P):
             new[q]["book"] = {"books": books[q], "last": lasts[q]}
