@@ -206,13 +206,19 @@ def write_lineage_meta(
 
     ``overrides`` (hot-key partition pins from skew salting) are part of the
     routing and therefore of the lineage: a resumed run MUST route with the
-    recorded overrides or keys would miss their checkpointed state."""
+    recorded overrides or keys would miss their checkpointed state. For the
+    same reason ``clear_mismatched`` compares the pins too — a resume=False
+    rerun with a different salt setting must not leave stale checkpoints
+    routed under the old pins for a later crash-resume to silently adopt."""
     ck = Path(root) / "ckpt"
     meta = read_lineage_meta(root)
     if (
         meta is not None
-        and meta.get("partitions") != partitions
         and clear_mismatched
+        and (
+            meta.get("partitions") != partitions
+            or (meta.get("overrides") or None) != (overrides or None)
+        )
     ):
         shutil.rmtree(ck)
     ck.mkdir(parents=True, exist_ok=True)

@@ -84,11 +84,17 @@ def _lineage_overrides(
     cap = 500_000
     tbls, rows = [], 0
     for f in sample_files[:4]:
-        t = pq.read_table(f, columns=[key])
-        tbls.append(t)
-        rows += t.num_rows
+        # batch-wise read so a single huge arrival file cannot pull its
+        # whole key column onto the driver — stop at the cap mid-file
+        for b in pq.ParquetFile(f).iter_batches(columns=[key], batch_size=65536):
+            tbls.append(pa.Table.from_batches([b]))
+            rows += b.num_rows
+            if rows >= cap:
+                break
         if rows >= cap:
             break
+    if not tbls:
+        return None
     sample = pa.concat_tables(tbls) if len(tbls) > 1 else tbls[0]
     return compute_hot_key_overrides(sample.slice(0, cap), key, P) or None
 
@@ -340,6 +346,23 @@ def run_stream_continuous(
         [f for g in groups[:2] for f in g]
         or [str(f) for f in sorted(land.glob("*.parquet"))[:4]]
     )
+    if salt_hot_keys and not sample_files:
+        from .checkpoint import read_lineage_meta
+
+        if read_lineage_meta(out_root) is None:
+            # consumer started before any producer wrote: wait (bounded by
+            # the idle timeout) for the first files — salting against an
+            # empty dir would permanently record a pin-free lineage
+            t_wait = _time.monotonic()
+            while (
+                not sample_files
+                and not (land / stop_file).exists()
+                and _time.monotonic() - t_wait < idle_timeout_s
+            ):
+                _time.sleep(poll_interval_s)
+                sample_files = [
+                    str(f) for f in sorted(land.glob("*.parquet"))[:4]
+                ]
     overrides = _lineage_overrides(
         out_root, num_partitions, salt_hot_keys, sample_files, cfg.key, resume
     )

@@ -373,22 +373,24 @@ class OrderedWorker:
             return None
         return self.sessions.take_closed(final=final)
 
+    @staticmethod
+    def _take_buffered(buf: list[pa.Table]):
+        """Drain an accumulated side-output buffer in place: None when
+        empty, else the concatenated tables since the last take."""
+        if not buf:
+            return None
+        out = pa.concat_tables(buf) if len(buf) > 1 else buf[0]
+        buf.clear()
+        return out
+
     def take_dlq(self):
         """Quarantined rows since the last take (DLQ side output)."""
-        out = self._dlq
-        self._dlq = []
-        if not out:
-            return None
-        return pa.concat_tables(out) if len(out) > 1 else out[0]
+        return self._take_buffered(self._dlq)
 
     def take_late_output(self):
         """Late rows dropped by the window/session accumulators since the
         last take (late_data="drop" side output)."""
-        out = self._late
-        self._late = []
-        if not out:
-            return None
-        return pa.concat_tables(out) if len(out) > 1 else out[0]
+        return self._take_buffered(self._late)
 
     def take_join_output(self):
         """Join pairs produced since the last take (stream_ops)."""

@@ -176,7 +176,10 @@ def compute_hot_key_overrides(
     ``top_n`` defaults to 2 × partitions."""
     if top_n <= 0:
         top_n = 2 * num_partitions
-    vc = pc.value_counts(sample[key])
+    # null keys are quarantined to the DLQ, never routed by pin — and a
+    # None pin would silently round-trip to the string "null" through the
+    # JSON lineage meta, hijacking a real "null" key after resume
+    vc = pc.value_counts(pc.drop_null(sample[key]))
     values = vc.field("values").to_pylist()
     counts = np.asarray(vc.field("counts").to_pylist())
     order = np.argsort(-counts, kind="stable")[:top_n]

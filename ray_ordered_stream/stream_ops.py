@@ -372,14 +372,40 @@ class SessionAccumulator:
             self._next_sid = grown
         gc = glob[codes]
 
-        # late-data drop: an event whose singleton session [ts, ts] is
-        # already releasable (take_closed's criterion against the watermark
-        # BEFORE this batch) cannot belong to any still-open session, so it
-        # is diverted to the side output instead of opening a new
-        # out-of-order session
+        # late-data drop (Flink session-lateness rule): assign the event its
+        # singleton window [ts, ts+gap); if it MERGES with a still-open
+        # session of its key the merged window is live and the event is
+        # kept; only an event whose merged window is still the releasable
+        # singleton (take_closed's criterion against the watermark BEFORE
+        # this batch) is diverted to the side output. Candidates are checked
+        # against PRE-batch open sessions (deterministic batch semantics:
+        # a late event cannot bridge through other rows of the same batch).
         late = None
         if self.late_data == "drop" and self.watermark is not None:
             lp = tsi + self.gap < self.watermark - self.lateness
+            if lp.any() and len(self._kc):
+                # a candidate merges iff an open session of its key overlaps
+                # [ts-gap, ts+gap]; open sessions are gap-separated within a
+                # key, so only the last session with start <= ts+gap can
+                # (per-unique-key loop: late keys are the exceptional few)
+                cand = np.flatnonzero(lp)
+                cg, ct = gc[cand], tsi[cand]
+                merge_ok = np.zeros(len(cand), dtype=bool)
+                for g in np.unique(cg):
+                    lo = np.searchsorted(self._kc, g, side="left")
+                    hi = np.searchsorted(self._kc, g, side="right")
+                    if lo == hi:
+                        continue
+                    m = cg == g
+                    t = ct[m]
+                    j = lo + np.searchsorted(
+                        self._start[lo:hi], t + self.gap, side="right"
+                    ) - 1
+                    ok = j >= lo
+                    jj = np.where(ok, j, lo)
+                    ok &= self._end[jj] + self.gap >= t
+                    merge_ok[m] = ok
+                lp[cand[merge_ok]] = False
             if lp.any():
                 rl = np.flatnonzero(lp)
                 late = _late_table(

@@ -369,13 +369,19 @@ def test_session_late_drop_routes_to_side_output():
 
 def test_session_late_drop_not_late_within_lateness():
     """allowed_lateness widens the drop horizon exactly like take_closed's
-    release criterion."""
+    release criterion; a late event that still merges into an unfired open
+    session is kept (Flink session-lateness rule — that window has not
+    fired, so keeping it cannot double-fire)."""
     acc = SessionAccumulator(5.0, allowed_lateness_s=50.0, late_data="drop")
     acc.update(_mk([("a", 0), ("a", 100)]))
     # 60 + 5 >= 100 - 50: NOT late (still inside the lateness bound)
     assert acc.update(_mk([("a", 60)])) is None
-    # 3 + 5 < 100 - 50: late
-    side = acc.update(_mk([("a", 3)]))
+    # 3 + 5 < 100 - 50 BUT [3-gap, 3+gap] overlaps the session at 0, which
+    # has not fired yet -> merged and kept, not dropped
+    assert acc.update(_mk([("a", 3)])) is None
+    assert acc.take_closed().num_rows == 1  # [0,3] fires once, with the event
+    # now 4 + 5 < 50 and no open session overlaps [4-gap, 4+gap]: dropped
+    side = acc.update(_mk([("a", 4)]))
     assert side is not None and side.num_rows == 1
 
 
