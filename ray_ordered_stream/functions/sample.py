@@ -1,0 +1,106 @@
+"""Deterministic sampling operators for training-data curation.
+
+Two scale shapes:
+
+- ``hash_sample``: stateless Bernoulli-by-content-hash — each row keeps or
+  drops itself from ``md5(id)`` alone, so the operator is a pure
+  ``map_batches`` filter with NO shuffle, reproducible across runs,
+  machines, and partition counts (the property a 100-TB sample must have:
+  re-running the job, or running it at a different parallelism, selects the
+  same rows). SQL mirror: ``substr(md5(cast(id AS varchar)),1,8) < '<hex>'``.
+
+- ``stratified_sample``: exact-n per stratum, rows chosen by a
+  content-hash order (uniform within the stratum, deterministic): rank by
+  ``md5(text)`` ascending with an id tie-break and keep the first n. Reuses
+  ``grouped_topk``'s partial-prune + one-shuffle shape — at most n rows per
+  (stratum, input block) ever cross the exchange, so a 10^9-row stratum
+  ships n rows, not 10^9. SQL mirror:
+  ``QUALIFY row_number() OVER (PARTITION BY s ORDER BY md5(text), id) <= n``.
+
+(The reference repo has no sampling operator — its simulator *generates*
+skew instead; these are task-mandated training-pipeline extensions.)
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def hash_fraction_threshold(fraction: float) -> str:
+    """8-hex-digit threshold such that uniformly distributed md5 prefixes
+    fall under it with probability ``fraction`` (hex string order ==
+    numeric order for equal-length strings)."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0,1], got {fraction}")
+    return format(min(int(fraction * 16**8), 16**8 - 1), "08x")
+
+
+class _HashSampler:
+    """Keep rows whose md5(id) 8-hex prefix falls under the fraction
+    threshold. md5 is per-row by necessity (digest cost dominates the loop,
+    same trade as Fingerprinter) and is the one hash both we and the DuckDB
+    oracle can compute identically."""
+
+    def __init__(self, id_col: str, threshold: str):
+        self.id_col = id_col
+        self.threshold = threshold
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch[self.id_col].astype(str)
+        pref = ids.map(lambda s: hashlib.md5(s.encode()).hexdigest()[:8])
+        return batch[(pref < self.threshold).to_numpy()]
+
+
+def hash_sample(ds, fraction: float, id_col: str):
+    """Deterministic ~``fraction`` sample keyed on ``md5(id_col)``.
+
+    Stateless filter — streams, no shuffle, stable under re-runs and
+    re-partitioning."""
+    thr = hash_fraction_threshold(fraction)
+    return ds.map_batches(
+        _HashSampler,
+        fn_constructor_kwargs={"id_col": id_col, "threshold": thr},
+        batch_format="pandas",
+        concurrency=(1, 4),
+    )
+
+
+def stratified_sample(
+    ds,
+    stratum: str,
+    n: int,
+    text_col: str,
+    id_col: str,
+    num_partitions: int | None = None,
+):
+    """Exactly ``n`` rows per stratum (fewer when the stratum is smaller),
+    chosen deterministically by md5(text) order with an id tie-break.
+
+    The md5 is folded to its first 16 hex digits as uint64 — hex-string
+    order equals numeric order, so ranking by the fold matches the SQL
+    oracle's ``ORDER BY md5(text)`` whenever the 64-bit prefixes differ
+    (ties fall through to ``id_col``)."""
+    from .topk import grouped_topk
+
+    def add_rank_key(t: pa.Table) -> pa.Table:
+        texts = t[text_col].to_pandas()
+        fold = np.fromiter(
+            (
+                int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big")
+                for s in texts
+            ),
+            dtype=np.uint64,
+            count=len(texts),
+        )
+        return t.append_column("_rk", pa.array(fold, pa.uint64()))
+
+    keyed = ds.map_batches(add_rank_key, batch_format="pyarrow")
+    picked = grouped_topk(
+        keyed, stratum, "_rk", n, tiebreak=id_col, descending=False,
+        num_partitions=num_partitions,
+    )
+    return picked.drop_columns(["_rk"])

@@ -126,3 +126,99 @@ class Fingerprinter:
 
 def fingerprint(ds):
     return ds.map_batches(Fingerprinter, batch_format="pandas", concurrency=(1, 4))
+
+
+# Redaction patterns: RE2 syntax on BOTH sides (pyarrow's regex engine and
+# DuckDB's regexp_replace are RE2), so the SQL oracle mirrors byte-for-byte.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+"
+NUM_RE = r"\d\d+"  # runs of 2+ digits (RE2 has no {2,} need, but keep simple)
+
+
+class PiiScrubber:
+    """PII-style redaction: emails -> <EMAIL>, 2+-digit runs -> <NUM>,
+    with per-row redaction counts. Fully vectorized (Arrow RE2 kernels);
+    email replacement runs FIRST so address digits are not double-counted
+    as numbers."""
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        col = t[self.text_col]
+        n_email = pc.cast(pc.count_substring_regex(col, EMAIL_RE), pa.int64())
+        no_email = pc.replace_substring_regex(col, EMAIL_RE, "<EMAIL>")
+        n_num = pc.cast(pc.count_substring_regex(no_email, NUM_RE), pa.int64())
+        scrubbed = pc.replace_substring_regex(no_email, NUM_RE, "<NUM>")
+        return (
+            t.append_column("scrubbed", scrubbed)
+            .append_column("n_emails", n_email)
+            .append_column("n_numbers", n_num)
+        )
+
+
+def pii_scrub(ds, text_col: str = "text"):
+    return ds.map_batches(
+        PiiScrubber,
+        fn_constructor_kwargs={"text_col": text_col},
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+
+
+class _VocabPartial:
+    """Per-batch token frequency: one Arrow tokenization (same RE2 \\w+
+    semantics as TokenCounter / the SQL oracle), then a vectorized
+    value-count — the shuffle moves one row per (token, batch), never one
+    per token occurrence."""
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        arr = t["text"]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        low = pc.utf8_lower(arr)
+        words = pc.utf8_split_whitespace(
+            pc.replace_substring_regex(low, r"\W+", " ")
+        )
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        flat = words.flatten()
+        flat = flat.filter(pc.greater(pc.utf8_length(flat), 0))
+        vc = pc.value_counts(flat)
+        return pa.table(
+            {
+                "token": vc.field("values"),
+                "n": pc.cast(vc.field("counts"), pa.int64()),
+            }
+        )
+
+
+def vocab_counts(ds, top_k: int | None = None):
+    """Corpus token-frequency table: partial counts per batch -> one
+    vocabulary-sized groupby -> (optionally) global top-k by count with a
+    deterministic token tie-break. The full corpus never shuffles — only
+    per-batch (token, n) partials do."""
+    from ray.data.aggregate import Sum
+
+    partials = ds.map_batches(
+        _VocabPartial, batch_format="pyarrow", concurrency=(1, 4)
+    )
+    agg = partials.groupby("token").aggregate(Sum("n", alias_name="n"))
+    if top_k is None:
+        return agg
+    # the aggregated table is vocabulary-sized (small): per-block partial
+    # top-k, then one final task applies the exact (n DESC, token ASC)
+    # order — Ray's sort() can't mix per-key directions deterministically
+    def head(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(
+            ["n", "token"], ascending=[False, True], kind="stable"
+        ).head(top_k)
+
+    return (
+        agg.map_batches(head, batch_format="pandas")
+        .repartition(1)
+        .map_batches(head, batch_format="pandas")
+    )

@@ -685,6 +685,83 @@ SQL_DOC_FINGERPRINT = (
 )
 
 
+def q_doc_pii_scrub(sf_dir: str):
+    """PII-style redaction over the events props payload (the one testdata
+    text column with digit content): emails -> <EMAIL>, 2+-digit runs ->
+    <NUM>, with per-row redaction counts. Arrow RE2 kernels both sides."""
+    from ..functions.textstats import pii_scrub
+
+    return pii_scrub(
+        _read(sf_dir, "events", ["event_id", "props"]), text_col="props"
+    ).select_columns(["event_id", "scrubbed", "n_emails", "n_numbers"])
+
+
+_EMAIL_SQL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+"
+SQL_DOC_PII_SCRUB = f"""
+SELECT event_id,
+  regexp_replace(regexp_replace(props, '{_EMAIL_SQL}', '<EMAIL>', 'g'),
+                 '\\d\\d+', '<NUM>', 'g') AS scrubbed,
+  length(regexp_extract_all(props, '{_EMAIL_SQL}'))::bigint AS n_emails,
+  length(regexp_extract_all(
+    regexp_replace(props, '{_EMAIL_SQL}', '<EMAIL>', 'g'), '\\d\\d+'
+  ))::bigint AS n_numbers
+FROM events
+"""
+
+
+def q_doc_hash_sample(sf_dir: str):
+    """Deterministic shuffle-free ~25% Bernoulli sample by md5(doc_id):
+    stable under re-runs and re-partitioning (functions/sample.py)."""
+    from ..functions.sample import hash_sample
+
+    return hash_sample(
+        _read(sf_dir, "documents", ["doc_id", "source"]), 0.25, "doc_id"
+    )
+
+
+SQL_DOC_HASH_SAMPLE = (
+    "SELECT doc_id, source FROM documents "
+    "WHERE substr(md5(cast(doc_id AS varchar)), 1, 8) < '40000000'"
+)
+
+
+def q_doc_stratified_sample(sf_dir: str):
+    """Exact-3-per-source stratified sample, rows chosen by md5(text) order
+    (uniform within stratum, deterministic; partial-prune + one shuffle of
+    at most 3 rows per (source, block))."""
+    from ..functions.sample import stratified_sample
+
+    return stratified_sample(
+        _read(sf_dir, "documents", ["doc_id", "text", "source"]),
+        "source", 3, "text", "doc_id",
+    ).select_columns(["doc_id", "source"])
+
+
+SQL_DOC_STRATIFIED_SAMPLE = (
+    "SELECT doc_id, source FROM documents "
+    "QUALIFY row_number() OVER "
+    "(PARTITION BY source ORDER BY md5(text), doc_id) <= 3"
+)
+
+
+def q_doc_vocab_top(sf_dir: str):
+    """Corpus vocabulary: top-50 tokens by frequency (per-batch partial
+    counts -> vocabulary-sized groupby -> sort+limit; the corpus itself
+    never shuffles)."""
+    from ..functions.textstats import vocab_counts
+
+    return vocab_counts(_read(sf_dir, "documents", ["text"]), top_k=50)
+
+
+SQL_DOC_VOCAB_TOP = r"""
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(lower(text), '\w+')) AS token
+  FROM documents)
+SELECT token, count(*)::bigint AS n FROM toks
+GROUP BY token ORDER BY n DESC, token LIMIT 50
+"""
+
+
 def q_doc_near_dups(sf_dir: str):
     """MinHash-LSH candidates exact-verified by n-gram Jaccard (no SQL
     oracle for the LSH stage, but every reported pair carries its EXACT
@@ -1433,6 +1510,10 @@ QUERIES = {
     "doc_quality": (q_doc_quality, SQL_DOC_QUALITY),
     "doc_lang_id": (q_doc_lang_id, SQL_DOC_LANG_ID),
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
+    "doc_pii_scrub": (q_doc_pii_scrub, SQL_DOC_PII_SCRUB),
+    "doc_hash_sample": (q_doc_hash_sample, SQL_DOC_HASH_SAMPLE),
+    "doc_stratified_sample": (q_doc_stratified_sample, SQL_DOC_STRATIFIED_SAMPLE),
+    "doc_vocab_top": (q_doc_vocab_top, SQL_DOC_VOCAB_TOP),
     "doc_near_dups": (q_doc_near_dups, None),
     "doc_near_dups_planted": (q_doc_near_dups_planted, SQL_DOC_NEAR_DUPS_PLANTED),
     "doc_simhash": (q_doc_simhash, None),

@@ -189,3 +189,123 @@ def test_simhash_near_dups(docs_with_dups):
     h = pairs.set_index(["id_a", "id_b"]).loc[(3, 10), "hamming"]
     assert h == 0
     assert (5, 20) in found  # planted near dup: few differing words
+
+
+def test_pii_scrub(ray_session):
+    import ray.data as rd
+
+    from ray_ordered_stream.functions.textstats import pii_scrub
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                "mail me at jane.doe+x@ex-ample.co.uk or call 555 1234",
+                "no pii here at all",
+                "ids 42 and 7 and 2024; a@b.io",
+                "",
+            ],
+        }
+    )
+    out = (
+        pii_scrub(rd.from_pandas(df))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out.loc[0, "scrubbed"] == "mail me at <EMAIL> or call <NUM> <NUM>"
+    assert out.loc[0, "n_emails"] == 1 and out.loc[0, "n_numbers"] == 2
+    assert out.loc[1, "scrubbed"] == "no pii here at all"
+    assert out.loc[1, "n_emails"] == 0 and out.loc[1, "n_numbers"] == 0
+    # single digits survive; digits inside an email are not double-counted
+    assert out.loc[2, "scrubbed"] == "ids <NUM> and 7 and <NUM>; <EMAIL>"
+    assert out.loc[2, "n_numbers"] == 2
+    assert out.loc[3, "scrubbed"] == ""
+
+
+def test_hash_sample_deterministic(ray_session):
+    import hashlib
+
+    import ray.data as rd
+
+    from ray_ordered_stream.functions.sample import hash_sample
+
+    df = pd.DataFrame({"doc_id": np.arange(2000, dtype="int64")})
+    got = set(hash_sample(rd.from_pandas(df), 0.25, "doc_id").to_pandas()["doc_id"])
+    # oracle: same rule computed serially
+    exp = {
+        i
+        for i in range(2000)
+        if hashlib.md5(str(i).encode()).hexdigest()[:8] < "40000000"
+    }
+    assert got == exp
+    assert 0.18 < len(got) / 2000 < 0.32  # ~25%
+    # invariant under partition count (the scale property)
+    again = set(
+        hash_sample(rd.from_pandas(df).repartition(7), 0.25, "doc_id")
+        .to_pandas()["doc_id"]
+    )
+    assert again == exp
+
+
+def test_stratified_sample_exact_n(ray_session):
+    import hashlib
+
+    import ray.data as rd
+
+    from ray_ordered_stream.functions.sample import stratified_sample
+
+    rng = np.random.default_rng(11)
+    n = 300
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype="int64"),
+            "text": [f"doc number {i} body {rng.integers(1000)}" for i in range(n)],
+            "source": [f"s{i % 5}" for i in range(n)],
+        }
+    )
+    out = stratified_sample(
+        rd.from_pandas(df).repartition(4), "source", 7, "text", "doc_id"
+    ).to_pandas()
+    assert out.groupby("source").size().tolist() == [7] * 5
+    # matches the serial oracle: first 7 per source by (md5(text), doc_id)
+    md5 = df["text"].map(lambda s: hashlib.md5(s.encode()).hexdigest())
+    exp = (
+        df.assign(_m=md5)
+        .sort_values(["_m", "doc_id"])
+        .groupby("source")
+        .head(7)["doc_id"]
+    )
+    assert set(out["doc_id"]) == set(exp)
+    # a stratum smaller than n returns all of it
+    small = df[df["source"] == "s0"].head(3)
+    out2 = stratified_sample(
+        rd.from_pandas(small), "source", 7, "text", "doc_id"
+    ).to_pandas()
+    assert len(out2) == 3
+
+
+def test_vocab_counts(ray_session):
+    import collections
+    import re
+
+    import ray.data as rd
+
+    from ray_ordered_stream.functions.textstats import vocab_counts
+
+    texts = [
+        "The cat sat on the mat",
+        "the DOG ate the cat's food",
+        "mat mat mat!",
+        "",
+    ]
+    ds = rd.from_pandas(pd.DataFrame({"text": texts})).repartition(3)
+    full = vocab_counts(ds).to_pandas()
+    exp = collections.Counter(
+        w for t in texts for w in re.findall(r"\w+", t.lower())
+    )
+    assert dict(zip(full["token"], full["n"])) == dict(exp)
+    top = vocab_counts(ds, top_k=3).to_pandas()
+    # count desc, token asc tie-break ("mat" and "the" tie at 4)
+    assert top["token"].tolist() == ["mat", "the", "cat"]
+    assert top["n"].tolist() == [4, 4, 2]
