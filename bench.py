@@ -183,6 +183,14 @@ def run_headline(num_cpus: int) -> dict:
 def run_queries(sf_dir: str) -> dict:
     from ray_ordered_stream.pipelines.queries import QUERIES
 
+    # Warm the Ray Data session before timing: the first Dataset execution
+    # after the headline pays one-time worker import / executor startup
+    # (measured 5-8 s on this VM) that would otherwise be charged to
+    # whichever registry entry happens to run first.
+    import ray.data as rd
+
+    rd.read_parquet(f"{sf_dir}/region.parquet").count()
+
     out = {}
     for name, (fn, _sql) in QUERIES.items():
         t0 = time.time()

@@ -334,6 +334,115 @@ def interval_join(
     return ray.data.from_arrow_refs(out)
 
 
+def hash_join(
+    left,
+    right,
+    key: str,
+    how: str = "inner",
+    right_key: str | None = None,
+    right_cols: list[str] | None = None,
+    suffix: str = "_r",
+    by_int: bool = False,
+    num_partitions: int | None = None,
+):
+    """Distributed hash equi-join: ``inner``, ``left``, ``semi`` (left rows
+    with a match, right columns not emitted) or ``anti`` (left rows with NO
+    match).
+
+    Scale shape: ONE co-partitioning hash exchange per side
+    (exchange.shard_refs), then a vectorized per-partition join — pandas
+    hash merge for inner/left, an ``isin`` membership mask for semi/anti.
+    For semi/anti the right side is pre-projected to per-block DISTINCT
+    keys BEFORE the exchange (a combiner: at most one row per (key, block)
+    ships, so a 10^9-row right side with 10^6 keys shuffles ~10^6 rows per
+    input block, not 10^9). Broadcast-join the right side yourself (ray.put
+    + map_batches lookup, see queries.q_segment_order_stats) when it is
+    small enough to fit every worker — this operator is for two BIG sides.
+
+    (The reference pipeline has no generic join — SURVEY.md §2.5; this is
+    engine-owned surface alongside asof_join / interval_join.)"""
+    import ray
+    import ray.data
+
+    from .exchange import shard_refs
+
+    if how not in ("inner", "left", "semi", "anti"):
+        raise ValueError(f"how must be inner|left|semi|anti, got {how!r}")
+    rk = right_key or key
+
+    if how in ("semi", "anti"):
+
+        def distinct_keys(t: pa.Table) -> pa.Table:
+            return t.select([rk]).group_by([rk]).aggregate([])
+
+        right = right.map_batches(distinct_keys, batch_format="pyarrow")
+    elif right_cols is not None:
+        right = right.select_columns(list(dict.fromkeys([rk, *right_cols])))
+
+    def _concat_tbl(shards):
+        withcols = [t for t in shards if t.num_rows or t.column_names]
+        if not withcols:
+            return None
+        real = [t for t in withcols if t.num_rows]
+        return (
+            pa.concat_tables(real, promote_options="none")
+            if real
+            else withcols[0].slice(0, 0)
+        )
+
+    @ray.remote
+    def join_part(n_left: int, *shards: pa.Table) -> pa.Table:
+        lt = _concat_tbl(shards[:n_left])
+        rt = _concat_tbl(shards[n_left:])
+        if lt is None:
+            return pa.table({})
+        if how in ("semi", "anti"):
+            # pure Arrow: schema survives even when every row filters out
+            if rt is None or rt.num_rows == 0:
+                return lt if how == "anti" else lt.slice(0, 0)
+            vals = rt[rk]
+            if isinstance(vals, pa.ChunkedArray):
+                vals = vals.combine_chunks()
+            import pyarrow.compute as pc
+
+            mask = pc.is_in(lt[key], value_set=vals)
+            if how == "anti":
+                mask = pc.invert(mask)
+            return lt.filter(mask)
+        ldf = lt.to_pandas()
+        rdf = rt.to_pandas() if rt is not None else pd.DataFrame(
+            {rk: pd.Series([], dtype=ldf[key].dtype)}
+        )
+        if rk != key:
+            rdf = rdf.rename(columns={rk: key})
+        m = ldf.merge(rdf, on=key, how=how, suffixes=("", suffix))
+        out = pa.Table.from_pandas(m.reset_index(drop=True), preserve_index=False)
+        # empty object columns come back as null type; restore from the
+        # shard schemas so downstream schema unification stays exact
+        want = {}
+        for sch in ([lt.schema] + ([rt.schema] if rt is not None else [])):
+            for f in sch:
+                want.setdefault(f.name, f.type)
+        for i, f in enumerate(out.schema):
+            if pa.types.is_null(f.type):
+                base = f.name[: -len(suffix)] if f.name.endswith(suffix) else f.name
+                tgt = want.get(f.name) or want.get(base)
+                if tgt is not None:
+                    out = out.set_column(i, f.name, out[f.name].cast(tgt))
+        return out
+
+    P = num_partitions or _default_P()
+    l_groups = shard_refs(list(left.to_arrow_refs()), key, P, by_int=by_int)
+    r_groups = shard_refs(list(right.to_arrow_refs()), rk, P, by_int=by_int)
+    out = [
+        join_part.remote(
+            len(l_groups), *[g[p] for g in l_groups], *[g[p] for g in r_groups]
+        )
+        for p in range(P)
+    ]
+    return ray.data.from_arrow_refs(out)
+
+
 def _default_P() -> int:
     from .exchange import default_partitions
 

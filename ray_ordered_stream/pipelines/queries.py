@@ -685,6 +685,51 @@ SQL_DOC_FINGERPRINT = (
 )
 
 
+def q_customers_without_urgent(sf_dir: str):
+    """Distributed ANTI join (customers with no 1-URGENT order): the
+    priority filter runs AT the read task, then both sides co-partition
+    through one hash exchange; the orders side ships only per-block
+    DISTINCT custkeys (combiner) — join.hash_join."""
+    from ..join import hash_join
+
+    def urgent_keys(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t["o_orderpriority"], "1-URGENT")).select(
+            ["o_custkey"]
+        )
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"]).map_batches(
+        urgent_keys, batch_format="pyarrow"
+    )
+    return hash_join(
+        _read(sf_dir, "customer", ["c_custkey", "c_name", "c_mktsegment"]),
+        orders, "c_custkey", how="anti", right_key="o_custkey", by_int=True,
+    )
+
+
+SQL_CUSTOMERS_WITHOUT_URGENT = (
+    "SELECT c_custkey, c_name, c_mktsegment FROM customer "
+    "WHERE c_custkey NOT IN "
+    "(SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')"
+)
+
+
+def q_parts_in_lineitems(sf_dir: str):
+    """Distributed SEMI join (parts that appear in some lineitem)."""
+    from ..join import hash_join
+
+    return hash_join(
+        _read(sf_dir, "part", ["p_partkey", "p_name"]),
+        _read(sf_dir, "lineitem", ["l_partkey"]),
+        "p_partkey", how="semi", right_key="l_partkey", by_int=True,
+    )
+
+
+SQL_PARTS_IN_LINEITEMS = (
+    "SELECT p_partkey, p_name FROM part "
+    "WHERE p_partkey IN (SELECT l_partkey FROM lineitem)"
+)
+
+
 def q_doc_pii_scrub(sf_dir: str):
     """PII-style redaction over the events props payload (the one testdata
     text column with digit content): emails -> <EMAIL>, 2+-digit runs ->
@@ -1510,6 +1555,8 @@ QUERIES = {
     "doc_quality": (q_doc_quality, SQL_DOC_QUALITY),
     "doc_lang_id": (q_doc_lang_id, SQL_DOC_LANG_ID),
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
+    "customers_without_urgent": (q_customers_without_urgent, SQL_CUSTOMERS_WITHOUT_URGENT),
+    "parts_in_lineitems": (q_parts_in_lineitems, SQL_PARTS_IN_LINEITEMS),
     "doc_pii_scrub": (q_doc_pii_scrub, SQL_DOC_PII_SCRUB),
     "doc_hash_sample": (q_doc_hash_sample, SQL_DOC_HASH_SAMPLE),
     "doc_stratified_sample": (q_doc_stratified_sample, SQL_DOC_STRATIFIED_SAMPLE),

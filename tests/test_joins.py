@@ -222,3 +222,56 @@ def test_asof_join_left_column_named_like_right_on(ray_session):
     # a NaN rid crashing the int restore)
     assert got["k"].tolist() == [1]
     assert got["rid"].tolist() == [42]
+
+
+def test_hash_join_all_modes(ray_session):
+    import ray.data as rd
+
+    from ray_ordered_stream.join import hash_join
+
+    left = pd.DataFrame(
+        {
+            "k": [1, 2, 3, 4, 5, 5],
+            "lv": ["a", "b", "c", "d", "e", "f"],
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "rk": [2, 2, 4, 6],
+            "rv": [20, 21, 40, 60],
+        }
+    )
+    lds = rd.from_pandas(left).repartition(3)
+    rds = rd.from_pandas(right).repartition(2)
+
+    inner = hash_join(
+        lds, rds, "k", how="inner", right_key="rk", by_int=True
+    ).to_pandas()
+    exp = left.merge(right.rename(columns={"rk": "k"}), on="k", how="inner")
+    assert sorted(map(tuple, inner[["k", "lv", "rv"]].values)) == sorted(
+        map(tuple, exp[["k", "lv", "rv"]].values)
+    )
+
+    semi = hash_join(
+        lds, rds, "k", how="semi", right_key="rk", by_int=True
+    ).to_pandas()
+    assert sorted(semi["lv"]) == ["b", "d"]
+    assert sorted(semi.columns) == ["k", "lv"]  # right cols not emitted
+
+    anti = hash_join(
+        lds, rds, "k", how="anti", right_key="rk", by_int=True
+    ).to_pandas()
+    assert sorted(anti["lv"]) == ["a", "c", "e", "f"]
+
+    # anti against an empty right side keeps everything
+    anti_all = hash_join(
+        lds, rd.from_pandas(right.iloc[0:0]), "k", how="anti",
+        right_key="rk", by_int=True,
+    ).to_pandas()
+    assert sorted(anti_all["lv"]) == ["a", "b", "c", "d", "e", "f"]
+
+    # string keys route through the FNV exchange
+    sl = rd.from_pandas(pd.DataFrame({"k": ["x", "y", "z"], "lv": [1, 2, 3]}))
+    sr = rd.from_pandas(pd.DataFrame({"k": ["y"], "rv": [9]}))
+    got = hash_join(sl, sr, "k", how="inner").to_pandas()
+    assert got[["k", "lv", "rv"]].values.tolist() == [["y", 2, 9]]
