@@ -5,9 +5,10 @@
   are per-batch top-k partials reduced by a tiny final top-k (classic
   scatter-gather ANN). Nothing but (query_id, neighbor_id, score) rows ever
   shuffle.
-- ``knn_ivf``: scale path — k-means-style coarse quantizer (trained on a
-  sample, broadcast), batches route vectors to their nearest centroid
-  (inverted lists); queries probe only ``n_probe`` lists.
+- ``knn_ivf``: scale path — k-means coarse quantizer (driver-sample
+  ``train_centroids`` or full-pass ``train_centroids_distributed``,
+  broadcast), batches route vectors to their nearest centroid (inverted
+  lists); queries probe only ``n_probe`` lists.
 """
 
 from __future__ import annotations
@@ -95,6 +96,71 @@ def train_centroids(ds, n_centroids: int = 16, vec_col: str = "embedding",
             m = assign == c
             if m.any():
                 cent[c] = x[m].mean(axis=0)
+    return cent
+
+
+def train_centroids_distributed(
+    ds,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    iters: int = 5,
+    seed: int = 3,
+    init_sample: int = 4096,
+):
+    """Distributed full-pass Lloyd's k-means: the dataset never leaves the
+    workers. Each iteration broadcasts the current centroids (``ray.put``)
+    and reduces per-batch (sum, count) partials — n_centroids × dim floats
+    per batch, independent of batch row count — on the driver. This is the
+    100-TB path ``train_centroids``'s capped driver sample approximates:
+    same coarse quantizer, but every row votes.
+
+    Init is a deterministic tiny head sample (absolute cap). The reduce
+    order follows batch completion, so centroid floats can differ in the
+    last ulps between runs — consumers gate on recall, not on float
+    equality (see queries.q_knn_ivf)."""
+    import ray
+
+    head = ds.select_columns([vec_col]).limit(init_sample).to_pandas()
+    x0 = np.stack(head[vec_col].to_numpy()).astype(np.float64)
+    rng = np.random.default_rng(seed)
+    cent = x0[rng.choice(len(x0), size=min(n_centroids, len(x0)), replace=False)]
+
+    for _ in range(iters):
+        ref = ray.put(cent)
+
+        def partial(b: pd.DataFrame) -> pd.DataFrame:
+            c = ray.get(ref)
+            v = np.stack(b[vec_col].to_numpy()).astype(np.float64)
+            # |v|^2 - 2 v.c + |c|^2 via one matmul (no nb×K×dim temporary)
+            d = (
+                (v * v).sum(axis=1)[:, None]
+                - 2.0 * (v @ c.T)
+                + (c * c).sum(axis=1)[None, :]
+            )
+            a = d.argmin(axis=1)
+            sums = np.zeros_like(c)
+            np.add.at(sums, a, v)
+            cnts = np.bincount(a, minlength=len(c)).astype(np.int64)
+            return pd.DataFrame(
+                {
+                    "cid": np.arange(len(c), dtype=np.int64),
+                    "cnt": cnts,
+                    "vsum": list(sums),
+                }
+            )
+
+        parts = (
+            ds.select_columns([vec_col])
+            .map_batches(partial, batch_format="pandas")
+            .to_pandas()
+        )
+        sums = np.zeros_like(cent)
+        cnts = np.zeros(len(cent), dtype=np.int64)
+        for cid, cnt, vsum in parts.itertuples(index=False):
+            sums[cid] += np.asarray(vsum)
+            cnts[cid] += cnt
+        nz = cnts > 0
+        cent[nz] = sums[nz] / cnts[nz, None]
     return cent
 
 

@@ -864,10 +864,14 @@ def q_knn_ivf(sf_dir: str):
     result: the output is a deterministic verdict row (mean recall@5 over
     the query set >= 0.6), so the driver's hash compare fails whenever the
     approximate index stops agreeing with exact search."""
-    from ..functions.similarity import knn_bruteforce, knn_ivf, train_centroids
+    from ..functions.similarity import (
+        knn_bruteforce,
+        knn_ivf,
+        train_centroids_distributed,
+    )
 
     ds = _read(sf_dir, "embeddings")
-    cent = train_centroids(ds, n_centroids=8)
+    cent = train_centroids_distributed(ds, n_centroids=8)
     q, qids = _load_queries(sf_dir)
     approx = knn_ivf(ds, q, qids, cent, k=5)
     exact = knn_bruteforce(_read(sf_dir, "embeddings"), q, qids, k=5)

@@ -309,3 +309,25 @@ def test_vocab_counts(ray_session):
     # count desc, token asc tie-break ("mat" and "the" tie at 4)
     assert top["token"].tolist() == ["mat", "the", "cat"]
     assert top["n"].tolist() == [4, 4, 2]
+
+
+def test_train_centroids_distributed(ray_session):
+    import ray.data as rd
+
+    from ray_ordered_stream.functions.similarity import (
+        train_centroids_distributed,
+    )
+
+    rng = np.random.default_rng(7)
+    means = np.array([[0.0] * 8, [10.0] * 8, [-10.0] * 8])
+    x = np.concatenate(
+        [m + rng.normal(0, 0.5, size=(200, 8)) for m in means]
+    )
+    order = rng.permutation(len(x))
+    df = pd.DataFrame({"embedding": list(x[order].astype("float32"))})
+    ds = rd.from_pandas(df).repartition(5)
+    cent = train_centroids_distributed(ds, n_centroids=3, iters=8, init_sample=600)
+    # every blob mean is recovered by some centroid
+    for m in means:
+        d = np.linalg.norm(cent - m, axis=1).min()
+        assert d < 1.0, (m, cent)
