@@ -104,3 +104,108 @@ def stratified_sample(
         num_partitions=num_partitions,
     )
     return picked.drop_columns(["_rk"])
+
+
+def shuffle_rank(ds, id_col: str, seed: int = 0, num_partitions: int | None = None):
+    """Deterministic global shuffle with MATERIALIZED positions: every row
+    gets ``shuffle_pos`` = rank of ``md5(f"{seed}:{id}")`` over the whole
+    corpus (ties broken by id). Changing ``seed`` gives an independent
+    permutation — the reproducible between-epochs shuffle a training
+    pipeline needs, stable across re-runs and partition counts (unlike
+    ``Dataset.random_shuffle``, whose layout depends on block structure).
+
+    Two passes, NO global sort and NO sampling: md5 prefixes are uniform,
+    so FIXED range bounds on the top 16 hash bits give balanced, ORDERED
+    range partitions; each partition sorts locally and a final per-partition
+    task adds the exclusive prefix-sum offset of earlier partitions'
+    counts. Only (id, 16-byte hash) rows ever shuffle."""
+    import ray
+    import ray.data
+
+    from ..exchange import default_partitions, split_compact
+
+    P = max(2, num_partitions or default_partitions())  # num_returns=2 floor
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_pandas().astype(str)
+        hexes = np.empty(len(ids), dtype=object)
+        pref = np.empty(len(ids), dtype=np.int64)
+        for i, s in enumerate(ids):
+            d = hashlib.md5(f"{seed}:{s}".encode())
+            h = d.hexdigest()
+            hexes[i] = h
+            pref[i] = int(h[:4], 16)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "_h": pa.array(hexes, pa.string()),
+                "_hp": pa.array(pref, pa.int64()),
+            }
+        )
+
+    hashed = ds.select_columns([id_col]).map_batches(
+        add_hash, batch_format="pyarrow"
+    )
+
+    @ray.remote
+    def split(*tbls: pa.Table) -> list[pa.Table]:
+        real = [t for t in tbls if t.num_rows]
+        if not real:
+            e = tbls[0].slice(0, 0) if tbls else pa.table({})
+            return [e] * P
+        tbl = (
+            pa.concat_tables(real, promote_options="none")
+            if len(real) > 1
+            else real[0]
+        )
+        parts = (
+            tbl["_hp"].to_numpy(zero_copy_only=False) * P
+        ) // 65536  # ordered range buckets; uniform by construction
+        return split_compact(tbl, parts, P)
+
+    @ray.remote(num_returns=2)
+    def local_sort(*shards: pa.Table):
+        real = [t for t in shards if t.num_rows]
+        if not real:
+            e = shards[0].slice(0, 0) if shards else pa.table({})
+            return e, 0
+        tbl = (
+            pa.concat_tables(real, promote_options="none")
+            if len(real) > 1
+            else real[0]
+        )
+        tbl = tbl.sort_by([("_h", "ascending"), (id_col, "ascending")])
+        return tbl, tbl.num_rows
+
+    @ray.remote
+    def add_offset(off: int, tbl: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                id_col: tbl[id_col],
+                "shuffle_pos": pa.array(
+                    off + np.arange(tbl.num_rows, dtype=np.int64), pa.int64()
+                ),
+            }
+        )
+
+    block_refs = list(hashed.to_arrow_refs())
+    if not block_refs:
+        return ds.select_columns([id_col])
+    n_map = max(1, min(len(block_refs), 2 * P))
+    groups = [
+        list(g)
+        for g in np.array_split(np.array(block_refs, dtype=object), n_map)
+        if len(g)
+    ]
+    per_group = [split.options(num_returns=P).remote(*g) for g in groups]
+    sorted_refs, count_refs = [], []
+    for p in range(P):
+        t_ref, c_ref = local_sort.remote(*[pg[p] for pg in per_group])
+        sorted_refs.append(t_ref)
+        count_refs.append(c_ref)
+    counts = ray.get(count_refs)  # P ints — the only driver-side data
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    out = [
+        add_offset.remote(int(offsets[p]), sorted_refs[p]) for p in range(P)
+    ]
+    return ray.data.from_arrow_refs(out)

@@ -789,6 +789,23 @@ SQL_DOC_STRATIFIED_SAMPLE = (
 )
 
 
+def q_doc_shuffle(sf_dir: str):
+    """Deterministic global training-shuffle order: shuffle_pos = corpus
+    rank of md5('0:'||doc_id) (functions/sample.shuffle_rank — ordered
+    range partitions on the uniform hash prefix, no global sort, no
+    sampling; only (id, hash) rows shuffle)."""
+    from ..functions.sample import shuffle_rank
+
+    return shuffle_rank(_read(sf_dir, "documents", ["doc_id"]), "doc_id", seed=0)
+
+
+SQL_DOC_SHUFFLE = (
+    "SELECT doc_id, cast(row_number() OVER "
+    "(ORDER BY md5('0:' || cast(doc_id AS varchar)), doc_id) - 1 AS bigint)"
+    " AS shuffle_pos FROM documents"
+)
+
+
 def q_doc_vocab_top(sf_dir: str):
     """Corpus vocabulary: top-50 tokens by frequency (per-batch partial
     counts -> vocabulary-sized groupby -> sort+limit; the corpus itself
@@ -1565,6 +1582,7 @@ QUERIES = {
     "doc_hash_sample": (q_doc_hash_sample, SQL_DOC_HASH_SAMPLE),
     "doc_stratified_sample": (q_doc_stratified_sample, SQL_DOC_STRATIFIED_SAMPLE),
     "doc_vocab_top": (q_doc_vocab_top, SQL_DOC_VOCAB_TOP),
+    "doc_shuffle": (q_doc_shuffle, SQL_DOC_SHUFFLE),
     "doc_near_dups": (q_doc_near_dups, None),
     "doc_near_dups_planted": (q_doc_near_dups_planted, SQL_DOC_NEAR_DUPS_PLANTED),
     "doc_simhash": (q_doc_simhash, None),

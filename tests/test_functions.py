@@ -331,3 +331,42 @@ def test_train_centroids_distributed(ray_session):
     for m in means:
         d = np.linalg.norm(cent - m, axis=1).min()
         assert d < 1.0, (m, cent)
+
+
+def test_shuffle_rank(ray_session):
+    import hashlib
+
+    import ray.data as rd
+
+    from ray_ordered_stream.functions.sample import shuffle_rank
+
+    n = 5000
+    df = pd.DataFrame({"doc_id": np.arange(n, dtype="int64")})
+    out = (
+        shuffle_rank(rd.from_pandas(df).repartition(6), "doc_id", seed=0)
+        .to_pandas()
+        .sort_values("shuffle_pos")
+        .reset_index(drop=True)
+    )
+    assert len(out) == n
+    assert out["shuffle_pos"].tolist() == list(range(n))  # a permutation
+    # matches the serial oracle order
+    exp = sorted(
+        range(n),
+        key=lambda i: (hashlib.md5(f"0:{i}".encode()).hexdigest(), i),
+    )
+    assert out["doc_id"].tolist() == exp
+    # invariant under partition count; different seed -> different order
+    again = (
+        shuffle_rank(rd.from_pandas(df).repartition(2), "doc_id", seed=0,
+                     num_partitions=3)
+        .to_pandas()
+        .sort_values("shuffle_pos")
+    )
+    assert again["doc_id"].tolist() == exp
+    other = (
+        shuffle_rank(rd.from_pandas(df), "doc_id", seed=1)
+        .to_pandas()
+        .sort_values("shuffle_pos")
+    )
+    assert other["doc_id"].tolist() != exp
