@@ -45,25 +45,30 @@ class _HashSampler:
     same trade as Fingerprinter) and is the one hash both we and the DuckDB
     oracle can compute identically."""
 
-    def __init__(self, id_col: str, threshold: str):
+    def __init__(self, id_col: str, threshold: str, salt: str = ""):
         self.id_col = id_col
         self.threshold = threshold
+        self.salt = salt
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        salt = self.salt
         ids = batch[self.id_col].astype(str)
-        pref = ids.map(lambda s: hashlib.md5(s.encode()).hexdigest()[:8])
+        pref = ids.map(
+            lambda s: hashlib.md5((salt + s).encode()).hexdigest()[:8]
+        )
         return batch[(pref < self.threshold).to_numpy()]
 
 
-def hash_sample(ds, fraction: float, id_col: str):
-    """Deterministic ~``fraction`` sample keyed on ``md5(id_col)``.
+def hash_sample(ds, fraction: float, id_col: str, salt: str = ""):
+    """Deterministic ~``fraction`` sample keyed on ``md5(salt + id_col)``.
 
     Stateless filter — streams, no shuffle, stable under re-runs and
-    re-partitioning."""
+    re-partitioning. Distinct ``salt`` values draw independent samples of
+    the same id space (SQL mirror: ``md5('<salt>' || cast(id AS varchar))``)."""
     thr = hash_fraction_threshold(fraction)
     return ds.map_batches(
         _HashSampler,
-        fn_constructor_kwargs={"id_col": id_col, "threshold": thr},
+        fn_constructor_kwargs={"id_col": id_col, "threshold": thr, "salt": salt},
         batch_format="pandas",
         concurrency=(1, 4),
     )
@@ -104,6 +109,34 @@ def stratified_sample(
         num_partitions=num_partitions,
     )
     return picked.drop_columns(["_rk"])
+
+
+def mix_corpora(parts, id_col: str):
+    """Weighted deterministic corpus mixing: each source contributes a
+    ``hash_sample`` of its rows at its fraction, tagged with a
+    ``mix_source`` column, all unioned into one stream — the
+    "40% web, 30% code, ..." mixing step of a training-data pipeline,
+    reproducible across runs and shuffle-free (sampling is a stateless
+    filter; union concatenates block lists lazily).
+
+    ``parts`` is a list of ``(name, dataset, fraction)``; every dataset
+    must already share a schema containing ``id_col``."""
+    import pyarrow as _pa
+
+    mixed = None
+    for name, ds, fraction in parts:
+        # per-source salt: the same id space sampled for two sources must
+        # draw INDEPENDENT samples, not the same ids twice
+        sampled = hash_sample(ds, fraction, id_col, salt=f"{name}:")
+
+        def tag(t: _pa.Table, _name=name) -> _pa.Table:
+            return t.append_column(
+                "mix_source", _pa.array([_name] * t.num_rows, _pa.string())
+            )
+
+        tagged = sampled.map_batches(tag, batch_format="pyarrow")
+        mixed = tagged if mixed is None else mixed.union(tagged)
+    return mixed
 
 
 def shuffle_rank(ds, id_col: str, seed: int = 0, num_partitions: int | None = None):

@@ -789,6 +789,38 @@ SQL_DOC_STRATIFIED_SAMPLE = (
 )
 
 
+def q_corpus_mix(sf_dir: str):
+    """Weighted deterministic corpus mixing (functions/sample.mix_corpora):
+    documents at 50% + events-props at 25%, each source an independently
+    salted hash sample, tagged and unioned — reproducible, shuffle-free."""
+    from ..functions.sample import mix_corpora
+
+    def docs_proj(t: pa.Table) -> pa.Table:
+        return pa.table({"id": t["doc_id"], "text": t["text"]})
+
+    def events_proj(t: pa.Table) -> pa.Table:
+        return pa.table({"id": t["event_id"], "text": t["props"]})
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        docs_proj, batch_format="pyarrow"
+    )
+    events = _read(sf_dir, "events", ["event_id", "props"]).map_batches(
+        events_proj, batch_format="pyarrow"
+    )
+    return mix_corpora(
+        [("documents", docs, 0.5), ("events", events, 0.25)], "id"
+    ).select_columns(["mix_source", "id"])
+
+
+SQL_CORPUS_MIX = """
+SELECT 'documents' AS mix_source, doc_id AS id FROM documents
+WHERE substr(md5('documents:' || cast(doc_id AS varchar)), 1, 8) < '80000000'
+UNION ALL
+SELECT 'events' AS mix_source, event_id AS id FROM events
+WHERE substr(md5('events:' || cast(event_id AS varchar)), 1, 8) < '40000000'
+"""
+
+
 def q_doc_shuffle(sf_dir: str):
     """Deterministic global training-shuffle order: shuffle_pos = corpus
     rank of md5('0:'||doc_id) (functions/sample.shuffle_rank — ordered
@@ -1583,6 +1615,7 @@ QUERIES = {
     "doc_stratified_sample": (q_doc_stratified_sample, SQL_DOC_STRATIFIED_SAMPLE),
     "doc_vocab_top": (q_doc_vocab_top, SQL_DOC_VOCAB_TOP),
     "doc_shuffle": (q_doc_shuffle, SQL_DOC_SHUFFLE),
+    "corpus_mix": (q_corpus_mix, SQL_CORPUS_MIX),
     "doc_near_dups": (q_doc_near_dups, None),
     "doc_near_dups_planted": (q_doc_near_dups_planted, SQL_DOC_NEAR_DUPS_PLANTED),
     "doc_simhash": (q_doc_simhash, None),

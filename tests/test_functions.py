@@ -370,3 +370,32 @@ def test_shuffle_rank(ray_session):
         .sort_values("shuffle_pos")
     )
     assert other["doc_id"].tolist() != exp
+
+
+def test_mix_corpora(ray_session):
+    import hashlib
+
+    import ray.data as rd
+
+    from ray_ordered_stream.functions.sample import mix_corpora
+
+    a = pd.DataFrame({"id": np.arange(1000, dtype="int64"), "text": "a"})
+    b = pd.DataFrame({"id": np.arange(1000, dtype="int64"), "text": "b"})
+    out = mix_corpora(
+        [("A", rd.from_pandas(a), 0.5), ("B", rd.from_pandas(b), 0.25)], "id"
+    ).to_pandas()
+
+    def picked(name, frac):
+        thr = format(int(frac * 16**8), "08x")
+        return {
+            i
+            for i in range(1000)
+            if hashlib.md5(f"{name}:{i}".encode()).hexdigest()[:8] < thr
+        }
+
+    got_a = set(out.loc[out["mix_source"] == "A", "id"])
+    got_b = set(out.loc[out["mix_source"] == "B", "id"])
+    assert got_a == picked("A", 0.5)
+    assert got_b == picked("B", 0.25)
+    # salted per source: same id space draws INDEPENDENT samples
+    assert got_a != got_b and len(got_b) < len(got_a)
