@@ -78,6 +78,100 @@ def ensure_bench_input(n_files: int = 128) -> str:
     return str(out)
 
 
+DOCS_N = int(os.environ.get("ROS_BENCH_DOCS", "100000"))
+DOCS_SEED = 7
+
+
+def docs_input_dir() -> str:
+    return f"/tmp/ros_bench/docs_n{DOCS_N}_s{DOCS_SEED}"
+
+
+def ensure_docs_input(n_files: int = 32) -> str:
+    """Generate (once, cached) a synthetic document corpus for the
+    training-data-operator bench: zipf-ish vocabulary draw, 1% planted
+    exact duplicates, 50 sources. ~100k docs x ~130 words ≈ 80 MB text —
+    the testdata `documents` table is only 500 rows, far too small to say
+    anything about these operators' throughput."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out = Path(docs_input_dir())
+    done = out / "_DONE"
+    if done.exists():
+        return str(out)
+    out.mkdir(parents=True, exist_ok=True)
+    rng = np.random.default_rng(DOCS_SEED)
+    vocab = np.array([f"w{i:04d}" for i in range(2000)], dtype=object)
+    p = 1.0 / (np.arange(len(vocab)) + 10.0)
+    p /= p.sum()
+    lengths = rng.integers(60, 200, size=DOCS_N)
+    flat = rng.choice(vocab, size=int(lengths.sum()), p=p)
+    offs = np.concatenate([[0], np.cumsum(lengths)])
+    texts = [" ".join(flat[offs[i] : offs[i + 1]]) for i in range(DOCS_N)]
+    nd = DOCS_N // 100  # plant 1% exact duplicates
+    for j, s in enumerate(rng.integers(0, DOCS_N - nd, size=nd)):
+        texts[DOCS_N - nd + j] = texts[s]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(DOCS_N), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "source": pa.array(
+                [f"s{i % 50}" for i in range(DOCS_N)], pa.string()
+            ),
+        }
+    )
+    step = -(-DOCS_N // n_files)
+    for i in range(n_files):
+        pq.write_table(tbl.slice(i * step, step), out / f"part-{i:05d}.parquet")
+    done.write_text(str(DOCS_N))
+    return str(out)
+
+
+def run_docs_bench() -> dict:
+    """Time every training-data operator over the synthetic corpus."""
+    import ray.data as rd
+
+    from ray_ordered_stream.functions import dedup, sample, textstats
+
+    path = ensure_docs_input()
+
+    def ds(cols=None):
+        return rd.read_parquet(path, columns=cols)
+
+    res = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        n = out.count() if hasattr(out, "count") and not hasattr(out, "index") else len(out)
+        dt = time.time() - t0
+        res[name] = {
+            "sec": round(dt, 3),
+            "rows_out": int(n),
+            "docs_per_sec": round(DOCS_N / dt),
+        }
+
+    timed("exact_dedup_groups", lambda: dedup.exact_dedup_groups(ds(["doc_id", "text"])))
+    timed("minhash_near_dups", lambda: dedup.near_dup_pairs(ds(["doc_id", "text"]), threshold=0.5))
+    timed("simhash", lambda: dedup.simhash(ds(["doc_id", "text"])))
+    timed("token_count", lambda: textstats.token_count(ds(["doc_id", "text"])))
+    timed("quality_score", lambda: textstats.quality_score(ds(["doc_id", "text"])))
+    timed("lang_id", lambda: textstats.lang_id(ds(["doc_id", "text"])))
+    timed("fingerprint", lambda: textstats.fingerprint(ds(["doc_id", "text"])))
+    timed("pii_scrub", lambda: textstats.pii_scrub(ds(["doc_id", "text"])))
+    timed("vocab_top100", lambda: textstats.vocab_counts(ds(["text"]), top_k=100))
+    timed("hash_sample", lambda: sample.hash_sample(ds(["doc_id", "source"]), 0.25, "doc_id"))
+    timed(
+        "stratified_sample",
+        lambda: sample.stratified_sample(
+            ds(["doc_id", "text", "source"]), "source", 100, "text", "doc_id"
+        ),
+    )
+    timed("shuffle_rank", lambda: sample.shuffle_rank(ds(["doc_id"]), "doc_id"))
+    return res
+
+
 def _init_ray(num_cpus: int) -> None:
     """Robust local init: preallocated plasma arenas avoid mmap/TLB churn
     (see BASELINE.md) but page-touching the arena counts against Ray's
@@ -329,6 +423,23 @@ def main():
         return
 
     import ray
+
+    if "--docs" in sys.argv:
+        _init_ray(num_cpus)
+        docs = run_docs_bench()
+        print(
+            json.dumps(
+                {
+                    "metric": "training-data operator throughput over a "
+                    f"{DOCS_N}-doc synthetic corpus",
+                    "docs": DOCS_N,
+                    "num_cpus": num_cpus,
+                    "ops": docs,
+                }
+            )
+        )
+        ray.shutdown()
+        return
 
     _init_ray(num_cpus)
 

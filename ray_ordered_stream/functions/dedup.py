@@ -627,7 +627,7 @@ class SimHasher:
 
 
 def simhash(ds):
-    return ds.map_batches(SimHasher, batch_format="pandas", concurrency=(1, 4))
+    return ds.map_batches(SimHasher(), batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
@@ -677,7 +677,7 @@ def embedding_near_dups(
             {"id_a": ids[ia[m]], "id_b": ids[ib[m]], "cosine": sim[ia[m], ib[m]]}
         )
 
-    bucketed = ds.map_batches(Bucketer, batch_format="pandas", concurrency=(1, 4))
+    bucketed = ds.map_batches(Bucketer(), batch_format="pandas")
     return bucketed.groupby("bucket").map_groups(pairs, batch_format="pandas")
 
 

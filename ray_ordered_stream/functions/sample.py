@@ -67,10 +67,7 @@ def hash_sample(ds, fraction: float, id_col: str, salt: str = ""):
     the same id space (SQL mirror: ``md5('<salt>' || cast(id AS varchar))``)."""
     thr = hash_fraction_threshold(fraction)
     return ds.map_batches(
-        _HashSampler,
-        fn_constructor_kwargs={"id_col": id_col, "threshold": thr, "salt": salt},
-        batch_format="pandas",
-        concurrency=(1, 4),
+        _HashSampler(id_col, thr, salt), batch_format="pandas"
     )
 
 
