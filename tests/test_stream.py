@@ -531,3 +531,47 @@ def test_depth_sink_streams_and_resumes_identically(tmp_path, ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(da, db)
+
+
+def test_continuous_salt_waits_for_first_files(tmp_path, ray_session):
+    """Consumer started on an EMPTY landing dir with salt_hot_keys=True must
+    wait for the first files (not permanently record a pin-free lineage),
+    then pin hot keys and process everything exactly once."""
+    import threading
+    import time
+
+    from ray_ordered_stream.checkpoint import read_lineage_meta
+    from ray_ordered_stream.epochs import run_stream_continuous
+
+    t = gen_transcripts(n_convs=8, min_turns=10, max_turns=60, lateness=30,
+                        dup_rate=0.0, seed=44, degree=3.0)
+    land = tmp_path / "landing"
+    land.mkdir()
+    out = tmp_path / "out"
+
+    def producer():
+        time.sleep(0.8)  # consumer is already polling an empty dir
+        _write_files_atomic(t, land, 6, start=0, total=6)
+        time.sleep(0.3)
+        (land / "_STOP").write_text("")
+
+    th = threading.Thread(target=producer)
+    th.start()
+    res = run_stream_continuous(
+        str(land), str(out), OrderedConfig(),
+        num_partitions=3, files_per_epoch=2, poll_interval_s=0.1,
+        salt_hot_keys=True, idle_timeout_s=30.0,
+    )
+    th.join()
+    exp = oracle_ordered(t)
+    assert res.total_emitted == len(exp)
+    meta = read_lineage_meta(str(out))
+    assert meta is not None and meta.get("overrides"), meta
+    got = (
+        read_sink(res, "ordered")
+        .sort_values([KEY, SEQ], kind="stable")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[[KEY, SEQ, "text"]], exp[[KEY, SEQ, "text"]]
+    )
