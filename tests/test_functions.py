@@ -399,3 +399,21 @@ def test_mix_corpora(ray_session):
     assert got_b == picked("B", 0.25)
     # salted per source: same id space draws INDEPENDENT samples
     assert got_a != got_b and len(got_b) < len(got_a)
+
+
+def test_shuffle_rank_string_ids(ray_session):
+    import hashlib
+
+    import ray.data as rd
+
+    from ray_ordered_stream.functions.sample import shuffle_rank
+
+    ids = [f"doc-{i:04d}" for i in range(800)]
+    df = pd.DataFrame({"doc_id": ids})
+    out = (
+        shuffle_rank(rd.from_pandas(df).repartition(3), "doc_id", seed=2)
+        .to_pandas()
+        .sort_values("shuffle_pos")
+    )
+    exp = sorted(ids, key=lambda s: (hashlib.md5(f"2:{s}".encode()).hexdigest(), s))
+    assert out["doc_id"].tolist() == exp

@@ -275,3 +275,42 @@ def test_hash_join_all_modes(ray_session):
     sr = rd.from_pandas(pd.DataFrame({"k": ["y"], "rv": [9]}))
     got = hash_join(sl, sr, "k", how="inner").to_pandas()
     assert got[["k", "lv", "rv"]].values.tolist() == [["y", 2, 9]]
+
+
+def test_hash_join_property_vs_pandas(ray_session):
+    """Randomized equivalence: every join mode matches the pandas oracle on
+    frames with skewed keys, missing keys, and duplicate right rows."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(17)
+    for trial in range(3):
+        left = pd.DataFrame(
+            {
+                "k": rng.integers(0, 40, size=200),
+                "lv": rng.integers(0, 1000, size=200),
+            }
+        )
+        right = pd.DataFrame(
+            {
+                "k": rng.integers(20, 60, size=80),  # partial overlap
+                "rv": rng.integers(0, 1000, size=80),
+            }
+        )
+        from ray_ordered_stream.join import hash_join
+
+        lds = rd.from_pandas(left).repartition(4)
+        rds = rd.from_pandas(right).repartition(3)
+        for how in ("inner", "semi", "anti"):
+            got = hash_join(lds, rds, "k", how=how, by_int=True).to_pandas()
+            if how == "inner":
+                exp = left.merge(right, on="k", how="inner")
+                key = ["k", "lv", "rv"]
+            elif how == "semi":
+                exp = left[left["k"].isin(right["k"])]
+                key = ["k", "lv"]
+            else:
+                exp = left[~left["k"].isin(right["k"])]
+                key = ["k", "lv"]
+            assert sorted(map(tuple, got[key].values)) == sorted(
+                map(tuple, exp[key].values)
+            ), (trial, how)

@@ -85,3 +85,35 @@ def test_completion_summary_watermark(ray_session):
     assert s["watermark_us"] is not None
     assert lo <= s["watermark_us"] <= hi
     proc.shutdown()
+
+
+def test_verify_ordered(ray_session, tmp_path):
+    import pandas as pd
+    import ray.data as rd
+
+    from ray_ordered_stream.fixtures import gen_transcripts
+    from ray_ordered_stream.ordered import ordered_process
+    from ray_ordered_stream.state import OrderedConfig
+    from ray_ordered_stream.validate import verify_ordered
+
+    t = gen_transcripts(n_convs=12, min_turns=5, max_turns=40, lateness=25,
+                        dup_rate=0.02, seed=21)
+    res = ordered_process(rd.from_arrow(t), OrderedConfig(), num_partitions=3)
+    out = res.ordered.materialize()
+    rep = verify_ordered(out)
+    assert rep["ok"], rep
+    assert rep["rows"] == out.count()
+    assert rep["keys"] == 12
+
+    # corrupt: drop one middle turn of one key -> gap detected
+    df = out.to_pandas()
+    victim = df[(df["conv_id"] == df["conv_id"].iloc[0])].sort_values("turn_idx")
+    drop_idx = victim.index[len(victim) // 2]
+    bad = rd.from_pandas(df.drop(index=drop_idx))
+    rep2 = verify_ordered(bad)
+    assert not rep2["ok"] and rep2["gap_keys"] == 1
+
+    # corrupt: duplicate a row -> dup detected
+    dup = rd.from_pandas(pd.concat([df, df.iloc[[3]]], ignore_index=True))
+    rep3 = verify_ordered(dup)
+    assert not rep3["ok"] and rep3["dup_keys"] == 1
