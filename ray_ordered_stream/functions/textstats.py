@@ -169,10 +169,16 @@ def pii_scrub(ds, text_col: str = "text"):
 
 
 class _VocabPartial:
-    """Per-batch token frequency: one Arrow tokenization (same RE2 \\w+
-    semantics as TokenCounter / the SQL oracle), then a vectorized
-    value-count — the shuffle moves one row per (token, batch), never one
-    per token occurrence."""
+    """Per-batch token/n-gram frequency: one Arrow tokenization (same RE2
+    \\w+ semantics as TokenCounter / the SQL oracle), n-gram assembly via
+    the Arrow element-wise join kernel (grams never cross document
+    boundaries), then a vectorized value-count — the shuffle moves one row
+    per (gram, batch), never one per occurrence."""
+
+    def __init__(self, n: int = 1):
+        if n not in (1, 2):
+            raise ValueError(f"n must be 1 or 2, got {n}")
+        self.n = n
 
     def __call__(self, t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -186,9 +192,28 @@ class _VocabPartial:
         )
         if isinstance(words, pa.ChunkedArray):
             words = words.combine_chunks()
+        counts = (
+            pc.list_value_length(words)
+            .fill_null(0)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
         flat = words.flatten()
-        flat = flat.filter(pc.greater(pc.utf8_length(flat), 0))
-        vc = pc.value_counts(flat)
+        nz = pc.greater(pc.utf8_length(flat), 0).to_numpy(zero_copy_only=False)
+        doc_of = np.repeat(np.arange(len(counts)), counts)[nz]
+        toks = flat.filter(pa.array(nz))
+        if self.n == 2:
+            if len(toks) < 2:
+                return pa.table(
+                    {"token": pa.array([], pa.string()),
+                     "n": pa.array([], pa.int64())}
+                )
+            grams = pc.binary_join_element_wise(
+                toks.slice(0, len(toks) - 1), toks.slice(1), " "
+            )
+            same_doc = doc_of[1:] == doc_of[:-1]
+            toks = grams.filter(pa.array(same_doc))
+        vc = pc.value_counts(toks)
         return pa.table(
             {
                 "token": vc.field("values"),
@@ -197,14 +222,15 @@ class _VocabPartial:
         )
 
 
-def vocab_counts(ds, top_k: int | None = None):
-    """Corpus token-frequency table: partial counts per batch -> one
+def vocab_counts(ds, top_k: int | None = None, ngram: int = 1):
+    """Corpus token/n-gram frequency table: partial counts per batch -> one
     vocabulary-sized groupby -> (optionally) global top-k by count with a
     deterministic token tie-break. The full corpus never shuffles — only
-    per-batch (token, n) partials do."""
+    per-batch (gram, n) partials do. ``ngram=2`` counts within-document
+    word bigrams."""
     from ray.data.aggregate import Sum
 
-    partials = ds.map_batches(_VocabPartial(), batch_format="pyarrow")
+    partials = ds.map_batches(_VocabPartial(ngram), batch_format="pyarrow")
     agg = partials.groupby("token").aggregate(Sum("n", alias_name="n"))
     if top_k is None:
         return agg

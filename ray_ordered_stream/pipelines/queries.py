@@ -821,6 +821,24 @@ WHERE substr(md5('events:' || cast(event_id AS varchar)), 1, 8) < '40000000'
 """
 
 
+def q_doc_bigrams_top(sf_dir: str):
+    """Top-50 within-document word bigrams (vocab_counts ngram=2: Arrow
+    element-wise join of adjacent tokens, document-boundary-masked; only
+    (gram, n) partials shuffle)."""
+    from ..functions.textstats import vocab_counts
+
+    return vocab_counts(_read(sf_dir, "documents", ["text"]), top_k=50, ngram=2)
+
+
+SQL_DOC_BIGRAMS_TOP = r"""
+WITH t AS (SELECT regexp_extract_all(lower(text), '\w+') AS a FROM documents),
+g AS (SELECT a[i] || ' ' || a[i+1] AS token
+      FROM t, unnest(generate_series(1, len(a)-1)) AS s(i))
+SELECT token, count(*)::bigint AS n FROM g
+GROUP BY token ORDER BY n DESC, token LIMIT 50
+"""
+
+
 def q_doc_shuffle(sf_dir: str):
     """Deterministic global training-shuffle order: shuffle_pos = corpus
     rank of md5('0:'||doc_id) (functions/sample.shuffle_rank — ordered
@@ -1616,6 +1634,7 @@ QUERIES = {
     "doc_vocab_top": (q_doc_vocab_top, SQL_DOC_VOCAB_TOP),
     "doc_shuffle": (q_doc_shuffle, SQL_DOC_SHUFFLE),
     "corpus_mix": (q_corpus_mix, SQL_CORPUS_MIX),
+    "doc_bigrams_top": (q_doc_bigrams_top, SQL_DOC_BIGRAMS_TOP),
     "doc_near_dups": (q_doc_near_dups, None),
     "doc_near_dups_planted": (q_doc_near_dups_planted, SQL_DOC_NEAR_DUPS_PLANTED),
     "doc_simhash": (q_doc_simhash, None),

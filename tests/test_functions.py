@@ -417,3 +417,24 @@ def test_shuffle_rank_string_ids(ray_session):
     )
     exp = sorted(ids, key=lambda s: (hashlib.md5(f"2:{s}".encode()).hexdigest(), s))
     assert out["doc_id"].tolist() == exp
+
+
+def test_vocab_bigrams(ray_session):
+    import collections
+    import re
+
+    import ray.data as rd
+
+    from ray_ordered_stream.functions.textstats import vocab_counts
+
+    texts = ["the cat sat", "sat the cat", "x", ""]
+    ds = rd.from_pandas(pd.DataFrame({"text": texts})).repartition(2)
+    got = vocab_counts(ds, ngram=2).to_pandas()
+    exp = collections.Counter()
+    for t in texts:
+        ws = re.findall(r"\w+", t.lower())
+        exp.update(" ".join(p) for p in zip(ws, ws[1:]))
+    assert dict(zip(got["token"], got["n"])) == dict(exp)
+    # bigrams never bridge documents: "sat sat" (doc1 end -> doc2 start)
+    # must be absent
+    assert "sat sat" not in set(got["token"])
