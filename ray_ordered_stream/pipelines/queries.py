@@ -730,6 +730,50 @@ SQL_PARTS_IN_LINEITEMS = (
 )
 
 
+def q_stream_dedup(sf_dir: str):
+    """Streaming content-dedup end-to-end gate (stream_dedup.py): the
+    planted corpus (documents + id-offset copies) fed as an arrival-ordered
+    4-file feed through run_dedup_stream — 2 epochs, 3 partitions,
+    exactly-once manifest sink, checkpointed seen-state. Keep-first must
+    return exactly one row per distinct text, the earliest arrival."""
+    import hashlib
+    import shutil
+    from pathlib import Path
+
+    import pyarrow.parquet as pq_
+
+    from ..stream_dedup import run_dedup_stream
+
+    docs = pq_.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = Path(f"/tmp/ros_stream_dedup_{tag}")
+    shutil.rmtree(base, ignore_errors=True)
+    feed = base / "feed"
+    feed.mkdir(parents=True)
+    half = docs.num_rows // 2
+    copies = docs.set_column(
+        0, "doc_id", pc.add(docs["doc_id"], _PLANT_OFFSET)
+    )
+    for i, sl in enumerate(
+        [docs.slice(0, half), docs.slice(half), copies.slice(0, half),
+         copies.slice(half)]
+    ):
+        pq_.write_table(sl, feed / f"f{i}.parquet")
+    res = run_dedup_stream(
+        [str(feed / f"f{i}.parquet") for i in range(4)],
+        str(base / "out"), num_partitions=3, files_per_epoch=2,
+    )
+    return res.sink.read().select_columns(["doc_id", "text"])
+
+
+SQL_STREAM_DEDUP = """
+SELECT doc_id, text FROM (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 1000000 AS doc_id, text FROM documents
+) QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+"""
+
+
 def q_doc_pii_scrub(sf_dir: str):
     """PII-style redaction over the events props payload (the one testdata
     text column with digit content): emails -> <EMAIL>, 2+-digit runs ->
@@ -1635,6 +1679,7 @@ QUERIES = {
     "doc_shuffle": (q_doc_shuffle, SQL_DOC_SHUFFLE),
     "corpus_mix": (q_corpus_mix, SQL_CORPUS_MIX),
     "doc_bigrams_top": (q_doc_bigrams_top, SQL_DOC_BIGRAMS_TOP),
+    "stream_dedup": (q_stream_dedup, SQL_STREAM_DEDUP),
     "doc_near_dups": (q_doc_near_dups, None),
     "doc_near_dups_planted": (q_doc_near_dups_planted, SQL_DOC_NEAR_DUPS_PLANTED),
     "doc_simhash": (q_doc_simhash, None),

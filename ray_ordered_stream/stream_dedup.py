@@ -1,0 +1,318 @@
+"""Streaming exact content-dedup of an unbounded document feed.
+
+A second streaming pipeline on the engine's conventions (epochs.py style:
+micro-batch epochs over an arrival-ordered file list, per-partition state
+actors, ManifestSink exactly-once commit, per-epoch checkpoint deltas with
+crash-resume): each document routes by its md5(text) fingerprint to a
+state partition; the partition keeps the FIRST arrival of each fingerprint
+and drops every later copy. This generalizes the ordered core's
+duplicate-sequence discard (C1, docs/pipeline-design.md:117-122 in the
+reference) from (key, seq) re-delivery to content identity — the streaming
+half of ``functions/dedup.exact_dedup``, the shape a crawl-feed dedup runs
+at 100 TB (the seen-state is ~16 bytes per distinct document and never
+leaves its partition; full re-runs are never needed to extend the corpus).
+
+Exactly-once: deterministic keep decision (first by arrival index) + the
+sink's staged-part/manifest commit + per-epoch fingerprint DELTA
+checkpoints. Commit order is sink manifest -> epoch checkpoint marker, so
+a crash between them re-runs the epoch against the pre-epoch seen-state
+and overwrites parts byte-identically.
+
+Fingerprints are the full 128-bit md5 carried as two uint64 columns;
+membership tests are vectorized (searchsorted on the high word, low-word
+confirmation only on the rare high-word run) — no per-row Python in the
+actor hot path.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+
+from .sink import ManifestSink, write_part_atomic
+
+
+def _fingerprints(texts: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """(hi, lo) uint64 pairs of md5(text) per row (md5 dominates the loop)."""
+    import hashlib
+
+    n = len(texts)
+    hi = np.empty(n, dtype=np.uint64)
+    lo = np.empty(n, dtype=np.uint64)
+    for i, s in enumerate(texts.to_pylist()):
+        d = hashlib.md5((s or "").encode()).digest()
+        hi[i] = int.from_bytes(d[:8], "big")
+        lo[i] = int.from_bytes(d[8:], "big")
+    return hi, lo
+
+
+def _member(
+    seen_hi: np.ndarray, seen_lo: np.ndarray, hi: np.ndarray, lo: np.ndarray
+) -> np.ndarray:
+    """Vectorized membership of (hi, lo) pairs in the sorted seen arrays."""
+    if not len(seen_hi) or not len(hi):
+        return np.zeros(len(hi), dtype=bool)
+    left = np.searchsorted(seen_hi, hi, side="left")
+    right = np.searchsorted(seen_hi, hi, side="right")
+    out = np.zeros(len(hi), dtype=bool)
+    span = right - left
+    one = span == 1  # the overwhelmingly common case: unique high word
+    out[one] = seen_lo[left[one]] == lo[one]
+    for j in np.flatnonzero(span > 1):  # hash-collision runs: ~never
+        out[j] = lo[j] in seen_lo[left[j] : right[j]]
+    return out
+
+
+@ray.remote(num_cpus=0)
+class DedupPartition:
+    """Per-partition seen-fingerprint state + actor-direct sink writes."""
+
+    def __init__(self, partition: int):
+        self.partition = partition
+        # sorted by (hi, lo)
+        self.seen_hi = np.empty(0, dtype=np.uint64)
+        self.seen_lo = np.empty(0, dtype=np.uint64)
+        self.dropped = 0
+
+    def restore(self, delta_files: list[str]) -> int:
+        his, los = [self.seen_hi], [self.seen_lo]
+        for f in delta_files:
+            t = pq.read_table(f)
+            his.append(t["fp_hi"].to_numpy(zero_copy_only=False).astype(np.uint64))
+            los.append(t["fp_lo"].to_numpy(zero_copy_only=False).astype(np.uint64))
+        hi = np.concatenate(his)
+        lo = np.concatenate(los)
+        order = np.lexsort((lo, hi))
+        self.seen_hi, self.seen_lo = hi[order], lo[order]
+        return len(self.seen_hi)
+
+    def process_epoch(
+        self, part_path: str, delta_path: str, *shards: pa.Table
+    ) -> dict:
+        real = [t for t in shards if t.num_rows]
+        if not real:
+            empty = shards[0].slice(0, 0) if shards else pa.table({})
+            write_part_atomic(empty.drop_columns(
+                [c for c in ("fp_hi", "fp_lo", "arrival") if c in empty.column_names]
+            ), part_path)
+            write_part_atomic(
+                pa.table(
+                    {"fp_hi": pa.array([], pa.uint64()),
+                     "fp_lo": pa.array([], pa.uint64())}
+                ),
+                delta_path,
+            )
+            return {"kept": 0, "dropped": 0}
+        tbl = (
+            pa.concat_tables(real, promote_options="none")
+            if len(real) > 1
+            else real[0]
+        )
+        hi = tbl["fp_hi"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        lo = tbl["fp_lo"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        arr = tbl["arrival"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # first-per-fingerprint within the epoch (by arrival), vectorized
+        order = np.lexsort((arr, lo, hi))
+        h_s, l_s = hi[order], lo[order]
+        first = np.empty(len(order), dtype=bool)
+        first[0] = True
+        first[1:] = (h_s[1:] != h_s[:-1]) | (l_s[1:] != l_s[:-1])
+        keep = np.zeros(len(order), dtype=bool)
+        keep[order[first]] = True
+        # drop epoch-firsts already seen in earlier epochs
+        cand = np.flatnonzero(keep)
+        dup = _member(self.seen_hi, self.seen_lo, hi[cand], lo[cand])
+        keep[cand[dup]] = False
+        kept_rows = np.flatnonzero(keep)
+        kept_rows = kept_rows[np.argsort(arr[kept_rows], kind="stable")]
+        out = tbl.take(pa.array(kept_rows)).drop_columns(
+            ["fp_hi", "fp_lo", "arrival"]
+        )
+        write_part_atomic(out, part_path)
+        new_hi, new_lo = hi[kept_rows], lo[kept_rows]
+        write_part_atomic(
+            pa.table(
+                {"fp_hi": pa.array(new_hi, pa.uint64()),
+                 "fp_lo": pa.array(new_lo, pa.uint64())}
+            ),
+            delta_path,
+        )
+        # merge into the sorted seen arrays
+        mhi = np.concatenate([self.seen_hi, new_hi])
+        mlo = np.concatenate([self.seen_lo, new_lo])
+        mo = np.lexsort((mlo, mhi))
+        self.seen_hi, self.seen_lo = mhi[mo], mlo[mo]
+        dropped = int(tbl.num_rows - len(kept_rows))
+        self.dropped += dropped
+        return {"kept": int(len(kept_rows)), "dropped": dropped}
+
+
+@ray.remote
+def _read_split(
+    files: list[str],
+    id_col: str,
+    text_col: str,
+    P: int,
+    arrival_base: int,
+    *,
+    columns: list[str] | None,
+) -> list[pa.Table]:
+    """Fused read + fingerprint + split for one epoch (one full-data plasma
+    crossing, same discipline as the ordered engine's fused exchange)."""
+    from .exchange import split_compact
+
+    tbls = []
+    off = arrival_base
+    for f in files:
+        t = pq.read_table(f, columns=columns)
+        t = t.append_column(
+            "arrival", pa.array(off + np.arange(t.num_rows), pa.int64())
+        )
+        off += t.num_rows
+        tbls.append(t)
+    tbl = pa.concat_tables(tbls, promote_options="none") if len(tbls) > 1 else tbls[0]
+    col = tbl[text_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    hi, lo = _fingerprints(col)
+    tbl = tbl.append_column("fp_hi", pa.array(hi, pa.uint64()))
+    tbl = tbl.append_column("fp_lo", pa.array(lo, pa.uint64()))
+    parts = (hi % np.uint64(P)).astype(np.int64)
+    return split_compact(tbl, parts, P)
+
+
+class DedupStreamResult:
+    def __init__(self, sink: ManifestSink, epochs_run: int, epochs_skipped: int,
+                 kept: int, dropped: int):
+        self.sink = sink
+        self.epochs_run = epochs_run
+        self.epochs_skipped = epochs_skipped
+        self.total_kept = kept
+        self.total_dropped = dropped
+
+
+def run_dedup_stream(
+    files: list[str],
+    out_root: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    columns: list[str] | None = None,
+    num_partitions: int = 4,
+    files_per_epoch: int = 2,
+    resume: bool = False,
+    fail_after_epoch: int | None = None,
+) -> DedupStreamResult:
+    """Drive the document feed through the dedup partitions epoch by epoch.
+
+    ``files`` is the arrival-ordered feed; re-running with ``resume=True``
+    skips committed epochs and restores each partition's seen-state from
+    its checkpoint deltas (exactly-once output across crashes)."""
+    root = Path(out_root)
+    ck = root / "ckpt"
+    ck.mkdir(parents=True, exist_ok=True)
+    sink = ManifestSink(out_root, "deduped")
+    if columns is None:
+        columns = [id_col, text_col]
+
+    meta_path = ck / "meta.json"
+    if meta_path.exists():
+        meta = json.loads(meta_path.read_text())
+        if meta["partitions"] != num_partitions:
+            if resume:
+                raise ValueError(
+                    f"checkpoint has {meta['partitions']} partitions, "
+                    f"got {num_partitions}"
+                )
+            import shutil
+
+            shutil.rmtree(ck)
+            ck.mkdir(parents=True, exist_ok=True)
+    if not resume:
+        # a fresh (non-resume) run must not inherit stale epoch markers
+        for f in ck.glob("epoch-*.json"):
+            f.unlink()
+        for f in ck.glob("delta-*"):
+            import shutil
+
+            shutil.rmtree(f, ignore_errors=True)
+    meta_path.write_text(json.dumps({"partitions": num_partitions}))
+
+    P = num_partitions
+    workers = [DedupPartition.remote(p) for p in range(P)]
+
+    def delta_dir(epoch: int) -> Path:
+        return ck / f"delta-{epoch:05d}"
+
+    def marker(epoch: int) -> Path:
+        return ck / f"epoch-{epoch:05d}.json"
+
+    groups = [
+        files[i : i + files_per_epoch]
+        for i in range(0, len(files), files_per_epoch)
+    ]
+    # arrival index base per epoch (row counts from parquet metadata only)
+    bases, acc = [], 0
+    for g in groups:
+        bases.append(acc)
+        acc += sum(pq.read_metadata(f).num_rows for f in g)
+
+    done = {
+        int(f.stem.split("-")[1]) for f in ck.glob("epoch-*.json")
+    } if resume else set()
+    if done:
+        restore_files = [
+            [str(delta_dir(e) / f"part-{p:05d}.parquet") for e in sorted(done)]
+            for p in range(P)
+        ]
+        ray.get(
+            [w.restore.remote(restore_files[p]) for p, w in enumerate(workers)]
+        )
+
+    epochs_run = epochs_skipped = 0
+    kept_total = dropped_total = 0
+    for e, g in enumerate(groups):
+        if e in done:
+            epochs_skipped += 1
+            continue
+        shards = _read_split.options(num_returns=P).remote(
+            g, id_col, text_col, P, bases[e], columns=columns
+        )
+        dd = delta_dir(e)
+        dd.mkdir(parents=True, exist_ok=True)
+        stats = ray.get(
+            [
+                workers[p].process_epoch.remote(
+                    sink.part_path(e, p),
+                    str(dd / f"part-{p:05d}.parquet"),
+                    shards[p],
+                )
+                for p in range(P)
+            ]
+        )
+        sink.commit_epoch(e, {p: s["kept"] for p, s in enumerate(stats)})
+        marker(e).write_text(
+            json.dumps(
+                {
+                    "epoch": e,
+                    "kept": sum(s["kept"] for s in stats),
+                    "dropped": sum(s["dropped"] for s in stats),
+                    "committed_at": time.time(),
+                }
+            )
+        )
+        kept_total += sum(s["kept"] for s in stats)
+        dropped_total += sum(s["dropped"] for s in stats)
+        epochs_run += 1
+        if fail_after_epoch is not None and e >= fail_after_epoch:
+            raise RuntimeError("injected failure (dedup stream)")
+    for w in workers:
+        ray.kill(w)
+    return DedupStreamResult(
+        sink, epochs_run, epochs_skipped, kept_total, dropped_total
+    )
