@@ -92,6 +92,18 @@ class DedupPartition:
         self.seen_hi, self.seen_lo = hi[order], lo[order]
         return len(self.seen_hi)
 
+    def write_full(self, path: str) -> int:
+        """Compaction: the whole seen-set as one file (same schema as the
+        deltas, so restore treats it as just another input)."""
+        write_part_atomic(
+            pa.table(
+                {"fp_hi": pa.array(self.seen_hi, pa.uint64()),
+                 "fp_lo": pa.array(self.seen_lo, pa.uint64())}
+            ),
+            path,
+        )
+        return len(self.seen_hi)
+
     def process_epoch(
         self, part_path: str, delta_path: str, *shards: pa.Table
     ) -> dict:
@@ -207,12 +219,16 @@ def run_dedup_stream(
     files_per_epoch: int = 2,
     resume: bool = False,
     fail_after_epoch: int | None = None,
+    compact_every: int = 8,
 ) -> DedupStreamResult:
     """Drive the document feed through the dedup partitions epoch by epoch.
 
     ``files`` is the arrival-ordered feed; re-running with ``resume=True``
     skips committed epochs and restores each partition's seen-state from
-    its checkpoint deltas (exactly-once output across crashes)."""
+    its checkpoint deltas (exactly-once output across crashes). Every
+    ``compact_every`` epochs each partition also writes its FULL seen-set
+    (``full-<e>``), so restore cost is bounded by one full file plus the
+    trailing deltas, not by stream length."""
     root = Path(out_root)
     ck = root / "ckpt"
     ck.mkdir(parents=True, exist_ok=True)
@@ -234,12 +250,14 @@ def run_dedup_stream(
             shutil.rmtree(ck)
             ck.mkdir(parents=True, exist_ok=True)
     if not resume:
-        # a fresh (non-resume) run must not inherit stale epoch markers
+        # a fresh (non-resume) run must not inherit stale checkpoints
+        import shutil
+
         for f in ck.glob("epoch-*.json"):
             f.unlink()
-        for f in ck.glob("delta-*"):
-            import shutil
-
+        for f in ck.glob("full-*.json"):
+            f.unlink()
+        for f in list(ck.glob("delta-*")) + list(ck.glob("full-*")):
             shutil.rmtree(f, ignore_errors=True)
     meta_path.write_text(json.dumps({"partitions": num_partitions}))
 
@@ -262,12 +280,27 @@ def run_dedup_stream(
         bases.append(acc)
         acc += sum(pq.read_metadata(f).num_rows for f in g)
 
+    def full_dir(epoch: int) -> Path:
+        return ck / f"full-{epoch:05d}"
+
+    def full_marker(epoch: int) -> Path:
+        return ck / f"full-{epoch:05d}.json"
+
     done = {
         int(f.stem.split("-")[1]) for f in ck.glob("epoch-*.json")
     } if resume else set()
     if done:
+        fulls = sorted(
+            e for f in ck.glob("full-*.json")
+            for e in [int(f.stem.split("-")[1])]
+            if e in done
+        )
+        base_full = fulls[-1] if fulls else None
+        tail = sorted(e for e in done if base_full is None or e > base_full)
         restore_files = [
-            [str(delta_dir(e) / f"part-{p:05d}.parquet") for e in sorted(done)]
+            ([str(full_dir(base_full) / f"part-{p:05d}.parquet")]
+             if base_full is not None else [])
+            + [str(delta_dir(e) / f"part-{p:05d}.parquet") for e in tail]
             for p in range(P)
         ]
         ray.get(
@@ -309,6 +342,26 @@ def run_dedup_stream(
         kept_total += sum(s["kept"] for s in stats)
         dropped_total += sum(s["dropped"] for s in stats)
         epochs_run += 1
+        if compact_every and (e + 1) % compact_every == 0:
+            fd = full_dir(e)
+            fd.mkdir(parents=True, exist_ok=True)
+            sizes = ray.get(
+                [
+                    workers[p].write_full.remote(
+                        str(fd / f"part-{p:05d}.parquet")
+                    )
+                    for p in range(P)
+                ]
+            )
+            full_marker(e).write_text(
+                json.dumps({"epoch": e, "fingerprints": int(sum(sizes))})
+            )
+            # deltas folded into the full snapshot are no longer needed
+            import shutil as _sh
+
+            for old in sorted(ck.glob("delta-*")):
+                if int(old.name.split("-")[1]) <= e:
+                    _sh.rmtree(old, ignore_errors=True)
         if fail_after_epoch is not None and e >= fail_after_epoch:
             raise RuntimeError("injected failure (dedup stream)")
     for w in workers:

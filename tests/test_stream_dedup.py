@@ -87,3 +87,34 @@ def test_dedup_stream_partition_guard(ray_session, tmp_path):
     with pytest.raises(ValueError, match="3 partitions"):
         run_dedup_stream(files, str(tmp_path / "out"), num_partitions=2,
                          files_per_epoch=2, resume=True)
+
+
+def test_dedup_stream_compaction_bounds_restore(ray_session, tmp_path):
+    """With compact_every=2 the folded delta dirs are deleted; a resume
+    after a crash restores from the latest full snapshot + trailing deltas
+    and still produces byte-identical output."""
+    df = _corpus(n=320, seed=9)
+    files = _write_feed(df, tmp_path / "feed", 8)  # 8 epochs of 1 file
+
+    full = run_dedup_stream(files, str(tmp_path / "full"), num_partitions=3,
+                            files_per_epoch=1, compact_every=2)
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_dedup_stream(files, str(tmp_path / "crash"), num_partitions=3,
+                         files_per_epoch=1, compact_every=2,
+                         fail_after_epoch=4)
+    ck = tmp_path / "crash" / "ckpt"
+    # epochs 0..4 committed; fulls at 1 and 3; deltas <= 3 folded away
+    assert (ck / "full-00003.json").exists()
+    assert not (ck / "delta-00002").exists()
+    assert (ck / "delta-00004").exists()
+
+    res = run_dedup_stream(files, str(tmp_path / "crash"), num_partitions=3,
+                           files_per_epoch=1, compact_every=2, resume=True)
+    assert res.epochs_skipped == 5
+    a = (full.sink.read().select_columns(["doc_id", "text"])
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    b = (res.sink.read().select_columns(["doc_id", "text"])
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+    exp = _oracle_keep(df)
+    assert res.sink.total_committed_rows() == len(exp)
