@@ -305,6 +305,33 @@ class MinHasher:
         return batch
 
 
+def band_hashes(
+    texts: pa.Array,
+    num_perm: int = 64,
+    bands: int = 8,
+    k: int = 7,
+    seed: int = 7,
+) -> np.ndarray:
+    """(n_docs, bands) int64 banded-MinHash hashes: full signatures are
+    computed batch-vectorized (MinHasher.signatures) and each band SEGMENT
+    is folded to one polynomial hash — only the 8-byte band hash ever
+    travels through a shuffle, never the signature (8x fewer bytes).
+    Shared by the batch LSH pipeline and the streaming near-dedup."""
+    rows_per_band = num_perm // bands
+    mh = MinHasher(num_perm, k, seed)
+    sigs = mh.signatures(texts)  # (n, num_perm)
+    n = len(texts)
+    out = np.empty((n, bands), dtype=np.int64)
+    with np.errstate(over="ignore"):
+        for band in range(bands):
+            seg = sigs[:, band * rows_per_band : (band + 1) * rows_per_band]
+            h = np.zeros(n, dtype=np.uint64)
+            for c in range(seg.shape[1]):
+                h = h * _POLY_BASE + seg[:, c]
+            out[:, band] = (h >> np.uint64(1)).astype(np.int64)
+    return out
+
+
 def minhash_lsh_candidates(
     ds,
     id_col: str = "doc_id",
@@ -326,27 +353,15 @@ def minhash_lsh_candidates(
     rows_per_band = num_perm // bands
 
     def to_bands(b: pd.DataFrame) -> pd.DataFrame:
-        mh = MinHasher(num_perm, k, seed)
-        sigs = mh.signatures(pa.array(b["text"], pa.string()))  # (n, num_perm)
+        bh = band_hashes(
+            pa.array(b["text"], pa.string()), num_perm, bands, k, seed
+        )  # (n, bands)
         n = len(b)
-        band_ids = np.repeat(np.arange(bands), n)
-        ids = np.tile(b[id_col].to_numpy(), bands)
-        hashes = []
-        with np.errstate(over="ignore"):
-            for band in range(bands):
-                seg = sigs[:, band * rows_per_band : (band + 1) * rows_per_band]
-                # vectorized polynomial hash of the band SEGMENT — only the
-                # 8-byte band hash travels through the shuffle, never the
-                # full signature (8x fewer exchange bytes)
-                h = np.zeros(n, dtype=np.uint64)
-                for c in range(seg.shape[1]):
-                    h = h * _POLY_BASE + seg[:, c]
-                hashes.append((h >> np.uint64(1)).astype(np.int64))
         return pd.DataFrame(
             {
-                "band_id": band_ids,
-                "band_hash": np.concatenate(hashes),
-                id_col: ids,
+                "band_id": np.repeat(np.arange(bands), n),
+                "band_hash": bh.T.reshape(-1),
+                id_col: np.tile(b[id_col].to_numpy(), bands),
             }
         )
 

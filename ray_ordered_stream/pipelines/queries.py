@@ -774,6 +774,63 @@ SELECT doc_id, text FROM (
 """
 
 
+def q_stream_neardup(sf_dir: str):
+    """Streaming banded-MinHash near-dedup end-to-end gate
+    (stream_dedup.run_neardup_stream) on the planted corpus: exact copies
+    collide in EVERY band, so the kept set must be exactly the original
+    documents (the oracle fails loudly if a banding false positive ever
+    drops a distinct doc — deterministic, seeded hashing)."""
+    import hashlib
+    import shutil
+    from pathlib import Path
+
+    import pyarrow.parquet as pq_
+
+    from ..stream_dedup import run_neardup_stream
+
+    raw = pq_.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    # derive pairwise-DISSIMILAR originals (md5-hex texts): the word-soup
+    # corpus contains real near-dups (doc_near_dups finds them), which the
+    # stream would correctly drop but SQL cannot predict — hex strings make
+    # band collisions possible only for exact copies, so keep == originals
+    ids = raw["doc_id"].to_pylist()
+    import hashlib as _hl
+
+    derived = pa.array(
+        [
+            f"{_hl.md5((t or '').encode()).hexdigest()}:{i}"
+            for i, t in zip(ids, raw["text"].to_pylist())
+        ],
+        pa.string(),
+    )
+    docs = pa.table({"doc_id": raw["doc_id"], "text": derived})
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = Path(f"/tmp/ros_stream_neardup_{tag}")
+    shutil.rmtree(base, ignore_errors=True)
+    feed = base / "feed"
+    feed.mkdir(parents=True)
+    half = docs.num_rows // 2
+    copies = docs.set_column(
+        0, "doc_id", pc.add(docs["doc_id"], _PLANT_OFFSET)
+    )
+    for i, sl in enumerate(
+        [docs.slice(0, half), docs.slice(half), copies.slice(0, half),
+         copies.slice(half)]
+    ):
+        pq_.write_table(sl, feed / f"f{i}.parquet")
+    res = run_neardup_stream(
+        [str(feed / f"f{i}.parquet") for i in range(4)],
+        str(base / "out"), num_partitions=3, files_per_epoch=2,
+    )
+    return res.sink.read().select_columns(["doc_id", "text"])
+
+
+SQL_STREAM_NEARDUP = (
+    "SELECT doc_id, md5(text) || ':' || cast(doc_id AS varchar) AS text "
+    "FROM documents"
+)
+
+
 def q_doc_pii_scrub(sf_dir: str):
     """PII-style redaction over the events props payload (the one testdata
     text column with digit content): emails -> <EMAIL>, 2+-digit runs ->
@@ -1680,6 +1737,7 @@ QUERIES = {
     "corpus_mix": (q_corpus_mix, SQL_CORPUS_MIX),
     "doc_bigrams_top": (q_doc_bigrams_top, SQL_DOC_BIGRAMS_TOP),
     "stream_dedup": (q_stream_dedup, SQL_STREAM_DEDUP),
+    "stream_neardup": (q_stream_neardup, SQL_STREAM_NEARDUP),
     "doc_near_dups": (q_doc_near_dups, None),
     "doc_near_dups_planted": (q_doc_near_dups_planted, SQL_DOC_NEAR_DUPS_PLANTED),
     "doc_simhash": (q_doc_simhash, None),

@@ -369,3 +369,376 @@ def run_dedup_stream(
     return DedupStreamResult(
         sink, epochs_run, epochs_skipped, kept_total, dropped_total
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming NEAR-dedup (banded MinHash-LSH seen-state)
+# ---------------------------------------------------------------------------
+
+
+@ray.remote(num_cpus=0)
+class BandPartition:
+    """Per-partition seen BAND-HASH state for the streaming near-dedup.
+
+    check() is read-only (re-runnable after a crash); record() mutates and
+    is only fed band hashes of KEPT documents, so dropped docs never
+    pollute the index."""
+
+    def __init__(self, partition: int, doc_P: int):
+        self.partition = partition
+        self.doc_P = doc_P
+        self.seen = np.empty(0, dtype=np.int64)  # sorted band hashes
+
+    def restore(self, delta_files: list[str]) -> int:
+        parts = [self.seen]
+        for f in delta_files:
+            t = pq.read_table(f)
+            parts.append(t["band_hash"].to_numpy(zero_copy_only=False))
+        self.seen = np.unique(np.concatenate(parts))
+        return len(self.seen)
+
+    def check(self, *shards: pa.Table):
+        """Matched doc_ids of this epoch, split by doc-partition code
+        (num_returns=doc_P refs go straight to the payload actors — the
+        verdicts never touch the driver)."""
+        real = [t for t in shards if t.num_rows]
+        if not real:
+            return [np.empty(0, dtype=np.int64)] * self.doc_P
+        tbl = (
+            pa.concat_tables(real, promote_options="none")
+            if len(real) > 1
+            else real[0]
+        )
+        bh = tbl["band_hash"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        arr = tbl["arrival"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # matched against earlier epochs
+        idx = np.searchsorted(self.seen, bh)
+        idx[idx == len(self.seen)] = max(0, len(self.seen) - 1)
+        matched = (
+            self.seen[idx] == bh if len(self.seen) else np.zeros(len(bh), bool)
+        )
+        # within-epoch collisions: every member of a band group except the
+        # earliest arrival (conservative cluster-head semantics)
+        order = np.lexsort((arr, bh))
+        b_s, a_s = bh[order], arr[order]
+        first = np.empty(len(order), dtype=bool)
+        if len(order):
+            first[0] = True
+            first[1:] = b_s[1:] != b_s[:-1]
+        intra = np.zeros(len(bh), dtype=bool)
+        intra[order[~first]] = True
+        bad_ids = np.unique(ids[matched | intra])
+        code = (bad_ids.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(self.doc_P)
+        return [bad_ids[code == p] for p in range(self.doc_P)]
+
+    def record(self, delta_path: str, *kept_band_shards: pa.Table) -> int:
+        real = [t for t in kept_band_shards if t.num_rows]
+        new = (
+            np.unique(
+                np.concatenate(
+                    [
+                        t["band_hash"].to_numpy(zero_copy_only=False)
+                        for t in real
+                    ]
+                ).astype(np.int64)
+            )
+            if real
+            else np.empty(0, dtype=np.int64)
+        )
+        write_part_atomic(
+            pa.table({"band_hash": pa.array(new, pa.int64())}), delta_path
+        )
+        self.seen = np.unique(np.concatenate([self.seen, new]))
+        return len(new)
+
+    def write_full(self, path: str) -> int:
+        write_part_atomic(
+            pa.table({"band_hash": pa.array(self.seen, pa.int64())}), path
+        )
+        return len(self.seen)
+
+
+@ray.remote(num_cpus=0)
+class NearDupPayloadPartition:
+    """Holds one epoch's payload rows (routed by doc id), applies the band
+    verdicts, writes kept rows actor-direct to the sink, and emits the kept
+    docs' (band_hash) rows split by band partition for record()."""
+
+    def __init__(self, partition: int, band_P: int, bands: int):
+        self.partition = partition
+        self.band_P = band_P
+        self.bands = bands
+
+    def decide(self, part_path: str, payload: pa.Table, *matched: np.ndarray):
+        bad = (
+            np.unique(np.concatenate([m for m in matched if len(m)]))
+            if any(len(m) for m in matched)
+            else np.empty(0, dtype=np.int64)
+        )
+        ids = payload["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        drop = np.isin(ids, bad)
+        keep_idx = np.flatnonzero(~drop)
+        arr = payload["arrival"].to_numpy(zero_copy_only=False)[keep_idx]
+        keep_idx = keep_idx[np.argsort(arr, kind="stable")]
+        band_cols = [f"bh_{b}" for b in range(self.bands)]
+        kept = payload.take(pa.array(keep_idx))
+        out = kept.drop_columns(band_cols + ["arrival"])
+        write_part_atomic(out, part_path)
+        # kept band hashes, split by band partition for record()
+        bh = np.concatenate(
+            [
+                kept[c].to_numpy(zero_copy_only=False).astype(np.int64)
+                for c in band_cols
+            ]
+        ) if kept.num_rows else np.empty(0, dtype=np.int64)
+        code = (bh.astype(np.uint64)) % np.uint64(self.band_P)
+        res = [
+            pa.table({"band_hash": pa.array(bh[code == p], pa.int64())})
+            for p in range(self.band_P)
+        ]
+        return (int(kept.num_rows), int(drop.sum()), *res)
+
+
+@ray.remote
+def _read_split_neardup(
+    files: list[str],
+    id_col: str,
+    text_col: str,
+    doc_P: int,
+    band_P: int,
+    bands: int,
+    num_perm: int,
+    k: int,
+    seed: int,
+    arrival_base: int,
+    columns: list[str] | None,
+):
+    """Fused read + banded-minhash + double split for one epoch: payload
+    shards by doc id (with the doc's band hashes as columns) AND band-pair
+    shards by band hash. One full-data read; only (band_hash, doc_id,
+    arrival) triples go to the band partitions."""
+    from .exchange import split_compact
+    from .functions.dedup import band_hashes
+
+    tbls = []
+    off = arrival_base
+    for f in files:
+        t = pq.read_table(f, columns=columns)
+        t = t.append_column(
+            "arrival", pa.array(off + np.arange(t.num_rows), pa.int64())
+        )
+        off += t.num_rows
+        tbls.append(t)
+    tbl = pa.concat_tables(tbls, promote_options="none") if len(tbls) > 1 else tbls[0]
+    col = tbl[text_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    bh = band_hashes(col, num_perm=num_perm, bands=bands, k=k, seed=seed)
+    for b in range(bands):
+        tbl = tbl.append_column(f"bh_{b}", pa.array(bh[:, b], pa.int64()))
+    ids = tbl[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    with np.errstate(over="ignore"):
+        doc_code = (
+            ids.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        ) % np.uint64(doc_P)
+    payload_shards = split_compact(tbl, doc_code.astype(np.int64), doc_P)
+    n = tbl.num_rows
+    pairs = pa.table(
+        {
+            "band_hash": pa.array(bh.T.reshape(-1), pa.int64()),
+            "doc_id": pa.array(np.tile(ids, bands), pa.int64()),
+            "arrival": pa.array(
+                np.tile(
+                    tbl["arrival"].to_numpy(zero_copy_only=False), bands
+                ),
+                pa.int64(),
+            ),
+        }
+    )
+    band_code = (
+        pairs["band_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        % np.uint64(band_P)
+    ).astype(np.int64)
+    band_shards = split_compact(pairs, band_code, band_P)
+    return payload_shards + band_shards
+
+
+def run_neardup_stream(
+    files: list[str],
+    out_root: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    columns: list[str] | None = None,
+    num_partitions: int = 4,
+    files_per_epoch: int = 2,
+    bands: int = 8,
+    num_perm: int = 64,
+    k: int = 7,
+    seed: int = 7,
+    resume: bool = False,
+    fail_after_epoch: int | None = None,
+    compact_every: int = 8,
+) -> DedupStreamResult:
+    """Streaming APPROXIMATE near-dedup: drop any document one of whose
+    MinHash band hashes collides with a previously KEPT document (or with
+    an earlier arrival in the same epoch) — the crawl-feed near-dedup
+    shape: conservative cluster-head-keeps semantics, no pairwise verify.
+
+    Per epoch: one fused read+band+double-split task; band partitions
+    answer check() (read-only — crash-re-runnable) with matched doc ids
+    split straight to the payload partitions; payload partitions write kept
+    rows actor-direct and return the kept docs' band hashes split back to
+    the band partitions for record(). Nothing but ids/hashes ever reaches
+    the driver. Exactly-once exactly as run_dedup_stream (manifest sink ->
+    epoch marker; band-state deltas + periodic full snapshots)."""
+    root = Path(out_root)
+    ck = root / "ckpt"
+    ck.mkdir(parents=True, exist_ok=True)
+    sink = ManifestSink(out_root, "neardeduped")
+    if columns is None:
+        columns = [id_col, text_col]
+
+    meta_path = ck / "meta.json"
+    if meta_path.exists():
+        meta = json.loads(meta_path.read_text())
+        if meta["partitions"] != num_partitions:
+            if resume:
+                raise ValueError(
+                    f"checkpoint has {meta['partitions']} partitions, "
+                    f"got {num_partitions}"
+                )
+    if not resume:
+        import shutil
+
+        for f in ck.glob("epoch-*.json"):
+            f.unlink()
+        for f in ck.glob("full-*.json"):
+            f.unlink()
+        for f in list(ck.glob("delta-*")) + list(ck.glob("full-*")):
+            shutil.rmtree(f, ignore_errors=True)
+    meta_path.write_text(
+        json.dumps({"partitions": num_partitions, "bands": bands,
+                    "num_perm": num_perm, "k": k, "seed": seed})
+    )
+
+    P = num_partitions
+    band_workers = [BandPartition.remote(p, P) for p in range(P)]
+    payload_workers = [
+        NearDupPayloadPartition.remote(p, P, bands) for p in range(P)
+    ]
+
+    def delta_dir(epoch: int) -> Path:
+        return ck / f"delta-{epoch:05d}"
+
+    def full_dir(epoch: int) -> Path:
+        return ck / f"full-{epoch:05d}"
+
+    def marker(epoch: int) -> Path:
+        return ck / f"epoch-{epoch:05d}.json"
+
+    groups = [
+        files[i : i + files_per_epoch]
+        for i in range(0, len(files), files_per_epoch)
+    ]
+    bases, acc = [], 0
+    for g in groups:
+        bases.append(acc)
+        acc += sum(pq.read_metadata(f).num_rows for f in g)
+
+    done = {
+        int(f.stem.split("-")[1]) for f in ck.glob("epoch-*.json")
+    } if resume else set()
+    if done:
+        fulls = sorted(
+            e for f in ck.glob("full-*.json")
+            for e in [int(f.stem.split("-")[1])]
+            if e in done
+        )
+        base_full = fulls[-1] if fulls else None
+        tail = sorted(e for e in done if base_full is None or e > base_full)
+        restore_files = [
+            ([str(full_dir(base_full) / f"part-{p:05d}.parquet")]
+             if base_full is not None else [])
+            + [str(delta_dir(e) / f"part-{p:05d}.parquet") for e in tail]
+            for p in range(P)
+        ]
+        ray.get(
+            [
+                w.restore.remote(restore_files[p])
+                for p, w in enumerate(band_workers)
+            ]
+        )
+
+    epochs_run = epochs_skipped = 0
+    kept_total = dropped_total = 0
+    for e, g in enumerate(groups):
+        if e in done:
+            epochs_skipped += 1
+            continue
+        shards = _read_split_neardup.options(num_returns=2 * P).remote(
+            g, id_col, text_col, P, P, bands, num_perm, k, seed, bases[e],
+            columns,
+        )
+        payload_shards, band_shards = shards[:P], shards[P:]
+        verdicts = [
+            band_workers[p].check.options(num_returns=P).remote(band_shards[p])
+            for p in range(P)
+        ]
+        dd = delta_dir(e)
+        dd.mkdir(parents=True, exist_ok=True)
+        decisions = [
+            payload_workers[p].decide.options(num_returns=2 + P).remote(
+                sink.part_path(e, p),
+                payload_shards[p],
+                *[verdicts[bp][p] for bp in range(P)],
+            )
+            for p in range(P)
+        ]
+        kept = ray.get([d[0] for d in decisions])
+        dropped = ray.get([d[1] for d in decisions])
+        ray.get(
+            [
+                band_workers[bp].record.remote(
+                    str(dd / f"part-{bp:05d}.parquet"),
+                    *[decisions[p][2 + bp] for p in range(P)],
+                )
+                for bp in range(P)
+            ]
+        )
+        sink.commit_epoch(e, {p: kp for p, kp in enumerate(kept)})
+        marker(e).write_text(
+            json.dumps(
+                {"epoch": e, "kept": int(sum(kept)),
+                 "dropped": int(sum(dropped)), "committed_at": time.time()}
+            )
+        )
+        kept_total += sum(kept)
+        dropped_total += sum(dropped)
+        epochs_run += 1
+        if compact_every and (e + 1) % compact_every == 0:
+            fd = full_dir(e)
+            fd.mkdir(parents=True, exist_ok=True)
+            sizes = ray.get(
+                [
+                    band_workers[p].write_full.remote(
+                        str(fd / f"part-{p:05d}.parquet")
+                    )
+                    for p in range(P)
+                ]
+            )
+            (ck / f"full-{e:05d}.json").write_text(
+                json.dumps({"epoch": e, "band_hashes": int(sum(sizes))})
+            )
+            import shutil as _sh
+
+            for old in sorted(ck.glob("delta-*")):
+                if int(old.name.split("-")[1]) <= e:
+                    _sh.rmtree(old, ignore_errors=True)
+        if fail_after_epoch is not None and e >= fail_after_epoch:
+            raise RuntimeError("injected failure (neardup stream)")
+    for w in band_workers + payload_workers:
+        ray.kill(w)
+    return DedupStreamResult(
+        sink, epochs_run, epochs_skipped, kept_total, dropped_total
+    )
