@@ -144,7 +144,12 @@ def run_docs_bench() -> dict:
     def timed(name, fn):
         t0 = time.time()
         out = fn()
-        n = out.count() if hasattr(out, "count") and not hasattr(out, "index") else len(out)
+        if isinstance(out, int):
+            n = out
+        elif hasattr(out, "count") and not hasattr(out, "index"):
+            n = out.count()
+        else:
+            n = len(out)
         dt = time.time() - t0
         res[name] = {
             "sec": round(dt, 3),
@@ -169,6 +174,29 @@ def run_docs_bench() -> dict:
         ),
     )
     timed("shuffle_rank", lambda: sample.shuffle_rank(ds(["doc_id"]), "doc_id"))
+
+    import shutil
+
+    from ray_ordered_stream.stream_dedup import (
+        run_dedup_stream,
+        run_neardup_stream,
+    )
+
+    feed = sorted(str(p) for p in Path(path).glob("part-*.parquet"))
+
+    def _stream(runner, out):
+        shutil.rmtree(out, ignore_errors=True)
+        r = runner(feed, out, num_partitions=8, files_per_epoch=8)
+        return r.total_kept
+
+    timed(
+        "stream_dedup",
+        lambda: _stream(run_dedup_stream, "/tmp/ros_bench/sd_out"),
+    )
+    timed(
+        "stream_neardup",
+        lambda: _stream(run_neardup_stream, "/tmp/ros_bench/snd_out"),
+    )
     return res
 
 
