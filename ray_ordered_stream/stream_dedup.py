@@ -773,3 +773,55 @@ def run_neardup_stream(
     return DedupStreamResult(
         sink, epochs_run, epochs_skipped, kept_total, dropped_total
     )
+
+
+def run_dedup_stream_continuous(
+    landing_dir: str,
+    out_root: str,
+    poll_interval_s: float = 1.0,
+    idle_timeout_s: float = 60.0,
+    stop_file: str = "_STOP",
+    near: bool = False,
+    **kwargs,
+) -> DedupStreamResult:
+    """Continuous (unbounded) mode for the dedup streams: poll an
+    arrival-ordered landing directory and feed each batch of newly complete
+    epochs through ``run_dedup_stream`` / ``run_neardup_stream`` with
+    ``resume=True`` — committed epochs are durable (markers + deltas), so
+    every poll restores the seen-state and processes only new files,
+    exactly-once across polls AND crashes.
+
+    Producers must write files whose names sort after all earlier files
+    (the landing-dir convention shared with epochs.run_stream_continuous);
+    only complete ``files_per_epoch`` groups run mid-stream, so epoch
+    boundaries never shift as files arrive. The trailing partial group runs
+    once the ``stop_file`` appears (or the idle timeout fires).
+
+    Trade-off (documented, not hidden): state actors are re-created and
+    restored once per poll that has work — bounded by snapshot compaction,
+    and the right shape for a sandbox driver; a long-lived deployment would
+    keep the actors resident between polls."""
+    fpe = kwargs.get("files_per_epoch", 2)
+    runner = run_neardup_stream if near else run_dedup_stream
+    land = Path(landing_dir)
+    last_new = time.monotonic()
+    processed = 0
+    res = None
+    while True:
+        stop = (land / stop_file).exists()
+        files = sorted(
+            str(f) for f in land.glob("*.parquet")
+        )
+        usable = files if stop else files[: (len(files) // fpe) * fpe]
+        if len(usable) > processed:
+            res = runner(usable, out_root, resume=True, **kwargs)
+            processed = len(usable)
+            last_new = time.monotonic()
+        if stop and processed == len(files):
+            break
+        if time.monotonic() - last_new > idle_timeout_s:
+            break
+        time.sleep(poll_interval_s)
+    if res is None:
+        res = runner(files, out_root, resume=True, **kwargs)
+    return res

@@ -179,3 +179,50 @@ def test_neardup_stream_crash_resume(ray_session, tmp_path):
     b = (res.sink.read().select_columns(["doc_id", "text"])
          .to_pandas().sort_values("doc_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_dedup_stream_continuous_midrun_files(ray_session, tmp_path):
+    """Continuous mode: files land while the loop polls; every distinct doc
+    is kept exactly once, duplicates across the arrival boundary are
+    dropped (seen-state survives between polls via the checkpoints)."""
+    import threading
+    import time as _t
+
+    from ray_ordered_stream.stream_dedup import run_dedup_stream_continuous
+
+    df = _corpus(n=240, seed=15)
+    land = tmp_path / "landing"
+    land.mkdir()
+    step = 30
+    def write(i):
+        pq.write_table(
+            pa.Table.from_pandas(df.iloc[i * step : (i + 1) * step],
+                                 preserve_index=False),
+            land / f"feed-{i:05d}.parquet",
+        )
+    for i in range(4):
+        write(i)
+
+    def producer():
+        _t.sleep(0.8)
+        for i in range(4, 8):
+            write(i)
+        _t.sleep(0.3)
+        (land / "_STOP").write_text("")
+
+    th = threading.Thread(target=producer)
+    th.start()
+    res = run_dedup_stream_continuous(
+        str(land), str(tmp_path / "out"), poll_interval_s=0.2,
+        num_partitions=3, files_per_epoch=2,
+    )
+    th.join()
+    exp = _oracle_keep(df)
+    got = (
+        res.sink.read().select_columns(["doc_id", "text"])
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got, exp.sort_values("doc_id").reset_index(drop=True)
+    )
+    assert res.sink.total_committed_rows() == len(exp)
