@@ -232,6 +232,7 @@ def run_dedup_stream(
     root = Path(out_root)
     ck = root / "ckpt"
     ck.mkdir(parents=True, exist_ok=True)
+    _complete_dedup_rescale(ck)  # finish any half-swapped rescale first
     sink = ManifestSink(out_root, "deduped")
     if columns is None:
         columns = [id_col, text_col]
@@ -615,6 +616,7 @@ def run_neardup_stream(
     root = Path(out_root)
     ck = root / "ckpt"
     ck.mkdir(parents=True, exist_ok=True)
+    _complete_dedup_rescale(ck)  # finish any half-swapped rescale first
     sink = ManifestSink(out_root, "neardeduped")
     if columns is None:
         columns = [id_col, text_col]
@@ -825,3 +827,118 @@ def run_dedup_stream_continuous(
     if res is None:
         res = runner(files, out_root, resume=True, **kwargs)
     return res
+
+
+def rescale_dedup_checkpoint(out_root: str, new_partitions: int, near: bool = False):
+    """Migrate a dedup-stream checkpoint to a new partition count at a
+    consistent cut (parity with rescale.rescale_checkpoint for the ordered
+    engine): fold every partition's current seen-state (latest full
+    snapshot + trailing deltas), re-route it under the new partition count
+    (fp_hi % P for the exact stream, band_hash % P for the near stream),
+    and write it as a compacted full snapshot at the last committed epoch.
+    A subsequent resume with ``num_partitions=new_partitions`` restores
+    from that snapshot; the old layout is removed."""
+    import shutil
+
+    ck = Path(out_root) / "ckpt"
+    meta_path = ck / "meta.json"
+    if not meta_path.exists():
+        raise FileNotFoundError(f"no checkpoint under {out_root}")
+    meta = json.loads(meta_path.read_text())
+    old_P = meta["partitions"]
+    done = sorted(int(f.stem.split("-")[1]) for f in ck.glob("epoch-*.json"))
+    if not done:
+        meta["partitions"] = new_partitions
+        meta_path.write_text(json.dumps(meta))
+        return
+    last = done[-1]
+    fulls = sorted(
+        int(f.stem.split("-")[1])
+        for f in ck.glob("full-*.json")
+        if int(f.stem.split("-")[1]) in set(done)
+    )
+    base_full = fulls[-1] if fulls else None
+    tail = [e for e in done if base_full is None or e > base_full]
+    cols = ["band_hash"] if near else ["fp_hi", "fp_lo"]
+
+    def part_files(p_old: int) -> list[str]:
+        out = []
+        if base_full is not None:
+            out.append(str(ck / f"full-{base_full:05d}" / f"part-{p_old:05d}.parquet"))
+        out += [
+            str(ck / f"delta-{e:05d}" / f"part-{p_old:05d}.parquet")
+            for e in tail
+        ]
+        return out
+
+    tbls = []
+    for p in range(old_P):
+        for f in part_files(p):
+            tbls.append(pq.read_table(f, columns=cols))
+    merged = pa.concat_tables(tbls, promote_options="none")
+    if near:
+        key = merged["band_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    else:
+        key = merged["fp_hi"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    codes = (key % np.uint64(new_partitions)).astype(np.int64)
+    from .exchange import split_compact
+
+    new_parts = split_compact(merged, codes, new_partitions)
+
+    # two-phase staged swap (same pattern as rescale.rescale_checkpoint):
+    # stage the complete new snapshot + a sentinel, THEN swap; the runners
+    # complete a half-finished swap on startup, so no crash window leaves
+    # the checkpoint readable-but-wrong
+    fd = ck / "_rescale_stage"
+    shutil.rmtree(fd, ignore_errors=True)
+    fd.mkdir(parents=True)
+    for p, t in enumerate(new_parts):
+        write_part_atomic(t, str(fd / f"part-{p:05d}.parquet"))
+    sentinel = ck / "_RESCALE.json"
+    tmp = sentinel.with_suffix(".tmp")
+    tmp.write_text(
+        json.dumps({"epoch": last, "new_partitions": new_partitions,
+                    "old_partitions": old_P, "rows": int(merged.num_rows)})
+    )
+    import os as _os
+
+    _os.replace(tmp, sentinel)  # sentinel commit: stage is complete
+    _complete_dedup_rescale(ck)
+
+
+def _complete_dedup_rescale(ck: Path) -> None:
+    """Finish (or re-finish, idempotently) a staged dedup rescale: called
+    by rescale_dedup_checkpoint and by the stream runners on startup."""
+    import shutil
+
+    sentinel = ck / "_RESCALE.json"
+    if not sentinel.exists():
+        return
+    info = json.loads(sentinel.read_text())
+    stage = ck / "_rescale_stage"
+    last = info["epoch"]
+    final = ck / f"full-{last:05d}"
+    if stage.exists():
+        # destroy the OLD layout (it routes under the old partition count)
+        for old in list(ck.glob("delta-*")) + [
+            d for d in ck.glob("full-*") if d.is_dir() and d != stage
+        ]:
+            shutil.rmtree(old, ignore_errors=True)
+        for f in ck.glob("full-*.json"):
+            f.unlink()
+        stage.replace(final)
+    # stage already swapped (crash after replace): just finish the markers
+    (ck / f"full-{last:05d}.json").write_text(
+        json.dumps({"epoch": last,
+                    "rescaled_from": info["old_partitions"],
+                    "rows": info["rows"]})
+    )
+    meta_path = ck / "meta.json"
+    meta = json.loads(meta_path.read_text())
+    meta["partitions"] = info["new_partitions"]
+    tmp = meta_path.with_suffix(".tmp")
+    tmp.write_text(json.dumps(meta))
+    import os as _os
+
+    _os.replace(tmp, meta_path)
+    sentinel.unlink()

@@ -226,3 +226,64 @@ def test_dedup_stream_continuous_midrun_files(ray_session, tmp_path):
         got, exp.sort_values("doc_id").reset_index(drop=True)
     )
     assert res.sink.total_committed_rows() == len(exp)
+
+
+def test_dedup_rescale_checkpoint(ray_session, tmp_path):
+    """Grow P mid-stream: rescale folds the seen-state into a re-routed
+    full snapshot; the resumed run at the new P still drops every
+    duplicate whose source arrived before the rescale."""
+    from ray_ordered_stream.stream_dedup import (
+        rescale_dedup_checkpoint,
+        run_dedup_stream,
+    )
+
+    df = _corpus(n=320, seed=17)
+    files = _write_feed(df, tmp_path / "feed", 8)
+    out = str(tmp_path / "out")
+
+    run_dedup_stream(files[:4], out, num_partitions=3, files_per_epoch=2)
+    rescale_dedup_checkpoint(out, 5)
+    with pytest.raises(ValueError, match="5 partitions"):
+        run_dedup_stream(files, out, num_partitions=3, files_per_epoch=2,
+                         resume=True)
+    res = run_dedup_stream(files, out, num_partitions=5, files_per_epoch=2,
+                           resume=True)
+    assert res.epochs_skipped == 2
+    exp = _oracle_keep(df)
+    got = (
+        res.sink.read().select_columns(["doc_id", "text"])
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got, exp.sort_values("doc_id").reset_index(drop=True)
+    )
+
+
+def test_neardup_rescale_checkpoint(ray_session, tmp_path):
+    from ray_ordered_stream.stream_dedup import (
+        rescale_dedup_checkpoint,
+        run_neardup_stream,
+    )
+
+    rng = np.random.default_rng(19)
+    words = np.array(["p1", "p2", "p3", "p4", "p5", "p6", "p7", "p8", "p9"])
+    n = 160
+    texts = [" ".join(rng.choice(words, size=30)) for _ in range(n)]
+    for i in rng.choice(np.arange(80, n), size=30, replace=False):
+        texts[i] = texts[rng.integers(0, 80)]
+    df = pd.DataFrame({"doc_id": np.arange(n, dtype="int64"), "text": texts})
+    files = _write_feed(df, tmp_path / "feed", 8)
+    out = str(tmp_path / "out")
+    full_out = str(tmp_path / "full")
+
+    full = run_neardup_stream(files, full_out, num_partitions=3,
+                              files_per_epoch=2)
+    run_neardup_stream(files[:4], out, num_partitions=3, files_per_epoch=2)
+    rescale_dedup_checkpoint(out, 5, near=True)
+    res = run_neardup_stream(files, out, num_partitions=5, files_per_epoch=2,
+                             resume=True)
+    a = (full.sink.read().select_columns(["doc_id", "text"])
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    b = (res.sink.read().select_columns(["doc_id", "text"])
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
