@@ -83,6 +83,14 @@ def main(argv: list[str] | None = None) -> int:
                          "checkpoint lineage; resume reuses them)")
     ap.add_argument("--spread-actors", action="store_true")
     ap.add_argument("--warmup-rows", type=int, default=8192)
+    ap.add_argument(
+        "--pipeline", choices=("ordered", "dedup", "neardup"),
+        default="ordered",
+        help="which streaming pipeline to run: the ordered engine "
+             "(default) or the content-dedup streams (stream_dedup.py; "
+             "--input is then a documents feed with doc_id/text)")
+    ap.add_argument("--dedup-id-col", default="doc_id")
+    ap.add_argument("--dedup-text-col", default="text")
     ap.add_argument("--address", default="auto",
                     help="Ray address ('auto' in a submitted job, 'local' standalone)")
     args = ap.parse_args(argv)
@@ -99,6 +107,51 @@ def main(argv: list[str] | None = None) -> int:
     from pathlib import Path
 
     from .epochs import run_stream, run_stream_continuous
+
+    if args.pipeline in ("dedup", "neardup"):
+        from .stream_dedup import (
+            run_dedup_stream,
+            run_dedup_stream_continuous,
+            run_neardup_stream,
+        )
+
+        common = dict(
+            id_col=args.dedup_id_col,
+            text_col=args.dedup_text_col,
+            num_partitions=args.partitions,
+            files_per_epoch=args.files_per_epoch,
+            compact_every=args.checkpoint_full_every,
+        )
+        if args.continuous:
+            res = run_dedup_stream_continuous(
+                args.input, args.out, idle_timeout_s=args.idle_timeout,
+                near=(args.pipeline == "neardup"), **common,
+            )
+        else:
+            files = [str(f) for f in sorted(Path(args.input).glob("*.parquet"))]
+            if not files:
+                print(json.dumps({"error": f"no parquet files in {args.input}"}))
+                return 2
+            runner = (
+                run_neardup_stream if args.pipeline == "neardup"
+                else run_dedup_stream
+            )
+            res = runner(
+                files, args.out, resume=not args.no_resume, **common,
+            )
+        print(
+            json.dumps(
+                {
+                    "pipeline": args.pipeline,
+                    "epochs_run": res.epochs_run,
+                    "epochs_skipped": res.epochs_skipped,
+                    "total_kept": res.total_kept,
+                    "total_dropped": res.total_dropped,
+                    "committed_rows": res.sink.total_committed_rows(),
+                }
+            )
+        )
+        return 0
 
     cfg = build_config(args)
     if args.continuous:

@@ -49,3 +49,40 @@ def test_job_cli_run_and_resume(tmp_path):
     res2 = _run(args)  # idempotent re-submit: everything already committed
     assert res2["epochs_run"] == 0
     assert res2["epochs_skipped"] >= 1
+
+
+def test_job_cli_dedup_pipeline(tmp_path):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    rng = np.random.default_rng(11)
+    words = np.array(["red", "blue", "lime", "teal", "gold"])
+    texts = [" ".join(rng.choice(words, size=10)) for _ in range(120)]
+    for i in rng.choice(np.arange(1, 120), size=30, replace=False):
+        texts[i] = texts[rng.integers(0, i)]
+    df = pd.DataFrame({"doc_id": np.arange(120, dtype="int64"), "text": texts})
+    land = tmp_path / "feed"
+    land.mkdir()
+    step = 30
+    for i in range(4):
+        pq.write_table(
+            pa.Table.from_pandas(df.iloc[i * step:(i + 1) * step],
+                                 preserve_index=False),
+            land / f"feed-{i:05d}.parquet")
+
+    args = [
+        "--input", str(land), "--out", str(tmp_path / "out"),
+        "--pipeline", "dedup", "--partitions", "2",
+        "--files-per-epoch", "2", "--address", "local",
+    ]
+    res = _run(args)
+    n_unique = df["text"].nunique()
+    assert res["total_kept"] == n_unique == res["committed_rows"]
+    assert res["total_dropped"] == len(df) - n_unique
+    assert res["epochs_run"] == 2
+
+    res2 = _run(args)  # exactly-once resume: nothing re-runs
+    assert res2["epochs_run"] == 0
+    assert res2["epochs_skipped"] == 2
+    assert res2["committed_rows"] == n_unique
