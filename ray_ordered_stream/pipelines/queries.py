@@ -1548,6 +1548,74 @@ SELECT vec_id AS id_a, vec_id + {_PLANT_OFFSET} AS id_b FROM embeddings
 """
 
 
+def _docs_with_two_planted_copies(sf_dir: str):
+    """documents ∪ two id-offset copies — every document becomes a KNOWN
+    3-member duplicate cluster {i, i+OFF, i+2·OFF}, which exercises the
+    pair->cluster step (a doc crawled n times yields n·(n-1)/2 pairs but
+    ONE cluster)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def copy_ids(off):
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {"doc_id": pc.add(t["doc_id"], off), "text": t["text"]}
+            )
+
+        return f
+
+    return ds.union(
+        ds.map_batches(copy_ids(_PLANT_OFFSET), batch_format="pyarrow"),
+        ds.map_batches(copy_ids(2 * _PLANT_OFFSET), batch_format="pyarrow"),
+    )
+
+
+def q_doc_dedup_clusters(sf_dir: str):
+    """Near-dup CLUSTERS: LSH+verify pairs -> distributed connected
+    components (min-label propagation). On the 3-copies corpus every
+    component is exactly {i, i+OFF, i+2·OFF} labeled i."""
+    from ..functions.dedup import near_dup_pairs
+    from ..functions.graph import connected_components
+
+    pairs = near_dup_pairs(_docs_with_two_planted_copies(sf_dir), threshold=1.0)
+
+    def exact_only(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t["jaccard"], 1.0))
+
+    return connected_components(
+        pairs.map_batches(exact_only, batch_format="pyarrow")
+    )
+
+
+SQL_DOC_DEDUP_CLUSTERS = f"""
+SELECT doc_id AS node, doc_id AS component FROM documents
+UNION ALL
+SELECT doc_id + {_PLANT_OFFSET} AS node, doc_id AS component FROM documents
+UNION ALL
+SELECT doc_id + {2 * _PLANT_OFFSET} AS node, doc_id AS component FROM documents
+"""
+
+
+def q_doc_cluster_dedup(sf_dir: str):
+    """End-to-end cluster dedup: pairs -> components -> keep the min-id
+    representative of each cluster (anti-join of the drop-set). On the
+    3-copies corpus the survivors are exactly the original documents."""
+    from ..functions.dedup import near_dup_pairs
+    from ..functions.graph import cluster_dedup
+
+    both = _docs_with_two_planted_copies(sf_dir)
+    pairs = near_dup_pairs(both, threshold=1.0)
+
+    def exact_only(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t["jaccard"], 1.0))
+
+    return cluster_dedup(
+        both, pairs.map_batches(exact_only, batch_format="pyarrow")
+    )
+
+
+SQL_DOC_CLUSTER_DEDUP = "SELECT doc_id, text FROM documents"
+
+
 def q_doc_exact_dedup_keep(sf_dir: str):
     """The exact-dedup KEEP facade (distributed semi-join, not a driver
     id-set) on the planted corpus: keep-first-by-id must return exactly the
@@ -1745,6 +1813,8 @@ QUERIES = {
     "doc_simhash_planted": (q_doc_simhash_planted, SQL_DOC_SIMHASH_PLANTED),
     "emb_near_dups_planted": (q_emb_near_dups_planted, SQL_EMB_NEAR_DUPS_PLANTED),
     "doc_exact_dedup_keep": (q_doc_exact_dedup_keep, SQL_DOC_EXACT_DEDUP_KEEP),
+    "doc_dedup_clusters": (q_doc_dedup_clusters, SQL_DOC_DEDUP_CLUSTERS),
+    "doc_cluster_dedup": (q_doc_cluster_dedup, SQL_DOC_CLUSTER_DEDUP),
     "media_decode": (q_media_decode, SQL_MEDIA_DECODE),
     "media_frames": (q_media_frames, SQL_MEDIA_FRAMES),
     "knn_bruteforce": (q_knn_bruteforce, SQL_KNN_BRUTEFORCE),
