@@ -168,6 +168,101 @@ def pii_scrub(ds, text_col: str = "text"):
     return ds.map_batches(PiiScrubber(text_col), batch_format="pyarrow")
 
 
+class RepetitionStats:
+    """Gopher-style repetition signals per document (Rae et al. 2021 §A1.1
+    shape): token totals, distinct-token count, the most-frequent token's
+    count, and how many bigram positions belong to a repeated bigram —
+    plus a ``keep`` verdict from fixed integer thresholds.
+
+    All outputs are INTEGERS (plus one bool) so the SQL oracle hashes
+    exactly; the repetition FRACTIONS the Gopher rules quote are ratios of
+    these columns and the keep rule is expressed in cross-multiplied
+    integer arithmetic (no float round-trip). Tokenization is the shared
+    RE2 ``\\w+`` semantics (TokenCounter / vocab_counts / the oracles).
+    Fully vectorized: one Arrow tokenization, one FNV-1a pass over the
+    batch's tokens, lexsort + run-length detection for the per-(doc,token)
+    and per-(doc,bigram) counts — no per-document Python."""
+
+    # keep = n_tokens >= MIN_TOKENS
+    #        and n_distinct / n_tokens >= 2/5
+    #        and top_count / n_tokens <= 1/8
+    #        and n_dup_bigrams / n_bigrams <= 1/8
+    MIN_TOKENS = 30
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        from ..partitioning import hash_string_array
+
+        arr = t["text"]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        n = len(arr)
+        words = pc.utf8_split_whitespace(
+            pc.replace_substring_regex(pc.utf8_lower(arr), r"\W+", " ")
+        )
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        counts = (
+            pc.list_value_length(words)
+            .fill_null(0)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        flat = words.flatten()
+        nz = pc.greater(pc.utf8_length(flat), 0).to_numpy(zero_copy_only=False)
+        doc_of = np.repeat(np.arange(n), counts)[nz]
+        h = hash_string_array(flat)[nz]
+        n_tokens = np.bincount(doc_of, minlength=n).astype(np.int64)
+
+        def _runs(doc, key):
+            """(run_doc, run_len) of equal-(doc, key) runs."""
+            if not len(doc):
+                return doc, key.astype(np.int64)
+            order = np.lexsort((key, doc))
+            d_s, k_s = doc[order], key[order]
+            start = np.empty(len(d_s), dtype=bool)
+            start[0] = True
+            start[1:] = (d_s[1:] != d_s[:-1]) | (k_s[1:] != k_s[:-1])
+            starts = np.flatnonzero(start)
+            return d_s[starts], np.diff(np.append(starts, len(d_s)))
+
+        run_doc, run_len = _runs(doc_of, h)
+        n_distinct = np.bincount(run_doc, minlength=n).astype(np.int64)
+        top_count = np.zeros(n, dtype=np.int64)
+        np.maximum.at(top_count, run_doc, run_len)
+
+        same = doc_of[1:] == doc_of[:-1] if len(doc_of) else np.zeros(0, bool)
+        with np.errstate(over="ignore"):
+            grams = h[:-1] * np.uint64(1099511628211) + h[1:] if len(h) else h
+        g_doc, g_key = doc_of[:-1][same], grams[same]
+        n_bigrams = np.bincount(g_doc, minlength=n).astype(np.int64)
+        b_doc, b_len = _runs(g_doc, g_key)
+        dup = b_len >= 2
+        n_dup_bigrams = np.bincount(
+            b_doc[dup], weights=b_len[dup], minlength=n
+        ).astype(np.int64)
+
+        keep = (
+            (n_tokens >= self.MIN_TOKENS)
+            & (5 * n_distinct >= 2 * n_tokens)
+            & (8 * top_count <= n_tokens)
+            & (8 * n_dup_bigrams <= n_bigrams)
+        )
+        return (
+            t.append_column("n_tokens", pa.array(n_tokens))
+            .append_column("n_distinct", pa.array(n_distinct))
+            .append_column("top_count", pa.array(top_count))
+            .append_column("n_bigrams", pa.array(n_bigrams))
+            .append_column("n_dup_bigrams", pa.array(n_dup_bigrams))
+            .append_column("keep", pa.array(keep))
+        )
+
+
+def repetition_stats(ds):
+    return ds.map_batches(RepetitionStats(), batch_format="pyarrow")
+
+
 class _VocabPartial:
     """Per-batch token/n-gram frequency: one Arrow tokenization (same RE2
     \\w+ semantics as TokenCounter / the SQL oracle), n-gram assembly via

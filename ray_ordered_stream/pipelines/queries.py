@@ -940,6 +940,87 @@ GROUP BY token ORDER BY n DESC, token LIMIT 50
 """
 
 
+def q_doc_repetition(sf_dir: str):
+    """Gopher-style repetition quality signals + keep verdict
+    (functions/textstats.repetition_stats): integer counts only, so the
+    SQL mirror hashes exactly."""
+    from ..functions.textstats import repetition_stats
+
+    return repetition_stats(
+        _read(sf_dir, "documents", ["doc_id", "text"])
+    ).select_columns(
+        ["doc_id", "n_tokens", "n_distinct", "top_count",
+         "n_bigrams", "n_dup_bigrams", "keep"]
+    )
+
+
+SQL_DOC_REPETITION = r"""
+WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS a
+           FROM documents),
+per AS (SELECT doc_id, tok, count(*) AS c
+        FROM (SELECT doc_id, unnest(a) AS tok FROM t) GROUP BY 1, 2),
+agg AS (SELECT doc_id, sum(c) AS n_tokens, count(*) AS n_distinct,
+               max(c) AS top_count FROM per GROUP BY 1),
+g AS (SELECT doc_id, a[i] || ' ' || a[i+1] AS gram
+      FROM t, unnest(generate_series(1, len(a)-1)) AS s(i)),
+gper AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2),
+gagg AS (SELECT doc_id, sum(c) AS n_bigrams,
+                sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS n_dup_bigrams
+         FROM gper GROUP BY 1)
+SELECT d.doc_id,
+       COALESCE(a.n_tokens, 0)::bigint AS n_tokens,
+       COALESCE(a.n_distinct, 0)::bigint AS n_distinct,
+       COALESCE(a.top_count, 0)::bigint AS top_count,
+       COALESCE(ga.n_bigrams, 0)::bigint AS n_bigrams,
+       COALESCE(ga.n_dup_bigrams, 0)::bigint AS n_dup_bigrams,
+       (COALESCE(a.n_tokens, 0) >= 30
+        AND 5 * COALESCE(a.n_distinct, 0) >= 2 * COALESCE(a.n_tokens, 0)
+        AND 8 * COALESCE(a.top_count, 0) <= COALESCE(a.n_tokens, 0)
+        AND 8 * COALESCE(ga.n_dup_bigrams, 0) <= COALESCE(ga.n_bigrams, 0)
+       ) AS keep
+FROM documents d
+LEFT JOIN agg a ON d.doc_id = a.doc_id
+LEFT JOIN gagg ga ON d.doc_id = ga.doc_id
+"""
+
+
+def q_doc_decontaminate(sf_dir: str):
+    """Benchmark decontamination (functions/decontam): word-trigram overlap
+    of every document vs a 'benchmark' slice of the corpus (doc_id % 89 ==
+    0 stands in for the eval suite); the benchmark gram set is broadcast,
+    the corpus streams."""
+    from ..functions.decontam import decontaminate
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def bench_only(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.filter(pa.array(ids % 89 == 0))
+
+    bench = docs.map_batches(bench_only, batch_format="pyarrow")
+    return decontaminate(docs, bench, n=3).select_columns(
+        ["doc_id", "n_ngrams", "n_contaminated", "contaminated"]
+    )
+
+
+SQL_DOC_DECONTAMINATE = r"""
+WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS a
+           FROM documents),
+g AS (SELECT doc_id, a[i] || ' ' || a[i+1] || ' ' || a[i+2] AS gram
+      FROM t, unnest(generate_series(1, len(a) - 2)) AS s(i)),
+bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 89 = 0),
+hits AS (SELECT g.doc_id, count(*) AS n_contaminated
+         FROM g JOIN bench USING (gram) GROUP BY 1),
+tot AS (SELECT doc_id, greatest(len(a) - 2, 0)::bigint AS n_ngrams FROM t)
+SELECT d.doc_id, tot.n_ngrams,
+       COALESCE(h.n_contaminated, 0)::bigint AS n_contaminated,
+       COALESCE(h.n_contaminated, 0) > 0 AS contaminated
+FROM documents d
+JOIN tot ON d.doc_id = tot.doc_id
+LEFT JOIN hits h ON d.doc_id = h.doc_id
+"""
+
+
 def q_doc_shuffle(sf_dir: str):
     """Deterministic global training-shuffle order: shuffle_pos = corpus
     rank of md5('0:'||doc_id) (functions/sample.shuffle_rank — ordered
@@ -1814,6 +1895,8 @@ QUERIES = {
     "emb_near_dups_planted": (q_emb_near_dups_planted, SQL_EMB_NEAR_DUPS_PLANTED),
     "doc_exact_dedup_keep": (q_doc_exact_dedup_keep, SQL_DOC_EXACT_DEDUP_KEEP),
     "doc_dedup_clusters": (q_doc_dedup_clusters, SQL_DOC_DEDUP_CLUSTERS),
+    "doc_repetition": (q_doc_repetition, SQL_DOC_REPETITION),
+    "doc_decontaminate": (q_doc_decontaminate, SQL_DOC_DECONTAMINATE),
     "doc_cluster_dedup": (q_doc_cluster_dedup, SQL_DOC_CLUSTER_DEDUP),
     "media_decode": (q_media_decode, SQL_MEDIA_DECODE),
     "media_frames": (q_media_frames, SQL_MEDIA_FRAMES),

@@ -438,3 +438,79 @@ def test_vocab_bigrams(ray_session):
     # bigrams never bridge documents: "sat sat" (doc1 end -> doc2 start)
     # must be absent
     assert "sat sat" not in set(got["token"])
+
+
+def test_repetition_stats(ray_session):
+    import re
+    from collections import Counter
+
+    import ray.data
+
+    from ray_ordered_stream.functions.textstats import repetition_stats
+
+    texts = [
+        "the cat sat on the mat the cat sat again",   # repeated tokens+bigrams
+        "a b c d e f g h i j",                        # all distinct
+        "spam spam spam spam spam",                   # one degenerate token
+        "",                                           # empty
+        "Word word WORD word!",                       # case-folded repeats
+    ]
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": np.arange(len(texts), dtype="int64"),
+                      "text": texts})
+    )
+    got = (
+        repetition_stats(ds).to_pandas().sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    for i, text in enumerate(texts):
+        toks = re.findall(r"\w+", text.lower())
+        tc = Counter(toks)
+        grams = Counter(zip(toks, toks[1:]))
+        row = got.iloc[i]
+        assert row.n_tokens == len(toks)
+        assert row.n_distinct == len(tc)
+        assert row.top_count == (max(tc.values()) if tc else 0)
+        assert row.n_bigrams == max(0, len(toks) - 1)
+        assert row.n_dup_bigrams == sum(c for c in grams.values() if c > 1)
+        exp_keep = (
+            len(toks) >= 30
+            and 5 * len(tc) >= 2 * len(toks)
+            and 8 * max(tc.values()) <= len(toks)
+            and 8 * row.n_dup_bigrams <= row.n_bigrams
+        ) if tc else False
+        assert bool(row.keep) == exp_keep
+
+
+def test_decontaminate(ray_session):
+    import ray.data
+
+    from ray_ordered_stream.functions.decontam import decontaminate
+
+    bench_texts = ["the quick brown fox jumps", "alpha beta gamma delta"]
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(5, dtype="int64"),
+            "text": [
+                "we saw the quick brown fox jumps high",  # 3 hit positions
+                "nothing in common here at all",
+                "alpha beta gamma",      # its single trigram is a bench gram
+                "x alpha beta gamma delta y",             # 2 hit positions
+                "the quick brown the quick brown fox",    # repeated gram hits
+            ],
+        }
+    )
+    got = (
+        decontaminate(
+            ray.data.from_pandas(docs),
+            ray.data.from_pandas(pd.DataFrame({"text": bench_texts})),
+            n=3,
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got["n_ngrams"].tolist() == [6, 4, 1, 4, 5]
+    assert got["n_contaminated"].tolist() == [3, 0, 1, 2, 3]
+    assert got["contaminated"].tolist() == [True, False, True, True, True]
