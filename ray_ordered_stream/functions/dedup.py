@@ -426,8 +426,6 @@ def minhash_lsh_candidates(
             }
         )
 
-    from ray.data.aggregate import Count
-
     banded = ds.map_batches(to_bands, batch_format="pandas")
     refs = list(banded.to_arrow_refs())
     P = max(2, min(16, len(refs) * 2))
@@ -437,12 +435,64 @@ def minhash_lsh_candidates(
     pair_refs = [
         pairs_in_partition.remote(*[pg[p] for pg in per_group]) for p in range(P)
     ]
-    pairs = ray.data.from_arrow_refs(pair_refs)
     # a pair can surface from several bands -> dedup; n_bands = how many
     # bands collided (a crude similarity signal, refined by exact verify)
-    return pairs.groupby(["id_a", "id_b"]).aggregate(
-        Count(alias_name="n_bands")
+    return ray.data.from_arrow_refs(
+        _pair_groupby_refs(pair_refs, P, val_col=None, alias="n_bands")
     )
+
+
+def _pair_groupby_refs(pairs_refs, P: int, val_col: str | None, alias: str):
+    """groupby (id_a, id_b) of candidate-pair tables WITHOUT Ray Data's
+    generic Aggregate (measured ~4-8 s fixed overhead at 32 CPUs on this
+    shape): ONE exchange keyed on id_a (all copies of a pair share id_a,
+    so the by-int split is group-preserving), then a vectorized lexsort +
+    boundary reduce per partition. ``val_col=None`` counts rows per pair;
+    otherwise takes the per-pair MIN of ``val_col``."""
+    import ray
+
+    from ..exchange import shard_refs
+
+    @ray.remote
+    def reduce_pairs(*shards: pa.Table) -> pa.Table:
+        cols = {
+            "id_a": pa.array([], pa.int64()),
+            "id_b": pa.array([], pa.int64()),
+            alias: pa.array([], pa.int64()),
+        }
+        real = [t for t in shards if t.num_rows]
+        if not real:
+            return pa.table(cols)
+        tbl = (
+            pa.concat_tables(real, promote_options="none")
+            if len(real) > 1
+            else real[0]
+        )
+        a = tbl["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = tbl["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        first = np.empty(len(a), dtype=bool)
+        first[0] = True
+        first[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        starts = np.flatnonzero(first)
+        if val_col is None:
+            vals = np.diff(np.append(starts, len(a))).astype(np.int64)
+        else:
+            v = tbl[val_col].to_numpy(zero_copy_only=False).astype(np.int64)[order]
+            vals = np.minimum.reduceat(v, starts)
+        return pa.table(
+            {
+                "id_a": pa.array(a[starts], pa.int64()),
+                "id_b": pa.array(b[starts], pa.int64()),
+                alias: pa.array(vals, pa.int64()),
+            }
+        )
+
+    groups = shard_refs(pairs_refs, "id_a", P, by_int=True)
+    return [
+        reduce_pairs.remote(*[g[p] for g in groups]) for p in range(P)
+    ]
 
 
 def ngram_jaccard(text_a: str, text_b: str, k: int = 5) -> float:
@@ -786,8 +836,6 @@ def simhash_near_dups(
             }
         )
 
-    from ray.data.aggregate import Min
-
     banded = sh.map_batches(to_bands, batch_format="pandas")
     refs = list(banded.to_arrow_refs())
     P = max(2, min(num_partitions, len(refs) * 2))
@@ -795,6 +843,6 @@ def simhash_near_dups(
     pair_refs = [
         pairs_in_partition.remote(*[pg[p] for pg in per_group]) for p in range(P)
     ]
-    return ray.data.from_arrow_refs(pair_refs).groupby(["id_a", "id_b"]).aggregate(
-        Min("hamming", alias_name="hamming")
+    return ray.data.from_arrow_refs(
+        _pair_groupby_refs(pair_refs, P, val_col="hamming", alias="hamming")
     )
