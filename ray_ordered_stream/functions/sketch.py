@@ -324,3 +324,126 @@ def grouped_quantiles(
             }
         out[g] = res
     return out
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters
+# ---------------------------------------------------------------------------
+
+
+def _mg_compress(items: np.ndarray, counts: np.ndarray, k: int):
+    """Compress a (items, counts) summary to <= k counters, Misra-Gries
+    style: subtract the (k+1)-th largest count from everything, drop <= 0.
+    Returns (items, counts, subtracted) — ``subtracted`` adds to the
+    summary's undercount bound."""
+    if len(items) <= k:
+        return items, counts, 0
+    d = np.partition(counts, len(counts) - (k + 1))[len(counts) - (k + 1)]
+    keep = counts > d
+    return items[keep], counts[keep] - d, int(d)
+
+
+def _mg_merge_arrays(parts, k: int):
+    """Merge (items, counts, err, n) summaries: sum counts per item, sum
+    errors and totals, compress."""
+    import pandas as pd
+
+    real = [p for p in parts if len(p[0])]
+    err = sum(int(p[2]) for p in parts)
+    n = sum(int(p[3]) for p in parts)
+    if not real:
+        return np.array([], dtype=object), np.array([], dtype=np.int64), err, n
+    items = np.concatenate([p[0] for p in real])
+    counts = np.concatenate([p[1] for p in real]).astype(np.int64)
+    s = pd.Series(counts).groupby(pd.Series(items), sort=False).sum()
+    it, ct, d = _mg_compress(
+        s.index.to_numpy(), s.to_numpy().astype(np.int64), k
+    )
+    return it, ct, err + d, n
+
+
+def heavy_hitters(
+    ds,
+    col: str,
+    k: int = 16,
+    tokenize: bool = False,
+    fanin: int = 16,
+) -> dict:
+    """Mergeable Misra-Gries heavy-hitters summary of a string column (or,
+    with ``tokenize=True``, of its RE2 ``\\w+`` word tokens — the repo-wide
+    tokenizer semantics).
+
+    Unlike ``vocab_counts`` (exact, shuffles one row per distinct item),
+    the summary ships AT MOST k+1 rows per block regardless of
+    cardinality — the right shape when the item space itself is huge
+    (URLs, n-grams, user ids at 100 TB). Per-block exact value-counts are
+    MG-compressed to k counters, then tree-reduced ``fanin`` summaries at
+    a time; nothing driver-side grows with data size.
+
+    Guarantees (classic MG, made checkable): every estimate UNDERCOUNTS by
+    at most the returned ``err`` (and err <= n/(k+1)); every item with
+    true frequency > err is present in the summary. The oracled query
+    certifies all three against an exact counting pass.
+
+    Returns ``{"items": list, "estimates": np.ndarray, "err": int,
+    "n": int}``.
+    """
+    import ray
+
+    @ray.remote
+    def partial(*tbls: pa.Table):
+        toks = []
+        for t in tbls:
+            if not t.num_rows:
+                continue
+            arr = t[col]
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            if tokenize:
+                w = pc.utf8_split_whitespace(
+                    pc.replace_substring_regex(pc.utf8_lower(arr), r"\W+", " ")
+                )
+                if isinstance(w, pa.ChunkedArray):
+                    w = w.combine_chunks()
+                flat = w.flatten()
+                flat = flat.filter(pc.greater(pc.utf8_length(flat), 0))
+                toks.append(flat)
+            else:
+                toks.append(arr)
+        if not toks:
+            return np.array([], dtype=object), np.array([], np.int64), 0, 0
+        col_all = pa.concat_arrays([a.cast(pa.string()) for a in toks])
+        vc = pc.value_counts(col_all)
+        items = np.asarray(vc.field("values").to_pylist(), dtype=object)
+        counts = vc.field("counts").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = int(counts.sum())
+        it, ct, d = _mg_compress(items, counts, k)
+        return it, ct, d, n
+
+    @ray.remote
+    def merge(*parts):
+        return _mg_merge_arrays(parts, k)
+
+    block_refs = list(ds.select_columns([col]).to_arrow_refs())
+    refs = [
+        partial.remote(*g)
+        for g in np.array_split(
+            np.array(block_refs, dtype=object), max(1, len(block_refs) // 2)
+        )
+        if len(g)
+    ]
+    if not refs:
+        return {"items": [], "estimates": np.array([], np.int64), "err": 0, "n": 0}
+    while len(refs) > 1:
+        refs = [
+            merge.remote(*refs[i : i + fanin])
+            for i in range(0, len(refs), fanin)
+        ]
+    items, counts, err, n = ray.get(refs[0])
+    order = np.argsort(items.astype(str), kind="stable")
+    return {
+        "items": list(items[order]),
+        "estimates": counts[order],
+        "err": int(err),
+        "n": int(n),
+    }

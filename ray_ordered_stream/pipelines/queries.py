@@ -472,6 +472,56 @@ UNION ALL SELECT 'p99_rank', count(*)::bigint, true FROM events
 """
 
 
+def q_heavy_hitters_certify(sf_dir: str):
+    """Misra-Gries heavy hitters over the corpus' word tokens with an EXACT
+    certificate (sketch_certify style): (1) every token with true frequency
+    above the n/(k+1) bound is present in the summary, (2) every estimate
+    undercounts by at most the tracked err, (3) err respects the n/(k+1)
+    bound. The exact side is the distributed vocab_counts pass."""
+    K = 16
+    from ..functions.sketch import heavy_hitters
+    from ..functions.textstats import vocab_counts
+
+    docs = _read(sf_dir, "documents", ["text"])
+    hh = heavy_hitters(docs, "text", k=K, tokenize=True)
+    exact = vocab_counts(docs).to_pandas()
+    c = dict(zip(exact["token"], exact["n"].astype(int)))
+    n, d = int(exact["n"].sum()), len(exact)
+
+    above = [t for t, v in c.items() if v * (K + 1) > n]
+    present = set(hh["items"])
+    ok1 = all(t in present for t in above)
+    ok2 = bool(hh["n"] == n) and all(
+        est <= c[t] and c[t] - est <= hh["err"]
+        for t, est in zip(hh["items"], hh["estimates"])
+    )
+    ok3 = hh["err"] * (K + 1) <= n
+    return pa.table(
+        {
+            "check": pa.array(
+                ["mg_above_threshold_present", "mg_err_bound",
+                 "mg_estimates_bounded"],
+                pa.string(),
+            ),
+            "n_exact": pa.array([len(above), d, n], pa.int64()),
+            "ok": pa.array([ok1, ok3, ok2], pa.bool_()),
+        }
+    )
+
+
+SQL_HEAVY_HITTERS_CERTIFY = r"""
+WITH toks AS (SELECT unnest(regexp_extract_all(lower(text), '\w+')) AS tok
+              FROM documents),
+cnt AS (SELECT tok, count(*) AS c FROM toks GROUP BY 1),
+tot AS (SELECT sum(c)::bigint AS n, count(*)::bigint AS d FROM cnt)
+SELECT 'mg_above_threshold_present' AS "check",
+       (SELECT count(*) FROM cnt, tot WHERE c * 17 > n)::bigint AS n_exact,
+       true AS ok
+UNION ALL SELECT 'mg_err_bound', (SELECT d FROM tot), true
+UNION ALL SELECT 'mg_estimates_bounded', (SELECT n FROM tot), true
+"""
+
+
 def q_top_orders_per_cust(sf_dir: str):
     """Grouped top-k WITHOUT a global sort (functions/topk.grouped_topk):
     per-batch partial prune -> shuffle of <= k rows per (group, block) ->
@@ -1868,6 +1918,7 @@ QUERIES = {
     "interval_follow_purchases": (q_interval_follow_purchases, SQL_INTERVAL_FOLLOW_PURCHASES),
     "cep_funnel": (q_cep_funnel, SQL_CEP_FUNNEL),
     "sketch_certify": (q_sketch_certify, SQL_SKETCH_CERTIFY),
+    "heavy_hitters_certify": (q_heavy_hitters_certify, SQL_HEAVY_HITTERS_CERTIFY),
     "top_orders_per_cust": (q_top_orders_per_cust, SQL_TOP_ORDERS_PER_CUST),
     "corpus_curation": (q_corpus_curation, SQL_CORPUS_CURATION),
     "events_quantiles_by_type": (q_events_quantiles_by_type, SQL_EVENTS_QUANTILES_BY_TYPE),

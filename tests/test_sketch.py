@@ -98,3 +98,56 @@ def test_grouped_quantiles_rank_certificates(ray_session):
             assert r["n"] == len(gv)
             assert abs(r["rank"] - q * r["n"]) <= r["max_rank_err"] + 1
             assert abs(r["value"] - np.quantile(gv, q)) < 0.3
+
+
+def test_heavy_hitters_guarantees(ray_session):
+    from collections import Counter
+
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from ray_ordered_stream.functions.sketch import heavy_hitters
+
+    rng = np.random.default_rng(23)
+    # zipf-ish stream: a few heavy items + a long tail
+    vals = (
+        ["hot"] * 4000 + ["warm"] * 1500 + ["mild"] * 700
+        + [f"tail{i}" for i in rng.integers(0, 3000, size=6000)]
+    )
+    rng.shuffle(vals)
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"item": vals})
+    ).repartition(8)
+    k = 16
+    hh = heavy_hitters(ds, "item", k=k)
+    exact = Counter(vals)
+    n = len(vals)
+    assert hh["n"] == n
+    assert hh["err"] * (k + 1) <= n
+    est = dict(zip(hh["items"], hh["estimates"]))
+    # every item above the error bound must be present and within err
+    for item, c in exact.items():
+        if c > hh["err"]:
+            assert item in est
+        if item in est:
+            assert est[item] <= c
+            assert c - est[item] <= hh["err"]
+    for heavy in ("hot", "warm", "mild"):
+        assert heavy in est
+    # k above the true cardinality -> exact counts, zero error
+    small = ray.data.from_pandas(
+        pd.DataFrame({"item": ["a", "b", "a", "c", "a", "b"]})
+    ).repartition(3)
+    hh2 = heavy_hitters(small, "item", k=8)
+    assert hh2["err"] == 0
+    assert dict(zip(hh2["items"], hh2["estimates"])) == {"a": 3, "b": 2, "c": 1}
+
+    # tokenize mode matches the repo tokenizer
+    docs = ray.data.from_pandas(
+        pd.DataFrame({"text": ["The cat! the CAT sat", "dog the dog"]})
+    )
+    hh3 = heavy_hitters(docs, "text", k=8, tokenize=True)
+    assert dict(zip(hh3["items"], hh3["estimates"])) == {
+        "the": 3, "cat": 2, "dog": 2, "sat": 1
+    }
