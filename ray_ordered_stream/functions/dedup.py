@@ -702,12 +702,19 @@ def simhash(ds):
 
 def embedding_near_dups(
     ds, threshold: float = 0.95, id_col: str = "vec_id", vec_col: str = "embedding",
-    num_buckets: int = 8, seed: int = 13,
+    num_buckets: int = 8, seed: int = 13, max_bucket: int = 8192,
+    num_partitions: int = 8,
 ):
     """Near-duplicate vectors by cosine >= threshold, bucketed by a random
     hyperplane LSH (sign of projections onto log2(num_buckets) planes) so
     only same-bucket pairs are compared. Recall is per-bucket (true dups
-    nearly always share all signs at threshold ~0.95)."""
+    nearly always share all signs at threshold ~0.95).
+
+    Same exchange shape as the MinHash/SimHash pair generation: rows route
+    ONCE by bucket through the shared split, each partition walks its
+    bucket runs with one normalized matmul per bucket, and buckets larger
+    than ``max_bucket`` are dropped WITH a log line (an O(b^2) matmul on a
+    degenerate bucket would dwarf the job; same policy as minhash-lsh)."""
     n_planes = max(1, int(np.log2(num_buckets)))
 
     class Bucketer:
@@ -725,25 +732,75 @@ def embedding_near_dups(
                 {id_col: b[id_col], vec_col: b[vec_col], "bucket": bucket.astype("int64")}
             )
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame(
-                {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"),
-                 "cosine": pd.Series(dtype="float64")}
+    import ray
+    import ray.data
+
+    from ..exchange import shard_refs
+
+    @ray.remote
+    def pairs_in_partition(*shards: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+             "cosine": pa.array([], pa.float64())}
+        )
+        real = [t for t in shards if t.num_rows]
+        if not real:
+            return empty
+        tbl = (
+            pa.concat_tables(real, promote_options="none")
+            if len(real) > 1
+            else real[0]
+        )
+        bkt = tbl["bucket"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = tbl[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        vecs = np.stack(tbl[vec_col].to_pandas().to_numpy()).astype(np.float64)
+        order = np.lexsort((ids, bkt))
+        bkt, ids, vecs = bkt[order], ids[order], vecs[order]
+        n = len(ids)
+        boundary = np.empty(n, dtype=bool)
+        boundary[0] = True
+        boundary[1:] = bkt[1:] != bkt[:-1]
+        starts = np.flatnonzero(boundary)
+        sizes = np.diff(np.append(starts, n))
+        out_a, out_b, out_c = [], [], []
+        dropped = 0
+        for st, m in zip(starts[sizes >= 2], sizes[sizes >= 2]):
+            if m > max_bucket:
+                dropped += 1
+                continue
+            v = vecs[st : st + m]
+            v = v / np.linalg.norm(v, axis=1, keepdims=True)
+            sim = v @ v.T
+            ia, ib = np.triu_indices(m, k=1)
+            keep = sim[ia, ib] >= threshold
+            seg = ids[st : st + m]
+            out_a.append(seg[ia[keep]])
+            out_b.append(seg[ib[keep]])
+            out_c.append(sim[ia[keep], ib[keep]])
+        if dropped:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "embedding-near-dups: dropped %d buckets larger than "
+                "max_bucket=%d", dropped, max_bucket,
             )
-        g = g.sort_values(id_col)
-        v = np.stack(g[vec_col].to_numpy()).astype(np.float64)
-        v = v / np.linalg.norm(v, axis=1, keepdims=True)
-        sim = v @ v.T
-        ids = g[id_col].to_numpy()
-        ia, ib = np.triu_indices(len(ids), k=1)
-        m = sim[ia, ib] >= threshold
-        return pd.DataFrame(
-            {"id_a": ids[ia[m]], "id_b": ids[ib[m]], "cosine": sim[ia[m], ib[m]]}
+        if not out_a:
+            return empty
+        return pa.table(
+            {
+                "id_a": pa.array(np.concatenate(out_a), pa.int64()),
+                "id_b": pa.array(np.concatenate(out_b), pa.int64()),
+                "cosine": pa.array(np.concatenate(out_c), pa.float64()),
+            }
         )
 
     bucketed = ds.map_batches(Bucketer(), batch_format="pandas")
-    return bucketed.groupby("bucket").map_groups(pairs, batch_format="pandas")
+    refs = list(bucketed.to_arrow_refs())
+    P = max(2, min(num_partitions, len(refs) * 2))
+    per_group = shard_refs(refs, "bucket", P, by_int=True)
+    return ray.data.from_arrow_refs(
+        [pairs_in_partition.remote(*[g[p] for g in per_group]) for p in range(P)]
+    )
 
 
 def simhash_near_dups(
