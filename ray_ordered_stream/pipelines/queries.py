@@ -615,6 +615,92 @@ FROM c GROUP BY 1, 2
 """
 
 
+def q_corpus_curation2(sf_dir: str):
+    """Curation pipeline v2 — the NEW quality/dedup operators composed,
+    streaming between stages: Gopher repetition filter ->
+    benchmark decontamination (broadcast gram set) -> exact content dedup
+    (distributed semi-join keep-first) -> per-source aggregate. Every
+    stage reuses an independently-oracled operator; the SQL mirrors the
+    whole chain."""
+    import pyarrow.compute as _pc
+
+    from ..functions.decontam import decontaminate
+    from ..functions.dedup import exact_dedup
+    from ..functions.textstats import repetition_stats
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+    kept = repetition_stats(docs).map_batches(
+        lambda t: t.filter(t["keep"]), batch_format="pyarrow"
+    )
+
+    def bench_only(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.filter(pa.array(ids % 89 == 0))
+
+    bench = docs.map_batches(bench_only, batch_format="pyarrow")
+    clean = decontaminate(kept, bench, n=3).map_batches(
+        lambda t: t.filter(_pc.invert(t["contaminated"])),
+        batch_format="pyarrow",
+    )
+    # exact_dedup is a self-semi-join: it consumes its input TWICE (keep-set
+    # pass + payload pass). Materialize the filtered intermediate once so
+    # the repetition+decontamination chain doesn't re-execute — the blocks
+    # land in the object store (spillable), never on the driver.
+    clean = clean.materialize()
+    deduped = exact_dedup(clean, id_col="doc_id", text_col="text")
+
+    # final result is ~#sources rows: partial per-batch agg + tiny merge
+    def part(df):
+        return df.groupby("source", as_index=False).agg(
+            n_docs=("doc_id", "count"), sum_tokens=("n_tokens", "sum")
+        )
+
+    parts = deduped.map_batches(part, batch_format="pandas").to_pandas()
+    out = parts.groupby("source", as_index=False).agg(
+        n_docs=("n_docs", "sum"), sum_tokens=("sum_tokens", "sum")
+    )
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["sum_tokens"] = out["sum_tokens"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SQL_CORPUS_CURATION2 = r"""
+WITH t AS (SELECT doc_id, text, source,
+                  regexp_extract_all(lower(text), '\w+') AS a
+           FROM documents),
+per AS (SELECT doc_id, tok, count(*) AS c
+        FROM (SELECT doc_id, unnest(a) AS tok FROM t) GROUP BY 1, 2),
+agg AS (SELECT doc_id, sum(c) AS n_tokens, count(*) AS n_distinct,
+               max(c) AS top_count FROM per GROUP BY 1),
+g AS (SELECT doc_id, a[i] || ' ' || a[i+1] AS gram
+      FROM t, unnest(generate_series(1, len(a) - 1)) AS s(i)),
+gper AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2),
+gagg AS (SELECT doc_id, sum(c) AS n_bigrams,
+                sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS n_dup_bigrams
+         FROM gper GROUP BY 1),
+rep AS (SELECT d.doc_id, d.text, d.source,
+               COALESCE(a.n_tokens, 0) AS n_tokens
+        FROM t d
+        LEFT JOIN agg a ON d.doc_id = a.doc_id
+        LEFT JOIN gagg ga ON d.doc_id = ga.doc_id
+        WHERE COALESCE(a.n_tokens, 0) >= 30
+          AND 5 * COALESCE(a.n_distinct, 0) >= 2 * COALESCE(a.n_tokens, 0)
+          AND 8 * COALESCE(a.top_count, 0) <= COALESCE(a.n_tokens, 0)
+          AND 8 * COALESCE(ga.n_dup_bigrams, 0) <= COALESCE(ga.n_bigrams, 0)),
+g3 AS (SELECT doc_id, a[i] || ' ' || a[i+1] || ' ' || a[i+2] AS gram
+       FROM t, unnest(generate_series(1, len(a) - 2)) AS s(i)),
+bench AS (SELECT DISTINCT gram FROM g3 WHERE doc_id % 89 = 0),
+cont AS (SELECT DISTINCT g3.doc_id FROM g3 JOIN bench USING (gram)),
+clean AS (SELECT * FROM rep
+          WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+dedup AS (SELECT * FROM clean
+          QUALIFY row_number() OVER (PARTITION BY md5(text)
+                                     ORDER BY doc_id) = 1)
+SELECT source, count(*)::bigint AS n_docs, sum(n_tokens)::bigint AS sum_tokens
+FROM dedup GROUP BY 1
+"""
+
+
 def q_events_quantiles_by_type(sf_dir: str):
     """Per-group certified quantiles (functions/sketch.grouped_quantiles):
     p50/p90 of value per event_type, each checked against its exact rank
@@ -1921,6 +2007,7 @@ QUERIES = {
     "heavy_hitters_certify": (q_heavy_hitters_certify, SQL_HEAVY_HITTERS_CERTIFY),
     "top_orders_per_cust": (q_top_orders_per_cust, SQL_TOP_ORDERS_PER_CUST),
     "corpus_curation": (q_corpus_curation, SQL_CORPUS_CURATION),
+    "corpus_curation2": (q_corpus_curation2, SQL_CORPUS_CURATION2),
     "events_quantiles_by_type": (q_events_quantiles_by_type, SQL_EVENTS_QUANTILES_BY_TYPE),
     "doc_exact_dedup": (q_doc_exact_dedup, SQL_DOC_EXACT_DEDUP),
     "doc_token_count": (q_doc_token_count, SQL_DOC_TOKEN_COUNT),
