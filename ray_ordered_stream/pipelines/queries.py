@@ -1990,7 +1990,96 @@ FROM rk WHERE level <= 5
 # registry
 # ---------------------------------------------------------------------------
 
+def q_conv_render(sf_dir: str):
+    """Ordered conversation rendering (functions/render.py): every
+    conversation concatenated into one role-tagged training example in
+    turn order — the training-data consumer of the engine's in-sequence
+    guarantee. One hash exchange, Arrow list-join kernels, no per-group
+    Python."""
+    from ..functions.render import render_conversations
+    from .transcripts import derive_transcripts
+
+    turns = derive_transcripts(_read(sf_dir, "events"))
+    return render_conversations(turns)
+
+
+SQL_CONV_RENDER = """
+WITH t AS (
+  SELECT cast(user_id AS varchar) AS conv_id,
+    cast(row_number() OVER w - 1 AS int) AS turn_idx,
+    event_type AS role, props AS text
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT conv_id, count(*)::bigint AS n_turns,
+  length(string_agg(role || ': ' || text, chr(10) ORDER BY turn_idx))::bigint
+    AS n_chars,
+  string_agg(role || ': ' || text, chr(10) ORDER BY turn_idx) AS rendered
+FROM t GROUP BY conv_id
+"""
+
+
+def q_doc_pack(sf_dir: str):
+    """Token-budget sequence packing plan (functions/pack.py): global
+    token-stream intervals per document via a distributed prefix sum
+    (range split -> local scans -> P-integer driver scan), never a global
+    sort. The SQL mirror is the running-sum window."""
+    from ..functions.pack import chunk_and_pack
+
+    return chunk_and_pack(
+        _read(sf_dir, "documents", ["doc_id", "text"]), budget=512
+    )
+
+
+SQL_DOC_PACK = r"""
+WITH t AS (
+  SELECT doc_id, len(regexp_extract_all(text, '\w+'))::bigint AS n_tokens
+  FROM documents),
+c AS (
+  SELECT doc_id, n_tokens,
+    sum(n_tokens) OVER (ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::bigint AS end_tok
+  FROM t)
+SELECT doc_id, n_tokens, end_tok - n_tokens AS begin_tok, end_tok,
+  (end_tok - n_tokens) // 512 AS first_pack,
+  CASE WHEN n_tokens = 0 THEN (end_tok - n_tokens) // 512
+       ELSE (end_tok - 1) // 512 END AS last_pack,
+  CASE WHEN n_tokens = 0 THEN 0
+       ELSE (end_tok - 1) // 512 - (end_tok - n_tokens) // 512 + 1
+       END AS n_chunks
+FROM c
+"""
+
+
+def q_doc_tfidf_top(sf_dir: str):
+    """Per-document top-5 keywords by tf-idf (functions/tfidf.py): tf from
+    one tokenization pass, df as a vocabulary-sized Sum-groupby, one
+    token-keyed hash join, per-doc top-k with a string tie-break."""
+    from ..functions.tfidf import tfidf_top_terms
+
+    return tfidf_top_terms(
+        _read(sf_dir, "documents", ["doc_id", "text"]), k=5
+    )
+
+
+SQL_DOC_TFIDF_TOP = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\w+')) AS token
+  FROM documents),
+tf AS (SELECT doc_id, token, count(*)::bigint AS tf
+       FROM toks GROUP BY doc_id, token),
+df AS (SELECT token, count(*)::bigint AS df FROM tf GROUP BY token),
+n AS (SELECT count(*)::bigint AS n_docs FROM documents)
+SELECT tf.doc_id, tf.token, tf.tf, df.df,
+  tf.tf * ln(n.n_docs::double / df.df) AS tfidf
+FROM tf JOIN df USING (token) CROSS JOIN n
+QUALIFY row_number() OVER (
+  PARTITION BY tf.doc_id ORDER BY tfidf DESC, tf.token ASC) <= 5
+"""
+
+
 QUERIES = {
+    "conv_render": (q_conv_render, SQL_CONV_RENDER),
+    "doc_pack": (q_doc_pack, SQL_DOC_PACK),
+    "doc_tfidf_top": (q_doc_tfidf_top, SQL_DOC_TFIDF_TOP),
     "order_book_depth": (q_order_book_depth, SQL_ORDER_BOOK_DEPTH),
     "ordered_replay": (q_ordered_replay, SQL_ORDERED_REPLAY),
     "ordered_final_status": (q_ordered_final_status, SQL_ORDERED_FINAL_STATUS),
