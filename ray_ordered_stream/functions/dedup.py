@@ -596,6 +596,49 @@ def near_dup_pairs(
     )
 
 
+def jaccard_pair_scores(
+    ds, pairs, k: int = 1, id_col: str = "doc_id", num_partitions: int = 8,
+    threshold: float | None = None,
+):
+    """Exact n-gram-Jaccard scores for an arbitrary candidate-pair Dataset
+    (columns ``id_a``/``id_b``): texts joined back per side on the shared
+    exchange, then the batch-vectorized rolling-hash kernel. The standalone
+    form of ``near_dup_pairs``'s verify stage — use it when the candidate
+    generator is something other than MinHash banding (adjacent ids, an
+    external blocker, cluster edges). ``k=1`` is character-set Jaccard
+    (DuckDB ``jaccard()`` parity after lower+whitespace-collapse); pairs
+    whose partner id is absent drop (inner join-back)."""
+    import ray
+    import ray.data
+
+    docs = ds.select_columns([id_col, "text"])
+    c_refs = list(pairs.to_arrow_refs())
+    d_refs = list(docs.to_arrow_refs())
+    stage1 = _exchange_merge(c_refs, d_refs, "id_a", id_col, "text_a",
+                             num_partitions)
+    stage2 = _exchange_merge(stage1, d_refs, "id_b", id_col, "text_b",
+                             num_partitions)
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        jac = ngram_jaccard_pairs(
+            pa.array(b["text_a"].astype(str), pa.string()),
+            pa.array(b["text_b"].astype(str), pa.string()),
+            k,
+        ) if len(b) else np.zeros(0)
+        out = pd.DataFrame(
+            {
+                "id_a": b["id_a"].astype("int64"),
+                "id_b": b["id_b"].astype("int64"),
+                "jaccard": np.round(jac, 6),
+            }
+        )
+        return out if threshold is None else out[out["jaccard"] >= threshold]
+
+    return ray.data.from_arrow_refs(stage2).map_batches(
+        score, batch_format="pandas"
+    )
+
+
 def _exchange_merge(left_refs, right_refs, left_key, right_key, text_out, P):
     """Split both sides by the same id hash; merge per partition. Returns
     one table ref per partition: left columns + ``text_out``."""

@@ -2076,8 +2076,45 @@ QUALIFY row_number() OVER (
 """
 
 
+def q_doc_jaccard_pairs(sf_dir: str):
+    """Exact n-gram-Jaccard scoring of an explicit candidate-pair set
+    (functions/dedup.py jaccard_pair_scores): adjacent-id pairs, texts
+    joined back per side on the shared exchange, batch-vectorized rolling
+    hash. k=1 is character-set Jaccard = DuckDB jaccard() after the same
+    lower + whitespace-collapse normalization, which makes the whole
+    candidates->verify path value-oracled (the k>1 production path is the
+    same code, exercised by doc_near_dups_planted)."""
+    import pyarrow as pa
+
+    from ..functions.dedup import jaccard_pair_scores
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def adjacent(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"]
+        import pyarrow.compute as pc
+
+        return pa.table({"id_a": ids, "id_b": pc.add(ids, 1)})
+
+    pairs = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        adjacent, batch_format="pyarrow"
+    )
+    return jaccard_pair_scores(docs, pairs, k=1)
+
+
+SQL_DOC_JACCARD_PAIRS = r"""
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+  FROM documents)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  round(jaccard(a.t, b.t), 6) AS jaccard
+FROM norm a JOIN norm b ON b.doc_id = a.doc_id + 1
+"""
+
+
 QUERIES = {
     "conv_render": (q_conv_render, SQL_CONV_RENDER),
+    "doc_jaccard_pairs": (q_doc_jaccard_pairs, SQL_DOC_JACCARD_PAIRS),
     "doc_pack": (q_doc_pack, SQL_DOC_PACK),
     "doc_tfidf_top": (q_doc_tfidf_top, SQL_DOC_TFIDF_TOP),
     "order_book_depth": (q_order_book_depth, SQL_ORDER_BOOK_DEPTH),

@@ -514,3 +514,43 @@ def test_decontaminate(ray_session):
     assert got["n_ngrams"].tolist() == [6, 4, 1, 4, 5]
     assert got["n_contaminated"].tolist() == [3, 0, 1, 2, 3]
     assert got["contaminated"].tolist() == [True, False, True, True, True]
+
+
+def test_jaccard_pair_scores_matches_serial_sets():
+    import ray.data
+
+    from ray_ordered_stream.functions.dedup import jaccard_pair_scores
+
+    texts = [
+        "The  Quick Brown Fox",   # normalization: lower + ws collapse
+        "the quick brown fox",    # identical after normalization
+        "completely different words here",
+        "zzz qqq xxx",
+    ]
+    docs = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": np.arange(4, dtype="int64"), "text": texts})
+    )
+    pairs = ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "id_a": np.array([0, 1, 2, 3], dtype="int64"),
+                "id_b": np.array([1, 2, 3, 99], dtype="int64"),  # 99 absent
+            }
+        )
+    )
+    got = (
+        jaccard_pair_scores(docs, pairs, k=1)
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    # missing partner drops (inner join-back)
+    assert got["id_a"].tolist() == [0, 1, 2]
+
+    def norm(s):
+        return " ".join(s.split()).lower()
+
+    for _, row in got.iterrows():
+        a, b = set(norm(texts[int(row.id_a)])), set(norm(texts[int(row.id_b)]))
+        assert row.jaccard == pytest.approx(len(a & b) / len(a | b), abs=1e-6)
+    assert got.loc[0, "jaccard"] == 1.0
