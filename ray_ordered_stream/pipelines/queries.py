@@ -2112,8 +2112,76 @@ FROM norm a JOIN norm b ON b.doc_id = a.doc_id + 1
 """
 
 
+def q_doc_chunks(sf_dir: str):
+    """Overlapping context-window chunking (functions/chunk.py): every
+    document split into 64-token windows advancing by 48 — a pure
+    map_batches stage (no shuffle), window text gathered with the
+    grouped-arange kernel and joined with the Arrow list-join."""
+    from ..functions.chunk import chunk_documents
+
+    return chunk_documents(
+        _read(sf_dir, "documents", ["doc_id", "text"]), size=64, stride=48
+    )
+
+
+SQL_DOC_CHUNKS = r"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(text, '\w+') AS toks,
+         len(regexp_extract_all(text, '\w+'))::bigint AS n
+  FROM documents),
+c AS (
+  SELECT doc_id, toks, n,
+    CASE WHEN n = 0 THEN 0
+         WHEN n > 64 THEN (n - 64 + 47) // 48 + 1
+         ELSE 1 END AS nc
+  FROM t),
+x AS (
+  SELECT doc_id, toks, n, unnest(generate_series(0, nc - 1)) AS chunk_idx
+  FROM c WHERE nc > 0)
+SELECT doc_id, chunk_idx::bigint AS chunk_idx,
+  (chunk_idx * 48)::bigint AS begin_tok,
+  least(chunk_idx * 48 + 64, n)::bigint AS end_tok,
+  (least(chunk_idx * 48 + 64, n) - chunk_idx * 48)::bigint AS n_chunk_tokens,
+  array_to_string(
+    list_slice(toks, chunk_idx * 48 + 1, least(chunk_idx * 48 + 64, n)),
+    ' ') AS chunk_text
+FROM x
+"""
+
+
+def q_conv_examples(sf_dir: str):
+    """Next-turn-prediction examples (functions/render.py
+    next_turn_examples): context = up to 3 preceding turns rendered in
+    order, target = the 'purchase' turn's text; one hash exchange on the
+    conversation key, overlapping contexts via the grouped-arange gather."""
+    from ..functions.render import next_turn_examples
+    from .transcripts import derive_transcripts
+
+    turns = derive_transcripts(_read(sf_dir, "events"))
+    return next_turn_examples(turns, target_role="purchase", k=3)
+
+
+SQL_CONV_EXAMPLES = """
+WITH t AS (
+  SELECT cast(user_id AS varchar) AS conv_id,
+    cast(row_number() OVER w - 1 AS int) AS turn_idx,
+    event_type AS role, props AS text
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+c AS (
+  SELECT conv_id, turn_idx, role, text,
+    string_agg(role || ': ' || text, chr(10)) OVER (
+      PARTITION BY conv_id ORDER BY turn_idx
+      ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS context
+  FROM t)
+SELECT conv_id, turn_idx::bigint AS turn_idx, context, text AS target
+FROM c WHERE role = 'purchase' AND turn_idx >= 1
+"""
+
+
 QUERIES = {
     "conv_render": (q_conv_render, SQL_CONV_RENDER),
+    "conv_examples": (q_conv_examples, SQL_CONV_EXAMPLES),
+    "doc_chunks": (q_doc_chunks, SQL_DOC_CHUNKS),
     "doc_jaccard_pairs": (q_doc_jaccard_pairs, SQL_DOC_JACCARD_PAIRS),
     "doc_pack": (q_doc_pack, SQL_DOC_PACK),
     "doc_tfidf_top": (q_doc_tfidf_top, SQL_DOC_TFIDF_TOP),

@@ -1,0 +1,98 @@
+"""Unit tests for functions/chunk.py and render.next_turn_examples
+against serial Python oracles (edge cases the sf oracles don't plant)."""
+
+import re
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+
+def test_chunk_documents_matches_serial_oracle():
+    from ray_ordered_stream.functions.chunk import chunk_documents
+
+    texts = [
+        "one two three four five six seven",        # n=7: 2 chunks @ 4/3
+        "a-b,c!d",                                    # punctuation splits
+        "",                                           # empty: 0 chunks
+        "short",                                      # n=1: single chunk
+        " leading  and trailing  ",                   # boundary empties
+    ]
+    docs = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": np.arange(5, dtype="int64"), "text": texts})
+    )
+    got = (
+        chunk_documents(docs, size=4, stride=3)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_idx"])
+        .reset_index(drop=True)
+    )
+
+    rows = []
+    for i, t in enumerate(texts):
+        toks = re.findall(r"\w+", t)
+        n = len(toks)
+        if n == 0:
+            continue
+        nc = (n - 4 + 2) // 3 + 1 if n > 4 else 1
+        for c in range(nc):
+            b, e = c * 3, min(c * 3 + 4, n)
+            rows.append((i, c, b, e, e - b, " ".join(toks[b:e])))
+    exp = pd.DataFrame(
+        rows,
+        columns=[
+            "doc_id", "chunk_idx", "begin_tok", "end_tok",
+            "n_chunk_tokens", "chunk_text",
+        ],
+    ).astype({c: "int64" for c in [
+        "doc_id", "chunk_idx", "begin_tok", "end_tok", "n_chunk_tokens"]})
+    pd.testing.assert_frame_equal(got, exp)
+    # the last window always reaches the final token
+    tail = got.groupby("doc_id").tail(1)
+    for _, r in tail.iterrows():
+        assert r.end_tok == len(re.findall(r"\w+", texts[int(r.doc_id)]))
+
+
+def test_next_turn_examples_matches_serial_oracle():
+    from ray_ordered_stream.functions.render import next_turn_examples
+
+    # two conversations, out-of-order input rows (the exchange must sort)
+    turns = pd.DataFrame(
+        {
+            "conv_id": ["b", "a", "a", "a", "b", "a", "a"],
+            "turn_idx": [0, 2, 0, 1, 1, 3, 4],
+            "role": ["user", "user", "assistant", "user", "assistant",
+                     "assistant", "assistant"],
+            "text": ["b0", "a2", "a0", "a1", "b1", "a3", "a4"],
+        }
+    )
+    got = (
+        next_turn_examples(
+            ray.data.from_pandas(turns), key="conv_id", seq="turn_idx", k=2
+        )
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+
+    rows = []
+    for conv, g in turns.sort_values(["conv_id", "turn_idx"]).groupby(
+        "conv_id"
+    ):
+        g = g.reset_index(drop=True)
+        lines = (g.role + ": " + g.text).tolist()
+        for i in range(len(g)):
+            if g.role[i] == "assistant" and i >= 1:
+                rows.append(
+                    (conv, int(g.turn_idx[i]),
+                     "\n".join(lines[max(0, i - 2):i]), g.text[i])
+                )
+    exp = pd.DataFrame(
+        rows, columns=["conv_id", "turn_idx", "context", "target"]
+    ).astype({"turn_idx": "int64"})
+    pd.testing.assert_frame_equal(got, exp)
+    # turn 0 of conv a is an assistant turn with NO context: must be absent
+    assert not ((got.conv_id == "a") & (got.turn_idx == 0)).any()
+    # k clips: turn 4's context starts at turn 2, not turn 0
+    ctx4 = got[(got.conv_id == "a") & (got.turn_idx == 4)].context.iloc[0]
+    assert ctx4 == "user: a2\nassistant: a3"
