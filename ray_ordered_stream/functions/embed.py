@@ -1,0 +1,145 @@
+"""Per-label embedding centroids and intra-label cosine cohesion.
+
+The cluster-quality audit a curation pipeline runs over labeled/bucketed
+embeddings (topic clusters, dedup buckets, IVF cells): the centroid of
+every label and how tightly its members hug it. Two streaming passes:
+
+  1. centroid pass — each block reduces to (label, count, sum-vector)
+     partials (sort + ``np.add.reduceat`` over the zero-copy reshaped
+     value buffer); only L x (dim+1) doubles per block cross the wire and
+     the driver folds P such partials (labels are assumed to be a small
+     set — topics/buckets — NOT per-document ids);
+  2. cohesion pass — centroids broadcast once via ``ray.put``, each block
+     computes member->centroid cosines with one matmul and reduces to
+     per-label (n, sum, min) partials; a scalar groupby finishes.
+
+The full embedding matrix never concentrates anywhere and never crosses
+the object store a second time.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+
+def _matrix(col) -> np.ndarray:
+    """list<float> column -> (n, dim) float64 matrix, zero-copy reshape
+    when the list widths are uniform (the common case)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if not hasattr(col, "offsets"):  # e.g. Ray's ArrowTensorArray
+        return np.asarray(col.to_numpy(zero_copy_only=False)).astype(np.float64)
+    offsets = np.asarray(col.offsets)
+    widths = np.diff(offsets)
+    if len(widths) and (widths == widths[0]).all():
+        flat = np.asarray(col.values)
+        lo = offsets[0]
+        return (
+            flat[lo : lo + widths[0] * len(widths)]
+            .reshape(len(widths), widths[0])
+            .astype(np.float64)
+        )
+    return np.stack([np.asarray(v) for v in col.to_pylist()]).astype(np.float64)
+
+
+def _centroid_partial(t: pa.Table, label_col: str, vec_col: str):
+    labels = t[label_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    vecs = _matrix(t[vec_col])
+    order = np.argsort(labels, kind="stable")
+    ls = labels[order]
+    starts = np.flatnonzero(np.concatenate([[True], ls[1:] != ls[:-1]]))
+    sums = np.add.reduceat(vecs[order], starts, axis=0)
+    counts = np.diff(np.append(starts, len(ls)))
+    return ls[starts], counts.astype(np.int64), sums
+
+
+def label_centroids(ds, label_col: str = "label", vec_col: str = "embedding"):
+    """dict label -> (count, centroid ndarray). Driver-side result is
+    O(labels x dim) — small by assumption (see module docstring)."""
+
+    @ray.remote
+    def partial(t: pa.Table):
+        if not t.num_rows:
+            return None
+        return _centroid_partial(t, label_col, vec_col)
+
+    parts = ray.get([partial.remote(b) for b in ds.to_arrow_refs()])
+    acc: dict[int, tuple[int, np.ndarray]] = {}
+    for p in parts:
+        if p is None:
+            continue
+        for lab, cnt, s in zip(*p):
+            if lab in acc:
+                c0, s0 = acc[lab]
+                acc[lab] = (c0 + int(cnt), s0 + s)
+            else:
+                acc[lab] = (int(cnt), s.copy())
+    return {lab: (c, s / c) for lab, (c, s) in acc.items()}
+
+
+def centroid_cohesion(
+    ds, label_col: str = "label", vec_col: str = "embedding",
+    round_to: int = 6,
+):
+    """Per-label cosine cohesion vs the label centroid:
+    ``(label, n, mean_cos, min_cos)``. SQL mirror: parallel-unnest
+    centroid CTE + ``list_cosine_similarity`` (queries.SQL_EMB_COHESION).
+    """
+    import ray.data
+    from ray.data.aggregate import Count, Min, Sum
+
+    cents = label_centroids(ds, label_col, vec_col)
+    labs = np.array(sorted(cents), dtype=np.int64)
+    mat = np.stack([cents[l][1] for l in labs]) if len(labs) else np.zeros((0, 0))
+    cent_ref = ray.put((labs, mat, np.linalg.norm(mat, axis=1)))
+
+    class Cos:
+        def __init__(self, ref):
+            self.labs, self.mat, self.cnorm = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if not t.num_rows:
+                return pa.table(
+                    {
+                        label_col: pa.array([], pa.int64()),
+                        "cos": pa.array([], pa.float64()),
+                    }
+                )
+            labels = t[label_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            vecs = _matrix(t[vec_col])
+            idx = np.searchsorted(self.labs, labels)
+            c = self.mat[idx]
+            num = np.einsum("ij,ij->i", vecs, c)
+            den = np.linalg.norm(vecs, axis=1) * self.cnorm[idx]
+            cos = np.divide(num, den, out=np.zeros_like(num), where=den > 0)
+            return pa.table(
+                {
+                    label_col: pa.array(labels, pa.int64()),
+                    "cos": pa.array(cos, pa.float64()),
+                }
+            )
+
+    scored = ds.map_batches(
+        Cos, batch_format="pyarrow", concurrency=2,
+        fn_constructor_args=(cent_ref,),
+    )
+    agg = scored.groupby(label_col).aggregate(
+        Count(alias_name="n"),
+        Sum("cos", alias_name="_sum"),
+        Min("cos", alias_name="_min"),
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                label_col: df[label_col].astype("int64"),
+                "n": df["n"].astype("int64"),
+                "mean_cos": np.round(df["_sum"] / df["n"], round_to),
+                "min_cos": np.round(df["_min"], round_to),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pandas")

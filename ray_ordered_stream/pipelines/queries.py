@@ -2178,9 +2178,38 @@ FROM c WHERE role = 'purchase' AND turn_idx >= 1
 """
 
 
+def q_emb_cohesion(sf_dir: str):
+    """Per-label centroid cohesion (functions/embed.py): block-level
+    (label, count, sum-vector) partials -> driver fold (labels x dim
+    doubles only) -> broadcast centroids -> one matmul per block ->
+    scalar groupby. The embedding matrix crosses the wire once."""
+    from ..functions.embed import centroid_cohesion
+
+    return centroid_cohesion(
+        _read(sf_dir, "embeddings", ["label", "embedding"])
+    )
+
+
+SQL_EMB_COHESION = """
+WITH u AS (
+  SELECT label, unnest(embedding)::double AS v,
+         unnest(range(len(embedding))) AS dim
+  FROM embeddings),
+c AS (SELECT label, dim, avg(v) AS cv FROM u GROUP BY label, dim),
+cent AS (SELECT label, list(cv ORDER BY dim) AS centroid FROM c GROUP BY label),
+s AS (SELECT e.label,
+        list_cosine_similarity(e.embedding::double[], cent.centroid) AS cos
+      FROM embeddings e JOIN cent USING (label))
+SELECT label::bigint AS label, count(*)::bigint AS n,
+       round(avg(cos), 6) AS mean_cos, round(min(cos), 6) AS min_cos
+FROM s GROUP BY label
+"""
+
+
 QUERIES = {
     "conv_render": (q_conv_render, SQL_CONV_RENDER),
     "conv_examples": (q_conv_examples, SQL_CONV_EXAMPLES),
+    "emb_cohesion": (q_emb_cohesion, SQL_EMB_COHESION),
     "doc_chunks": (q_doc_chunks, SQL_DOC_CHUNKS),
     "doc_jaccard_pairs": (q_doc_jaccard_pairs, SQL_DOC_JACCARD_PAIRS),
     "doc_pack": (q_doc_pack, SQL_DOC_PACK),

@@ -5,6 +5,7 @@ import re
 
 import numpy as np
 import pandas as pd
+import pytest
 import ray.data
 
 
@@ -96,3 +97,38 @@ def test_next_turn_examples_matches_serial_oracle():
     # k clips: turn 4's context starts at turn 2, not turn 0
     ctx4 = got[(got.conv_id == "a") & (got.turn_idx == 4)].context.iloc[0]
     assert ctx4 == "user: a2\nassistant: a3"
+
+
+def test_centroid_cohesion_matches_numpy_oracle():
+    from ray_ordered_stream.functions.embed import (
+        centroid_cohesion,
+        label_centroids,
+    )
+
+    rng = np.random.default_rng(7)
+    n, dim = 200, 8
+    vecs = rng.normal(size=(n, dim)).astype(np.float32)
+    labels = rng.integers(0, 4, size=n).astype(np.int32)
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"label": labels, "embedding": list(vecs)})
+    ).repartition(5)
+
+    cents = label_centroids(ds)
+    for lab in np.unique(labels):
+        exp = vecs[labels == lab].astype(np.float64).mean(axis=0)
+        np.testing.assert_allclose(cents[int(lab)][1], exp, rtol=1e-12)
+        assert cents[int(lab)][0] == int((labels == lab).sum())
+
+    got = (
+        centroid_cohesion(ds)
+        .to_pandas()
+        .sort_values("label")
+        .reset_index(drop=True)
+    )
+    for _, r in got.iterrows():
+        m = vecs[labels == r.label].astype(np.float64)
+        c = m.mean(axis=0)
+        cos = (m @ c) / (np.linalg.norm(m, axis=1) * np.linalg.norm(c))
+        assert r.n == len(m)
+        assert r.mean_cos == pytest.approx(cos.mean(), abs=2e-6)
+        assert r.min_cos == pytest.approx(cos.min(), abs=2e-6)
