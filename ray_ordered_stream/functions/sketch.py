@@ -447,3 +447,59 @@ def heavy_hitters(
         "err": int(err),
         "n": int(n),
     }
+
+
+def exact_value_histogram(ds, col: str):
+    """Exact global histogram of a SMALL-cardinality integer column
+    (word counts, lengths, bucketed scores): per-block ``np.unique``
+    partials, driver fold of (distinct-values x P) pairs. The scalable
+    building block for exact discrete quantiles / threshold selection —
+    nothing but (value, count) pairs leave a block."""
+    import ray
+
+    @ray.remote
+    def part(t):
+        if not t.num_rows:
+            return None
+        v = t[col].to_numpy(zero_copy_only=False).astype(np.int64)
+        vals, cnt = np.unique(v, return_counts=True)
+        return vals, cnt
+
+    acc: dict[int, int] = {}
+    for p in ray.get([part.remote(b) for b in ds.to_arrow_refs()]):
+        if p is None:
+            continue
+        for v, c in zip(*p):
+            acc[int(v)] = acc.get(int(v), 0) + int(c)
+    vals = np.array(sorted(acc), dtype=np.int64)
+    counts = np.array([acc[int(v)] for v in vals], dtype=np.int64)
+    return vals, counts
+
+
+def quantile_disc_from_hist(vals: np.ndarray, counts: np.ndarray, q: float):
+    """The exact discrete quantile (DuckDB ``quantile_disc`` convention:
+    the sorted element at index ``floor(q * (n-1))``) from a histogram."""
+    n = int(counts.sum())
+    if n == 0:
+        raise ValueError("empty histogram")
+    idx = int(np.floor(q * (n - 1)))
+    cum = np.cumsum(counts)
+    return int(vals[np.searchsorted(cum, idx + 1)])
+
+
+def quantile_threshold_filter(ds, col: str, q: float, keep: str = "ge"):
+    """Drop the bottom (or top) ``q`` tail of a Dataset by an integer
+    metric column: exact histogram -> discrete-quantile threshold ->
+    streamed filter (the threshold is a plain Python int captured in the
+    map closure; no second shuffle, no driver data pass). ``keep='ge'``
+    keeps rows with ``col >= threshold``; ``'le'`` keeps ``<=``."""
+    import pyarrow.compute as pc
+
+    vals, counts = exact_value_histogram(ds, col)
+    thr = quantile_disc_from_hist(vals, counts, q)
+    op = pc.greater_equal if keep == "ge" else pc.less_equal
+
+    def f(t):
+        return t.filter(op(t[col], thr))
+
+    return ds.map_batches(f, batch_format="pyarrow"), thr

@@ -2206,10 +2206,43 @@ FROM s GROUP BY label
 """
 
 
+def q_doc_quality_filter(sf_dir: str):
+    """Corpus-percentile quality filtering (functions/sketch.py
+    quantile_threshold_filter): exact distributed word-count histogram ->
+    discrete p10 threshold -> streamed filter. The two-pass
+    filter-by-corpus-statistic pattern; only (value, count) pairs reach
+    the driver."""
+    from ..functions.sketch import quantile_threshold_filter
+    from ..functions.textstats import quality_score
+
+    scored = quality_score(
+        _read(sf_dir, "documents", ["doc_id", "text"])
+    ).select_columns(["doc_id", "n_words"])
+    kept, thr = quantile_threshold_filter(scored, "n_words", 0.1)
+
+    def tag(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "p10_words", pa.array(np.full(t.num_rows, thr), pa.int64())
+        )
+
+    return kept.map_batches(tag, batch_format="pyarrow")
+
+
+SQL_DOC_QUALITY_FILTER = r"""
+WITH t AS (
+  SELECT doc_id, length(regexp_extract_all(text, '\w+'))::bigint AS n_words
+  FROM documents),
+thr AS (SELECT quantile_disc(n_words, 0.1)::bigint AS p10 FROM t)
+SELECT t.doc_id, t.n_words, thr.p10 AS p10_words
+FROM t, thr WHERE t.n_words >= thr.p10
+"""
+
+
 QUERIES = {
     "conv_render": (q_conv_render, SQL_CONV_RENDER),
     "conv_examples": (q_conv_examples, SQL_CONV_EXAMPLES),
     "emb_cohesion": (q_emb_cohesion, SQL_EMB_COHESION),
+    "doc_quality_filter": (q_doc_quality_filter, SQL_DOC_QUALITY_FILTER),
     "doc_chunks": (q_doc_chunks, SQL_DOC_CHUNKS),
     "doc_jaccard_pairs": (q_doc_jaccard_pairs, SQL_DOC_JACCARD_PAIRS),
     "doc_pack": (q_doc_pack, SQL_DOC_PACK),

@@ -1,6 +1,7 @@
 """HLL distinct-count and distributed-quantile sketches (functions/sketch)."""
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
 
@@ -151,3 +152,39 @@ def test_heavy_hitters_guarantees(ray_session):
     assert dict(zip(hh3["items"], hh3["estimates"])) == {
         "the": 3, "cat": 2, "dog": 2, "sat": 1
     }
+
+
+def test_quantile_threshold_filter_matches_numpy():
+    import ray.data
+
+    from ray_ordered_stream.functions.sketch import (
+        exact_value_histogram,
+        quantile_disc_from_hist,
+        quantile_threshold_filter,
+    )
+
+    rng = np.random.default_rng(11)
+    v = rng.integers(0, 40, size=1000).astype("int64")
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"id": np.arange(1000, dtype="int64"), "m": v})
+    ).repartition(7)
+
+    vals, counts = exact_value_histogram(ds, "m")
+    exp_vals, exp_counts = np.unique(v, return_counts=True)
+    np.testing.assert_array_equal(vals, exp_vals)
+    np.testing.assert_array_equal(counts, exp_counts)
+
+    s = np.sort(v)
+    for q in (0.0, 0.1, 0.5, 0.9, 1.0):
+        assert quantile_disc_from_hist(vals, counts, q) == int(
+            s[int(np.floor(q * (len(s) - 1)))]
+        )
+
+    kept, thr = quantile_threshold_filter(ds, "m", 0.25)
+    got = kept.to_pandas().sort_values("id").reset_index(drop=True)
+    exp = (
+        pd.DataFrame({"id": np.arange(1000, dtype="int64"), "m": v})
+        .query("m >= @thr")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp)
