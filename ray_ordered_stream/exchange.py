@@ -91,3 +91,26 @@ def shard_refs(
         _split_task.options(num_returns=P).remote(col, P, by_int, *g)
         for g in groups
     ]
+
+
+def ensure_min_blocks(ds, min_blocks: int | None = None):
+    """Split a Dataset into enough blocks that a per-block compute kernel
+    downstream can use the whole machine. At scale the input arrives as
+    many files -> many blocks and this is a metadata no-op (`input_files`
+    is lazy); only when the plan is rooted in fewer files than cores —
+    the single-file test/bench shape — does it pay one repartition pass,
+    which is cheap next to the O(bytes x num_perm) signature kernels it
+    unblocks. Plans whose file lineage is opaque (unions, from_arrow)
+    report 0 files and are LEFT ALONE: their blocks come from upstream
+    map_batches output splitting, which already fans out (measured: a
+    10k-row union arrives as 128 blocks, while Ray Data's repartition
+    carries ~3 s of fixed all-to-all overhead)."""
+    if min_blocks is None:
+        min_blocks = max(2, int(ray.cluster_resources().get("CPU", 4)))
+    try:
+        n_files = len(ds.input_files())
+    except Exception:
+        n_files = 0
+    if n_files == 0 or n_files >= min_blocks:
+        return ds
+    return ds.repartition(min_blocks)

@@ -350,25 +350,61 @@ def minhash_lsh_candidates(
     signature or the payload. Verification happens downstream
     (near_dup_pairs).
     """
-    rows_per_band = num_perm // bands
-
-    def to_bands(b: pd.DataFrame) -> pd.DataFrame:
-        bh = band_hashes(
-            pa.array(b["text"], pa.string()), num_perm, bands, k, seed
-        )  # (n, bands)
-        n = len(b)
-        return pd.DataFrame(
-            {
-                "band_id": np.repeat(np.arange(bands), n),
-                "band_hash": bh.T.reshape(-1),
-                id_col: np.tile(b[id_col].to_numpy(), bands),
-            }
-        )
-
     import ray
     import ray.data
 
-    from ..exchange import shard_refs
+    from ..exchange import int_partition_codes, split_compact
+
+    def _band_empty() -> pa.Table:
+        return pa.table(
+            {
+                "band_id": pa.array([], pa.int64()),
+                "band_hash": pa.array([], pa.int64()),
+                id_col: pa.array([], pa.int64()),
+            }
+        )
+
+    @ray.remote
+    def band_split(P: int, *tbls: pa.Table) -> list[pa.Table]:
+        """FUSED signature + banding + exchange split: the banded rows go
+        straight from the signature kernel into per-partition shards, so
+        they cross the object store once and the task count (ref groups,
+        not raw blocks) keeps every shard plasma-sized. A (band_id,
+        band_hash) bucket routes by band_hash alone, so the by-int split
+        is bucket-preserving."""
+        outs = []
+        for t in tbls:
+            if not t.num_rows:
+                continue
+            texts = t["text"]
+            if isinstance(texts, pa.ChunkedArray):
+                texts = texts.combine_chunks()
+            bh = band_hashes(texts, num_perm, bands, k, seed)  # (n, bands)
+            n = t.num_rows
+            flat = bh.T.reshape(-1)
+            tb = pa.table(
+                {
+                    "band_id": pa.array(
+                        np.repeat(np.arange(bands, dtype=np.int64), n)
+                    ),
+                    "band_hash": pa.array(flat.astype(np.int64)),
+                    id_col: pa.array(
+                        np.tile(
+                            t[id_col].to_numpy(zero_copy_only=False).astype(np.int64),
+                            bands,
+                        )
+                    ),
+                }
+            )
+            outs.append(
+                split_compact(tb, int_partition_codes(flat.astype(np.int64), P), P)
+            )
+        if not outs:
+            return [_band_empty()] * P
+        return [
+            pa.concat_tables([o[p] for o in outs], promote_options="none")
+            for p in range(P)
+        ]
 
     @ray.remote
     def pairs_in_partition(*shards: pa.Table) -> pa.Table:
@@ -426,14 +462,26 @@ def minhash_lsh_candidates(
             }
         )
 
-    banded = ds.map_batches(to_bands, batch_format="pandas")
-    refs = list(banded.to_arrow_refs())
-    P = max(2, min(16, len(refs) * 2))
-    # a (band_id, band_hash) bucket is whole within the partition chosen by
-    # band_hash alone, so the shared by-int split is bucket-preserving
-    per_group = shard_refs(refs, "band_hash", P, by_int=True)
+    from ..exchange import ensure_min_blocks
+
+    # the signature kernel is the expensive stage: make sure it is not
+    # serialized by a single-file input block (no-op at real scale)
+    refs = list(ensure_min_blocks(ds).to_arrow_refs())
+    cpus = max(2, int(ray.cluster_resources().get("CPU", 4)))
+    groups = [
+        list(g)
+        for g in np.array_split(
+            np.array(refs, dtype=object), max(1, min(len(refs), 2 * cpus))
+        )
+        if len(g)
+    ]
+    P = max(2, min(16, len(groups) * 2))
+    split_groups = [
+        band_split.options(num_returns=P).remote(P, *g) for g in groups
+    ]
     pair_refs = [
-        pairs_in_partition.remote(*[pg[p] for pg in per_group]) for p in range(P)
+        pairs_in_partition.remote(*[sg[p] for sg in split_groups])
+        for p in range(P)
     ]
     # a pair can surface from several bands -> dedup; n_bands = how many
     # bands collided (a crude similarity signal, refined by exact verify)
@@ -735,7 +783,9 @@ class SimHasher:
 
 
 def simhash(ds):
-    return ds.map_batches(SimHasher(), batch_format="pandas")
+    from ..exchange import ensure_min_blocks
+
+    return ensure_min_blocks(ds).map_batches(SimHasher(), batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
@@ -837,7 +887,9 @@ def embedding_near_dups(
             }
         )
 
-    bucketed = ds.map_batches(Bucketer(), batch_format="pandas")
+    from ..exchange import ensure_min_blocks
+
+    bucketed = ensure_min_blocks(ds).map_batches(Bucketer(), batch_format="pandas")
     refs = list(bucketed.to_arrow_refs())
     P = max(2, min(num_partitions, len(refs) * 2))
     per_group = shard_refs(refs, "bucket", P, by_int=True)
