@@ -1589,22 +1589,76 @@ def q_user_daily_activity(sf_dir: str):
         return pa.Table.from_pandas(g, preserve_index=False)
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
-    # second-level: distinct types per (user, day) + total events
-    from ray.data.aggregate import Count as _Count
 
-    agg = (
-        partials.groupby(["user_id", "day", "event_type"])
-        .aggregate(Sum("n", alias_name="n"))
-        .groupby(["user_id", "day"])
-        .aggregate(Count(alias_name="n_types"), Sum("n", alias_name="n_events"))
+    # both reduce levels ((user,day,type) sum and (user,day) distinct-count)
+    # share the user_id key, so ONE exchange co-locates everything and a
+    # single vectorized pass finishes — replaces two chained generic
+    # Aggregates (~1.5-2.5 s fixed all-to-all overhead each at 32 CPUs)
+    import ray
+
+    from ..exchange import default_partitions, shard_refs
+
+    @ray.remote
+    def reduce(*shards: pa.Table) -> pa.Table:
+        out_schema = pa.schema(
+            [
+                ("user_id", pa.int64()),
+                ("n_types", pa.int64()),
+                ("n_events", pa.int64()),
+                ("day", pa.timestamp("us")),
+            ]
+        )
+        real = [t for t in shards if t.num_rows]
+        if not real:
+            return out_schema.empty_table()
+        tbl = (
+            pa.concat_tables(real, promote_options="none")
+            if len(real) > 1
+            else real[0]
+        )
+        user = tbl["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        day = tbl["day"].to_numpy(zero_copy_only=False).astype(np.int64)
+        et = tbl["event_type"]
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        enc = pc.dictionary_encode(et)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = np.asarray(enc.indices).astype(np.int64)
+        n = tbl["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+
+        order = np.lexsort((codes, day, user))
+        u, d, c, v = user[order], day[order], codes[order], n[order]
+        # level 1: one row per (user, day, type)
+        b3 = np.empty(len(u), dtype=bool)
+        b3[0] = True
+        b3[1:] = (u[1:] != u[:-1]) | (d[1:] != d[:-1]) | (c[1:] != c[:-1])
+        s3 = np.flatnonzero(b3)
+        u3, d3 = u[s3], d[s3]
+        v3 = np.add.reduceat(v, s3)
+        # level 2: one row per (user, day)
+        b2 = np.empty(len(u3), dtype=bool)
+        b2[0] = True
+        b2[1:] = (u3[1:] != u3[:-1]) | (d3[1:] != d3[:-1])
+        s2 = np.flatnonzero(b2)
+        n_types = np.diff(np.append(s2, len(u3)))
+        n_events = np.add.reduceat(v3, s2)
+        return pa.table(
+            {
+                "user_id": pa.array(u3[s2], pa.int64()),
+                "n_types": pa.array(n_types.astype(np.int64), pa.int64()),
+                "n_events": pa.array(n_events, pa.int64()),
+                "day": pa.array(d3[s2], pa.int64()).cast(pa.timestamp("us")),
+            }
+        )
+
+    P = default_partitions()
+    groups = shard_refs(list(partials.to_arrow_refs()), "user_id", P, by_int=True)
+    import ray.data
+
+    return ray.data.from_arrow_refs(
+        [reduce.remote(*[g[p] for g in groups]) for p in range(P)]
     )
-
-    def finish(t: pa.Table) -> pa.Table:
-        day = pc.cast(t["day"], pa.timestamp("us"))
-        t = t.drop_columns(["day"])
-        return t.append_column("day", day)
-
-    return agg.map_batches(finish, batch_format="pyarrow")
 
 
 SQL_USER_DAILY_ACTIVITY = f"""
