@@ -503,3 +503,57 @@ def quantile_threshold_filter(ds, col: str, q: float, keep: str = "ge"):
         return t.filter(op(t[col], thr))
 
     return ds.map_batches(f, batch_format="pyarrow"), thr
+
+
+def exact_distinct(ds, col: str) -> int:
+    """Exact distinct count of a column: per-block ``np.unique`` partials,
+    ONE value-keyed exchange, per-partition unique counts, driver sums P
+    integers. Only distinct values (not rows) shuffle — the certificate
+    pass for HLL, without the generic Aggregate's fixed all-to-all cost."""
+    import pyarrow as pa_
+    import ray
+
+    from ..exchange import default_partitions, shard_refs
+
+    def uniq(t: pa_.Table) -> pa_.Table:
+        if not t.num_rows:
+            return t.select([col])
+        v = t[col]
+        if isinstance(v, pa_.ChunkedArray):
+            v = v.combine_chunks()
+        import pyarrow.compute as pc_
+
+        return pa_.table({col: pc_.unique(v)})
+
+    partials = ds.map_batches(uniq, batch_format="pyarrow")
+
+    @ray.remote
+    def count_unique(*shards: pa_.Table) -> int:
+        real = [t for t in shards if t.num_rows]
+        if not real:
+            return 0
+        import pyarrow.compute as pc_
+
+        tbl = (
+            pa_.concat_tables(real, promote_options="none")
+            if len(real) > 1
+            else real[0]
+        )
+        return len(pc_.unique(tbl[col].combine_chunks()))
+
+    refs = list(partials.to_arrow_refs())
+    if not refs:
+        return 0
+    P = default_partitions()
+    sch = ds.schema()  # Ray Data Schema wrapper: parallel names/types lists
+    typ = dict(zip(sch.names, sch.types))[col]
+    if isinstance(typ, pa.DataType):
+        by_int = pa.types.is_integer(typ)
+    else:  # from_pandas plans may report numpy dtypes / python object
+        try:
+            by_int = np.issubdtype(typ, np.integer)
+        except TypeError:
+            by_int = False
+    groups = shard_refs(refs, col, P, by_int=by_int)
+    return int(sum(ray.get([count_unique.remote(*[g[p] for g in groups])
+                            for p in range(P)])))

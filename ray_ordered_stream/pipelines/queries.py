@@ -435,16 +435,17 @@ def q_sketch_certify(sf_dir: str):
     by the counting pass) is checked against its target within the
     documented N/candidates bound. The SQL mirror asserts ok=true, so a
     sketch regression breaks the hash compare."""
-    from ..functions.sketch import approx_distinct, distributed_quantiles
+    from ..functions.sketch import (
+        approx_distinct,
+        distributed_quantiles,
+        exact_distinct,
+    )
 
     ev = _read(sf_dir, "events", ["event_id", "user_id", "value"])
 
-    def n_distinct(col):
-        return ev.groupby(col).count().count()
-
     checks = []
     for name, col in (("hll_event_ids", "event_id"), ("hll_users", "user_id")):
-        exact = int(n_distinct(col))
+        exact = exact_distinct(ev, col)
         est = approx_distinct(ev, col, p=12)
         ok = abs(est - exact) <= max(3 * 1.04 / (1 << 6), 0.05) * exact
         checks.append((name, exact, bool(ok)))

@@ -188,3 +188,18 @@ def test_quantile_threshold_filter_matches_numpy():
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_exact_distinct_matches_oracle():
+    import ray.data
+
+    from ray_ordered_stream.functions.sketch import exact_distinct
+
+    rng = np.random.default_rng(3)
+    ints = rng.integers(0, 500, size=2000).astype("int64")
+    strs = np.array([f"s{v}" for v in rng.integers(0, 300, size=2000)])
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"i": ints, "s": strs})
+    ).repartition(6)
+    assert exact_distinct(ds, "i") == len(np.unique(ints))
+    assert exact_distinct(ds, "s") == len(np.unique(strs))
