@@ -120,17 +120,22 @@ def train_centroids_distributed(
     equality (see queries.q_knn_ivf)."""
     import ray
 
+    from .embed import _matrix
+
     head = ds.select_columns([vec_col]).limit(init_sample).to_pandas()
     x0 = np.stack(head[vec_col].to_numpy()).astype(np.float64)
     rng = np.random.default_rng(seed)
     cent = x0[rng.choice(len(x0), size=min(n_centroids, len(x0)), replace=False)]
 
-    for _ in range(iters):
-        ref = ray.put(cent)
-
-        def partial(b: pd.DataFrame) -> pd.DataFrame:
-            c = ray.get(ref)
-            v = np.stack(b[vec_col].to_numpy()).astype(np.float64)
+    @ray.remote
+    def partial(c: np.ndarray, *tbls):
+        """(K x dim sums, K counts) of this ref group under centroids c."""
+        sums = np.zeros_like(c)
+        cnts = np.zeros(len(c), dtype=np.int64)
+        for t in tbls:
+            if not t.num_rows:
+                continue
+            v = _matrix(t[vec_col])
             # |v|^2 - 2 v.c + |c|^2 via one matmul (no nb×K×dim temporary)
             d = (
                 (v * v).sum(axis=1)[:, None]
@@ -138,27 +143,30 @@ def train_centroids_distributed(
                 + (c * c).sum(axis=1)[None, :]
             )
             a = d.argmin(axis=1)
-            sums = np.zeros_like(c)
             np.add.at(sums, a, v)
-            cnts = np.bincount(a, minlength=len(c)).astype(np.int64)
-            return pd.DataFrame(
-                {
-                    "cid": np.arange(len(c), dtype=np.int64),
-                    "cnt": cnts,
-                    "vsum": list(sums),
-                }
-            )
+            cnts += np.bincount(a, minlength=len(c)).astype(np.int64)
+        return sums, cnts
 
-        parts = (
-            ds.select_columns([vec_col])
-            .map_batches(partial, batch_format="pandas")
-            .to_pandas()
+    # materialize the vector blocks ONCE; every Lloyd's iteration is then
+    # plain tasks over the same refs (the previous per-iteration Ray Data
+    # pipeline re-read the input and paid the executor's fixed cost x iters)
+    refs = list(ds.select_columns([vec_col]).to_arrow_refs())
+    cpus = max(2, int(ray.cluster_resources().get("CPU", 4)))
+    groups = [
+        list(g)
+        for g in np.array_split(
+            np.array(refs, dtype=object), max(1, min(len(refs), 2 * cpus))
         )
+        if len(g)
+    ]
+    for _ in range(iters):
+        cref = ray.put(cent)
+        parts = ray.get([partial.remote(cref, *g) for g in groups])
         sums = np.zeros_like(cent)
         cnts = np.zeros(len(cent), dtype=np.int64)
-        for cid, cnt, vsum in parts.itertuples(index=False):
-            sums[cid] += np.asarray(vsum)
-            cnts[cid] += cnt
+        for s, c in parts:
+            sums += s
+            cnts += c
         nz = cnts > 0
         cent[nz] = sums[nz] / cnts[nz, None]
     return cent
