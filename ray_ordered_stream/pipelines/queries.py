@@ -1435,31 +1435,58 @@ GROUP BY c_mktsegment
 
 
 def q_nation_customer_counts(sf_dir: str):
-    """Distributed hash join (Dataset.join) through two dims."""
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
-    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"])
-    region = _read(sf_dir, "region", ["r_regionkey", "r_name"])
-    from ray.data.aggregate import Count
+    """Dim-chain join with the 100-TB-correct plan: nation ⋈ region is
+    dims-only (25 x 5 rows) and folds on the driver, the result broadcasts
+    once via ray.put, and the big customer side never shuffles — per-batch
+    bincount partials over the 25 nation codes, driver fold of P x 25
+    ints. (The generic exchange hash join stays exercised by
+    customers_without_urgent / parts_in_lineitems; two Dataset.joins +
+    an Aggregate here cost ~4 s of fixed all-to-all overhead for a
+    25-row dimension.)"""
+    import ray
 
-    def widen(cols):
-        def f(t: pa.Table) -> pa.Table:
-            for c in cols:
-                if c in t.column_names:
-                    t = t.set_column(
-                        t.column_names.index(c), c, pc.cast(t[c], pa.int64())
-                    )
-            return t
-
-        return f
-
-    cust = cust.map_batches(widen(["c_nationkey"]), batch_format="pyarrow")
-    nation = nation.map_batches(
-        widen(["n_nationkey", "n_regionkey"]), batch_format="pyarrow"
+    dims = (
+        _read(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"])
+        .to_pandas()
+        .merge(
+            _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas(),
+            left_on="n_regionkey",
+            right_on="r_regionkey",
+        )
+        .sort_values("n_nationkey")
+        .reset_index(drop=True)
     )
-    region = region.map_batches(widen(["r_regionkey"]), batch_format="pyarrow")
-    j1 = cust.join(nation, "inner", 4, on=("c_nationkey",), right_on=("n_nationkey",))
-    j2 = j1.join(region, "inner", 4, on=("n_regionkey",), right_on=("r_regionkey",))
-    return j2.groupby(["r_name", "n_name"]).aggregate(Count(alias_name="n_customers"))
+    keys = dims["n_nationkey"].to_numpy().astype(np.int64)
+    ref = ray.put(keys)
+
+    def part(t: pa.Table) -> pa.Table:
+        ks = ray.get(ref)
+        nk = t["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = np.searchsorted(ks, nk)
+        cnt = np.bincount(idx, minlength=len(ks))
+        return pa.table(
+            {
+                "i": pa.array(np.arange(len(ks), dtype=np.int64)),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    parts = (
+        _read(sf_dir, "customer", ["c_nationkey"])
+        .map_batches(part, batch_format="pyarrow")
+        .to_pandas()
+    )
+    total = parts.groupby("i")["n"].sum()
+    counts = np.zeros(len(keys), dtype=np.int64)
+    counts[total.index.to_numpy()] = total.to_numpy()
+    keep = counts > 0  # inner-join semantics: nations with no customers drop
+    return pa.table(
+        {
+            "r_name": pa.array(dims["r_name"].to_numpy()[keep], pa.string()),
+            "n_name": pa.array(dims["n_name"].to_numpy()[keep], pa.string()),
+            "n_customers": pa.array(counts[keep], pa.int64()),
+        }
+    )
 
 
 SQL_NATION_CUSTOMER_COUNTS = """
