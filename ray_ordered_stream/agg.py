@@ -1,0 +1,149 @@
+"""Exchange-based grouped aggregation: the reusable form of the partial
+pre-agg + one-exchange pattern this repo applies wherever Ray Data's
+generic ``groupby().aggregate()`` is too heavy (its sort-based all-to-all
+measured ~1.5-8 s of fixed overhead per call at 32 CPUs on this box).
+
+Plan: each batch reduces to one row per group (pandas groupby — the
+per-batch group count bounds what shuffles, never the row count), a
+64-bit group-key hash routes the partials through ONE exchange, and each
+partition merges its groups with a second vectorized groupby. ``mean``
+carries (sum, count) through the merge and finalizes at the end, so
+re-aggregation is exact.
+
+Use Ray Data's groupby when you need its spilling sort for huge group
+cardinalities per partition; use this when groups-per-batch is modest
+(aggregation states fit in a partition's heap) — the usual analytics
+shape.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+from .exchange import default_partitions, int_partition_codes, split_compact
+
+_OPS = ("sum", "count", "min", "max", "mean")
+
+
+def _group_hash(df: pd.DataFrame, keys: list[str]) -> np.ndarray:
+    """Deterministic u64 hash of the key tuple, vectorized (FNV-1a over
+    the string form of each key column, mixed across columns)."""
+    from .partitioning import hash_string_array
+
+    h = np.full(len(df), np.uint64(0xCBF29CE484222325))
+    with np.errstate(over="ignore"):
+        for k in keys:
+            col = pa.array(df[k].astype(str), pa.string())
+            h = (h ^ hash_string_array(col)) * np.uint64(0x100000001B3)
+    return h
+
+
+def _partial(df: pd.DataFrame, keys, specs) -> pd.DataFrame:
+    g = df.groupby(keys, sort=False, dropna=False)
+    out = {}
+    for alias, (col, op) in specs.items():
+        if op == "count":
+            out[f"_c_{alias}"] = g.size()
+        elif op == "mean":
+            out[f"_s_{alias}"] = g[col].sum()
+            out[f"_c_{alias}"] = g[col].count()
+        elif op == "sum":
+            out[f"_s_{alias}"] = g[col].sum()
+        elif op == "min":
+            out[f"_m_{alias}"] = g[col].min()
+        elif op == "max":
+            out[f"_x_{alias}"] = g[col].max()
+    return pd.DataFrame(out).reset_index()
+
+
+def _merge(df: pd.DataFrame, keys, specs) -> pd.DataFrame:
+    g = df.groupby(keys, sort=False, dropna=False)
+    out = {}
+    for alias, (_col, op) in specs.items():
+        if op == "count":
+            out[alias] = g[f"_c_{alias}"].sum()
+        elif op == "sum":
+            out[alias] = g[f"_s_{alias}"].sum()
+        elif op == "mean":
+            out[alias] = g[f"_s_{alias}"].sum() / g[f"_c_{alias}"].sum()
+        elif op == "min":
+            out[alias] = g[f"_m_{alias}"].min()
+        elif op == "max":
+            out[alias] = g[f"_x_{alias}"].max()
+    return pd.DataFrame(out).reset_index()
+
+
+def exchange_groupby(
+    ds,
+    keys: list[str] | str,
+    aggs: dict[str, tuple[str | None, str]],
+    num_partitions: int | None = None,
+):
+    """Grouped aggregation over the shared exchange.
+
+    ``aggs``: alias -> (column, op) with op in {sum, count, min, max,
+    mean}; column is ignored for ``count``. Returns a Dataset with the
+    key columns plus one column per alias, types following pandas
+    (sums/counts int64 for int inputs, mean float64).
+    """
+    import ray.data
+
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    for alias, (_c, op) in aggs.items():
+        if op not in _OPS:
+            raise ValueError(f"unsupported op {op!r} for {alias!r}")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return _partial(df, keys, aggs).iloc[0:0]
+        p = _partial(df, keys, aggs)
+        p["_gk"] = _group_hash(p, keys).view(np.int64)
+        return p
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+
+    @ray.remote
+    def reduce(*shards: pa.Table) -> pa.Table:
+        real = [t for t in shards if t.num_rows]
+        if not real:
+            return shards[0].slice(0, 0).drop_columns(["_gk"])
+        tbl = (
+            pa.concat_tables(real, promote_options="none")
+            if len(real) > 1
+            else real[0]
+        )
+        out = _merge(tbl.to_pandas().drop(columns=["_gk"]), keys, aggs)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    @ray.remote
+    def split(P: int, *tbls: pa.Table) -> list[pa.Table]:
+        real = [t for t in tbls if t.num_rows]
+        if not real:
+            e = tbls[0].slice(0, 0) if tbls else pa.table({})
+            return [e] * P
+        tbl = (
+            pa.concat_tables(real, promote_options="none")
+            if len(real) > 1
+            else real[0]
+        )
+        gk = tbl["_gk"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return split_compact(tbl, int_partition_codes(gk, P), P)
+
+    refs = list(partials.to_arrow_refs())
+    P = num_partitions or default_partitions()
+    if not refs:
+        return ds
+    groups = [
+        list(g)
+        for g in np.array_split(
+            np.array(refs, dtype=object), max(1, min(len(refs), 2 * P))
+        )
+        if len(g)
+    ]
+    split_groups = [split.options(num_returns=P).remote(P, *g) for g in groups]
+    return ray.data.from_arrow_refs(
+        [reduce.remote(*[sg[p] for sg in split_groups]) for p in range(P)]
+    )

@@ -1526,14 +1526,20 @@ FROM events GROUP BY event_type, (epoch_us(ts)//3600000000)*3600000000
 
 
 def q_events_value_stats(sf_dir: str):
-    from ray.data.aggregate import Count, Max, Min, Sum
+    """Grouped aggregation on the shared exchange (agg.exchange_groupby):
+    one partial row per (batch, group) shuffles, never the events."""
+    from ..agg import exchange_groupby
 
     ds = _read(sf_dir, "events", ["event_type", "value"])
-    agg = ds.groupby("event_type").aggregate(
-        Count(alias_name="n"),
-        Sum("value", alias_name="sum_value"),
-        Min("value", alias_name="min_value"),
-        Max("value", alias_name="max_value"),
+    agg = exchange_groupby(
+        ds,
+        "event_type",
+        {
+            "n": (None, "count"),
+            "sum_value": ("value", "sum"),
+            "min_value": ("value", "min"),
+            "max_value": ("value", "max"),
+        },
     )
 
     def finish(t: pa.Table) -> pa.Table:
@@ -1552,11 +1558,14 @@ FROM events GROUP BY event_type
 
 
 def q_orders_priority_counts(sf_dir: str):
-    from ray.data.aggregate import Count, Sum
+    """Multi-key grouped aggregation on the shared exchange."""
+    from ..agg import exchange_groupby
 
     ds = _read(sf_dir, "orders", ["o_orderpriority", "o_orderstatus", "o_totalprice"])
-    agg = ds.groupby(["o_orderpriority", "o_orderstatus"]).aggregate(
-        Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="total")
+    agg = exchange_groupby(
+        ds,
+        ["o_orderpriority", "o_orderstatus"],
+        {"n_orders": (None, "count"), "total": ("o_totalprice", "sum")},
     )
 
     def finish(t: pa.Table) -> pa.Table:

@@ -1,0 +1,63 @@
+"""exchange_groupby vs pandas oracles."""
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+
+def test_exchange_groupby_matches_pandas_oracle():
+    from ray_ordered_stream.agg import exchange_groupby
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame(
+        {
+            "k1": rng.choice(["a", "b", "c"], size=500),
+            "k2": rng.integers(0, 4, size=500).astype("int64"),
+            "v": rng.normal(size=500),
+            "w": rng.integers(0, 100, size=500).astype("int64"),
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(6)
+    got = (
+        exchange_groupby(
+            ds,
+            ["k1", "k2"],
+            {
+                "n": (None, "count"),
+                "sv": ("v", "sum"),
+                "mv": ("v", "mean"),
+                "lo": ("w", "min"),
+                "hi": ("w", "max"),
+            },
+        )
+        .to_pandas()
+        .sort_values(["k1", "k2"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        df.groupby(["k1", "k2"], as_index=False)
+        .agg(
+            n=("v", "size"), sv=("v", "sum"), mv=("v", "mean"),
+            lo=("w", "min"), hi=("w", "max"),
+        )
+        .sort_values(["k1", "k2"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[exp.columns], exp, check_exact=False, rtol=1e-12
+    )
+
+
+def test_exchange_groupby_single_key_and_empty_blocks():
+    from ray_ordered_stream.agg import exchange_groupby
+
+    df = pd.DataFrame({"k": ["x"] * 3 + ["y"], "v": [1.0, 2.0, 3.0, 4.0]})
+    ds = ray.data.from_pandas(df).repartition(8)  # more blocks than rows
+    got = (
+        exchange_groupby(ds, "k", {"s": ("v", "sum"), "n": (None, "count")})
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert got["s"].tolist() == [6.0, 4.0]
+    assert got["n"].tolist() == [3, 1]
