@@ -1584,11 +1584,13 @@ FROM orders GROUP BY o_orderpriority, o_orderstatus
 
 
 def q_doc_stats_by_source(sf_dir: str):
-    from ray.data.aggregate import Count, Sum
+    from ..agg import exchange_groupby
 
     ds = _read(sf_dir, "documents", ["source", "lang", "n_chars"])
-    return ds.groupby(["source", "lang"]).aggregate(
-        Count(alias_name="n_docs"), Sum("n_chars", alias_name="total_chars")
+    return exchange_groupby(
+        ds,
+        ["source", "lang"],
+        {"n_docs": (None, "count"), "total_chars": ("n_chars", "sum")},
     )
 
 
@@ -1708,13 +1710,17 @@ FROM events GROUP BY user_id, (epoch_us(ts)//{DAY_US})*{DAY_US}
 
 def q_conv_stats(sf_dir: str):
     """Per-conversation stats over the derived transcript stream."""
-    from ray.data.aggregate import Count, Max, Min
+    from ..agg import exchange_groupby
 
     t = _role_mapped(sf_dir)
-    return t.groupby(KEY).aggregate(
-        Count(alias_name="n_turns"),
-        Min("ts", alias_name="first_ts"),
-        Max("ts", alias_name="last_ts"),
+    return exchange_groupby(
+        t,
+        KEY,
+        {
+            "n_turns": (None, "count"),
+            "first_ts": ("ts", "min"),
+            "last_ts": ("ts", "max"),
+        },
     )
 
 
