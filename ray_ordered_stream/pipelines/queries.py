@@ -2335,11 +2335,41 @@ FROM t, thr WHERE t.n_words >= thr.p10
 """
 
 
+def q_doc_curriculum(sf_dir: str):
+    """Curriculum sharding (functions/rank.py): exact global rank under
+    ORDER BY (n_words, doc_id) via sampled range partitions + per-partition
+    sort + a P-integer prefix scan (no global sort; only (id, metric)
+    pairs shuffle), then k=8 equal floor-bucket shards."""
+    from ..functions.rank import curriculum_shards
+    from ..functions.textstats import quality_score
+
+    scored = quality_score(
+        _read(sf_dir, "documents", ["doc_id", "text"])
+    ).select_columns(["doc_id", "n_words"])
+    return curriculum_shards(scored, "n_words", k=8)
+
+
+SQL_DOC_CURRICULUM = r"""
+WITH t AS (
+  SELECT doc_id, length(regexp_extract_all(text, '\w+'))::bigint AS n_words
+  FROM documents),
+r AS (
+  SELECT doc_id, n_words,
+         row_number() OVER (ORDER BY n_words, doc_id) - 1 AS rank
+  FROM t),
+n AS (SELECT count(*)::bigint AS c FROM t)
+SELECT doc_id, n_words, rank::bigint AS rank,
+       ((rank * 8) // n.c)::bigint AS shard
+FROM r, n
+"""
+
+
 QUERIES = {
     "conv_render": (q_conv_render, SQL_CONV_RENDER),
     "conv_examples": (q_conv_examples, SQL_CONV_EXAMPLES),
     "emb_cohesion": (q_emb_cohesion, SQL_EMB_COHESION),
     "doc_quality_filter": (q_doc_quality_filter, SQL_DOC_QUALITY_FILTER),
+    "doc_curriculum": (q_doc_curriculum, SQL_DOC_CURRICULUM),
     "doc_chunks": (q_doc_chunks, SQL_DOC_CHUNKS),
     "doc_jaccard_pairs": (q_doc_jaccard_pairs, SQL_DOC_JACCARD_PAIRS),
     "doc_pack": (q_doc_pack, SQL_DOC_PACK),

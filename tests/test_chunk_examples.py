@@ -132,3 +132,37 @@ def test_centroid_cohesion_matches_numpy_oracle():
         assert r.n == len(m)
         assert r.mean_cos == pytest.approx(cos.mean(), abs=2e-6)
         assert r.min_cos == pytest.approx(cos.min(), abs=2e-6)
+
+
+def test_global_rank_and_curriculum_match_numpy():
+    from ray_ordered_stream.functions.rank import curriculum_shards, global_rank
+
+    rng = np.random.default_rng(9)
+    n = 700
+    # heavy ties: metric range much smaller than n, so tie-groups span
+    # sampled range bounds if routing were by (metric, id)
+    m = rng.integers(0, 20, size=n).astype("int64")
+    ids = rng.permutation(n).astype("int64")
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": ids, "m": m})
+    ).repartition(5)
+
+    ranked, total = global_rank(ds, "m", num_partitions=4)
+    assert total == n
+    got = ranked.to_pandas().sort_values("rank").reset_index(drop=True)
+    order = np.lexsort((ids, m))
+    np.testing.assert_array_equal(got["doc_id"].to_numpy(), ids[order])
+    np.testing.assert_array_equal(got["rank"].to_numpy(), np.arange(n))
+
+    shards = (
+        curriculum_shards(ds, "m", k=4, num_partitions=4)
+        .to_pandas()
+        .sort_values("rank")
+        .reset_index(drop=True)
+    )
+    np.testing.assert_array_equal(
+        shards["shard"].to_numpy(), (np.arange(n) * 4) // n
+    )
+    # equal shard sizes (floor buckets differ by at most 1)
+    sizes = shards.groupby("shard").size()
+    assert sizes.max() - sizes.min() <= 1
