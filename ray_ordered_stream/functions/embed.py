@@ -143,3 +143,52 @@ def centroid_cohesion(
         )
 
     return agg.map_batches(finish, batch_format="pandas")
+
+
+def projection_matrix(in_dim: int, out_dim: int, seed: int = 42) -> np.ndarray:
+    """Deterministic Gaussian random-projection matrix (out_dim x in_dim),
+    scaled 1/sqrt(out_dim) (Johnson-Lindenstrauss: pairwise distances are
+    preserved within ~1/sqrt(out_dim))."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((out_dim, in_dim)) / np.sqrt(out_dim)
+
+
+def random_projection(
+    ds,
+    in_dim: int,
+    out_dim: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+):
+    """Project embeddings to ``out_dim`` dims: one matmul per batch against
+    a broadcast seeded matrix — the dimensionality-reduction step before
+    cheap ANN / clustering at scale. Output columns ``d0..d{out_dim-1}``
+    (scalar columns, not a list, so results hash directly). The matrix is
+    a pure function of (in_dim, out_dim, seed); the SQL mirror inlines the
+    identical values as literals (queries.SQL_EMB_PROJECT)."""
+    import ray
+
+    R = projection_matrix(in_dim, out_dim, seed)
+    ref = ray.put(R)
+
+    class Project:
+        def __init__(self, r):
+            self.R = ray.get(r)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            cols = {id_col: t[id_col]}
+            if t.num_rows:
+                v = _matrix(t[vec_col])
+                out = np.round(v @ self.R.T, round_to)
+            else:
+                out = np.zeros((0, out_dim))
+            for j in range(out_dim):
+                cols[f"d{j}"] = pa.array(out[:, j], pa.float64())
+            return pa.table(cols)
+
+    return ds.map_batches(
+        Project, batch_format="pyarrow", concurrency=2,
+        fn_constructor_args=(ref,),
+    )

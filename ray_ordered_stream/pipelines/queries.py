@@ -2364,10 +2364,41 @@ FROM r, n
 """
 
 
+def q_emb_project(sf_dir: str):
+    """Random-projection dimensionality reduction (functions/embed.py):
+    64 -> 8 dims, one matmul per batch against a broadcast seeded JL
+    matrix — the cheap-ANN/clustering preprocessing step. The SQL mirror
+    inlines the identical matrix values as list_inner_product literals."""
+    from ..functions.embed import random_projection
+
+    return random_projection(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        in_dim=64,
+        out_dim=8,
+    )
+
+
+def _emb_project_sql() -> str:
+    from ..functions.embed import projection_matrix
+
+    R = projection_matrix(64, 8)  # same (in_dim, out_dim, seed) as the query
+    terms = ",\n  ".join(
+        "round(list_inner_product(embedding::double[], ["
+        + ", ".join(repr(float(x)) for x in R[j])
+        + f"]), 6) AS d{j}"
+        for j in range(8)
+    )
+    return f"SELECT vec_id,\n  {terms}\nFROM embeddings"
+
+
+SQL_EMB_PROJECT = _emb_project_sql()
+
+
 QUERIES = {
     "conv_render": (q_conv_render, SQL_CONV_RENDER),
     "conv_examples": (q_conv_examples, SQL_CONV_EXAMPLES),
     "emb_cohesion": (q_emb_cohesion, SQL_EMB_COHESION),
+    "emb_project": (q_emb_project, SQL_EMB_PROJECT),
     "doc_quality_filter": (q_doc_quality_filter, SQL_DOC_QUALITY_FILTER),
     "doc_curriculum": (q_doc_curriculum, SQL_DOC_CURRICULUM),
     "doc_chunks": (q_doc_chunks, SQL_DOC_CHUNKS),

@@ -166,3 +166,30 @@ def test_global_rank_and_curriculum_match_numpy():
     # equal shard sizes (floor buckets differ by at most 1)
     sizes = shards.groupby("shard").size()
     assert sizes.max() - sizes.min() <= 1
+
+
+def test_random_projection_matches_numpy():
+    from ray_ordered_stream.functions.embed import (
+        projection_matrix,
+        random_projection,
+    )
+
+    rng = np.random.default_rng(1)
+    vecs = rng.normal(size=(50, 16)).astype(np.float32)
+    ds = ray.data.from_pandas(
+        pd.DataFrame(
+            {"vec_id": np.arange(50, dtype="int64"), "embedding": list(vecs)}
+        )
+    ).repartition(3)
+    got = (
+        random_projection(ds, in_dim=16, out_dim=4)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    R = projection_matrix(16, 4)
+    exp = np.round(vecs.astype(np.float64) @ R.T, 6)
+    for j in range(4):
+        np.testing.assert_allclose(got[f"d{j}"].to_numpy(), exp[:, j])
+    # determinism across calls (same seed -> same matrix)
+    np.testing.assert_array_equal(R, projection_matrix(16, 4))
