@@ -1749,7 +1749,11 @@ def _docs_with_planted_copies(sf_dir: str):
             }
         )
 
-    return ds.union(ds.map_batches(copy_ids, batch_format="pyarrow"))
+    # materialize: every consumer (candidates, two text join-backs, the
+    # payload side of a dedup) re-executes this union otherwise — ~2.5 s
+    # of repeated pipeline execution per pass at sf0.1. A reused input is
+    # the one place mid-pipeline materialization is right.
+    return ds.union(ds.map_batches(copy_ids, batch_format="pyarrow")).materialize()
 
 
 def q_doc_near_dups_planted(sf_dir: str):
@@ -1880,7 +1884,7 @@ def _docs_with_two_planted_copies(sf_dir: str):
     return ds.union(
         ds.map_batches(copy_ids(_PLANT_OFFSET), batch_format="pyarrow"),
         ds.map_batches(copy_ids(2 * _PLANT_OFFSET), batch_format="pyarrow"),
-    )
+    ).materialize()  # reused by pairs + join-backs + payload (see above)
 
 
 def q_doc_dedup_clusters(sf_dir: str):
