@@ -1322,9 +1322,8 @@ SQL_EMBEDDING_LABEL_STATS = (
 
 
 def q_pricing_summary(sf_dir: str):
-    """TPC-H Q1 shape: vectorized derived columns + grouped aggregation."""
-    from ray.data.aggregate import Count, Sum
-
+    """TPC-H Q1 shape: vectorized derived columns + grouped aggregation
+    on the shared exchange."""
     ds = _read(
         sf_dir,
         "lineitem",
@@ -1347,15 +1346,17 @@ def q_pricing_summary(sf_dir: str):
         )
         return t.append_column("disc_price", disc)
 
-    agg = (
-        ds.map_batches(derive, batch_format="pyarrow")
-        .groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(
-            Sum("l_quantity", alias_name="sum_qty"),
-            Sum("l_extendedprice", alias_name="sum_base_price"),
-            Sum("disc_price", alias_name="sum_disc_price"),
-            Count(alias_name="count_order"),
-        )
+    from ..agg import exchange_groupby
+
+    agg = exchange_groupby(
+        ds.map_batches(derive, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"],
+        {
+            "sum_qty": ("l_quantity", "sum"),
+            "sum_base_price": ("l_extendedprice", "sum"),
+            "sum_disc_price": ("disc_price", "sum"),
+            "count_order": (None, "count"),
+        },
     )
 
     def finish(t: pa.Table) -> pa.Table:
