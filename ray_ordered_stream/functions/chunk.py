@@ -63,6 +63,7 @@ def chunk_documents(
     stride: int = 128,
     id_col: str = "doc_id",
     text_col: str = "text",
+    keep_cols: list[str] | None = None,
 ):
     """Dataset of documents -> Dataset of overlapping token windows:
     ``(id, chunk_idx, begin_tok, end_tok, n_chunk_tokens, chunk_text)``.
@@ -75,10 +76,13 @@ def chunk_documents(
     if stride <= 0 or size <= 0:
         raise ValueError("size and stride must be positive")
 
+    extra = keep_cols or []
+
     def f(t: pa.Table) -> pa.Table:
         out_schema = pa.schema(
             [
                 (id_col, t.schema.field(id_col).type),
+                *((c, t.schema.field(c).type) for c in extra),
                 ("chunk_idx", pa.int64()),
                 ("begin_tok", pa.int64()),
                 ("end_tok", pa.int64()),
@@ -107,9 +111,11 @@ def chunk_documents(
             flat, offsets[:-1][doc_rep] + begin, offsets[:-1][doc_rep] + end,
             " ",
         )
+        take = pa.array(doc_rep, pa.int64())
         return pa.table(
             {
-                id_col: t[id_col].take(pa.array(doc_rep, pa.int64())),
+                id_col: t[id_col].take(take),
+                **{c: t[c].take(take) for c in extra},
                 "chunk_idx": pa.array(chunk_idx, pa.int64()),
                 "begin_tok": pa.array(begin, pa.int64()),
                 "end_tok": pa.array(end, pa.int64()),

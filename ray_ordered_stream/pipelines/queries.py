@@ -2369,6 +2369,68 @@ FROM r, n
 """
 
 
+def q_corpus_chunking(sf_dir: str):
+    """Composed chunking pipeline: percentile quality filter (exact
+    histogram threshold) -> overlapping token-window chunking -> per-source
+    rollup on the exchange groupby. n_docs counts chunk_idx==0 rows — every
+    surviving doc contributes exactly one — so no count-distinct shuffle."""
+    from ..agg import exchange_groupby
+    from ..functions.chunk import chunk_documents
+    from ..functions.sketch import quantile_threshold_filter
+    from ..functions.textstats import quality_score
+
+    scored = quality_score(
+        _read(sf_dir, "documents", ["doc_id", "source", "text"])
+    )
+    kept, _thr = quantile_threshold_filter(scored, "n_words", 0.1)
+    chunks = chunk_documents(
+        kept, size=64, stride=48, keep_cols=["source"]
+    )
+
+    def indicator(t: pa.Table) -> pa.Table:
+        first = pc.cast(pc.equal(t["chunk_idx"], 0), pa.int64())
+        return pa.table(
+            {
+                "source": t["source"],
+                "n_chunk_tokens": t["n_chunk_tokens"],
+                "is_first": first,
+            }
+        )
+
+    return exchange_groupby(
+        chunks.map_batches(indicator, batch_format="pyarrow"),
+        "source",
+        {
+            "n_docs": ("is_first", "sum"),
+            "n_chunks": (None, "count"),
+            "sum_chunk_tokens": ("n_chunk_tokens", "sum"),
+        },
+    )
+
+
+SQL_CORPUS_CHUNKING = r"""
+WITH t AS (
+  SELECT doc_id, source,
+         length(regexp_extract_all(text, '\w+'))::bigint AS n
+  FROM documents),
+thr AS (SELECT quantile_disc(n, 0.1) AS p10 FROM t),
+f AS (SELECT t.* FROM t, thr WHERE t.n >= thr.p10),
+c AS (
+  SELECT doc_id, source, n,
+    CASE WHEN n = 0 THEN 0
+         WHEN n > 64 THEN (n - 64 + 47) // 48 + 1
+         ELSE 1 END AS nc
+  FROM f),
+x AS (
+  SELECT source, doc_id, n, unnest(generate_series(0, nc - 1)) AS i
+  FROM c WHERE nc > 0)
+SELECT source, count(DISTINCT doc_id)::bigint AS n_docs,
+       count(*)::bigint AS n_chunks,
+       sum(least(i * 48 + 64, n) - i * 48)::bigint AS sum_chunk_tokens
+FROM x GROUP BY source
+"""
+
+
 def q_emb_project(sf_dir: str):
     """Random-projection dimensionality reduction (functions/embed.py):
     64 -> 8 dims, one matmul per batch against a broadcast seeded JL
@@ -2406,6 +2468,7 @@ QUERIES = {
     "emb_project": (q_emb_project, SQL_EMB_PROJECT),
     "doc_quality_filter": (q_doc_quality_filter, SQL_DOC_QUALITY_FILTER),
     "doc_curriculum": (q_doc_curriculum, SQL_DOC_CURRICULUM),
+    "corpus_chunking": (q_corpus_chunking, SQL_CORPUS_CHUNKING),
     "doc_chunks": (q_doc_chunks, SQL_DOC_CHUNKS),
     "doc_jaccard_pairs": (q_doc_jaccard_pairs, SQL_DOC_JACCARD_PAIRS),
     "doc_pack": (q_doc_pack, SQL_DOC_PACK),
