@@ -323,10 +323,10 @@ def vocab_counts(ds, top_k: int | None = None, ngram: int = 1):
     deterministic token tie-break. The full corpus never shuffles — only
     per-batch (gram, n) partials do. ``ngram=2`` counts within-document
     word bigrams."""
-    from ray.data.aggregate import Sum
+    from ..agg import exchange_groupby
 
     partials = ds.map_batches(_VocabPartial(ngram), batch_format="pyarrow")
-    agg = partials.groupby("token").aggregate(Sum("n", alias_name="n"))
+    agg = exchange_groupby(partials, "token", {"n": ("n", "sum")})
     if top_k is None:
         return agg
     # the aggregated table is vocabulary-sized (small): per-block partial

@@ -119,7 +119,6 @@ def tfidf_top_terms(
     tie-break on the token. Output: (id, token, tf, df, tfidf)."""
     import ray
     import ray.data
-    from ray.data.aggregate import Sum
 
     from ..exchange import default_partitions, shard_refs
     from ..join import hash_join
@@ -147,10 +146,13 @@ def tfidf_top_terms(
             {"token": vc.field("values"), "df": vc.field("counts").cast(pa.int64())}
         )
 
-    df_ds = (
-        tf_ds_a.map_batches(df_partial, batch_format="pyarrow")
-        .groupby("token")
-        .aggregate(Sum("df", alias_name="df"))
+    from ..agg import exchange_groupby
+
+    df_ds = exchange_groupby(
+        tf_ds_a.map_batches(df_partial, batch_format="pyarrow"),
+        "token",
+        {"df": ("df", "sum")},
+        num_partitions=P,
     )
 
     joined = hash_join(tf_ds_b, df_ds, key="token", num_partitions=P)
