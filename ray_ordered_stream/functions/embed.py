@@ -88,9 +88,6 @@ def centroid_cohesion(
     ``(label, n, mean_cos, min_cos)``. SQL mirror: parallel-unnest
     centroid CTE + ``list_cosine_similarity`` (queries.SQL_EMB_COHESION).
     """
-    import ray.data
-    from ray.data.aggregate import Count, Min, Sum
-
     cents = label_centroids(ds, label_col, vec_col)
     labs = np.array(sorted(cents), dtype=np.int64)
     mat = np.stack([cents[l][1] for l in labs]) if len(labs) else np.zeros((0, 0))
@@ -126,10 +123,16 @@ def centroid_cohesion(
         Cos, batch_format="pyarrow", concurrency=2,
         fn_constructor_args=(cent_ref,),
     )
-    agg = scored.groupby(label_col).aggregate(
-        Count(alias_name="n"),
-        Sum("cos", alias_name="_sum"),
-        Min("cos", alias_name="_min"),
+    from ..agg import exchange_groupby
+
+    agg = exchange_groupby(
+        scored,
+        label_col,
+        {
+            "n": (None, "count"),
+            "_sum": ("cos", "sum"),
+            "_min": ("cos", "min"),
+        },
     )
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
