@@ -77,13 +77,17 @@ def tumbling_counts(ds, size_s: float, key: str = KEY, ts: str = "ts"):
         ).reset_index()
         return pa.Table.from_pandas(out, preserve_index=False)
 
-    from ray.data.aggregate import Sum
+    from .agg import exchange_groupby
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
-    agg = partials.groupby([key, "window_start"]).aggregate(
-        Sum("turn_count", alias_name="turn_count"),
-        Sum("n_user", alias_name="n_user"),
-        Sum("n_assistant", alias_name="n_assistant"),
+    agg = exchange_groupby(
+        partials,
+        [key, "window_start"],
+        {
+            "turn_count": ("turn_count", "sum"),
+            "n_user": ("n_user", "sum"),
+            "n_assistant": ("n_assistant", "sum"),
+        },
     )
 
     def finish(t: pa.Table) -> pa.Table:
