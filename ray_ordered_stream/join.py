@@ -344,6 +344,8 @@ def hash_join(
     suffix: str = "_r",
     by_int: bool = False,
     num_partitions: int | None = None,
+    bloom_prefilter: bool = False,
+    bloom_bits: int = 1 << 23,
 ):
     """Distributed hash equi-join: ``inner``, ``left``, ``semi`` (left rows
     with a match, right columns not emitted) or ``anti`` (left rows with NO
@@ -432,8 +434,30 @@ def hash_join(
         return out
 
     P = num_partitions or _default_P()
+    r_refs = list(right.to_arrow_refs())
+
+    if bloom_prefilter and how == "semi":
+        # drop definite-non-matches from the big side BEFORE the exchange:
+        # a fixed-size OR-merged Bloom of the (already distinct-projected)
+        # right keys broadcasts once; false positives still shuffle and
+        # the exact is_in inside join_part removes them, so the result is
+        # identical to the plain semi join.
+        from .functions.bloom import build_bloom_from_refs
+
+        bloom_ref = ray.put(build_bloom_from_refs(r_refs, rk, bloom_bits))
+
+        def prefilter(t: pa.Table) -> pa.Table:
+            if not t.num_rows:
+                return t
+            b = ray.get(bloom_ref)
+            return t.filter(pa.array(b.maybe_contains(t[key])))
+
+        left = left.map_batches(prefilter, batch_format="pyarrow")
+    elif bloom_prefilter:
+        raise ValueError("bloom_prefilter is only valid for how='semi'")
+
     l_groups = shard_refs(list(left.to_arrow_refs()), key, P, by_int=by_int)
-    r_groups = shard_refs(list(right.to_arrow_refs()), rk, P, by_int=by_int)
+    r_groups = shard_refs(r_refs, rk, P, by_int=by_int)
     out = [
         join_part.remote(
             len(l_groups), *[g[p] for g in l_groups], *[g[p] for g in r_groups]

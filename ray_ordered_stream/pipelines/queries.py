@@ -851,13 +851,17 @@ SQL_CUSTOMERS_WITHOUT_URGENT = (
 
 
 def q_parts_in_lineitems(sf_dir: str):
-    """Distributed SEMI join (parts that appear in some lineitem)."""
+    """Distributed SEMI join (parts that appear in some lineitem), with the
+    broadcast-Bloom pre-filter: definite-non-matches never enter the
+    exchange; false positives are removed by the exact per-partition
+    is_in, so the result (and this oracle gate) is the plain semi join."""
     from ..join import hash_join
 
     return hash_join(
         _read(sf_dir, "part", ["p_partkey", "p_name"]),
         _read(sf_dir, "lineitem", ["l_partkey"]),
         "p_partkey", how="semi", right_key="l_partkey", by_int=True,
+        bloom_prefilter=True,
     )
 
 

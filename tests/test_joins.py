@@ -314,3 +314,52 @@ def test_hash_join_property_vs_pandas(ray_session):
             assert sorted(map(tuple, got[key].values)) == sorted(
                 map(tuple, exp[key].values)
             ), (trial, how)
+
+
+def test_bloom_filter_guarantees_and_semi_prefilter(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from ray_ordered_stream.functions.bloom import Bloom, build_bloom_from_refs
+    from ray_ordered_stream.join import hash_join
+
+    rng = np.random.default_rng(13)
+    present = rng.choice(100000, size=2000, replace=False).astype("int64")
+    absent = (rng.choice(100000, size=2000, replace=False) + 200000).astype(
+        "int64"
+    )
+    b = Bloom(1 << 16, 4)
+    b.add_column(pa.array(present))
+    # no false negatives, ever
+    assert b.maybe_contains(pa.array(present)).all()
+    # false-positive rate sane for this sizing (~(k n / m)^k scale)
+    fp = b.maybe_contains(pa.array(absent)).mean()
+    assert fp < 0.05, fp
+    # string keys work too
+    bs = Bloom(1 << 16, 4)
+    bs.add_column(pa.array([f"k{v}" for v in present[:500]]))
+    assert bs.maybe_contains(pa.array([f"k{v}" for v in present[:500]])).all()
+
+    # bloom-prefiltered semi == plain semi == pandas oracle
+    left = pd.DataFrame(
+        {"k": rng.integers(0, 500, size=3000).astype("int64"),
+         "v": np.arange(3000, dtype="int64")}
+    )
+    right = pd.DataFrame(
+        {"rk": rng.integers(250, 750, size=1000).astype("int64")}
+    )
+    lds = ray.data.from_pandas(left).repartition(4)
+    rds = ray.data.from_pandas(right).repartition(3)
+    got = (
+        hash_join(lds, rds, "k", how="semi", right_key="rk", by_int=True,
+                  bloom_prefilter=True, bloom_bits=1 << 12)
+        .to_pandas().sort_values("v").reset_index(drop=True)
+    )
+    exp = left[left["k"].isin(set(right["rk"]))].reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp)
+    # driver-side partial-merge parity
+    refs = list(ray.data.from_pandas(right).repartition(3).to_arrow_refs())
+    merged = build_bloom_from_refs(refs, "rk", 1 << 12)
+    assert merged.maybe_contains(pa.array(right["rk"].to_numpy())).all()
