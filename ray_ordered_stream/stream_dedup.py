@@ -71,26 +71,51 @@ def _member(
 
 @ray.remote(num_cpus=0)
 class DedupPartition:
-    """Per-partition seen-fingerprint state + actor-direct sink writes."""
+    """Per-partition seen-fingerprint state + actor-direct sink writes.
 
-    def __init__(self, partition: int):
+    ``ttl_epochs`` bounds state on an unbounded stream: a fingerprint
+    KEPT more than that many epochs ago is EVICTED and a later copy is
+    treated as new — dedup within a horizon, the practical semantics when
+    exact forever-dedup state would outgrow the cluster. Duplicates do
+    NOT extend the horizon (a refresh would need extra checkpoint-delta
+    records; anchoring on the kept occurrence keeps resume deterministic
+    from the existing deltas). ``None`` keeps exact forever semantics."""
+
+    def __init__(self, partition: int, ttl_epochs: int | None = None):
         self.partition = partition
-        # sorted by (hi, lo)
+        self.ttl = ttl_epochs
+        # sorted by (hi, lo); ep = last epoch each fingerprint was seen
         self.seen_hi = np.empty(0, dtype=np.uint64)
         self.seen_lo = np.empty(0, dtype=np.uint64)
+        self.seen_ep = np.empty(0, dtype=np.int64)
         self.dropped = 0
 
     def restore(self, delta_files: list[str]) -> int:
-        his, los = [self.seen_hi], [self.seen_lo]
-        for f in delta_files:
+        his, los, eps = [self.seen_hi], [self.seen_lo], [self.seen_ep]
+        for i, f in enumerate(delta_files):
             t = pq.read_table(f)
             his.append(t["fp_hi"].to_numpy(zero_copy_only=False).astype(np.uint64))
             los.append(t["fp_lo"].to_numpy(zero_copy_only=False).astype(np.uint64))
+            if "ep" in t.column_names:
+                eps.append(t["ep"].to_numpy(zero_copy_only=False).astype(np.int64))
+            else:  # legacy delta without epochs: file order is epoch order
+                eps.append(np.full(t.num_rows, i, dtype=np.int64))
         hi = np.concatenate(his)
         lo = np.concatenate(los)
-        order = np.lexsort((lo, hi))
-        self.seen_hi, self.seen_lo = hi[order], lo[order]
+        ep = np.concatenate(eps)
+        self._set_sorted_dedup(hi, lo, ep)
         return len(self.seen_hi)
+
+    def _set_sorted_dedup(self, hi, lo, ep) -> None:
+        """Sort by (hi, lo) keeping the LATEST epoch per fingerprint."""
+        order = np.lexsort((ep, lo, hi))
+        hi, lo, ep = hi[order], lo[order], ep[order]
+        if len(hi):
+            last = np.empty(len(hi), dtype=bool)
+            last[-1] = True
+            last[:-1] = (hi[1:] != hi[:-1]) | (lo[1:] != lo[:-1])
+            hi, lo, ep = hi[last], lo[last], ep[last]
+        self.seen_hi, self.seen_lo, self.seen_ep = hi, lo, ep
 
     def write_full(self, path: str) -> int:
         """Compaction: the whole seen-set as one file (same schema as the
@@ -98,15 +123,22 @@ class DedupPartition:
         write_part_atomic(
             pa.table(
                 {"fp_hi": pa.array(self.seen_hi, pa.uint64()),
-                 "fp_lo": pa.array(self.seen_lo, pa.uint64())}
+                 "fp_lo": pa.array(self.seen_lo, pa.uint64()),
+                 "ep": pa.array(self.seen_ep, pa.int64())}
             ),
             path,
         )
         return len(self.seen_hi)
 
     def process_epoch(
-        self, part_path: str, delta_path: str, *shards: pa.Table
+        self, epoch: int, part_path: str, delta_path: str, *shards: pa.Table
     ) -> dict:
+        if self.ttl is not None and len(self.seen_ep):
+            live = epoch - self.seen_ep <= self.ttl
+            if not live.all():
+                self.seen_hi = self.seen_hi[live]
+                self.seen_lo = self.seen_lo[live]
+                self.seen_ep = self.seen_ep[live]
         real = [t for t in shards if t.num_rows]
         if not real:
             empty = shards[0].slice(0, 0) if shards else pa.table({})
@@ -116,7 +148,8 @@ class DedupPartition:
             write_part_atomic(
                 pa.table(
                     {"fp_hi": pa.array([], pa.uint64()),
-                     "fp_lo": pa.array([], pa.uint64())}
+                     "fp_lo": pa.array([], pa.uint64()),
+                     "ep": pa.array([], pa.int64())}
                 ),
                 delta_path,
             )
@@ -148,18 +181,21 @@ class DedupPartition:
         )
         write_part_atomic(out, part_path)
         new_hi, new_lo = hi[kept_rows], lo[kept_rows]
+        new_ep = np.full(len(kept_rows), epoch, dtype=np.int64)
         write_part_atomic(
             pa.table(
                 {"fp_hi": pa.array(new_hi, pa.uint64()),
-                 "fp_lo": pa.array(new_lo, pa.uint64())}
+                 "fp_lo": pa.array(new_lo, pa.uint64()),
+                 "ep": pa.array(new_ep, pa.int64())}
             ),
             delta_path,
         )
-        # merge into the sorted seen arrays
-        mhi = np.concatenate([self.seen_hi, new_hi])
-        mlo = np.concatenate([self.seen_lo, new_lo])
-        mo = np.lexsort((mlo, mhi))
-        self.seen_hi, self.seen_lo = mhi[mo], mlo[mo]
+        # merge into the sorted seen arrays (latest epoch wins per print)
+        self._set_sorted_dedup(
+            np.concatenate([self.seen_hi, new_hi]),
+            np.concatenate([self.seen_lo, new_lo]),
+            np.concatenate([self.seen_ep, new_ep]),
+        )
         dropped = int(tbl.num_rows - len(kept_rows))
         self.dropped += dropped
         return {"kept": int(len(kept_rows)), "dropped": dropped}
@@ -220,6 +256,7 @@ def run_dedup_stream(
     resume: bool = False,
     fail_after_epoch: int | None = None,
     compact_every: int = 8,
+    ttl_epochs: int | None = None,
 ) -> DedupStreamResult:
     """Drive the document feed through the dedup partitions epoch by epoch.
 
@@ -263,7 +300,7 @@ def run_dedup_stream(
     meta_path.write_text(json.dumps({"partitions": num_partitions}))
 
     P = num_partitions
-    workers = [DedupPartition.remote(p) for p in range(P)]
+    workers = [DedupPartition.remote(p, ttl_epochs) for p in range(P)]
 
     def delta_dir(epoch: int) -> Path:
         return ck / f"delta-{epoch:05d}"
@@ -332,6 +369,7 @@ def run_dedup_stream(
         stats = ray.get(
             [
                 workers[p].process_epoch.remote(
+                    e,
                     sink.part_path(e, p),
                     str(dd / f"part-{p:05d}.parquet"),
                     *[sg[p] for sg in shard_groups],
@@ -874,7 +912,14 @@ def rescale_dedup_checkpoint(out_root: str, new_partitions: int, near: bool = Fa
     tbls = []
     for p in range(old_P):
         for f in part_files(p):
-            tbls.append(pq.read_table(f, columns=cols))
+            sch = pq.read_schema(f)
+            use = cols + (["ep"] if "ep" in sch.names else [])
+            t = pq.read_table(f, columns=use)
+            if "ep" not in t.column_names:  # legacy files: epoch unknown
+                t = t.append_column(
+                    "ep", pa.array(np.zeros(t.num_rows, np.int64))
+                )
+            tbls.append(t)
     merged = pa.concat_tables(tbls, promote_options="none")
     if near:
         key = merged["band_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)

@@ -287,3 +287,58 @@ def test_neardup_rescale_checkpoint(ray_session, tmp_path):
     b = (res.sink.read().select_columns(["doc_id", "text"])
          .to_pandas().sort_values("doc_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_dedup_stream_ttl_eviction(tmp_path, ray_session):
+    # 4 epochs x 1 file x 3 docs: doc A appears in epochs 0, 1, and 3
+    texts = {
+        0: ["A", "b0", "c0"],
+        1: ["A", "b1", "c1"],   # dup of A within ttl=1 -> dropped
+        2: ["d2", "e2", "f2"],
+        3: ["A", "b3", "c3"],   # A kept at epoch 0, ttl=1 expired -> kept
+    }
+    rows = []
+    for e, ts in texts.items():
+        for j, t in enumerate(ts):
+            rows.append((e * 10 + j, t))
+    df = pd.DataFrame(rows, columns=["doc_id", "text"])
+    files = _write_feed(df, tmp_path / "land", 4)
+
+    res = run_dedup_stream(
+        files, str(tmp_path / "out"), num_partitions=2, files_per_epoch=1,
+        ttl_epochs=1,
+    )
+    got = res.sink.read().to_pandas().sort_values("doc_id")
+    kept_texts = got["text"].tolist()
+    assert kept_texts.count("A") == 2  # epoch 0 and epoch 3
+    assert 10 not in got["doc_id"].tolist()  # epoch-1 copy dropped
+    assert {30} <= set(got["doc_id"])  # epoch-3 copy kept (expired)
+
+    # forever semantics keep exactly one A
+    res2 = run_dedup_stream(
+        files, str(tmp_path / "out2"), num_partitions=2, files_per_epoch=1,
+    )
+    assert res2.sink.read().to_pandas()["text"].tolist().count("A") == 1
+
+    # crash-resume with ttl reproduces the same output bytes
+    import hashlib
+    from pathlib import Path
+
+    def sink_digest(root):
+        h = hashlib.md5()
+        for f in sorted(Path(root).rglob("*.parquet")):
+            h.update(f.read_bytes())
+        return h.hexdigest()
+
+    with pytest.raises(RuntimeError):
+        run_dedup_stream(
+            files, str(tmp_path / "out3"), num_partitions=2,
+            files_per_epoch=1, ttl_epochs=1, fail_after_epoch=1,
+        )
+    run_dedup_stream(
+        files, str(tmp_path / "out3"), num_partitions=2, files_per_epoch=1,
+        ttl_epochs=1, resume=True,
+    )
+    assert sink_digest(tmp_path / "out3" / "deduped") == sink_digest(
+        tmp_path / "out" / "deduped"
+    )
