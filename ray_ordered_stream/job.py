@@ -91,6 +91,12 @@ def main(argv: list[str] | None = None) -> int:
              "--input is then a documents feed with doc_id/text)")
     ap.add_argument("--dedup-id-col", default="doc_id")
     ap.add_argument("--dedup-text-col", default="text")
+    ap.add_argument(
+        "--dedup-ttl-epochs", type=int, default=None,
+        help="exact-dedup only: evict fingerprints kept more than this "
+             "many epochs ago (bounded state on unbounded streams; "
+             "default: dedup forever)",
+    )
     ap.add_argument("--address", default="auto",
                     help="Ray address ('auto' in a submitted job, 'local' standalone)")
     args = ap.parse_args(argv)
@@ -122,6 +128,13 @@ def main(argv: list[str] | None = None) -> int:
             files_per_epoch=args.files_per_epoch,
             compact_every=args.checkpoint_full_every,
         )
+        if args.dedup_ttl_epochs is not None:
+            if args.pipeline != "dedup":
+                print(json.dumps(
+                    {"error": "--dedup-ttl-epochs requires --pipeline dedup"}
+                ))
+                return 2
+            common["ttl_epochs"] = args.dedup_ttl_epochs
         if args.continuous:
             res = run_dedup_stream_continuous(
                 args.input, args.out, idle_timeout_s=args.idle_timeout,
