@@ -84,11 +84,19 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--spread-actors", action="store_true")
     ap.add_argument("--warmup-rows", type=int, default=8192)
     ap.add_argument(
-        "--pipeline", choices=("ordered", "dedup", "neardup"),
+        "--pipeline", choices=("ordered", "dedup", "neardup", "curate"),
         default="ordered",
-        help="which streaming pipeline to run: the ordered engine "
-             "(default) or the content-dedup streams (stream_dedup.py; "
-             "--input is then a documents feed with doc_id/text)")
+        help="which pipeline to run: the ordered engine (default), the "
+             "content-dedup streams (stream_dedup.py; --input is then a "
+             "documents feed with doc_id/text), or the BATCH curation "
+             "pipeline (exact dedup -> percentile quality filter -> "
+             "overlapping chunking -> resumable export)")
+    ap.add_argument("--chunk-size", type=int, default=256,
+                    help="curate: tokens per chunk window")
+    ap.add_argument("--chunk-stride", type=int, default=192,
+                    help="curate: tokens the window advances per chunk")
+    ap.add_argument("--quality-q", type=float, default=0.1,
+                    help="curate: drop docs below this word-count quantile")
     ap.add_argument("--dedup-id-col", default="doc_id")
     ap.add_argument("--dedup-text-col", default="text")
     ap.add_argument(
@@ -113,6 +121,35 @@ def main(argv: list[str] | None = None) -> int:
     from pathlib import Path
 
     from .epochs import run_stream, run_stream_continuous
+
+    if args.pipeline == "curate":
+        import ray.data
+
+        from .functions.chunk import chunk_documents
+        from .functions.dedup import exact_dedup
+        from .functions.sketch import quantile_threshold_filter
+        from .functions.textstats import quality_score
+        from .sink import export_dataset
+
+        docs = ray.data.read_parquet(
+            args.input, columns=[args.dedup_id_col, args.dedup_text_col]
+        )
+        unique = exact_dedup(
+            docs, id_col=args.dedup_id_col, text_col=args.dedup_text_col
+        )
+        scored = quality_score(unique)
+        kept, thr = quantile_threshold_filter(scored, "n_words", args.quality_q)
+        chunks = chunk_documents(
+            kept.select_columns([args.dedup_id_col, args.dedup_text_col]),
+            size=args.chunk_size,
+            stride=args.chunk_stride,
+            id_col=args.dedup_id_col,
+            text_col=args.dedup_text_col,
+        )
+        summary = export_dataset(chunks, args.out, name="curated")
+        print(json.dumps({"pipeline": "curate",
+                          "quality_threshold_words": int(thr), **summary}))
+        return 0
 
     if args.pipeline in ("dedup", "neardup"):
         from .stream_dedup import (

@@ -55,6 +55,7 @@ def test_job_cli_dedup_pipeline(tmp_path):
     import numpy as np
     import pandas as pd
     import pyarrow as pa
+    import pyarrow as pa
 
     rng = np.random.default_rng(11)
     words = np.array(["red", "blue", "lime", "teal", "gold"])
@@ -86,3 +87,44 @@ def test_job_cli_dedup_pipeline(tmp_path):
     assert res2["epochs_run"] == 0
     assert res2["epochs_skipped"] == 2
     assert res2["committed_rows"] == n_unique
+
+
+def test_job_cli_curate_pipeline(tmp_path):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    # corpus with planted exact dups and a few too-short docs
+    rng = np.random.default_rng(4)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon"]
+    texts = [" ".join(rng.choice(words, size=30)) for _ in range(40)]
+    texts[5] = texts[0]            # exact dup -> dropped by dedup
+    texts[7] = "too short"         # below the quality quantile
+    df = pd.DataFrame({"doc_id": np.arange(40, dtype="int64"),
+                       "text": texts})
+    src = tmp_path / "docs.parquet"
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False), src)
+
+    args = [
+        "--input", str(src), "--out", str(tmp_path / "out"),
+        "--pipeline", "curate", "--chunk-size", "8", "--chunk-stride", "6",
+        "--quality-q", "0.1", "--address", "local",
+    ]
+    res = _run(args)
+    assert res["pipeline"] == "curate" and res["rows"] > 0
+    assert res["parts_skipped"] == 0
+    assert (tmp_path / "out" / "curated" / "_SUCCESS").exists()
+
+    back = pq.read_table(
+        sorted((tmp_path / "out" / "curated").glob("*.parquet"))
+    ).to_pandas()
+    assert len(back) == res["rows"]
+    assert 5 not in set(back["doc_id"])   # dup dropped (keep-first id 0)
+    assert 7 not in set(back["doc_id"])   # short doc filtered
+    assert 0 in set(back["doc_id"])
+    # 30-word docs at size 8 / stride 6: ceil((30-8)/6)+1 = 5 chunks
+    assert (back.groupby("doc_id").size() == 5).all()
+
+    res2 = _run(args)  # resumable export: everything skipped
+    assert res2["parts_written"] == 0
+    assert res2["parts_skipped"] == res["n_parts"]
