@@ -1288,7 +1288,7 @@ SELECT 'recall_at_5_vs_bruteforce' AS metric,
 
 
 def q_embedding_label_stats(sf_dir: str):
-    from ray.data.aggregate import Count, Sum
+    from ..agg import exchange_groupby
 
     ds = _read(sf_dir, "embeddings", ["embedding", "label"])
 
@@ -1298,10 +1298,10 @@ def q_embedding_label_stats(sf_dir: str):
             {"label": t["label"], "elem_sum": pa.array(v.sum(axis=1), pa.float64())}
         )
 
-    agg = (
-        ds.map_batches(elem_sum, batch_format="pyarrow")
-        .groupby("label")
-        .aggregate(Count(alias_name="n"), Sum("elem_sum", alias_name="s"))
+    agg = exchange_groupby(
+        ds.map_batches(elem_sum, batch_format="pyarrow"),
+        "label",
+        {"n": (None, "count"), "s": ("elem_sum", "sum")},
     )
 
     def finish(t: pa.Table) -> pa.Table:
@@ -1813,16 +1813,16 @@ def q_doc_simhash_planted(sf_dir: str):
             }
         )
 
-    from ray.data.aggregate import Count, Max, Min
+    from ..agg import exchange_groupby
 
-    agg = (
-        sh.map_batches(tag, batch_format="pyarrow")
-        .groupby("orig_id")
-        .aggregate(
-            Count(alias_name="n"),
-            Min("simhash", alias_name="lo"),
-            Max("simhash", alias_name="hi"),
-        )
+    agg = exchange_groupby(
+        sh.map_batches(tag, batch_format="pyarrow"),
+        "orig_id",
+        {
+            "n": (None, "count"),
+            "lo": ("simhash", "min"),
+            "hi": ("simhash", "max"),
+        },
     )
 
     def verdict(t: pa.Table) -> pa.Table:

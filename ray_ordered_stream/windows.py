@@ -143,11 +143,11 @@ def sliding_counts(ds, size_s: float, step_s: float, key: str = KEY, ts: str = "
         out = df.groupby([key, "window_start"], sort=False).size().rename("turn_count").reset_index()
         return pa.Table.from_pandas(out, preserve_index=False)
 
-    from ray.data.aggregate import Sum
+    from .agg import exchange_groupby
 
     partials = ds.map_batches(explode_partial, batch_format="pyarrow")
-    agg = partials.groupby([key, "window_start"]).aggregate(
-        Sum("turn_count", alias_name="turn_count")
+    agg = exchange_groupby(
+        partials, [key, "window_start"], {"turn_count": ("turn_count", "sum")}
     )
 
     def finish(t: pa.Table) -> pa.Table:
