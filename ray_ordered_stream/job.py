@@ -101,9 +101,9 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--dedup-text-col", default="text")
     ap.add_argument(
         "--dedup-ttl-epochs", type=int, default=None,
-        help="exact-dedup only: evict fingerprints kept more than this "
-             "many epochs ago (bounded state on unbounded streams; "
-             "default: dedup forever)",
+        help="dedup/neardup: evict fingerprints (or band hashes) kept "
+             "more than this many epochs ago (bounded state on unbounded "
+             "streams; default: dedup forever)",
     )
     ap.add_argument("--address", default="auto",
                     help="Ray address ('auto' in a submitted job, 'local' standalone)")
@@ -166,11 +166,6 @@ def main(argv: list[str] | None = None) -> int:
             compact_every=args.checkpoint_full_every,
         )
         if args.dedup_ttl_epochs is not None:
-            if args.pipeline != "dedup":
-                print(json.dumps(
-                    {"error": "--dedup-ttl-epochs requires --pipeline dedup"}
-                ))
-                return 2
             common["ttl_epochs"] = args.dedup_ttl_epochs
         if args.continuous:
             res = run_dedup_stream_continuous(

@@ -433,20 +433,39 @@ class BandPartition:
     is only fed band hashes of KEPT documents, so dropped docs never
     pollute the index."""
 
-    def __init__(self, partition: int, doc_P: int):
+    def __init__(self, partition: int, doc_P: int,
+                 ttl_epochs: int | None = None):
         self.partition = partition
         self.doc_P = doc_P
+        self.ttl = ttl_epochs
         self.seen = np.empty(0, dtype=np.int64)  # sorted band hashes
+        self.seen_ep = np.empty(0, dtype=np.int64)  # epoch each was recorded
+
+    def _set_sorted_dedup(self, bh: np.ndarray, ep: np.ndarray) -> None:
+        order = np.lexsort((ep, bh))
+        bh, ep = bh[order], ep[order]
+        if len(bh):
+            last = np.empty(len(bh), dtype=bool)
+            last[-1] = True
+            last[:-1] = bh[1:] != bh[:-1]
+            bh, ep = bh[last], ep[last]
+        self.seen, self.seen_ep = bh, ep
 
     def restore(self, delta_files: list[str]) -> int:
-        parts = [self.seen]
-        for f in delta_files:
+        parts, eps = [self.seen], [self.seen_ep]
+        for i, f in enumerate(delta_files):
             t = pq.read_table(f)
             parts.append(t["band_hash"].to_numpy(zero_copy_only=False))
-        self.seen = np.unique(np.concatenate(parts))
+            if "ep" in t.column_names:
+                eps.append(t["ep"].to_numpy(zero_copy_only=False).astype(np.int64))
+            else:  # legacy delta without epochs: file order is epoch order
+                eps.append(np.full(t.num_rows, i, dtype=np.int64))
+        self._set_sorted_dedup(
+            np.concatenate(parts).astype(np.int64), np.concatenate(eps)
+        )
         return len(self.seen)
 
-    def check(self, *shards: pa.Table):
+    def check(self, epoch: int, *shards: pa.Table):
         """Matched doc_ids of this epoch, split by doc-partition code
         (num_returns=doc_P refs go straight to the payload actors — the
         verdicts never touch the driver)."""
@@ -467,6 +486,10 @@ class BandPartition:
         matched = (
             self.seen[idx] == bh if len(self.seen) else np.zeros(len(bh), bool)
         )
+        if self.ttl is not None and matched.any():
+            # expired band hashes no longer block (ttl horizon semantics);
+            # ep-aware matching keeps check() read-only and re-runnable
+            matched &= epoch - self.seen_ep[idx] <= self.ttl
         # within-epoch collisions: every member of a band group except the
         # earliest arrival (conservative cluster-head semantics)
         order = np.lexsort((arr, bh))
@@ -481,7 +504,12 @@ class BandPartition:
         code = (bad_ids.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(self.doc_P)
         return [bad_ids[code == p] for p in range(self.doc_P)]
 
-    def record(self, delta_path: str, *kept_band_shards: pa.Table) -> int:
+    def record(self, epoch: int, delta_path: str,
+               *kept_band_shards: pa.Table) -> int:
+        if self.ttl is not None and len(self.seen_ep):
+            live = epoch - self.seen_ep <= self.ttl
+            if not live.all():
+                self.seen, self.seen_ep = self.seen[live], self.seen_ep[live]
         real = [t for t in kept_band_shards if t.num_rows]
         new = (
             np.unique(
@@ -496,14 +524,23 @@ class BandPartition:
             else np.empty(0, dtype=np.int64)
         )
         write_part_atomic(
-            pa.table({"band_hash": pa.array(new, pa.int64())}), delta_path
+            pa.table({"band_hash": pa.array(new, pa.int64()),
+                      "ep": pa.array(np.full(len(new), epoch, np.int64))}),
+            delta_path,
         )
-        self.seen = np.unique(np.concatenate([self.seen, new]))
+        # merge, keeping the LATEST epoch per band hash (a re-recorded
+        # expired hash re-anchors its horizon)
+        self._set_sorted_dedup(
+            np.concatenate([self.seen, new]),
+            np.concatenate([self.seen_ep,
+                            np.full(len(new), epoch, np.int64)]),
+        )
         return len(new)
 
     def write_full(self, path: str) -> int:
         write_part_atomic(
-            pa.table({"band_hash": pa.array(self.seen, pa.int64())}), path
+            pa.table({"band_hash": pa.array(self.seen, pa.int64()),
+                      "ep": pa.array(self.seen_ep, pa.int64())}), path
         )
         return len(self.seen)
 
@@ -638,6 +675,7 @@ def run_neardup_stream(
     resume: bool = False,
     fail_after_epoch: int | None = None,
     compact_every: int = 8,
+    ttl_epochs: int | None = None,
 ) -> DedupStreamResult:
     """Streaming APPROXIMATE near-dedup: drop any document one of whose
     MinHash band hashes collides with a previously KEPT document (or with
@@ -683,7 +721,7 @@ def run_neardup_stream(
     )
 
     P = num_partitions
-    band_workers = [BandPartition.remote(p, P) for p in range(P)]
+    band_workers = [BandPartition.remote(p, P, ttl_epochs) for p in range(P)]
     payload_workers = [
         NearDupPayloadPartition.remote(p, P, bands) for p in range(P)
     ]
@@ -751,7 +789,7 @@ def run_neardup_stream(
         ]
         verdicts = [
             band_workers[p].check.options(num_returns=P).remote(
-                *[sg[P + p] for sg in shard_groups]
+                e, *[sg[P + p] for sg in shard_groups]
             )
             for p in range(P)
         ]
@@ -771,6 +809,7 @@ def run_neardup_stream(
         ray.get(
             [
                 band_workers[bp].record.remote(
+                    e,
                     str(dd / f"part-{bp:05d}.parquet"),
                     *[decisions[p][2 + bp] for p in range(P)],
                 )

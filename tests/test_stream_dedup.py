@@ -342,3 +342,37 @@ def test_dedup_stream_ttl_eviction(tmp_path, ray_session):
     assert sink_digest(tmp_path / "out3" / "deduped") == sink_digest(
         tmp_path / "out" / "deduped"
     )
+
+
+def test_neardup_stream_ttl_eviction(tmp_path, ray_session):
+    from ray_ordered_stream.stream_dedup import run_neardup_stream
+
+    # near-identical long docs so every band collides between copies
+    base = " ".join(f"w{i}" for i in range(60))
+    texts = {
+        0: [base, "totally different content one two three"],
+        1: [base + " tail", "another unrelated document here"],  # near-dup
+        2: ["fresh unique doc alpha beta", "fresh unique doc gamma delta"],
+        3: [base + " tail2", "yet another unrelated text"],      # expired
+    }
+    rows = []
+    for e, ts in texts.items():
+        for j, t in enumerate(ts):
+            rows.append((e * 10 + j, t))
+    df = pd.DataFrame(rows, columns=["doc_id", "text"])
+    files = _write_feed(df, tmp_path / "land", 4)
+
+    # forever semantics: both later near-copies of `base` drop
+    res = run_neardup_stream(
+        files, str(tmp_path / "out"), num_partitions=2, files_per_epoch=1,
+    )
+    kept = set(res.sink.read().to_pandas()["doc_id"])
+    assert 0 in kept and 10 not in kept and 30 not in kept
+
+    # ttl=1: the epoch-3 near-copy is past the horizon anchored at epoch 0
+    res2 = run_neardup_stream(
+        files, str(tmp_path / "out2"), num_partitions=2, files_per_epoch=1,
+        ttl_epochs=1,
+    )
+    kept2 = set(res2.sink.read().to_pandas()["doc_id"])
+    assert 0 in kept2 and 10 not in kept2 and 30 in kept2
