@@ -66,18 +66,23 @@ def label_centroids(ds, label_col: str = "label", vec_col: str = "embedding"):
             return None
         return _centroid_partial(t, label_col, vec_col)
 
-    parts = ray.get([partial.remote(b) for b in ds.to_arrow_refs()])
-    acc: dict[int, tuple[int, np.ndarray]] = {}
-    for p in parts:
-        if p is None:
-            continue
-        for lab, cnt, s in zip(*p):
-            if lab in acc:
-                c0, s0 = acc[lab]
-                acc[lab] = (c0 + int(cnt), s0 + s)
-            else:
-                acc[lab] = (int(cnt), s.copy())
-    return {lab: (c, s / c) for lab, (c, s) in acc.items()}
+    parts = [p for p in ray.get([partial.remote(b) for b in ds.to_arrow_refs()])
+             if p is not None]
+    if not parts:
+        return {}
+    # vectorized fold: concatenate all block partials, reduceat by label
+    labs = np.concatenate([p[0] for p in parts])
+    cnts = np.concatenate([p[1] for p in parts])
+    sums = np.concatenate([p[2] for p in parts], axis=0)
+    order = np.argsort(labs, kind="stable")
+    labs, cnts, sums = labs[order], cnts[order], sums[order]
+    starts = np.flatnonzero(np.concatenate([[True], labs[1:] != labs[:-1]]))
+    tot_c = np.add.reduceat(cnts, starts)
+    tot_s = np.add.reduceat(sums, starts, axis=0)
+    return {
+        int(l): (int(c), s / c)
+        for l, c, s in zip(labs[starts], tot_c, tot_s)
+    }
 
 
 def centroid_cohesion(
