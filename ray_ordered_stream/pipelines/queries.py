@@ -2435,6 +2435,74 @@ FROM x GROUP BY source
 """
 
 
+def q_doc_pack_sequences(sf_dir: str):
+    """MATERIALIZED training sequences (functions/pack.py
+    materialize_packs): the corpus tokenized (stable md5-derived ids) and
+    laid out as fixed-budget packs crossing document boundaries. The
+    oracle verifies content AND order of every pack via scalar columns
+    (first/last token + position-weighted sum), so a mislaid token or a
+    swapped boundary fragment breaks the hash."""
+    from ..functions.pack import materialize_packs
+
+    packs = materialize_packs(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        budget=128,
+        vocab_size=4096,
+    )
+
+    def project(t: pa.Table) -> pa.Table:
+        col = t["token_ids"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if t.num_rows:
+            offs = np.asarray(col.offsets).astype(np.int64)
+            flat = np.asarray(col.values).astype(np.int64)
+            lens = np.diff(offs)
+            pos = np.arange(len(flat), dtype=np.int64) - np.repeat(
+                offs[:-1], lens
+            )
+            wsum = np.add.reduceat(flat * (pos + 1), offs[:-1])
+            first = flat[offs[:-1]]
+            last = flat[offs[1:] - 1]
+        else:
+            wsum = first = last = np.empty(0, np.int64)
+        return pa.table(
+            {
+                "pack_id": t["pack_id"],
+                "n_tokens": t["n_tokens"],
+                "first_token": pa.array(first, pa.int64()),
+                "last_token": pa.array(last, pa.int64()),
+                "weighted_sum": pa.array(wsum, pa.int64()),
+            }
+        )
+
+    return packs.map_batches(project, batch_format="pyarrow")
+
+
+SQL_DOC_PACK_SEQUENCES = r"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(text, '\w+') AS toks FROM documents),
+o AS (
+  SELECT doc_id, toks,
+    coalesce(sum(len(toks)) OVER (ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM t),
+u AS (
+  SELECT (off + unnest(range(len(toks))))::bigint AS pos,
+         unnest(toks) AS w
+  FROM o),
+i AS (
+  SELECT pos, pos // 128 AS pack_id, pos % 128 AS ppos,
+         ('0x' || substr(md5(w), 1, 8))::BIGINT % 4096 AS tid
+  FROM u)
+SELECT pack_id::bigint AS pack_id, count(*)::bigint AS n_tokens,
+  arg_min(tid, ppos)::bigint AS first_token,
+  arg_max(tid, ppos)::bigint AS last_token,
+  sum(tid * (ppos + 1))::bigint AS weighted_sum
+FROM i GROUP BY pack_id
+"""
+
+
 def q_emb_project(sf_dir: str):
     """Random-projection dimensionality reduction (functions/embed.py):
     64 -> 8 dims, one matmul per batch against a broadcast seeded JL
@@ -2473,6 +2541,7 @@ QUERIES = {
     "doc_quality_filter": (q_doc_quality_filter, SQL_DOC_QUALITY_FILTER),
     "doc_curriculum": (q_doc_curriculum, SQL_DOC_CURRICULUM),
     "corpus_chunking": (q_corpus_chunking, SQL_CORPUS_CHUNKING),
+    "doc_pack_sequences": (q_doc_pack_sequences, SQL_DOC_PACK_SEQUENCES),
     "doc_chunks": (q_doc_chunks, SQL_DOC_CHUNKS),
     "doc_jaccard_pairs": (q_doc_jaccard_pairs, SQL_DOC_JACCARD_PAIRS),
     "doc_pack": (q_doc_pack, SQL_DOC_PACK),

@@ -180,3 +180,48 @@ def test_tfidf_top_terms_matches_serial_oracle(ray_session):
     assert list(got["tf"]) == list(exp["tf"])
     assert list(got["df"]) == list(exp["df"])
     assert np.allclose(got["tfidf"], exp["tfidf"])
+
+
+def test_materialize_packs_matches_serial_oracle():
+    import hashlib
+    import re
+
+    import ray.data
+
+    from ray_ordered_stream.functions.pack import materialize_packs
+
+    rng = np.random.default_rng(17)
+    words = ["aa", "bb", "cc", "dd", "ee", "ff"]
+    texts = [
+        " ".join(rng.choice(words, size=int(n)))
+        for n in rng.integers(1, 9, size=40)
+    ]
+    df = pd.DataFrame({"doc_id": np.arange(40, dtype="int64"), "text": texts})
+    V, B = 97, 7  # budget far below per-partition tokens AND above some
+
+    # serial oracle: global id-ordered token stream -> fixed-B packs
+    stream = []
+    for t in texts:
+        for w in re.findall(r"\w+", t):
+            stream.append(int(hashlib.md5(w.encode()).hexdigest()[:8], 16) % V)
+    exp = [
+        (k, stream[k * B : (k + 1) * B])
+        for k in range(-(-len(stream) // B))
+    ]
+
+    for P in (1, 4, 16):  # 16 partitions of ~12 tokens: packs span many
+        got = (
+            materialize_packs(
+                ray.data.from_pandas(df).repartition(5),
+                budget=B, vocab_size=V, num_partitions=P,
+            )
+            .to_pandas()
+            .sort_values("pack_id")
+            .reset_index(drop=True)
+        )
+        assert got["pack_id"].tolist() == [k for k, _ in exp]
+        for (_k, toks), row in zip(exp, got.itertuples(index=False)):
+            assert list(row.token_ids) == toks, (P, _k)
+            assert row.n_tokens == len(toks)
+        # every pack but the last is exactly B
+        assert (got["n_tokens"].iloc[:-1] == B).all()
