@@ -1,0 +1,108 @@
+"""Streaming sequence packing: serial oracle, carry continuity,
+crash-resume byte-equality."""
+
+import hashlib
+import json
+import re
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from ray_ordered_stream.stream_pack import run_pack_stream
+
+V, B = 101, 9
+
+
+def _feed(tmp_path, n_files=6, docs_per_file=7, seed=2):
+    rng = np.random.default_rng(seed)
+    words = ["aa", "bb", "cc", "dd", "ee"]
+    land = tmp_path / "land"
+    land.mkdir(parents=True, exist_ok=True)
+    files, frames = [], []
+    did = 0
+    for i in range(n_files):
+        rows = []
+        for _ in range(docs_per_file):
+            rows.append((did, " ".join(rng.choice(words, size=int(rng.integers(2, 12))))))
+            did += 1
+        df = pd.DataFrame(rows, columns=["doc_id", "text"])
+        frames.append(df)
+        f = land / f"feed-{i:05d}.parquet"
+        pq.write_table(pa.Table.from_pandas(df, preserve_index=False), f)
+        files.append(str(f))
+    return files, pd.concat(frames, ignore_index=True)
+
+
+def _tid(w):
+    return int(hashlib.md5(w.encode()).hexdigest()[:8], 16) % V
+
+
+def _route(doc_id, P):
+    return int((np.uint64(doc_id) * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(P))
+
+
+def _serial_oracle(df, P, files_per_epoch, docs_per_file=7):
+    """Per-partition packed streams (arrival order within partition)."""
+    streams = {p: [] for p in range(P)}
+    for row in df.itertuples(index=False):  # df is already arrival-ordered
+        streams[_route(row.doc_id, P)].extend(
+            _tid(w) for w in re.findall(r"\w+", row.text)
+        )
+    packs = {}
+    for p, s in streams.items():
+        packs[p] = [s[i * B : (i + 1) * B] for i in range(len(s) // B)]
+    return packs
+
+
+def test_pack_stream_matches_serial_oracle_and_resumes(tmp_path, ray_session):
+    files, df = _feed(tmp_path)
+    P = 3
+    sink, run_, skip, total = run_pack_stream(
+        files, str(tmp_path / "out"), budget=B, vocab_size=V,
+        num_partitions=P, files_per_epoch=2,
+    )
+    got = sink.read().to_pandas().sort_values(["partition", "pack_seq"])
+    exp = _serial_oracle(df, P, 2)
+    assert total == sum(len(v) for v in exp.values()) == len(got)
+    for p, g in got.groupby("partition"):
+        assert g["pack_seq"].tolist() == list(range(len(exp[p])))
+        for seq, row in enumerate(g.itertuples(index=False)):
+            assert list(row.token_ids) == exp[p][seq], (p, seq)
+            assert row.n_tokens == B
+    # token conservation: packs + final carries == all tokens
+    n_tokens = sum(len(re.findall(r"\w+", t)) for t in df["text"])
+    carries = sum(
+        json.loads(f.read_text())["carry"]
+        for f in [sorted((tmp_path / "out" / "ckpt").glob("epoch-*.json"))[-1]]
+    )
+    assert total * B + carries == n_tokens
+
+    # crash-resume: byte-identical sink
+    import hashlib as hl
+
+    def digest(root):
+        h = hl.md5()
+        for f in sorted(Path(root).rglob("*.parquet")):
+            h.update(f.read_bytes())
+        return h.hexdigest()
+
+    with pytest.raises(RuntimeError):
+        run_pack_stream(
+            files, str(tmp_path / "out2"), budget=B, vocab_size=V,
+            num_partitions=P, files_per_epoch=2, fail_after_epoch=0,
+        )
+    sink2, run2, skip2, total2 = run_pack_stream(
+        files, str(tmp_path / "out2"), budget=B, vocab_size=V,
+        num_partitions=P, files_per_epoch=2, resume=True,
+    )
+    assert skip2 == 1 and total2 + json.loads(
+        sorted((tmp_path / "out2" / "ckpt").glob("epoch-00000.json"))[0]
+        .read_text()
+    )["packs"] == total
+    assert digest(tmp_path / "out2" / "packed") == digest(
+        tmp_path / "out" / "packed"
+    )
