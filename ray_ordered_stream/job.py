@@ -84,13 +84,20 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--spread-actors", action="store_true")
     ap.add_argument("--warmup-rows", type=int, default=8192)
     ap.add_argument(
-        "--pipeline", choices=("ordered", "dedup", "neardup", "curate"),
+        "--pipeline",
+        choices=("ordered", "dedup", "neardup", "curate", "pack"),
         default="ordered",
         help="which pipeline to run: the ordered engine (default), the "
              "content-dedup streams (stream_dedup.py; --input is then a "
-             "documents feed with doc_id/text), or the BATCH curation "
+             "documents feed with doc_id/text), the streaming sequence "
+             "packer (stream_pack.py: fixed-budget training sequences "
+             "with exactly-once carry state), or the BATCH curation "
              "pipeline (exact dedup -> percentile quality filter -> "
              "overlapping chunking -> resumable export)")
+    ap.add_argument("--pack-budget", type=int, default=512,
+                    help="pack: tokens per training sequence")
+    ap.add_argument("--pack-vocab", type=int, default=65536,
+                    help="pack: vocabulary size for the stable token ids")
     ap.add_argument("--chunk-size", type=int, default=256,
                     help="curate: tokens per chunk window")
     ap.add_argument("--chunk-stride", type=int, default=192,
@@ -149,6 +156,30 @@ def main(argv: list[str] | None = None) -> int:
         summary = export_dataset(chunks, args.out, name="curated")
         print(json.dumps({"pipeline": "curate",
                           "quality_threshold_words": int(thr), **summary}))
+        return 0
+
+    if args.pipeline == "pack":
+        from .stream_pack import run_pack_stream
+
+        files = [str(f) for f in sorted(Path(args.input).glob("*.parquet"))]
+        if not files:
+            print(json.dumps({"error": f"no parquet files in {args.input}"}))
+            return 2
+        sink, epochs_run, epochs_skipped, packs = run_pack_stream(
+            files, args.out,
+            budget=args.pack_budget,
+            vocab_size=args.pack_vocab,
+            id_col=args.dedup_id_col,
+            text_col=args.dedup_text_col,
+            num_partitions=args.partitions,
+            files_per_epoch=args.files_per_epoch,
+            resume=not args.no_resume,
+        )
+        print(json.dumps({
+            "pipeline": "pack", "epochs_run": epochs_run,
+            "epochs_skipped": epochs_skipped, "packs": packs,
+            "committed_rows": sink.total_committed_rows(),
+        }))
         return 0
 
     if args.pipeline in ("dedup", "neardup"):
