@@ -251,3 +251,42 @@ def run_pack_stream(
         if fail_after_epoch is not None and e >= fail_after_epoch:
             raise RuntimeError(f"injected failure after epoch {e}")
     return sink, epochs_run, epochs_skipped, packs_total
+
+
+def run_pack_stream_continuous(
+    landing_dir: str,
+    out_root: str,
+    poll_interval_s: float = 1.0,
+    idle_timeout_s: float = 60.0,
+    stop_file: str = "_STOP",
+    **kwargs,
+):
+    """Continuous (unbounded) packing: poll an arrival-ordered landing
+    directory and feed each batch of newly complete epochs through
+    ``run_pack_stream`` with ``resume=True`` — the carry checkpoint makes
+    every poll pick up exactly where the last one stopped (same protocol
+    as the dedup streams' continuous mode; a ``_STOP`` sentinel flushes
+    the trailing partial epoch and exits)."""
+    import time as _time
+
+    fpe = kwargs.get("files_per_epoch", 2)
+    land = Path(landing_dir)
+    last_new = _time.monotonic()
+    processed = 0
+    res = None
+    while True:
+        stop = (land / stop_file).exists()
+        files = sorted(str(f) for f in land.glob("*.parquet"))
+        usable = files if stop else files[: (len(files) // fpe) * fpe]
+        if len(usable) > processed:
+            res = run_pack_stream(usable, out_root, resume=True, **kwargs)
+            processed = len(usable)
+            last_new = _time.monotonic()
+        if stop and processed == len(files):
+            break
+        if _time.monotonic() - last_new > idle_timeout_s:
+            break
+        _time.sleep(poll_interval_s)
+    if res is None:
+        res = run_pack_stream(files, out_root, resume=True, **kwargs)
+    return res

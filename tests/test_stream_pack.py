@@ -106,3 +106,43 @@ def test_pack_stream_matches_serial_oracle_and_resumes(tmp_path, ray_session):
     assert digest(tmp_path / "out2" / "packed") == digest(
         tmp_path / "out" / "packed"
     )
+
+
+def test_pack_stream_continuous_midrun_files(tmp_path, ray_session):
+    import threading
+    import time
+
+    from ray_ordered_stream.stream_pack import run_pack_stream_continuous
+
+    files, df = _feed(tmp_path, n_files=6)
+    land = tmp_path / "land"
+    staged = tmp_path / "staged"
+    staged.mkdir()
+    # hold back the last 2 files; drop them mid-run, then the stop file
+    late = files[4:]
+    for f in late:
+        Path(f).rename(staged / Path(f).name)
+
+    def drip():
+        time.sleep(2.0)
+        for f in late:
+            (staged / Path(f).name).rename(land / Path(f).name)
+        time.sleep(1.0)
+        (land / "_STOP").touch()
+
+    t = threading.Thread(target=drip)
+    t.start()
+    sink, run_, skip, total = run_pack_stream_continuous(
+        str(land), str(tmp_path / "out"), budget=B, vocab_size=V,
+        num_partitions=3, files_per_epoch=2, poll_interval_s=0.2,
+        idle_timeout_s=30.0,
+    )
+    t.join()
+
+    # identical to the one-shot run over the full feed
+    exp = _serial_oracle(df, 3, 2)
+    got = sink.read().to_pandas().sort_values(["partition", "pack_seq"])
+    assert len(got) == sum(len(v) for v in exp.values())
+    for p, g in got.groupby("partition"):
+        for seq, row in enumerate(g.itertuples(index=False)):
+            assert list(row.token_ids) == exp[p][seq], (p, seq)
