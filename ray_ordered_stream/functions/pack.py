@@ -34,6 +34,8 @@ _TOKEN_RE = r"\w+"
 
 @ray.remote
 def _sample_ids(id_col: str, cap: int, tbl: pa.Table) -> np.ndarray:
+    if id_col not in tbl.column_names:  # empty block with empty schema
+        return np.empty(0, dtype=np.int64)
     ids = tbl[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
     if len(ids) > cap:
         stride = len(ids) // cap

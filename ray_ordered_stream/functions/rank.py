@@ -27,6 +27,8 @@ from ..exchange import default_partitions, split_compact
 
 @ray.remote
 def _sample_metric(col: str, cap: int, tbl: pa.Table) -> np.ndarray:
+    if col not in tbl.column_names:  # empty block with empty schema
+        return np.empty(0, dtype=np.int64)
     v = tbl[col].to_numpy(zero_copy_only=False).astype(np.int64)
     if len(v) > cap:
         stride = len(v) // cap

@@ -146,3 +146,51 @@ def test_pack_stream_continuous_midrun_files(tmp_path, ray_session):
     for p, g in got.groupby("partition"):
         for seq, row in enumerate(g.itertuples(index=False)):
             assert list(row.token_ids) == exp[p][seq], (p, seq)
+
+
+def test_materialize_packs_property(ray_session):
+    """Random corpora x budgets x partition counts: the distributed pack
+    layout must equal the serial token stream exactly (the boundary
+    fragment assembly is the tricky part: empty partitions, partitions
+    smaller than one pack, packs spanning 3+ partitions)."""
+    import ray.data
+    from hypothesis import given, settings, strategies as st
+
+    from ray_ordered_stream.functions.pack import materialize_packs
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        n_docs=st.integers(1, 30),
+        budget=st.integers(2, 17),
+        P=st.integers(1, 9),
+        seed=st.integers(0, 10**6),
+    )
+    def check(n_docs, budget, P, seed):
+        rng = np.random.default_rng(seed)
+        words = ["aa", "bb", "cc", "dd"]
+        texts = [
+            " ".join(rng.choice(words, size=int(rng.integers(0, 7))))
+            for _ in range(n_docs)
+        ]
+        df = pd.DataFrame(
+            {"doc_id": np.arange(n_docs, dtype="int64"), "text": texts}
+        )
+        stream = []
+        for t in texts:
+            stream.extend(_tid(w) for w in re.findall(r"\w+", t))
+        got = (
+            materialize_packs(
+                ray.data.from_pandas(df).repartition(3),
+                budget=budget, vocab_size=V, num_partitions=P,
+            )
+            .to_pandas()
+            .sort_values("pack_id")
+            .reset_index(drop=True)
+        )
+        flat = [t for row in got["token_ids"] for t in row]
+        assert flat == stream
+        assert got["pack_id"].tolist() == list(
+            range(-(-len(stream) // budget))
+        )
+
+    check()
