@@ -193,3 +193,23 @@ def test_random_projection_matches_numpy():
         np.testing.assert_allclose(got[f"d{j}"].to_numpy(), exp[:, j])
     # determinism across calls (same seed -> same matrix)
     np.testing.assert_array_equal(R, projection_matrix(16, 4))
+
+
+def test_global_rank_with_empty_blocks():
+    # repartition far beyond the row count emits empty (schema-less)
+    # blocks; the bound sampler must skip them (regression)
+    from ray_ordered_stream.functions.rank import global_rank
+
+    df = pd.DataFrame(
+        {"doc_id": np.arange(7, dtype="int64"),
+         "m": np.array([3, 1, 4, 1, 5, 9, 2], dtype="int64")}
+    )
+    ranked, total = global_rank(
+        ray.data.from_pandas(df).repartition(20), "m", num_partitions=3
+    )
+    assert total == 7
+    got = ranked.to_pandas().sort_values("rank")
+    order = np.lexsort((df["doc_id"], df["m"]))
+    np.testing.assert_array_equal(
+        got["doc_id"].to_numpy(), df["doc_id"].to_numpy()[order]
+    )
