@@ -61,3 +61,29 @@ def test_exchange_groupby_single_key_and_empty_blocks():
     )
     assert got["s"].tolist() == [6.0, 4.0]
     assert got["n"].tolist() == [3, 1]
+
+
+def test_exchange_groupby_null_keys():
+    from ray_ordered_stream.agg import exchange_groupby
+
+    df = pd.DataFrame(
+        {
+            "k": ["a", None, "a", None, "b"],
+            "v": [1.0, 2.0, 3.0, 4.0, 5.0],
+        }
+    )
+    got = (
+        exchange_groupby(
+            ray.data.from_pandas(df).repartition(3),
+            "k",
+            {"n": (None, "count"), "s": ("v", "sum")},
+        )
+        .to_pandas()
+        .sort_values("k", na_position="last")
+        .reset_index(drop=True)
+    )
+    # null keys form their own group (dropna=False) and survive the
+    # exchange (the key hash stringifies them consistently)
+    assert got["n"].tolist() == [2, 1, 2]
+    assert got["s"].tolist() == [4.0, 5.0, 6.0]
+    assert got["k"].isna().tolist() == [False, False, True]
