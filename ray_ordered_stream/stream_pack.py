@@ -290,3 +290,43 @@ def run_pack_stream_continuous(
     if res is None:
         res = run_pack_stream(files, out_root, resume=True, **kwargs)
     return res
+
+
+def rescale_pack_checkpoint(out_root: str, new_partitions: int) -> None:
+    """Grow a pack-stream checkpoint to more partitions (parity with the
+    dedup/ordered rescale helpers). Per-shard packing has no cross-shard
+    invariant: existing shards keep their carry + pack_seq, new shards
+    start empty, and future documents route under the new partition
+    count. SHRINKING is refused — it would strand in-progress carries
+    (their partial packs have no legal owner under the new routing).
+
+    Crash-safe by write order: the new shards' empty carry files land in
+    the latest committed carry dir FIRST, meta.json flips LAST (a crash
+    in between leaves the old meta and harmless extra files)."""
+    ck = Path(out_root) / "ckpt"
+    meta_path = ck / "meta.json"
+    if not meta_path.exists():
+        raise FileNotFoundError(f"no checkpoint under {out_root}")
+    meta = json.loads(meta_path.read_text())
+    old_P = meta["partitions"]
+    if new_partitions < old_P:
+        raise ValueError(
+            f"pack-stream rescale cannot shrink ({old_P} -> {new_partitions}): "
+            "in-progress carries would be stranded"
+        )
+    if new_partitions == old_P:
+        return
+    done = sorted(int(f.stem.split("-")[1]) for f in ck.glob("epoch-*.json"))
+    if done:
+        last_dir = ck / f"carry-{done[-1]:05d}"
+        empty = pa.table(
+            {"carry": pa.array([], pa.int64())}
+        ).replace_schema_metadata({"pack_seq": "0"})
+        for p in range(old_P, new_partitions):
+            write_part_atomic(empty, str(last_dir / f"part-{p:05d}.parquet"))
+    meta["partitions"] = new_partitions
+    tmp = meta_path.with_suffix(".tmp")
+    tmp.write_text(json.dumps(meta))
+    import os
+
+    os.replace(tmp, meta_path)

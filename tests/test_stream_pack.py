@@ -194,3 +194,48 @@ def test_materialize_packs_property(ray_session):
         )
 
     check()
+
+
+def test_pack_stream_rescale_grow(tmp_path, ray_session):
+    from ray_ordered_stream.stream_pack import (
+        rescale_pack_checkpoint,
+        run_pack_stream,
+    )
+
+    files, df = _feed(tmp_path, n_files=6)
+    out = str(tmp_path / "out")
+    # run the first 2 epochs at P=2
+    run_pack_stream(
+        files[:4], out, budget=B, vocab_size=V, num_partitions=2,
+        files_per_epoch=2,
+    )
+    rescale_pack_checkpoint(out, 4)
+    with pytest.raises(ValueError):
+        rescale_pack_checkpoint(out, 1)
+    sink, run_, skip, _tot = run_pack_stream(
+        files, out, budget=B, vocab_size=V, num_partitions=4,
+        files_per_epoch=2, resume=True,
+    )
+    assert skip == 2 and run_ == 1
+
+    # serial oracle with the routing change: epochs 0-1 route %2 (P=2),
+    # epoch 2 routes under P=4; old shards keep their carries
+    streams = {p: [] for p in range(4)}
+    n_epoch_rows = 14  # 2 files x 7 docs per epoch
+    for i, row in enumerate(df.itertuples(index=False)):
+        P_at = 2 if i < 2 * n_epoch_rows else 4
+        streams[_route(row.doc_id, P_at)].extend(
+            _tid(w) for w in re.findall(r"\w+", row.text)
+        )
+    got = sink.read().to_pandas().sort_values(["partition", "pack_seq"])
+    for p, g in got.groupby("partition"):
+        exp = [
+            streams[p][i * B : (i + 1) * B]
+            for i in range(len(streams[p]) // B)
+        ]
+        assert [list(r) for r in g["token_ids"]] == exp, p
+    total_tokens = sum(len(re.findall(r"\w+", t)) for t in df["text"])
+    carries = json.loads(
+        sorted((Path(out) / "ckpt").glob("epoch-*.json"))[-1].read_text()
+    )["carry"]
+    assert len(got) * B + carries == total_tokens
