@@ -98,6 +98,12 @@ def main(argv: list[str] | None = None) -> int:
                     help="pack: tokens per training sequence")
     ap.add_argument("--pack-vocab", type=int, default=65536,
                     help="pack: vocabulary size for the stable token ids")
+    ap.add_argument(
+        "--rescale", type=int, default=None, metavar="NEW_P",
+        help="dedup/neardup/pack: migrate the existing checkpoint under "
+             "--out to NEW_P partitions before running (set --partitions "
+             "to the same value); the ordered engine rescales via "
+             "rescale.rescale_checkpoint (library API)")
     ap.add_argument("--chunk-size", type=int, default=256,
                     help="curate: tokens per chunk window")
     ap.add_argument("--chunk-stride", type=int, default=192,
@@ -157,6 +163,29 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"pipeline": "curate",
                           "quality_threshold_words": int(thr), **summary}))
         return 0
+
+    if args.rescale is not None:
+        if args.pipeline not in ("dedup", "neardup", "pack"):
+            print(json.dumps(
+                {"error": "--rescale supports dedup|neardup|pack"}
+            ))
+            return 2
+        if args.rescale != args.partitions:
+            print(json.dumps(
+                {"error": "--rescale must equal --partitions "
+                          "(the run after migration uses --partitions)"}
+            ))
+            return 2
+        if args.pipeline == "pack":
+            from .stream_pack import rescale_pack_checkpoint
+
+            rescale_pack_checkpoint(args.out, args.rescale)
+        else:
+            from .stream_dedup import rescale_dedup_checkpoint
+
+            rescale_dedup_checkpoint(
+                args.out, args.rescale, near=(args.pipeline == "neardup")
+            )
 
     if args.pipeline == "pack":
         from .stream_pack import run_pack_stream
