@@ -128,3 +128,55 @@ def test_job_cli_curate_pipeline(tmp_path):
     res2 = _run(args)  # resumable export: everything skipped
     assert res2["parts_written"] == 0
     assert res2["parts_skipped"] == res["n_parts"]
+
+
+def test_job_cli_pack_with_rescale(tmp_path):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    rng = np.random.default_rng(6)
+    words = ["alpha", "beta", "gamma"]
+    land = tmp_path / "land"
+    land.mkdir()
+    did = 0
+    for i in range(4):
+        rows = []
+        for _ in range(8):
+            rows.append((did, " ".join(rng.choice(words, size=20))))
+            did += 1
+        pq.write_table(
+            pa.Table.from_pandas(
+                pd.DataFrame(rows, columns=["doc_id", "text"]),
+                preserve_index=False,
+            ),
+            land / f"feed-{i:05d}.parquet",
+        )
+
+    base = [
+        "--input", str(land), "--out", str(tmp_path / "out"),
+        "--pipeline", "pack", "--files-per-epoch", "1",
+        "--pack-budget", "16", "--address", "local",
+    ]
+    # first two epochs at P=2 (limit input by running on a copy dir)
+    first = tmp_path / "first"
+    first.mkdir()
+    for f in sorted(land.glob("*.parquet"))[:2]:
+        (first / f.name).symlink_to(f)
+    res1 = _run(["--input", str(first)] + base[2:] + ["--partitions", "2"])
+    assert res1["epochs_run"] == 2
+
+    # rescale to 4 and finish the full feed
+    res2 = _run(base + ["--partitions", "4", "--rescale", "4"])
+    assert res2["epochs_skipped"] == 2 and res2["epochs_run"] == 2
+    assert res2["committed_rows"] >= res1["packs"]
+
+    # a mismatched rescale value is refused
+    out = subprocess.run(
+        [sys.executable, "-m", "ray_ordered_stream.job", *base,
+         "--partitions", "8", "--rescale", "4"],
+        capture_output=True, text=True, timeout=240, cwd="/tmp",
+        env={"PYTHONPATH": REPO, "PATH": "/usr/bin:/bin", "HOME": "/root",
+             "RAY_ADDRESS": "local"},
+    )
+    assert out.returncode == 2
