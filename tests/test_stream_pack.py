@@ -178,15 +178,14 @@ def test_materialize_packs_property(ray_session):
         stream = []
         for t in texts:
             stream.extend(_tid(w) for w in re.findall(r"\w+", t))
-        got = (
-            materialize_packs(
-                ray.data.from_pandas(df).repartition(3),
-                budget=budget, vocab_size=V, num_partitions=P,
-            )
-            .to_pandas()
-            .sort_values("pack_id")
-            .reset_index(drop=True)
+        ds = materialize_packs(
+            ray.data.from_pandas(df).repartition(3),
+            budget=budget, vocab_size=V, num_partitions=P,
         )
+        if not stream:  # all-empty corpus: Ray's to_pandas drops the
+            assert ds.count() == 0  # schema of all-empty Arrow blocks
+            return
+        got = ds.to_pandas().sort_values("pack_id").reset_index(drop=True)
         flat = [t for row in got["token_ids"] for t in row]
         assert flat == stream
         assert got["pack_id"].tolist() == list(
