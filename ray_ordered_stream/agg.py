@@ -98,31 +98,67 @@ def exchange_groupby(
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         if not len(df):
-            return _partial(df, keys, aggs).iloc[0:0]
+            p = _partial(df, keys, aggs).iloc[0:0]
+            # Keep the _gk column in the empty schema too: downstream
+            # split/reduce placeholders slice empty partials and must see
+            # the same columns as populated ones.
+            p["_gk"] = pd.Series([], dtype=np.int64)
+            return p
         p = _partial(df, keys, aggs)
         p["_gk"] = _group_hash(p, keys).view(np.int64)
         return p
 
     partials = ds.map_batches(partial, batch_format="pandas")
 
+    # Fallback merged schema for the degenerate all-empty input (Ray
+    # strips the schema from empty pandas blocks, so no shard may carry
+    # columns at all). Key dtypes are unknowable then; null-typed keys +
+    # op-appropriate agg dtypes keep the column set stable.
+    fallback = pa.Table.from_pandas(
+        pd.DataFrame(
+            {
+                **{k: pd.Series([], dtype=object) for k in keys},
+                **{
+                    a: pd.Series(
+                        [], dtype="int64" if op == "count" else "float64"
+                    )
+                    for a, (_c, op) in aggs.items()
+                },
+            }
+        ),
+        preserve_index=False,
+    )
+
     @ray.remote
-    def reduce(*shards: pa.Table) -> pa.Table:
+    def reduce(fallback: pa.Table, *shards: pa.Table) -> pa.Table:
         real = [t for t in shards if t.num_rows]
         if not real:
-            return shards[0].slice(0, 0).drop_columns(["_gk"])
-        tbl = (
-            pa.concat_tables(real, promote_options="none")
-            if len(real) > 1
-            else real[0]
-        )
-        out = _merge(tbl.to_pandas().drop(columns=["_gk"]), keys, aggs)
+            # Borrow the column layout (and true dtypes) from any
+            # columned shard a sibling split produced.
+            template = next((t for t in shards if t.num_columns), None)
+            if template is None:
+                return fallback
+            tbl = template.slice(0, 0)
+        else:
+            tbl = (
+                pa.concat_tables(real, promote_options="none")
+                if len(real) > 1
+                else real[0]
+            )
+        df = tbl.to_pandas()
+        if "_gk" in df.columns:
+            df = df.drop(columns=["_gk"])
+        # Merge even when empty so every partition emits the SAME merged
+        # schema (keys + alias columns), not the partial (_s_/_c_) one.
+        out = _merge(df, keys, aggs)
         return pa.Table.from_pandas(out, preserve_index=False)
 
     @ray.remote
     def split(P: int, *tbls: pa.Table) -> list[pa.Table]:
         real = [t for t in tbls if t.num_rows]
         if not real:
-            e = tbls[0].slice(0, 0) if tbls else pa.table({})
+            base = next((t for t in tbls if t.num_columns), None)
+            e = base.slice(0, 0) if base is not None else pa.table({})
             return [e] * P
         tbl = (
             pa.concat_tables(real, promote_options="none")
@@ -135,7 +171,20 @@ def exchange_groupby(
     refs = list(partials.to_arrow_refs())
     P = num_partitions or default_partitions()
     if not refs:
-        return ds
+        # Zero input blocks: still return the aggregated schema (keys +
+        # alias columns), derived by running the partial+merge pipeline
+        # over an empty frame of the input schema.
+        sch = ds.schema()
+        base = getattr(sch, "base_schema", None) if sch is not None else None
+        if base is not None:
+            empty_in = base.empty_table().to_pandas()
+        else:
+            cols = list(keys) + [c for (c, _op) in aggs.values() if c]
+            empty_in = pd.DataFrame({c: pd.Series([], dtype=object) for c in cols})
+        out = _merge(
+            partial(empty_in).drop(columns=["_gk"]), keys, aggs
+        )
+        return ray.data.from_pandas(out)
     groups = [
         list(g)
         for g in np.array_split(
@@ -145,5 +194,5 @@ def exchange_groupby(
     ]
     split_groups = [split.options(num_returns=P).remote(P, *g) for g in groups]
     return ray.data.from_arrow_refs(
-        [reduce.remote(*[sg[p] for sg in split_groups]) for p in range(P)]
+        [reduce.remote(fallback, *[sg[p] for sg in split_groups]) for p in range(P)]
     )

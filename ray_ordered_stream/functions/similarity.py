@@ -172,6 +172,173 @@ def train_centroids_distributed(
     return cent
 
 
+def build_ivf_index(
+    ds,
+    index_dir: str,
+    centroids: np.ndarray | None = None,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """One-time IVF index build: trains (or takes) the coarse quantizer and
+    writes every vector LIST-PARTITIONED (one hive directory per inverted
+    list, ``list_id=<c>/``). This is the 100-TB path: queries afterwards
+    READ only their ``n_probe`` probed partitions — I/O pruning, not just
+    the compute pruning the scan-based ``knn_ivf`` does.
+
+    The list id is duplicated into an in-file ``lid`` column (the hive key
+    itself lives only in the path) so probe-side per-query filtering stays
+    a vectorized column test. Returns the centroids; persists them plus
+    meta.json under ``index_dir`` so probes can run in a later session."""
+    import json
+    from pathlib import Path
+
+    import ray
+
+    if centroids is None:
+        centroids = train_centroids_distributed(
+            ds, n_centroids=n_centroids, vec_col=vec_col
+        )
+    root = Path(index_dir)
+    if root.exists():
+        import shutil
+
+        shutil.rmtree(root)
+    root.mkdir(parents=True)
+
+    cref = ray.put(centroids)
+
+    def assign(b: pd.DataFrame) -> pd.DataFrame:
+        c = ray.get(cref)
+        v = np.stack(b[vec_col].to_numpy()).astype(np.float64)
+        d = (
+            (v * v).sum(axis=1)[:, None]
+            - 2.0 * (v @ c.T)
+            + (c * c).sum(axis=1)[None, :]
+        )
+        lid = d.argmin(axis=1).astype(np.int32)
+        out = b[[id_col, vec_col]].copy()
+        out["lid"] = lid
+        out["list_id"] = lid  # hive partition key (stripped into the path)
+        return out
+
+    ds.map_batches(assign, batch_format="pandas").write_parquet(
+        str(root), partition_cols=["list_id"]
+    )
+    np.save(root / "centroids.npy", centroids)
+    (root / "meta.json").write_text(
+        json.dumps(
+            {
+                "n_centroids": int(len(centroids)),
+                "dim": int(centroids.shape[1]),
+                "id_col": id_col,
+                "vec_col": vec_col,
+            }
+        )
+    )
+    return centroids
+
+
+def ivf_probe_plan(
+    index_dir: str, queries: np.ndarray, n_probe: int = 4
+) -> tuple[np.ndarray, np.ndarray, list[str]]:
+    """Resolve which inverted lists each query probes and which partition
+    directories that touches. Returns (centroids, probe (nq, n_probe),
+    probed directory paths — the ONLY files a probe reads)."""
+    from pathlib import Path
+
+    root = Path(index_dir)
+    centroids = np.load(root / "centroids.npy")
+    qn = queries.astype(np.float64)
+    qn = qn / np.linalg.norm(qn, axis=1, keepdims=True)
+    qd = ((qn[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+    probe = np.argsort(qd, axis=1)[:, :n_probe]
+    needed = sorted({int(c) for c in probe.ravel()})
+    dirs = [
+        str(root / f"list_id={c}")
+        for c in needed
+        if (root / f"list_id={c}").exists()  # empty lists write no dir
+    ]
+    return centroids, probe, dirs
+
+
+def _dir_files(dirs: list[str]) -> list[str]:
+    """Parquet files under the probed partition dirs (Ray's read_parquet
+    wants file paths when given a list)."""
+    from pathlib import Path
+
+    return [str(f) for d in dirs for f in sorted(Path(d).glob("*.parquet"))]
+
+
+def knn_ivf_index(
+    index_dir: str,
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+):
+    """IVF top-k over a MATERIALIZED index (see ``build_ivf_index``): only
+    the ``n_probe`` probed list partitions are read from storage — at scale
+    this is the difference between scanning 100 TB per query batch and
+    reading ``n_probe/n_centroids`` of it. Per-batch work is one matmul
+    over the rows whose (pre-assigned, in-file) list a query probes."""
+    import ray
+    import ray.data
+
+    _, probe, dirs = ivf_probe_plan(index_dir, queries, n_probe)
+    qn = queries.astype(np.float64)
+    qn = qn / np.linalg.norm(qn, axis=1, keepdims=True)
+    ref = ray.put((qn, np.asarray(query_ids), probe))
+
+    empty = pd.DataFrame(
+        {"query_id": pd.Series([], dtype="int64"),
+         "neighbor_id": pd.Series([], dtype="int64"),
+         "cosine": pd.Series([], dtype="float64")}
+    )
+    if not dirs:
+        return empty.assign(rank=pd.Series([], dtype="int64"))[
+            ["query_id", "neighbor_id", "rank"]
+        ]
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        q, qids, pr = ray.get(ref)
+        v = np.stack(b[vec_col].to_numpy()).astype(np.float64)
+        vn = v / np.linalg.norm(v, axis=1, keepdims=True)
+        lids = b["lid"].to_numpy()
+        ids = b[id_col].to_numpy()
+        out = []
+        for qi in range(len(q)):
+            m = np.isin(lids, pr[qi])
+            if not m.any():
+                continue
+            sim = q[qi] @ vn[m].T
+            sub_ids = ids[m]
+            kk = min(k + (1 if exclude_self else 0), len(sub_ids))
+            part = np.argpartition(-sim, kk - 1)[:kk]
+            for j in part:
+                out.append((int(qids[qi]), int(sub_ids[j]), float(sim[j])))
+        if not out:
+            return empty
+        return pd.DataFrame(out, columns=["query_id", "neighbor_id", "cosine"])
+
+    ds = ray.data.read_parquet(
+        _dir_files(dirs), columns=[id_col, vec_col, "lid"]
+    )
+    partials = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    if exclude_self:
+        partials = partials[partials["query_id"] != partials["neighbor_id"]]
+    partials = partials.sort_values(
+        ["query_id", "cosine", "neighbor_id"], ascending=[True, False, True],
+        kind="stable",
+    )
+    top = partials.groupby("query_id").head(k).reset_index(drop=True)
+    top["rank"] = top.groupby("query_id").cumcount() + 1
+    return top[["query_id", "neighbor_id", "rank"]]
+
+
 def knn_ivf(
     ds,
     queries: np.ndarray,
@@ -183,10 +350,14 @@ def knn_ivf(
     vec_col: str = "embedding",
     exclude_self: bool = True,
 ):
-    """IVF approximate top-k: each batch routes its vectors to their nearest
-    centroid and only compares against queries probing that list. Centroids
-    and queries broadcast once (ray.put); per-batch work is one matmul over
-    the subset of rows whose list is probed."""
+    """IVF approximate top-k, SCAN-based: each batch routes its vectors to
+    their nearest centroid and only compares against queries probing that
+    list (compute pruning only — every byte is still read). Prefer
+    ``build_ivf_index`` + ``knn_ivf_index`` when the same table serves many
+    query batches; keep this form for one-shot queries where an index
+    build would cost more than the scan. Centroids and queries broadcast
+    once (ray.put); per-batch work is one matmul over the subset of rows
+    whose list is probed."""
     import ray
 
     qn = queries.astype(np.float64)

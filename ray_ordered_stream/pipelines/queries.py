@@ -1250,20 +1250,30 @@ FROM s QUALIFY rank <= 5
 
 
 def q_knn_ivf(sf_dir: str):
-    """IVF approximate knn, gated by recall vs the (oracled) brute-force
-    result: the output is a deterministic verdict row (mean recall@5 over
-    the query set >= 0.6), so the driver's hash compare fails whenever the
-    approximate index stops agreeing with exact search."""
+    """IVF approximate knn over a MATERIALIZED list-partitioned index
+    (build once, probe reads only n_probe partitions — I/O pruning), gated
+    by recall vs the (oracled) brute-force result: the output is a
+    deterministic verdict row (mean recall@5 over the query set >= 0.6),
+    so the driver's hash compare fails whenever the approximate index
+    stops agreeing with exact search."""
+    import hashlib
+    import tempfile
+    from pathlib import Path
+
     from ..functions.similarity import (
+        build_ivf_index,
         knn_bruteforce,
-        knn_ivf,
+        knn_ivf_index,
         train_centroids_distributed,
     )
 
     ds = _read(sf_dir, "embeddings")
     cent = train_centroids_distributed(ds, n_centroids=8)
     q, qids = _load_queries(sf_dir)
-    approx = knn_ivf(ds, q, qids, cent, k=5)
+    tag = hashlib.md5(str(Path(sf_dir).resolve()).encode()).hexdigest()[:12]
+    index_dir = str(Path(tempfile.gettempdir()) / f"ros_ivf_{tag}")
+    build_ivf_index(ds, index_dir, centroids=cent)
+    approx = knn_ivf_index(index_dir, q, qids, k=5)
     exact = knn_bruteforce(_read(sf_dir, "embeddings"), q, qids, k=5)
     a = approx.groupby("query_id")["neighbor_id"].apply(set)
     e = exact.groupby("query_id")["neighbor_id"].apply(set)
@@ -2533,7 +2543,38 @@ def _emb_project_sql() -> str:
 SQL_EMB_PROJECT = _emb_project_sql()
 
 
+# Registry order = driver verification priority. The correctness driver
+# evaluates a bounded window (~50 queries) from the front, so queries are
+# ordered: (1) never driver-checked, (2) stale (last green in round 1,
+# before heavy churn), (3) new this round, (4) green in round 2,
+# (5) rows-only sketch outputs (their planted variants above are the
+# oracled gates) last.
 QUERIES = {
+    # -- (1) never driver-checked before round 3 -------------------------
+    "doc_simhash_planted": (q_doc_simhash_planted, SQL_DOC_SIMHASH_PLANTED),
+    "emb_near_dups_planted": (q_emb_near_dups_planted, SQL_EMB_NEAR_DUPS_PLANTED),
+    "doc_exact_dedup_keep": (q_doc_exact_dedup_keep, SQL_DOC_EXACT_DEDUP_KEEP),
+    "doc_dedup_clusters": (q_doc_dedup_clusters, SQL_DOC_DEDUP_CLUSTERS),
+    "doc_repetition": (q_doc_repetition, SQL_DOC_REPETITION),
+    "doc_decontaminate": (q_doc_decontaminate, SQL_DOC_DECONTAMINATE),
+    "doc_cluster_dedup": (q_doc_cluster_dedup, SQL_DOC_CLUSTER_DEDUP),
+    "media_decode": (q_media_decode, SQL_MEDIA_DECODE),
+    "media_frames": (q_media_frames, SQL_MEDIA_FRAMES),
+    # -- (2) stale: green in r1, untouched by the driver since ------------
+    "knn_bruteforce": (q_knn_bruteforce, SQL_KNN_BRUTEFORCE),
+    "knn_ivf": (q_knn_ivf, SQL_KNN_IVF),
+    "embedding_label_stats": (q_embedding_label_stats, SQL_EMBEDDING_LABEL_STATS),
+    "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
+    "top_orders": (q_top_orders, SQL_TOP_ORDERS),
+    "segment_order_stats": (q_segment_order_stats, SQL_SEGMENT_ORDER_STATS),
+    "nation_customer_counts": (q_nation_customer_counts, SQL_NATION_CUSTOMER_COUNTS),
+    "events_type_windows": (q_events_type_windows, SQL_EVENTS_TYPE_WINDOWS),
+    "events_value_stats": (q_events_value_stats, SQL_EVENTS_VALUE_STATS),
+    "orders_priority_counts": (q_orders_priority_counts, SQL_ORDERS_PRIORITY_COUNTS),
+    "doc_stats_by_source": (q_doc_stats_by_source, SQL_DOC_STATS_BY_SOURCE),
+    "user_daily_activity": (q_user_daily_activity, SQL_USER_DAILY_ACTIVITY),
+    "conv_stats": (q_conv_stats, SQL_CONV_STATS),
+    # -- (4) green in round 2 ---------------------------------------------
     "conv_render": (q_conv_render, SQL_CONV_RENDER),
     "conv_examples": (q_conv_examples, SQL_CONV_EXAMPLES),
     "emb_cohesion": (q_emb_cohesion, SQL_EMB_COHESION),
@@ -2580,30 +2621,9 @@ QUERIES = {
     "doc_bigrams_top": (q_doc_bigrams_top, SQL_DOC_BIGRAMS_TOP),
     "stream_dedup": (q_stream_dedup, SQL_STREAM_DEDUP),
     "stream_neardup": (q_stream_neardup, SQL_STREAM_NEARDUP),
-    "doc_near_dups": (q_doc_near_dups, None),
     "doc_near_dups_planted": (q_doc_near_dups_planted, SQL_DOC_NEAR_DUPS_PLANTED),
+    # -- (5) rows-only sketch outputs (no closed-form ANSI SQL) -----------
+    "doc_near_dups": (q_doc_near_dups, None),
     "doc_simhash": (q_doc_simhash, None),
     "doc_simhash_pairs": (q_doc_simhash_pairs, None),
-    "doc_simhash_planted": (q_doc_simhash_planted, SQL_DOC_SIMHASH_PLANTED),
-    "emb_near_dups_planted": (q_emb_near_dups_planted, SQL_EMB_NEAR_DUPS_PLANTED),
-    "doc_exact_dedup_keep": (q_doc_exact_dedup_keep, SQL_DOC_EXACT_DEDUP_KEEP),
-    "doc_dedup_clusters": (q_doc_dedup_clusters, SQL_DOC_DEDUP_CLUSTERS),
-    "doc_repetition": (q_doc_repetition, SQL_DOC_REPETITION),
-    "doc_decontaminate": (q_doc_decontaminate, SQL_DOC_DECONTAMINATE),
-    "doc_cluster_dedup": (q_doc_cluster_dedup, SQL_DOC_CLUSTER_DEDUP),
-    "media_decode": (q_media_decode, SQL_MEDIA_DECODE),
-    "media_frames": (q_media_frames, SQL_MEDIA_FRAMES),
-    "knn_bruteforce": (q_knn_bruteforce, SQL_KNN_BRUTEFORCE),
-    "knn_ivf": (q_knn_ivf, SQL_KNN_IVF),
-    "embedding_label_stats": (q_embedding_label_stats, SQL_EMBEDDING_LABEL_STATS),
-    "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
-    "top_orders": (q_top_orders, SQL_TOP_ORDERS),
-    "segment_order_stats": (q_segment_order_stats, SQL_SEGMENT_ORDER_STATS),
-    "nation_customer_counts": (q_nation_customer_counts, SQL_NATION_CUSTOMER_COUNTS),
-    "events_type_windows": (q_events_type_windows, SQL_EVENTS_TYPE_WINDOWS),
-    "events_value_stats": (q_events_value_stats, SQL_EVENTS_VALUE_STATS),
-    "orders_priority_counts": (q_orders_priority_counts, SQL_ORDERS_PRIORITY_COUNTS),
-    "doc_stats_by_source": (q_doc_stats_by_source, SQL_DOC_STATS_BY_SOURCE),
-    "user_daily_activity": (q_user_daily_activity, SQL_USER_DAILY_ACTIVITY),
-    "conv_stats": (q_conv_stats, SQL_CONV_STATS),
 }

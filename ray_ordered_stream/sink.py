@@ -49,6 +49,14 @@ class ManifestSink:
         self.name = name
         (self.root / "_manifests").mkdir(parents=True, exist_ok=True)
 
+    def reset(self) -> None:
+        """Remove every committed part + manifest (a fresh non-resume run
+        must not inherit phantom epochs from a previous, longer run)."""
+        import shutil
+
+        shutil.rmtree(self.root, ignore_errors=True)
+        (self.root / "_manifests").mkdir(parents=True, exist_ok=True)
+
     def part_path(self, epoch: int, partition: int) -> str:
         return str(self.root / f"epoch={epoch:05d}" / f"part-{partition:05d}.parquet")
 

@@ -307,7 +307,9 @@ def run_dedup_stream(
             shutil.rmtree(ck)
             ck.mkdir(parents=True, exist_ok=True)
     if not resume:
-        # a fresh (non-resume) run must not inherit stale checkpoints
+        # a fresh (non-resume) run must not inherit stale checkpoints —
+        # nor stale sink manifests (phantom committed epochs from a
+        # previous, longer run would survive into read()/totals).
         import shutil
 
         for f in ck.glob("epoch-*.json"):
@@ -316,6 +318,7 @@ def run_dedup_stream(
             f.unlink()
         for f in list(ck.glob("delta-*")) + list(ck.glob("full-*")):
             shutil.rmtree(f, ignore_errors=True)
+        sink.reset()
     meta_path.write_text(json.dumps({"partitions": num_partitions}))
 
     P = num_partitions
@@ -725,6 +728,18 @@ def run_neardup_stream(
                     f"checkpoint has {meta['partitions']} partitions, "
                     f"got {num_partitions}"
                 )
+        if resume:
+            # The restored seen-state is band hashes computed under these
+            # parameters; resuming with different MinHash params would
+            # silently compare incompatible hashes.
+            for name, val in (("bands", bands), ("num_perm", num_perm),
+                              ("k", k), ("seed", seed)):
+                if name in meta and meta[name] != val:
+                    raise ValueError(
+                        f"checkpoint was written with {name}={meta[name]}, "
+                        f"got {name}={val}; resume requires identical "
+                        f"MinHash parameters"
+                    )
     if not resume:
         import shutil
 
@@ -734,6 +749,7 @@ def run_neardup_stream(
             f.unlink()
         for f in list(ck.glob("delta-*")) + list(ck.glob("full-*")):
             shutil.rmtree(f, ignore_errors=True)
+        sink.reset()
     meta_path.write_text(
         json.dumps({"partitions": num_partitions, "bands": bands,
                     "num_perm": num_perm, "k": k, "seed": seed})

@@ -165,6 +165,13 @@ def run_pack_stream(
                     f"checkpoint has {meta['partitions']} partitions, "
                     f"got {num_partitions}"
                 )
+        if resume and meta.get("budget", budget) != budget:
+            # A committed epoch's packs were cut at the old budget; a
+            # different budget would break byte-identical re-runs.
+            raise ValueError(
+                f"checkpoint was written with budget={meta['budget']}, "
+                f"got budget={budget}; resume requires the same pack budget"
+            )
     if not resume:
         import shutil
 
@@ -172,6 +179,7 @@ def run_pack_stream(
             f.unlink()
         for d in ck.glob("carry-*"):
             shutil.rmtree(d, ignore_errors=True)
+        sink.reset()
     meta_path.write_text(json.dumps({"partitions": num_partitions,
                                      "budget": budget}))
 

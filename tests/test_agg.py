@@ -87,3 +87,39 @@ def test_exchange_groupby_null_keys():
     assert got["n"].tolist() == [2, 1, 2]
     assert got["s"].tolist() == [4.0, 5.0, 6.0]
     assert got["k"].isna().tolist() == [False, False, True]
+
+def test_exchange_groupby_empty_leading_blocks_single_group():
+    # ADVICE r2: a single group + many blocks means most of the P
+    # partitions receive no rows; every reduce placeholder must still
+    # emit the merged (keys + alias) schema, including when the FIRST
+    # block is empty (its partial previously omitted _gk).
+    from ray_ordered_stream.agg import exchange_groupby
+
+    df = pd.DataFrame({"k": ["only"] * 5, "v": np.arange(5.0)})
+    empty = df.iloc[0:0]
+    ds = ray.data.from_pandas([empty, empty, df, empty])
+    got = exchange_groupby(
+        ds, "k", {"s": ("v", "sum"), "n": (None, "count")},
+        num_partitions=6,
+    ).to_pandas()
+    assert sorted(got.columns) == ["k", "n", "s"]
+    assert got["k"].tolist() == ["only"]
+    assert got["s"].tolist() == [10.0]
+    assert got["n"].tolist() == [5]
+
+
+def test_exchange_groupby_zero_block_input_keeps_agg_schema():
+    # ADVICE r2: zero-block input must return the AGGREGATED schema, not
+    # the raw input schema.
+    from ray_ordered_stream.agg import exchange_groupby
+
+    df = pd.DataFrame({"k": pd.Series([], dtype=str),
+                       "v": pd.Series([], dtype="float64"),
+                       "extra": pd.Series([], dtype="int64")})
+    ds = ray.data.from_pandas(df)
+    out = exchange_groupby(ds, "k", {"s": ("v", "sum"), "n": (None, "count")})
+    # (Dataset.to_pandas() drops columns for all-empty blocks — a Ray
+    # quirk — so assert on the blocks themselves.)
+    blocks = [ray.get(r) for r in out.to_arrow_refs()]
+    assert all(sorted(t.schema.names) == ["k", "n", "s"] for t in blocks)
+    assert sum(t.num_rows for t in blocks) == 0

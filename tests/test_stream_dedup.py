@@ -376,3 +376,45 @@ def test_neardup_stream_ttl_eviction(tmp_path, ray_session):
     )
     kept2 = set(res2.sink.read().to_pandas()["doc_id"])
     assert 0 in kept2 and 10 not in kept2 and 30 in kept2
+
+
+def test_neardup_stream_resume_param_mismatch_raises(ray_session, tmp_path):
+    # ADVICE r2: resuming with different MinHash parameters must refuse —
+    # the restored band hashes were computed under the old ones.
+    from ray_ordered_stream.stream_dedup import run_neardup_stream
+
+    df = _corpus(n=60, dup_rate=0.0)
+    files = _write_feed(df, tmp_path / "feed", 4)
+    run_neardup_stream(files, str(tmp_path / "out"), num_partitions=2,
+                       files_per_epoch=2, bands=4, num_perm=16, seed=7)
+    for kw in ({"bands": 8}, {"num_perm": 32}, {"k": 5}, {"seed": 8}):
+        with pytest.raises(ValueError, match="resume requires"):
+            run_neardup_stream(
+                files, str(tmp_path / "out"), num_partitions=2,
+                files_per_epoch=2,
+                **{"bands": 4, "num_perm": 16, "k": 7, "seed": 7, **kw},
+                resume=True,
+            )
+    # identical params resume cleanly (all epochs already committed)
+    res = run_neardup_stream(files, str(tmp_path / "out"), num_partitions=2,
+                             files_per_epoch=2, bands=4, num_perm=16, seed=7,
+                             resume=True)
+    assert res.epochs_run == 0
+
+
+def test_dedup_stream_fresh_rerun_wipes_phantom_epochs(ray_session, tmp_path):
+    # ADVICE r2: a resume=False rerun over a SHORTER feed must not keep
+    # committed manifests from the earlier, longer run.
+    from ray_ordered_stream.stream_dedup import run_dedup_stream
+
+    df = _corpus(n=200, dup_rate=0.0)
+    files = _write_feed(df, tmp_path / "feed", 8)
+    long = run_dedup_stream(files, str(tmp_path / "out"), num_partitions=2,
+                            files_per_epoch=2)
+    assert long.total_kept == 200
+    short = run_dedup_stream(files[:2], str(tmp_path / "out"),
+                             num_partitions=2, files_per_epoch=2)
+    n_short = short.total_kept
+    got = short.sink.read().count()
+    assert got == n_short  # no phantom rows from the longer run
+    assert short.sink.committed_epochs() == [0]

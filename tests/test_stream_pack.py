@@ -238,3 +238,28 @@ def test_pack_stream_rescale_grow(tmp_path, ray_session):
         sorted((Path(out) / "ckpt").glob("epoch-*.json"))[-1].read_text()
     )["carry"]
     assert len(got) * B + carries == total_tokens
+
+
+def test_pack_stream_resume_budget_mismatch_raises(tmp_path, ray_session):
+    # ADVICE r2: resuming with a different --pack-budget must refuse —
+    # committed epochs were cut at the old budget.
+    files, df = _feed(tmp_path)
+    run_pack_stream(files, str(tmp_path / "out"), budget=B, vocab_size=V,
+                    num_partitions=2, files_per_epoch=2)
+    with pytest.raises(ValueError, match="same pack budget"):
+        run_pack_stream(files, str(tmp_path / "out"), budget=B + 16,
+                        vocab_size=V, num_partitions=2, files_per_epoch=2,
+                        resume=True)
+
+
+def test_pack_stream_fresh_rerun_wipes_phantom_epochs(tmp_path, ray_session):
+    files, df = _feed(tmp_path)
+    sink, *_ = run_pack_stream(files, str(tmp_path / "out"), budget=B,
+                               vocab_size=V, num_partitions=2,
+                               files_per_epoch=2)
+    n_epochs_long = len(sink.committed_epochs())
+    assert n_epochs_long > 1
+    sink2, *_ = run_pack_stream(files[:2], str(tmp_path / "out"), budget=B,
+                                vocab_size=V, num_partitions=2,
+                                files_per_epoch=2)
+    assert sink2.committed_epochs() == [0]
