@@ -184,6 +184,7 @@ class PatternMatcher:
         # dropped — without this the carry grows with every key ever seen
         self.end_role = end_role
         self._carry: pa.Table | None = None  # (key, seq, role, ts) per-key tail
+        self.watermark: int | None = None    # max event time seen (for gc)
 
     def _project(self, t: pa.Table) -> pa.Table:
         # normalized dtypes so carry/batch concat and restore round-trip
@@ -258,13 +259,58 @@ class PatternMatcher:
             self._carry = comb.take(pa.array(np.flatnonzero(keep)))
         else:
             self._carry = None
+        if len(tsi):
+            mx = int(tsi.max())
+            self.watermark = (
+                mx if self.watermark is None else max(self.watermark, mx)
+            )
         return out
+
+    def gc(self, ttl_us: int) -> int:
+        """Evict the carried tails of keys idle past the event-time TTL
+        (their last carried turn is older than watermark - ttl). Without
+        an end sentinel the carry otherwise keeps L-1 turns of every key
+        ever seen. Trade-off (same as Flink state TTL): a pattern whose
+        rows straddle an idle gap longer than the TTL is missed — size the
+        TTL to pattern_within_s or the source's real inter-turn gap.
+        Returns the number of evicted carry rows."""
+        if (
+            self._carry is None
+            or self._carry.num_rows == 0
+            or self.watermark is None
+        ):
+            return 0
+        horizon = self.watermark - ttl_us
+        tsc = self._carry[self.ts].cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        key_col = self._carry[self.key]
+        if isinstance(key_col, pa.ChunkedArray):
+            key_col = key_col.combine_chunks()
+        enc = pc.dictionary_encode(key_col)
+        codes = np.asarray(enc.indices).astype(np.int64)
+        n_keys = len(enc.dictionary)
+        key_max = np.full(n_keys, np.iinfo(np.int64).min, dtype=np.int64)
+        np.maximum.at(key_max, codes, tsc)
+        keep = key_max[codes] >= horizon
+        if keep.all():
+            return 0
+        evicted = int((~keep).sum())
+        self._carry = self._carry.take(pa.array(np.flatnonzero(keep)))
+        if self._carry.num_rows == 0:
+            self._carry = None
+        return evicted
+
+    def state_size(self) -> dict:
+        return {
+            "carry_rows": 0 if self._carry is None else self._carry.num_rows
+        }
 
     def snapshot(self) -> dict:
         """JSON-safe (ts as int64 us) so it can ride the checkpoint's
         extras.json."""
         if self._carry is None or self._carry.num_rows == 0:
-            return {"carry": None}
+            return {"carry": None, "watermark": self.watermark}
         c = self._carry
         return {
             "carry": {
@@ -272,11 +318,13 @@ class PatternMatcher:
                 self.seq: c[self.seq].to_pylist(),
                 self.role: c[self.role].to_pylist(),
                 self.ts: c[self.ts].cast(pa.int64()).to_pylist(),
-            }
+            },
+            "watermark": self.watermark,
         }
 
     def restore(self, snap: dict) -> None:
         c = snap.get("carry")
+        self.watermark = snap.get("watermark")
         if c is None:
             self._carry = None
             return

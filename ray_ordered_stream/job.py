@@ -43,6 +43,7 @@ def build_config(args) -> "OrderedConfig":
         with_book=args.with_book,
         status_every_epochs=args.status_every_epochs,
         status_interval_s=args.status_interval,
+        state_ttl_s=args.state_ttl,
         spread_actors=args.spread_actors,
         warmup_rows=args.warmup_rows,
     )
@@ -77,6 +78,9 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--with-book", action="store_true")
     ap.add_argument("--status-every-epochs", type=int, default=1)
     ap.add_argument("--status-interval", type=float, default=0.0)
+    ap.add_argument("--state-ttl", type=float, default=0.0,
+                    help="event-time TTL (seconds) for keyed window/session/"
+                         "join/CEP state; 0 disables eviction")
     ap.add_argument("--salt-hot-keys", action="store_true",
                     help="sample the stream head and pin the heaviest keys "
                          "round-robin across partitions (pins persist in the "

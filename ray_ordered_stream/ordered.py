@@ -294,8 +294,42 @@ class OrderedWorker:
             out["late"] = (
                 write_part_atomic(lt, sink_paths["late"]) if lt is not None else 0
             )
+        if self.cfg.state_ttl_s > 0:
+            # deterministic point: after this epoch's outputs are taken and
+            # before the checkpoint, so a crash-resume replays the eviction
+            self.gc_state()
         if ckpt is not None:
             self.checkpoint_to(*ckpt)
+        return out
+
+    def gc_state(self) -> dict:
+        """Evict keyed operator state idle past cfg.state_ttl_s of event
+        time (each operator measures against its own watermark). Returns
+        per-operator eviction counts (observability)."""
+        ttl_us = int(self.cfg.state_ttl_s * 1_000_000)
+        out = {}
+        if self.windows is not None:
+            out["windows"] = self.windows.gc(ttl_us)
+        if self.sessions is not None:
+            out["sessions"] = self.sessions.gc(ttl_us)
+        if self.joiner is not None:
+            out["joined"] = self.joiner.gc(ttl_us)
+        if self.matcher is not None:
+            out["matches"] = self.matcher.gc(ttl_us)
+        return out
+
+    def state_sizes(self) -> dict:
+        """Current keyed-state footprint per operator (for soak tests and
+        backlog monitoring)."""
+        out = {}
+        if self.windows is not None:
+            out["windows"] = self.windows.state_size()
+        if self.sessions is not None:
+            out["sessions"] = self.sessions.state_size()
+        if self.joiner is not None:
+            out["joined"] = self.joiner.state_size()
+        if self.matcher is not None:
+            out["matches"] = self.matcher.state_size()
         return out
 
     def flush_final_to_sink(self, sink_paths: dict) -> dict:

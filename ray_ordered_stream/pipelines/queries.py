@@ -480,20 +480,53 @@ def q_heavy_hitters_certify(sf_dir: str):
     undercounts by at most the tracked err, (3) err respects the n/(k+1)
     bound. The exact side is the distributed vocab_counts pass."""
     K = 16
+    import ray
+
     from ..functions.sketch import heavy_hitters
     from ..functions.textstats import vocab_counts
 
     docs = _read(sf_dir, "documents", ["text"])
     hh = heavy_hitters(docs, "text", k=K, tokenize=True)
-    exact = vocab_counts(docs).to_pandas()
-    c = dict(zip(exact["token"], exact["n"].astype(int)))
-    n, d = int(exact["n"].sum()), len(exact)
+    # The exact side stays DISTRIBUTED (VERDICT r2 #5: the old full-vocab
+    # to_pandas + Python dict made the certificate itself the scale-killer
+    # at 100x vocab). materialize once, then: (pass 1) per-block
+    # (sum, count) partials -> n, d; (pass 2) per-block counts of
+    # above-threshold tokens and their presence in the <= K+1 broadcast
+    # sketch items, plus the <= K+1 exact item rows. The driver only ever
+    # sees #blocks tiny partials and <= K+1 rows.
+    vc = vocab_counts(docs).materialize()
+    p1 = vc.map_batches(
+        lambda df: pd.DataFrame(
+            {"s": [int(df["n"].sum())], "d": [len(df)]}
+        ),
+        batch_format="pandas",
+    ).to_pandas()
+    n, d = int(p1["s"].sum()), int(p1["d"].sum())
 
-    above = [t for t, v in c.items() if v * (K + 1) > n]
-    present = set(hh["items"])
-    ok1 = all(t in present for t in above)
+    present_ref = ray.put(frozenset(hh["items"]))
+
+    def p2(df: pd.DataFrame) -> pd.DataFrame:
+        present = ray.get(present_ref)
+        above = df[df["n"].astype("int64") * (K + 1) > n]
+        return pd.DataFrame(
+            {
+                "above": [len(above)],
+                "above_present": [int(above["token"].isin(present).sum())],
+            }
+        )
+
+    agg2 = vc.map_batches(p2, batch_format="pandas").to_pandas()
+    n_above = int(agg2["above"].sum())
+    ok1 = n_above == int(agg2["above_present"].sum())
+
+    def item_rows(df: pd.DataFrame) -> pd.DataFrame:
+        present = ray.get(present_ref)
+        return df[df["token"].isin(present)]
+
+    items_exact = vc.map_batches(item_rows, batch_format="pandas").to_pandas()
+    c = dict(zip(items_exact["token"], items_exact["n"].astype(int)))
     ok2 = bool(hh["n"] == n) and all(
-        est <= c[t] and c[t] - est <= hh["err"]
+        t in c and est <= c[t] and c[t] - est <= hh["err"]
         for t, est in zip(hh["items"], hh["estimates"])
     )
     ok3 = hh["err"] * (K + 1) <= n
@@ -504,7 +537,7 @@ def q_heavy_hitters_certify(sf_dir: str):
                  "mg_estimates_bounded"],
                 pa.string(),
             ),
-            "n_exact": pa.array([len(above), d, n], pa.int64()),
+            "n_exact": pa.array([n_above, d, n], pa.int64()),
             "ok": pa.array([ok1, ok3, ok2], pa.bool_()),
         }
     )
@@ -570,20 +603,15 @@ def q_corpus_curation(sf_dir: str):
     filtered = scored.map_batches(keep_quality, batch_format="pyarrow")
     tagged = lang_id(filtered)
 
-    # partial per-batch aggregation + a tiny driver-side merge (the final
-    # result is ~#langs x #sources rows; Ray Data's generic Aggregate has
-    # seconds of fixed overhead on such shapes)
-    def part(df):
-        g = df.groupby(["lang_guess", "source"], as_index=False).agg(
-            n_docs=("n_docs", "sum"), sum_words=("n_words", "sum")
-        )
-        return g
+    # ~#langs x #sources result: partial pre-agg + ONE exchange of the
+    # partials (exchange_groupby); nothing but group rows ever moves
+    from ..agg import exchange_groupby
 
-    parts = tagged.map_batches(part, batch_format="pandas").to_pandas()
-    out = parts.groupby(["lang_guess", "source"], as_index=False).agg(
-        n_docs=("n_docs", "sum"), sum_words=("sum_words", "sum")
+    return exchange_groupby(
+        tagged,
+        ["lang_guess", "source"],
+        {"n_docs": ("n_docs", "sum"), "sum_words": ("n_words", "sum")},
     )
-    return pa.Table.from_pandas(out, preserve_index=False)
 
 
 SQL_CORPUS_CURATION = r"""
@@ -650,16 +678,14 @@ def q_corpus_curation2(sf_dir: str):
     clean = clean.materialize()
     deduped = exact_dedup(clean, id_col="doc_id", text_col="text")
 
-    # final result is ~#sources rows: partial per-batch agg + tiny merge
-    def part(df):
-        return df.groupby("source", as_index=False).agg(
-            n_docs=("doc_id", "count"), sum_tokens=("n_tokens", "sum")
-        )
+    # ~#sources-row result through the shared exchange_groupby
+    from ..agg import exchange_groupby
 
-    parts = deduped.map_batches(part, batch_format="pandas").to_pandas()
-    out = parts.groupby("source", as_index=False).agg(
-        n_docs=("n_docs", "sum"), sum_tokens=("sum_tokens", "sum")
-    )
+    out = exchange_groupby(
+        deduped,
+        "source",
+        {"n_docs": (None, "count"), "sum_tokens": ("n_tokens", "sum")},
+    ).to_pandas()
     out["n_docs"] = out["n_docs"].astype("int64")
     out["sum_tokens"] = out["sum_tokens"].astype("int64")
     return pa.Table.from_pandas(out, preserve_index=False)
@@ -1425,18 +1451,16 @@ def q_segment_order_stats(sf_dir: str):
 
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
 
-    # 5-segment result: per-batch partials + driver merge beat the generic
-    # Aggregate's fixed shuffle overhead by seconds on this shape
-    def part(b: pd.DataFrame) -> pd.DataFrame:
-        b = join(b)
-        return b.groupby("c_mktsegment", as_index=False).agg(
-            n_orders=("o_totalprice", "size"), total=("o_totalprice", "sum")
-        )
+    # 5-segment result: broadcast dim join per batch, then the shared
+    # exchange_groupby (partials + one exchange; nothing else moves)
+    from ..agg import exchange_groupby
 
-    parts = orders.map_batches(part, batch_format="pandas").to_pandas()
-    out = parts.groupby("c_mktsegment", as_index=False).agg(
-        n_orders=("n_orders", "sum"), total=("total", "sum")
-    )
+    joined = orders.map_batches(join, batch_format="pandas")
+    out = exchange_groupby(
+        joined,
+        "c_mktsegment",
+        {"n_orders": (None, "count"), "total": ("o_totalprice", "sum")},
+    ).to_pandas()
     out["total"] = out["total"].round(0)
     return pa.Table.from_pandas(out, preserve_index=False)
 

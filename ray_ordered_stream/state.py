@@ -89,6 +89,16 @@ class OrderedConfig:
     # occur on consecutive turns of one key (cep.PatternMatcher side output)
     pattern: tuple = ()
     pattern_within_s: float = 0.0  # 0 = no event-time bound on a match
+    # event-time TTL for the keyed operator state above (windows, sessions,
+    # join pendings, CEP carry): keys idle for more than this many seconds
+    # of event time (vs each operator's watermark) are evicted at every
+    # epoch boundary, BEFORE the checkpoint — so eviction is deterministic
+    # and crash-resume replays it. 0 = disabled (state grows with the
+    # keyspace; fine for bounded runs, not for unbounded streams). The Beam
+    # reference gets the same GC from window expiry; the trade-off on
+    # eviction is the standard state-TTL one (a returning key restarts its
+    # session_id at 0, a pattern straddling an idle gap > TTL is missed).
+    state_ttl_s: float = 0.0
     partitions: int = 0           # 0 = auto (set by ordered.py)
     # State actors are long-lived RPC-style stores whose calls serialize per
     # actor; reserving whole CPUs for them starves the stateless split/read

@@ -112,6 +112,7 @@ class WindowAccumulator:
         # sorted by (kc, ws)
         self._kc, self._ws = z, z.copy()
         self._cnt, self._nu, self._na = z.copy(), z.copy(), z.copy()
+        self._key_last = z.copy()           # per code: last activity (event time)
 
     def update(self, emitted: pa.Table, codes_kv=None) -> pa.Table | None:
         """Merge a batch of in-sequence emitted rows; with
@@ -137,7 +138,12 @@ class WindowAccumulator:
                 intern[kv] = g
                 names.append(kv)
             glob[i] = g
+        if len(names) > len(self._key_last):
+            grown = np.zeros(len(names), dtype=np.int64)
+            grown[: len(self._key_last)] = self._key_last
+            self._key_last = grown
         gc = glob[codes]
+        np.maximum.at(self._key_last, gc, tsi)
 
         if self.step == self.size:  # tumbling: one window per row
             ws = (tsi // self.size) * self.size
@@ -247,6 +253,32 @@ class WindowAccumulator:
         )
         return out
 
+    def gc(self, ttl_us: int) -> int:
+        """Evict keys idle past the event-time TTL and with no open window
+        (≙ Beam/Flink keyed-state GC on window expiry — without it the
+        intern table grows with every key ever seen on an unbounded
+        keyspace). Codes compact monotonically, so the open-window arrays
+        stay sorted. Deterministic given (state, watermark): called at
+        epoch boundaries before the checkpoint, a crash-resume replays the
+        same evictions. Returns the number of evicted keys."""
+        if self.watermark is None or not len(self._names):
+            return 0
+        horizon = self.watermark - ttl_us
+        keep_mask = self._key_last >= horizon
+        keep_mask[self._kc] = True  # open windows pin their key
+        if keep_mask.all():
+            return 0
+        new_codes = np.cumsum(keep_mask) - 1
+        keep_idx = np.flatnonzero(keep_mask)
+        self._names = [self._names[i] for i in keep_idx]
+        self._intern = {k: i for i, k in enumerate(self._names)}
+        self._key_last = self._key_last[keep_idx]
+        self._kc = new_codes[self._kc]
+        return int(len(keep_mask) - len(keep_idx))
+
+    def state_size(self) -> dict:
+        return {"keys": len(self._names), "open": int(len(self._kc))}
+
     def _empty(self) -> pa.Table:
         return pa.table(
             {
@@ -275,7 +307,8 @@ class WindowAccumulator:
         # whose windows all closed before the checkpoint — else a re-run
         # epoch's part file is not byte-identical to the committed one
         return {"watermark": self.watermark, "acc": self.acc,
-                "names": list(self._names)}
+                "names": list(self._names),
+                "last": [int(x) for x in self._key_last]}
 
     def restore(self, snap: dict) -> None:
         self.watermark = snap["watermark"]
@@ -300,6 +333,12 @@ class WindowAccumulator:
         m = np.lexsort((wv, kc))
         self._kc, self._ws = kc[m], wv[m]
         self._cnt, self._nu, self._na = vals[m, 0], vals[m, 1], vals[m, 2]
+        last = snap.get("last")
+        self._key_last = (
+            np.asarray(last, dtype=np.int64)
+            if last is not None and len(last) == len(self._names)
+            else np.zeros(len(self._names), dtype=np.int64)
+        )
 
 
 class SessionAccumulator:
@@ -343,6 +382,7 @@ class SessionAccumulator:
         self._kc, self._start, self._end = z, z.copy(), z.copy()
         self._cnt, self._nu, self._na = z.copy(), z.copy(), z.copy()
         self._next_sid = z.copy()   # per key code: next session_id to emit
+        self._key_last = z.copy()   # per code: last activity (event time)
 
     def update(self, emitted: pa.Table, codes_kv=None) -> pa.Table | None:
         """Merge a batch of in-sequence emitted rows; with
@@ -370,7 +410,12 @@ class SessionAccumulator:
             grown = np.zeros(len(names), dtype=np.int64)
             grown[: len(self._next_sid)] = self._next_sid
             self._next_sid = grown
+        if len(names) > len(self._key_last):
+            grown = np.zeros(len(names), dtype=np.int64)
+            grown[: len(self._key_last)] = self._key_last
+            self._key_last = grown
         gc = glob[codes]
+        np.maximum.at(self._key_last, gc, tsi)
 
         # late-data drop (Flink session-lateness rule): assign the event its
         # singleton window [ts, ts+gap); if it MERGES with a still-open
@@ -500,6 +545,32 @@ class SessionAccumulator:
         self._cnt, self._nu, self._na = self._cnt[keep], self._nu[keep], self._na[keep]
         return out
 
+    def gc(self, ttl_us: int) -> int:
+        """Evict keys idle past the event-time TTL and with no open
+        session. An evicted key's ``next_sid`` is dropped with it — if the
+        key returns after the TTL its session_id restarts at 0 (the
+        standard keyed-state-TTL trade-off; Flink state TTL behaves the
+        same). Deterministic given (state, watermark) — see
+        WindowAccumulator.gc. Returns the number of evicted keys."""
+        if self.watermark is None or not len(self._names):
+            return 0
+        horizon = self.watermark - ttl_us
+        keep_mask = self._key_last >= horizon
+        keep_mask[self._kc] = True  # open sessions pin their key
+        if keep_mask.all():
+            return 0
+        new_codes = np.cumsum(keep_mask) - 1
+        keep_idx = np.flatnonzero(keep_mask)
+        self._names = [self._names[i] for i in keep_idx]
+        self._intern = {k: i for i, k in enumerate(self._names)}
+        self._key_last = self._key_last[keep_idx]
+        self._next_sid = self._next_sid[keep_idx]
+        self._kc = new_codes[self._kc]
+        return int(len(keep_mask) - len(keep_idx))
+
+    def state_size(self) -> dict:
+        return {"keys": len(self._names), "open": int(len(self._kc))}
+
     def _empty(self) -> pa.Table:
         return pa.table(
             {
@@ -524,6 +595,7 @@ class SessionAccumulator:
                 )
             ],
             "next_sid": [int(x) for x in self._next_sid],
+            "last": [int(x) for x in self._key_last],
         }
 
     def restore(self, snap: dict) -> None:
@@ -538,6 +610,12 @@ class SessionAccumulator:
         self._kc, self._start, self._end = rows[:, 0], rows[:, 1], rows[:, 2]
         self._cnt, self._nu, self._na = rows[:, 3], rows[:, 4], rows[:, 5]
         self._next_sid = np.asarray(snap["next_sid"], dtype=np.int64)
+        last = snap.get("last")
+        self._key_last = (
+            np.asarray(last, dtype=np.int64)
+            if last is not None and len(last) == len(self._names)
+            else np.zeros(len(self._names), dtype=np.int64)
+        )
 
 
 class StreamJoiner:
@@ -562,6 +640,7 @@ class StreamJoiner:
         self.within_us = within_us
         # key -> list of (turn_idx, text, ts_us) pending left turns
         self.pending: dict[str, list[tuple[int, str, int]]] = {}
+        self.watermark: int | None = None  # max event time seen (for gc)
 
     def update(self, emitted: pa.Table, codes_kv=None) -> pa.Table:
         """Feed in-sequence emitted rows; returns newly-joined pairs."""
@@ -577,6 +656,11 @@ class StreamJoiner:
             if has_ts
             else np.zeros(len(codes), dtype=np.int64)
         )
+        if has_ts and len(tsi):
+            mx = int(tsi.max())
+            self.watermark = (
+                mx if self.watermark is None else max(self.watermark, mx)
+            )
         # emission is (key, seq)-grouped in epoch mode; re-sort defensively
         # (cheap integer lexsort) so group logic holds in every mode
         order = np.lexsort((seqs, codes))
@@ -703,8 +787,36 @@ class StreamJoiner:
             }
         )
 
+    def gc(self, ttl_us: int) -> int:
+        """Drop pending (unmatched) lefts older than the event-time TTL —
+        they never join (the same outcome join_within_s would force once a
+        right arrived). Keys left with no pending rows are removed
+        entirely, so the dict is bounded by the TTL horizon's live
+        keyspace. Returns the number of evicted pending rows."""
+        if self.watermark is None or not self.pending:
+            return 0
+        horizon = self.watermark - ttl_us
+        evicted = 0
+        for k in list(self.pending):
+            rows = self.pending[k]
+            kept = [p for p in rows if p[2] >= horizon]
+            evicted += len(rows) - len(kept)
+            if kept:
+                self.pending[k] = kept
+            else:
+                del self.pending[k]
+        return evicted
+
+    def state_size(self) -> dict:
+        return {
+            "keys": len(self.pending),
+            "pending": sum(len(v) for v in self.pending.values()),
+        }
+
     def snapshot(self) -> dict:
-        return {"pending": {k: list(v) for k, v in self.pending.items()}}
+        return {"pending": {k: list(v) for k, v in self.pending.items()},
+                "watermark": self.watermark}
 
     def restore(self, snap: dict) -> None:
         self.pending = {k: [tuple(p) for p in v] for k, v in snap["pending"].items()}
+        self.watermark = snap.get("watermark")

@@ -1,0 +1,187 @@
+"""Event-time TTL / state GC for the keyed streaming operators (VERDICT r2
+#3): on an unbounded keyspace the window/session intern tables, the
+joiner's pending lefts, and the CEP carry must stay bounded — mirroring
+the dedup streams' ttl_epochs and Beam's state GC on window expiry —
+while remaining deterministic across crash-resume."""
+
+import hashlib
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ray_ordered_stream.cep import PatternMatcher
+from ray_ordered_stream.schema import KEY, SEQ
+from ray_ordered_stream.state import OrderedConfig
+from ray_ordered_stream.stream_ops import (
+    SessionAccumulator,
+    StreamJoiner,
+    WindowAccumulator,
+)
+
+US = 1_000_000
+
+
+def _band(epoch: int, n_keys: int = 12, turns: int = 6) -> pa.Table:
+    """One epoch of a ROTATING keyspace: fresh keys each epoch, all activity
+    inside [epoch*3600s, epoch*3600s + ~turns s) — the unbounded-stream
+    shape where per-key state must not accumulate forever."""
+    base = epoch * 3600 * US
+    keys, seqs, roles, texts, ts = [], [], [], [], []
+    for i in range(n_keys):
+        for j in range(turns):
+            keys.append(f"e{epoch}k{i}")
+            seqs.append(j)
+            roles.append("user" if j % 2 == 0 else "assistant")
+            texts.append(f"t{epoch}.{i}.{j}")
+            ts.append(base + i * 10 * US + j * US)
+    return pa.table(
+        {
+            KEY: pa.array(keys, pa.string()),
+            SEQ: pa.array(seqs, pa.int32()),
+            "role": pa.array(roles, pa.string()),
+            "text": pa.array(texts, pa.string()),
+            "ts": pa.array(ts, pa.int64()).cast(pa.timestamp("us")),
+        }
+    )
+
+
+def test_window_gc_bounds_keys_and_preserves_output():
+    n_epochs, ttl_us = 12, 1800 * US
+    with_gc = WindowAccumulator(60.0)
+    without = WindowAccumulator(60.0)
+    out_gc, out_plain = [], []
+    sizes = []
+    for e in range(n_epochs):
+        b = _band(e)
+        with_gc.update(b)
+        without.update(b)
+        out_gc.append(with_gc.take_closed())
+        out_plain.append(without.take_closed())
+        with_gc.gc(ttl_us)
+        sizes.append(with_gc.state_size()["keys"])
+    out_gc.append(with_gc.take_closed(final=True))
+    out_plain.append(without.take_closed(final=True))
+    # bounded: at most ~2 epochs of keys alive; unbounded grows linearly
+    assert max(sizes) <= 2 * 12
+    assert without.state_size()["keys"] == n_epochs * 12
+    g = pa.concat_tables(out_gc).to_pandas().sort_values(
+        [KEY, "window_start"]).reset_index(drop=True)
+    p = pa.concat_tables(out_plain).to_pandas().sort_values(
+        [KEY, "window_start"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, p)
+
+
+def test_session_gc_bounds_keys_session_id_restarts():
+    ttl_us = 1800 * US
+    acc = SessionAccumulator(5.0)
+    b0 = _band(0, n_keys=3)
+    acc.update(b0)
+    acc.take_closed()  # nothing closes yet (watermark == max ts)
+    # advance the watermark with epoch 1 so epoch-0 sessions close
+    acc.update(_band(1, n_keys=3))
+    closed = acc.take_closed().to_pandas()
+    assert (closed[closed[KEY] == "e0k0"]["session_id"] == 0).all()
+    evicted = acc.gc(ttl_us)
+    assert evicted == 3  # the three epoch-0 keys
+    # the SAME key returns after the TTL: session_id restarts at 0
+    late_return = pa.table(
+        {
+            KEY: pa.array(["e0k0"] * 2, pa.string()),
+            SEQ: pa.array([0, 1], pa.int32()),
+            "role": pa.array(["user", "assistant"], pa.string()),
+            "text": pa.array(["x", "y"], pa.string()),
+            "ts": pa.array(
+                [2 * 3600 * US, 2 * 3600 * US + US], pa.int64()
+            ).cast(pa.timestamp("us")),
+        }
+    )
+    acc.update(late_return)
+    out = acc.take_closed(final=True).to_pandas()
+    r = out[out[KEY] == "e0k0"]
+    assert r["session_id"].tolist() == [0]  # restarted (TTL trade-off)
+
+
+def test_joiner_gc_drops_stale_pending():
+    j = StreamJoiner()
+    # a user turn with no assistant after it stays pending
+    only_user = pa.table(
+        {
+            KEY: pa.array(["a"], pa.string()),
+            SEQ: pa.array([0], pa.int32()),
+            "role": pa.array(["user"], pa.string()),
+            "text": pa.array(["hi"], pa.string()),
+            "ts": pa.array([0], pa.int64()).cast(pa.timestamp("us")),
+        }
+    )
+    j.update(only_user)
+    assert j.state_size() == {"keys": 1, "pending": 1}
+    # another key far in the future advances the joiner's watermark
+    j.update(_band(2, n_keys=1, turns=2))
+    assert j.gc(1800 * US) == 1
+    assert j.state_size()["keys"] <= 1  # only non-stale pendings survive
+
+
+def test_cep_gc_drops_idle_carry():
+    m = PatternMatcher(["user", "assistant", "user"])
+    m.update(_band(0, n_keys=4, turns=5))
+    assert m.state_size()["carry_rows"] == 4 * 2  # L-1 tail per key
+    m.update(_band(3, n_keys=1, turns=5))
+    dropped = m.gc(1800 * US)
+    assert dropped == 8  # all four epoch-0 tails evicted
+    assert m.state_size()["carry_rows"] == 2
+
+
+def test_gc_snapshot_roundtrip_is_exact():
+    acc = SessionAccumulator(5.0)
+    acc.update(_band(0, n_keys=4))
+    acc.update(_band(1, n_keys=4))
+    acc.take_closed()
+    acc.gc(1800 * US)
+    snap = acc.snapshot()
+    acc2 = SessionAccumulator(5.0)
+    acc2.restore(snap)
+    assert acc2.snapshot() == snap
+    a = acc.take_closed(final=True).to_pandas()
+    b = acc2.take_closed(final=True).to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_run_stream_ttl_crash_resume_byte_identical(ray_session, tmp_path):
+    from ray_ordered_stream.epochs import run_stream
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    files = []
+    for e in range(6):
+        f = feed / f"part-{e:05d}.parquet"
+        pq.write_table(_band(e), f)
+        files.append(str(f))
+    cfg = OrderedConfig(
+        window_size_s=60.0,
+        session_gap_s=5.0,
+        stream_join=True,
+        pattern=("user", "assistant"),
+        state_ttl_s=1800.0,
+    )
+    run_stream(files, str(tmp_path / "a"), cfg=cfg, num_partitions=2,
+               files_per_epoch=1, resume=False)
+
+    def digest(root):
+        h = {}
+        for f in sorted(Path(root).rglob("*.parquet")):
+            h[str(f).replace(str(root), "")] = hashlib.md5(
+                f.read_bytes()
+            ).hexdigest()
+        return h
+
+    import pytest
+
+    with pytest.raises(RuntimeError):
+        run_stream(files, str(tmp_path / "b"), cfg=cfg, num_partitions=2,
+                   files_per_epoch=1, resume=False, fail_after_epoch=2)
+    run_stream(files, str(tmp_path / "b"), cfg=cfg, num_partitions=2,
+               files_per_epoch=1, resume=True)
+    assert digest(tmp_path / "b") == digest(tmp_path / "a")
