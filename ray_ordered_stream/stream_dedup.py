@@ -38,11 +38,29 @@ import ray
 from .sink import ManifestSink, write_part_atomic
 
 
+_MD5_CON = None
+
+
+def _md5_connection():
+    """Process-cached single-threaded DuckDB connection for the vectorized
+    md5 kernel (connecting per batch costs more than small batches' hash)."""
+    global _MD5_CON
+    if _MD5_CON is None:
+        import duckdb
+
+        _MD5_CON = duckdb.connect()
+        _MD5_CON.execute("SET threads=1")
+    return _MD5_CON
+
+
 def _fingerprints(texts: pa.Array) -> tuple[np.ndarray, np.ndarray]:
-    """(hi, lo) uint64 pairs of md5(text) per row. md5 runs per doc by
-    nature; feeding it raw UTF-8 buffer slices (memoryview of the Arrow
-    value buffer) skips the per-row Python-string decode the old
-    ``to_pylist`` path paid — identical digests, ~25% less loop time."""
+    """(hi, lo) uint64 pairs of md5(text) per row — bit-identical to
+    hashlib's digest split big-endian, so checkpoints stay compatible
+    across paths. Primary path: DuckDB's vectorized C++ md5 over the Arrow
+    column (single-threaded inside the already-file-parallel read task;
+    measured ~2.2x over the Python loop, which was the dedup streams'
+    dominant ingest cost — VERDICT r2 #6). Fallback: raw UTF-8 buffer
+    slices through hashlib (no per-row string decode)."""
     import hashlib
 
     if isinstance(texts, pa.ChunkedArray):
@@ -52,6 +70,31 @@ def _fingerprints(texts: pa.Array) -> tuple[np.ndarray, np.ndarray]:
     lo = np.empty(n, dtype=np.uint64)
     if n == 0:
         return hi, lo
+    try:
+        import os
+
+        if os.environ.get("ROS_NO_DUCKDB_MD5"):  # A/B + safety valve
+            raise ImportError
+        # Measured crossover (BASELINE.md): DuckDB's vectorized md5 wins on
+        # SHORT rows (1.6x at 128 B, where per-call Python overhead
+        # dominates); OpenSSL via hashlib wins on LONG rows (1.3-1.5x at
+        # >= 1 KB, raw digest throughput). Route by mean row length.
+        if texts.nbytes / max(1, n) >= 640:
+            raise ImportError
+        con = _md5_connection()
+        tbl = pa.table({"t": texts})  # zero-copy view
+        res = con.execute(
+            "SELECT md5_number_upper(coalesce(t,'')) AS hi,"
+            "       md5_number_lower(coalesce(t,'')) AS lo FROM tbl"
+        ).arrow()
+        # DuckDB returns each half little-endian; byteswap restores the
+        # big-endian ints the hashlib path (and old checkpoints) use
+        return (
+            res["hi"].to_numpy().astype(np.uint64).byteswap(),
+            res["lo"].to_numpy().astype(np.uint64).byteswap(),
+        )
+    except Exception:
+        pass
     if texts.null_count == 0 and isinstance(texts, pa.StringArray):
         bufs = texts.buffers()
         off = np.frombuffer(bufs[1], dtype=np.int32)[
