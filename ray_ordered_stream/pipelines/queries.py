@@ -2058,6 +2058,62 @@ FROM f
 """
 
 
+def q_media_decode_real(sf_dir: str):
+    """REAL image decode end-to-end (round-3 upgrade of the stubbed codec):
+    deterministic solid-color BMP/PPM/PNG payloads -> builtin (or PIL when
+    importable) decoder in an actor pool -> per-image scalar stats. Every
+    stat is a closed form of media_id, so the oracle verifies the actual
+    pixel path, not just metadata."""
+    import ray.data as rd
+
+    from ..functions.multimodal import image_stats, synth_real_media_table
+
+    media = synth_real_media_table(48)
+    images = media.filter(pc.equal(media["media_type"], "image"))
+    half = images.num_rows // 2
+    ds = rd.from_arrow([images.slice(0, half), images.slice(half)])
+    return image_stats(ds, batch_size=8, concurrency=2)
+
+
+# mirror of synth_real_media_table's image generation (i % 4 < 3)
+SQL_MEDIA_DECODE_REAL = """
+SELECT i::bigint AS media_id,
+       (12 + (i % 5) * 4)::int AS height,
+       (16 + (i % 8) * 4)::int AS width,
+       3::int AS channels,
+       ((i * 7) % 256)::bigint AS mean_val
+FROM range(48) t(i) WHERE i % 4 < 3
+"""
+
+
+def q_media_audio_real(sf_dir: str):
+    """REAL audio decode end-to-end: constant-amplitude PCM16 WAV payloads
+    -> stdlib wave (or soundfile when importable) decoder in an actor pool
+    -> (n_samples, rate, scaled mean amplitude), all closed forms of
+    media_id."""
+    import ray.data as rd
+
+    from ..functions.multimodal import audio_stats, synth_real_media_table
+
+    media = synth_real_media_table(48)
+    audio = media.filter(pc.equal(media["media_type"], "audio"))
+    half = audio.num_rows // 2
+    ds = rd.from_arrow([audio.slice(0, half), audio.slice(half)])
+    return audio_stats(ds, batch_size=8, concurrency=2)
+
+
+# the PCM16 sample is int(amp*32767) = (k*32767)//10000 for k=(i*11)%1000;
+# both sides round via floor(x+0.5) so no half-to-even ambiguity
+SQL_MEDIA_AUDIO_REAL = """
+SELECT i::bigint AS media_id,
+       (100 + (i % 10) * 10)::bigint AS n_samples,
+       (8000 + (i % 3) * 4000)::int AS sample_rate,
+       floor(((((i * 11) % 1000) * 32767) // 10000)::double
+             / 32768.0 * 10000 + 0.5)::bigint AS mean_amp_1e4
+FROM range(48) t(i) WHERE i % 4 = 3
+"""
+
+
 def q_order_book_depth(sf_dir: str):
     """Per-key incremental order book through the ordered engine (≙
     OrderBookBuilder + getCurrentMarketDepth, OrderBookBuilder.java:39-141):
@@ -2598,6 +2654,9 @@ QUERIES = {
     "doc_stats_by_source": (q_doc_stats_by_source, SQL_DOC_STATS_BY_SOURCE),
     "user_daily_activity": (q_user_daily_activity, SQL_USER_DAILY_ACTIVITY),
     "conv_stats": (q_conv_stats, SQL_CONV_STATS),
+    # -- (3) new in round 3 -------------------------------------------------
+    "media_decode_real": (q_media_decode_real, SQL_MEDIA_DECODE_REAL),
+    "media_audio_real": (q_media_audio_real, SQL_MEDIA_AUDIO_REAL),
     # -- (4) green in round 2 ---------------------------------------------
     "conv_render": (q_conv_render, SQL_CONV_RENDER),
     "conv_examples": (q_conv_examples, SQL_CONV_EXAMPLES),
