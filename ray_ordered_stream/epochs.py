@@ -302,6 +302,9 @@ def run_stream_continuous(
     fail_after_epoch: int | None = None,
     checkpoint_full_every: int = 16,
     salt_hot_keys: bool = False,
+    autoscale_backlog_epochs: int | None = None,
+    autoscale_factor: int = 2,
+    autoscale_max_partitions: int = 64,
 ) -> StreamResult:
     """Unbounded micro-batch streaming over a LANDING DIRECTORY (≙ the
     reference's Pub/Sub subscription, OrderBookProcessingPipeline.java:103-105
@@ -315,6 +318,17 @@ def run_stream_continuous(
     (sink manifests -> checkpoint, idempotent re-run) carries over unchanged.
     The loop ends when ``<landing_dir>/<stop_file>`` exists and every landed
     file has been processed, or after ``idle_timeout_s`` without new files.
+
+    ``autoscale_backlog_epochs`` enables backlog-driven AUTO-RESCALE (the
+    micro-batch analogue of Dataflow autoscaling, reference
+    start-pipeline.sh:34-46): whenever more than that many epochs' worth of
+    landed files are waiting unassigned and P < ``autoscale_max_partitions``,
+    the driver drains in-flight epochs to a consistent cut, migrates every
+    partition's keyed state with ``rescale.rescale_checkpoint`` (crash-safe
+    two-phase swap) to P * ``autoscale_factor`` partitions, rebuilds the
+    actor pool, and continues. The rescale is recorded in the lineage meta,
+    so a crash-resume re-enters at the migrated P; epochs committed before
+    the cut keep their old-P sink parts (manifests are authoritative).
     """
     import time as _time
 
@@ -322,6 +336,15 @@ def run_stream_continuous(
     out = Path(out_root)
     out.mkdir(parents=True, exist_ok=True)
     land = Path(landing_dir)
+
+    if resume and autoscale_backlog_epochs is not None:
+        # a previous run may have auto-rescaled: the lineage meta's P is
+        # authoritative over the caller's num_partitions
+        from .checkpoint import read_lineage_meta
+
+        meta0 = read_lineage_meta(out_root)
+        if meta0 is not None and meta0.get("partitions"):
+            num_partitions = int(meta0["partitions"])
 
     sinks = {"ordered": ManifestSink(out_root, "ordered"),
              "status": ManifestSink(out_root, "status"),
@@ -386,6 +409,8 @@ def run_stream_continuous(
     epochs_run = 0
     pending: list[tuple[int, list, float]] = []
     max_inflight = 3
+    rescales: list[dict] = []  # autoscale events (observability)
+    last_rescale_epoch = -(10**9)  # cooldown anchor (no rescale yet)
 
     def commit_oldest():
         nonlocal total_emitted, epochs_run
@@ -469,6 +494,39 @@ def run_stream_continuous(
             feed(next_epoch, group, final=False)
             next_epoch += 1
             last_was_flush = False
+            if (
+                autoscale_backlog_epochs is not None
+                and P < autoscale_max_partitions
+                and len(new) >= autoscale_backlog_epochs * files_per_epoch
+                # cooldown: let the grown pool chew through at least one
+                # backlog window before growing again (no flapping straight
+                # to max on one pre-landed burst)
+                and next_epoch - last_rescale_epoch > autoscale_backlog_epochs
+            ):
+                # backlog-driven grow: drain to a consistent cut, migrate
+                # state, rebuild the pool at the larger P
+                from .checkpoint import read_lineage_meta
+                from .rescale import rescale_checkpoint
+
+                while pending:
+                    commit_oldest()
+                cut = next_epoch - 1
+                new_P = min(autoscale_max_partitions, P * autoscale_factor)
+                proc.shutdown()
+                rescale_checkpoint(out_root, cut, P, new_P, key=cfg.key)
+                meta_r = read_lineage_meta(out_root)
+                overrides_r = (meta_r or {}).get("overrides") or None
+                proc = OrderedProcessor(cfg, new_P, overrides_r)
+                old_P, P = P, proc.P
+                ray.get([
+                    w.set_partition_id.remote(p)
+                    for p, w in enumerate(proc.workers)
+                ])
+                ray.get([
+                    w.restore_from.remote(out_root, cut) for w in proc.workers
+                ])
+                rescales.append({"epoch": cut, "from": old_P, "to": P})
+                last_rescale_epoch = next_epoch
         if exiting:
             break
         _time.sleep(poll_interval_s)
@@ -503,5 +561,6 @@ def run_stream_continuous(
         final_status=fin,
         sinks=sinks,
         summary=summary,
-        metrics={"rates": rates, "stages": stats.summaries()},
+        metrics={"rates": rates, "stages": stats.summaries(),
+                 "rescales": rescales},
     )

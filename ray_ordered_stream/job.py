@@ -78,6 +78,11 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--with-book", action="store_true")
     ap.add_argument("--status-every-epochs", type=int, default=1)
     ap.add_argument("--status-interval", type=float, default=0.0)
+    ap.add_argument("--autoscale-backlog-epochs", type=int, default=None,
+                    help="continuous mode: grow partitions when this many "
+                         "epochs of files are backlogged (None disables)")
+    ap.add_argument("--autoscale-factor", type=int, default=2)
+    ap.add_argument("--autoscale-max-partitions", type=int, default=64)
     ap.add_argument("--state-ttl", type=float, default=0.0,
                     help="event-time TTL (seconds) for keyed window/session/"
                          "join/CEP state; 0 disables eviction")
@@ -272,6 +277,9 @@ def main(argv: list[str] | None = None) -> int:
             resume=not args.no_resume,
             checkpoint_full_every=args.checkpoint_full_every,
             salt_hot_keys=args.salt_hot_keys,
+            autoscale_backlog_epochs=args.autoscale_backlog_epochs,
+            autoscale_factor=args.autoscale_factor,
+            autoscale_max_partitions=args.autoscale_max_partitions,
         )
     else:
         files = [str(f) for f in sorted(Path(args.input).glob("*.parquet"))]
