@@ -305,6 +305,7 @@ def run_stream_continuous(
     autoscale_backlog_epochs: int | None = None,
     autoscale_factor: int = 2,
     autoscale_max_partitions: int = 64,
+    probe_state_every_epochs: int = 0,
 ) -> StreamResult:
     """Unbounded micro-batch streaming over a LANDING DIRECTORY (≙ the
     reference's Pub/Sub subscription, OrderBookProcessingPipeline.java:103-105
@@ -430,6 +431,30 @@ def run_stream_continuous(
             proc.shutdown()
             raise RuntimeError(f"injected failure after epoch {epoch}")
 
+    def probe_state(epoch: int) -> None:
+        """Append per-operator keyed-state sizes + driver RSS to
+        out_root/state_probe.jsonl (soak observability; cheap O(P) poll)."""
+        import json as _json
+        import resource
+
+        sizes = ray.get([w.state_sizes.remote() for w in proc.workers])
+        rss_kb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+        rec = {
+            "t": _time.time(),
+            "epoch": epoch,
+            "P": P,
+            "driver_maxrss_kb": int(rss_kb),
+            "state": {
+                op: {
+                    k: int(sum(s.get(op, {}).get(k, 0) for s in sizes))
+                    for k in (sizes[0].get(op, {}) if sizes else {})
+                }
+                for op in (sizes[0] if sizes else {})
+            },
+        }
+        with open(Path(out_root) / "state_probe.jsonl", "a") as f:
+            f.write(_json.dumps(rec) + "\n")
+
     def feed(epoch: int, group: list[str], final: bool):
         while len(pending) >= max_inflight:
             commit_oldest()
@@ -442,6 +467,8 @@ def run_stream_continuous(
         pending.append((epoch, proc.feed_epoch_to_sinks(
             group, status_ts, paths, final=final, ckpt=(out_root, epoch, full_ckpt)
         ), _time.monotonic()))
+        if probe_state_every_epochs and epoch % probe_state_every_epochs == 0:
+            probe_state(epoch)
 
     def feed_flush(epoch: int):
         """Re-emit the open-window/join flush as a first-class epoch."""

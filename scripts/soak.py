@@ -1,0 +1,226 @@
+"""Long-soak harness for the continuous stream (VERDICT r2 #8): a producer
+lands rotating-keyspace transcript files for N minutes while the consumer
+(run_stream_continuous with state TTL, checkpoint compaction, trailing
+manifests) runs as a SUBPROCESS; the harness SIGKILLs it mid-soak and
+resumes it, samples the consumer tree's RSS and the per-operator keyed
+state sizes throughout, and verifies exactly-once content at the end.
+
+Usage: python scripts/soak.py [--minutes 25] [--kill-at 8] [--root /tmp/soak]
+Writes <root>/summary.json and prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import signal
+import subprocess
+import sys
+import threading
+import time
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+REPO = str(Path(__file__).resolve().parent.parent)
+US = 1_000_000
+
+CONSUMER = """
+import sys, ray
+sys.path.insert(0, {repo!r})
+ray.init(address="local", num_cpus={cpus}, include_dashboard=False,
+         logging_level="ERROR")
+from ray_ordered_stream.epochs import run_stream_continuous
+from ray_ordered_stream.state import OrderedConfig
+cfg = OrderedConfig(window_size_s=60.0, session_gap_s=10.0, stream_join=True,
+                    pattern=("user", "assistant"), state_ttl_s={ttl},
+                    warmup_rows=0)
+res = run_stream_continuous({land!r}, {out!r}, cfg, num_partitions=4,
+                            files_per_epoch=4, poll_interval_s=0.2,
+                            idle_timeout_s=60.0, resume=True,
+                            checkpoint_full_every=8,
+                            probe_state_every_epochs=4)
+print("CONSUMER_DONE", res.epochs_run, res.total_emitted, flush=True)
+ray.shutdown()
+"""
+
+
+def band_table(epoch: int, n_keys: int, turns: int) -> pa.Table:
+    """Rotating keyspace: fresh conv_ids each band, event time advances one
+    hour per band (so the TTL horizon sweeps past old keys)."""
+    base = epoch * 3600 * US
+    k = np.repeat(np.arange(n_keys), turns)
+    j = np.tile(np.arange(turns), n_keys)
+    keys = np.char.add(f"s{epoch}c", k.astype("U8"))
+    roles = np.where(j % 2 == 0, "user", "assistant").astype(object)
+    texts = np.char.add(
+        np.char.add(f"e{epoch}.", k.astype("U8")),
+        np.char.add(".", j.astype("U8")),
+    )
+    ts = base + k * 10 * US + j * US
+    return pa.table(
+        {
+            "conv_id": pa.array(keys, pa.string()),
+            "turn_idx": pa.array(j.astype(np.int32), pa.int32()),
+            "role": pa.array(roles, pa.string()),
+            "text": pa.array(texts.astype(object), pa.string()),
+            "ts": pa.array(ts, pa.int64()).cast(pa.timestamp("us")),
+        }
+    )
+
+
+def tree_rss_kb(pid: int) -> int:
+    """RSS of a process tree via /proc (no psutil in the sandbox)."""
+    total, stack = 0, [pid]
+    seen = set()
+    while stack:
+        p = stack.pop()
+        if p in seen:
+            continue
+        seen.add(p)
+        try:
+            with open(f"/proc/{p}/status") as f:
+                for line in f:
+                    if line.startswith("VmRSS:"):
+                        total += int(line.split()[1])
+                        break
+            children = Path(f"/proc/{p}/task")
+            for t in children.iterdir():
+                ch = (t / "children").read_text().split()
+                stack.extend(int(c) for c in ch)
+        except (FileNotFoundError, ProcessLookupError, PermissionError):
+            continue
+    return total
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--minutes", type=float, default=25.0)
+    ap.add_argument("--kill-at", type=float, default=8.0,
+                    help="minutes into the soak to SIGKILL the consumer")
+    ap.add_argument("--root", default="/tmp/ros_soak")
+    ap.add_argument("--file-interval", type=float, default=0.5)
+    ap.add_argument("--keys-per-band", type=int, default=400)
+    ap.add_argument("--turns", type=int, default=8)
+    ap.add_argument("--cpus", type=int, default=8)
+    ap.add_argument("--ttl", type=float, default=7200.0)
+    args = ap.parse_args()
+
+    root = Path(args.root)
+    if root.exists():
+        import shutil
+
+        shutil.rmtree(root)
+    land = root / "land"
+    out = root / "out"
+    land.mkdir(parents=True)
+
+    stop_producing = threading.Event()
+    n_files = [0]
+
+    def producer():
+        e = 0
+        while not stop_producing.is_set():
+            tbl = band_table(e, args.keys_per_band, args.turns)
+            tmp = land / f".tmp-{e:06d}"
+            pq.write_table(tbl, tmp, compression="zstd")
+            os.replace(tmp, land / f"f{e:06d}.parquet")  # write-then-rename
+            n_files[0] = e + 1
+            e += 1
+            time.sleep(args.file_interval)
+
+    prod = threading.Thread(target=producer, daemon=True)
+    prod.start()
+
+    code = CONSUMER.format(repo=REPO, cpus=args.cpus, ttl=args.ttl,
+                           land=str(land), out=str(out))
+
+    def start_consumer():
+        return subprocess.Popen(
+            [sys.executable, "-c", code],
+            stdout=open(root / "consumer.log", "a"),
+            stderr=subprocess.STDOUT,
+            start_new_session=True,  # own process group (ray children too)
+            env={**os.environ, "RAY_ADDRESS": ""},
+        )
+
+    rss_log = open(root / "rss.jsonl", "a")
+    t0 = time.time()
+    consumer = start_consumer()
+    killed = False
+    kills = []
+    while time.time() - t0 < args.minutes * 60:
+        time.sleep(10)
+        rss = tree_rss_kb(consumer.pid)
+        rss_log.write(json.dumps({
+            "t": time.time() - t0, "rss_kb": rss, "files": n_files[0],
+        }) + "\n")
+        rss_log.flush()
+        if not killed and time.time() - t0 > args.kill_at * 60:
+            os.killpg(os.getpgid(consumer.pid), signal.SIGKILL)
+            consumer.wait()
+            kills.append(round(time.time() - t0, 1))
+            killed = True
+            time.sleep(2)
+            consumer = start_consumer()  # resume=True path
+        if consumer.poll() is not None and consumer.returncode != 0:
+            print(json.dumps({"error": "consumer died",
+                              "rc": consumer.returncode}))
+            return 1
+
+    stop_producing.set()
+    prod.join()
+    (land / "_STOP").write_text("")
+    rc = consumer.wait(timeout=600)
+    if rc != 0:
+        print(json.dumps({"error": "consumer exit", "rc": rc}))
+        return 1
+
+    # ---- verification: exactly-once content vs the landed input ----------
+    import duckdb
+
+    con = duckdb.connect()
+    got = con.execute(
+        f"""SELECT conv_id, turn_idx, text
+            FROM read_parquet('{out}/ordered/epoch=*/*.parquet')
+            ORDER BY conv_id, turn_idx"""
+    ).df()
+    exp = con.execute(
+        f"""SELECT DISTINCT conv_id, turn_idx, text
+            FROM read_parquet('{land}/f*.parquet')
+            ORDER BY conv_id, turn_idx"""
+    ).df()
+    content_ok = got.equals(exp)
+
+    probes = [json.loads(l) for l in
+              (out / "state_probe.jsonl").read_text().splitlines()]
+    rss = [json.loads(l) for l in
+           (root / "rss.jsonl").read_text().splitlines()]
+    half = len(rss) // 2
+    rss_first = max(r["rss_kb"] for r in rss[:half]) if half else 0
+    rss_second = max(r["rss_kb"] for r in rss[half:]) if half else 0
+    key_series = [p["state"].get("windows", {}).get("keys", 0) for p in probes]
+    summary = {
+        "minutes": args.minutes,
+        "files_landed": n_files[0],
+        "rows_landed": int(len(exp)),
+        "rows_emitted": int(len(got)),
+        "content_exactly_once": bool(content_ok),
+        "kills": kills,
+        "rss_kb_first_half_max": rss_first,
+        "rss_kb_second_half_max": rss_second,
+        "rss_growth_ratio": round(rss_second / max(1, rss_first), 3),
+        "window_keys_max": max(key_series) if key_series else 0,
+        "window_keys_last": key_series[-1] if key_series else 0,
+        "probes": len(probes),
+    }
+    (root / "summary.json").write_text(json.dumps(summary, indent=1))
+    print(json.dumps(summary))
+    return 0 if content_ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
