@@ -289,6 +289,34 @@ def _load_epoch_records(out_root: str) -> list[list[str]]:
     return groups
 
 
+def _complete_autoscale(out_root: str, key: str) -> None:
+    """Finish an autoscale rescale a crash interrupted. The durable marker
+    (written BEFORE rescale_checkpoint starts) carries (epoch, from, to);
+    rescale_checkpoint is idempotent for the same arguments, so re-running
+    it completes whatever phase the crash cut short."""
+    import json as _json
+
+    marker = Path(out_root) / "ckpt" / "_autoscale.json"
+    if not marker.exists():
+        return
+    info = _json.loads(marker.read_text())
+    from .checkpoint import read_lineage_meta
+
+    meta = read_lineage_meta(out_root)
+    done = (
+        meta is not None
+        and meta.get("partitions") == info["to"]
+        and not meta.get("migrating_to")
+    )
+    if not done:
+        from .rescale import rescale_checkpoint
+
+        rescale_checkpoint(
+            out_root, info["epoch"], info["from"], info["to"], key=key
+        )
+    marker.unlink()
+
+
 def run_stream_continuous(
     landing_dir: str,
     out_root: str,
@@ -339,10 +367,12 @@ def run_stream_continuous(
     land = Path(landing_dir)
 
     if resume and autoscale_backlog_epochs is not None:
-        # a previous run may have auto-rescaled: the lineage meta's P is
-        # authoritative over the caller's num_partitions
+        # finish any rescale a crash interrupted (idempotent two-phase
+        # protocol in rescale.rescale_checkpoint), then adopt the lineage
+        # meta's P — authoritative over the caller's num_partitions
         from .checkpoint import read_lineage_meta
 
+        _complete_autoscale(out_root, cfg.key)
         meta0 = read_lineage_meta(out_root)
         if meta0 is not None and meta0.get("partitions"):
             num_partitions = int(meta0["partitions"])
@@ -540,7 +570,20 @@ def run_stream_continuous(
                 cut = next_epoch - 1
                 new_P = min(autoscale_max_partitions, P * autoscale_factor)
                 proc.shutdown()
+                # durable intent marker: a crash mid-rescale is finished by
+                # _complete_autoscale on the next resume
+                marker = Path(out_root) / "ckpt" / "_autoscale.json"
+                marker.parent.mkdir(parents=True, exist_ok=True)
+                import json as _js
+                import os as _os
+
+                tmpm = marker.with_suffix(".tmp")
+                tmpm.write_text(_js.dumps(
+                    {"epoch": cut, "from": P, "to": new_P}))
+
+                _os.replace(tmpm, marker)
                 rescale_checkpoint(out_root, cut, P, new_P, key=cfg.key)
+                marker.unlink()
                 meta_r = read_lineage_meta(out_root)
                 overrides_r = (meta_r or {}).get("overrides") or None
                 proc = OrderedProcessor(cfg, new_P, overrides_r)

@@ -259,3 +259,45 @@ def test_autoscale_on_backlog_grows_P_and_matches_fixed_run(
         autoscale_backlog_epochs=2, resume=True,
     )
     pd.testing.assert_frame_equal(content(res_resumed), content(res_fixed))
+
+
+def test_interrupted_autoscale_completes_on_resume(ray_session, tmp_path):
+    # a crash right after the durable autoscale marker (before/within the
+    # two-phase rescale) must be finished by the next resume, which then
+    # adopts the migrated P
+    import json
+
+    from ray_ordered_stream.checkpoint import read_lineage_meta, resume_epoch
+    from ray_ordered_stream.epochs import run_stream_continuous
+    from ray_ordered_stream.fixtures import gen_transcripts
+
+    t = gen_transcripts(n_convs=8, min_turns=6, max_turns=16, seed=29)
+    land = tmp_path / "land"
+    land.mkdir()
+    n, F = t.num_rows, 6
+    step = -(-n // F)
+    for i in range(F):
+        pq.write_table(t.slice(i * step, step), land / f"p{i:04d}.parquet")
+    (land / "_STOP").write_text("")
+    out = str(tmp_path / "out")
+    first = run_stream_continuous(
+        str(land), out, num_partitions=2, files_per_epoch=2,
+        poll_interval_s=0.05, idle_timeout_s=5.0,
+    )
+    cut = resume_epoch(out, 2)
+    (Path(out) / "ckpt" / "_autoscale.json").write_text(
+        json.dumps({"epoch": cut, "from": 2, "to": 4})
+    )
+    res = run_stream_continuous(
+        str(land), out, num_partitions=2, files_per_epoch=2,
+        poll_interval_s=0.05, idle_timeout_s=5.0,
+        autoscale_backlog_epochs=8, resume=True,
+    )
+    assert read_lineage_meta(out)["partitions"] == 4
+    assert not (Path(out) / "ckpt" / "_autoscale.json").exists()
+    got = (
+        res.sinks["ordered"].read()
+        .select_columns(["conv_id", "turn_idx", "text"]).to_pandas()
+        .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    assert len(got) == first.total_emitted
