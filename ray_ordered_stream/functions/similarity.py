@@ -208,21 +208,30 @@ def build_ivf_index(
 
     cref = ray.put(centroids)
 
-    def assign(b: pd.DataFrame) -> pd.DataFrame:
+    def assign(t: pa.Table) -> pa.Table:
         c = ray.get(cref)
-        v = np.stack(b[vec_col].to_numpy()).astype(np.float64)
+        col = t[vec_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        # normalize to a PLAIN list<float> column with no pandas/extension
+        # metadata: Ray may hold the vectors as its Arrow tensor extension
+        # type, whose pandas metadata poisons to_pandas on the probe read
+        if isinstance(col.type, pa.ExtensionType):
+            col = col.storage
+        if pa.types.is_fixed_size_list(col.type):
+            col = col.cast(pa.list_(col.type.value_type))
+        v = np.stack(col.to_numpy(zero_copy_only=False)).astype(np.float64)
         d = (
             (v * v).sum(axis=1)[:, None]
             - 2.0 * (v @ c.T)
             + (c * c).sum(axis=1)[None, :]
         )
-        lid = d.argmin(axis=1).astype(np.int32)
-        out = b[[id_col, vec_col]].copy()
-        out["lid"] = lid
-        out["list_id"] = lid  # hive partition key (stripped into the path)
-        return out
+        lid = pa.array(d.argmin(axis=1).astype(np.int32), pa.int32())
+        return pa.table(
+            {id_col: t[id_col], vec_col: col, "lid": lid, "list_id": lid}
+        )
 
-    ds.map_batches(assign, batch_format="pandas").write_parquet(
+    ds.map_batches(assign, batch_format="pyarrow").write_parquet(
         str(root), partition_cols=["list_id"]
     )
     np.save(root / "centroids.npy", centroids)
