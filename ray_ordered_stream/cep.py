@@ -161,6 +161,142 @@ def match_pattern(
     return ray.data.from_arrow_refs(out)
 
 
+def _absent_suffix_min(
+    codes: np.ndarray, tsi: np.ndarray, absent_mask: np.ndarray
+) -> np.ndarray:
+    """Per-key suffix minimum of ``tsi`` over absent-role rows in a
+    (key, seq)-lexsorted stream: out[i] = min ts of any absent row j >= i
+    with codes[j] == codes[i] (int64 max when none). Vectorized via a
+    reversed grouped cummin (pandas' cummin is C, no per-row Python)."""
+    import pandas as pd
+
+    arr = np.where(absent_mask, tsi, np.iinfo(np.int64).max)
+    rev = pd.Series(arr[::-1])
+    out = rev.groupby(codes[::-1], sort=False).cummin().to_numpy()[::-1]
+    return out
+
+
+def _surviving_negation(
+    codes: np.ndarray,
+    tsi: np.ndarray,
+    absent_mask: np.ndarray,
+    ends: np.ndarray,
+    absent_within_us: int | None,
+) -> np.ndarray:
+    """Boolean per match end index: True when NO same-key absent-role row
+    exists strictly after the end row with ts <= end_ts + absent_within_us
+    (any later ts when the bound is None)."""
+    n = len(codes)
+    if n == 0 or not len(ends):
+        return np.ones(len(ends), dtype=bool)
+    suffmin = _absent_suffix_min(codes, tsi, absent_mask)
+    nxt = ends + 1
+    has_next = nxt < n
+    nxt_clip = np.minimum(nxt, n - 1)
+    same_key = has_next & (codes[nxt_clip] == codes[ends])
+    bound = (
+        np.full(len(ends), np.iinfo(np.int64).max)
+        if absent_within_us is None
+        else tsi[ends] + absent_within_us
+    )
+    # int64.max is the "no absent row in this suffix" sentinel — never a
+    # real violation even against an unbounded window
+    violated = (
+        same_key
+        & (suffmin[nxt_clip] != np.iinfo(np.int64).max)
+        & (suffmin[nxt_clip] <= bound)
+    )
+    return ~violated
+
+
+def match_absence(
+    ds,
+    pattern: list[str],
+    absent_role: str,
+    key: str = KEY,
+    seq: str = SEQ,
+    role: str = "role",
+    ts: str = "ts",
+    within_us: int | None = None,
+    absent_within_us: int | None = None,
+    num_partitions: int | None = None,
+):
+    """Batch CEP negation (Flink's ``notFollowedBy`` with a time bound):
+    occurrences of ``pattern`` on consecutive turns per key that are NOT
+    followed — at any later turn of the same key — by a turn with role
+    ``absent_role`` whose ts <= end_ts + absent_within_us (unbounded when
+    None). The canonical "abandoned cart": view->click with no purchase
+    within the window.
+
+    Scale shape mirrors match_pattern: 4-column projection, ONE hash
+    exchange on the key, per-partition vectorized scan; the negation check
+    is a per-key suffix-min over absent rows (no per-row Python, exact
+    regardless of ts/seq monotonicity)."""
+    import ray
+    import ray.data
+
+    from .exchange import default_partitions, shard_refs
+
+    pattern = list(pattern)
+    L = len(pattern)
+    if L < 1:
+        raise ValueError("pattern must be non-empty")
+    if not absent_role:
+        raise ValueError("absent_role must be non-empty")
+
+    @ray.remote
+    def scan(*shards: pa.Table) -> pa.Table:
+        real = [t for t in shards if t.num_rows]
+        if not real:
+            return _empty_matches(key)
+        tbl = (
+            pa.concat_tables(real, promote_options="none")
+            if len(real) > 1
+            else real[0]
+        )
+        kc_enc = pc.dictionary_encode(
+            tbl[key].combine_chunks()
+            if isinstance(tbl[key], pa.ChunkedArray)
+            else tbl[key]
+        )
+        if isinstance(kc_enc, pa.ChunkedArray):
+            kc_enc = kc_enc.combine_chunks()
+        codes = np.asarray(kc_enc.indices).astype(np.int64)
+        sq = tbl[seq].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((sq, codes))
+        tbl = tbl.take(pa.array(order))
+        codes = codes[order]
+        sq = sq[order]
+        key_col = (
+            tbl[key].combine_chunks()
+            if isinstance(tbl[key], pa.ChunkedArray)
+            else tbl[key]
+        )
+        role_col = (
+            tbl[role].combine_chunks()
+            if isinstance(tbl[role], pa.ChunkedArray)
+            else tbl[role]
+        )
+        tsi = tbl[ts].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        starts = _find_matches(key_col, sq, role_col, tsi, pattern, within_us)
+        if not len(starts):
+            return _empty_matches(key)
+        absent_mask = np.asarray(pc.equal(role_col, absent_role)).astype(bool)
+        keep = _surviving_negation(
+            codes, tsi, absent_mask, starts + L - 1, absent_within_us
+        )
+        starts = starts[keep]
+        if not len(starts):
+            return _empty_matches(key)
+        return _matches_table(key_col, sq, tsi, starts, L, key)
+
+    P = num_partitions or default_partitions()
+    proj = ds.select_columns([key, seq, role, ts])
+    groups = shard_refs(list(proj.to_arrow_refs()), key, P)
+    out = [scan.remote(*[g[p] for g in groups]) for p in range(P)]
+    return ray.data.from_arrow_refs(out)
+
+
 class PatternMatcher:
     """Streaming CEP riding the in-sequence emission (stream_ops-style;
     lives inside the ordered state actors, same key partitioning => no extra
@@ -336,3 +472,203 @@ class PatternMatcher:
                 self.ts: pa.array(c[self.ts], pa.int64()).cast(pa.timestamp("us")),
             }
         )
+
+
+_PENDING_COLS = ["start_seq", "end_seq", "start_ts_us", "end_ts_us", "deadline_us"]
+
+
+class AbsenceMatcher:
+    """Streaming CEP negation (match_absence's streaming counterpart,
+    Flink's ``notFollowedBy`` + time bound). Rides the ordered in-sequence
+    emission like PatternMatcher; composition:
+
+    - a PatternMatcher generates candidate matches exactly once;
+    - candidates wait in a small pending table until the partition's
+      event-time watermark passes deadline = end_ts + absent_within_us
+      (+ lateness);
+    - an emitted turn with role == absent_role CANCELS same-key pending
+      candidates whose window it falls into (seq > end_seq and
+      ts <= deadline);
+    - survivors fire exactly once; take_final() releases the rest at
+      end-of-stream (no further event can cancel them).
+
+    Watermark caveat (same one the window accumulators document): the
+    watermark is partition-level, so a key whose stream lags far behind
+    the partition frontier could have a candidate fire before its
+    cancelling event arrives. ``lateness_us`` is the standard margin; the
+    oracled gate sets it past the stream span so firing happens only at
+    the final flush and content is exact."""
+
+    def __init__(self, pattern: list[str], absent_role: str, key: str = KEY,
+                 seq: str = SEQ, role: str = "role", ts: str = "ts",
+                 within_us: int | None = None,
+                 absent_within_us: int | None = None,
+                 lateness_us: int = 0, end_role: str | None = None):
+        if not absent_role:
+            raise ValueError("absent_role must be non-empty")
+        self._pm = PatternMatcher(pattern, key, seq, role, ts,
+                                  within_us=within_us, end_role=end_role)
+        self.absent_role = absent_role
+        self.absent_within_us = absent_within_us
+        self.lateness_us = int(lateness_us)
+        self.key = key
+        self.seq = seq
+        self.role = role
+        self.ts = ts
+        # columnar pending state: parallel numpy arrays + a python key list
+        self._pend_keys: list[str] = []
+        self._pend: dict[str, np.ndarray] = {
+            c: np.zeros(0, dtype=np.int64) for c in _PENDING_COLS
+        }
+
+    @property
+    def watermark(self):
+        return self._pm.watermark
+
+    def _emit_table(self, idx: np.ndarray) -> pa.Table:
+        p = self._pend
+        return pa.table(
+            {
+                self.key: pa.array([self._pend_keys[i] for i in idx], pa.string()),
+                "start_seq": pa.array(p["start_seq"][idx], pa.int64()),
+                "end_seq": pa.array(p["end_seq"][idx], pa.int64()),
+                "start_ts": pa.array(p["start_ts_us"][idx], pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+                "end_ts": pa.array(p["end_ts_us"][idx], pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+            }
+        )
+
+    def _drop(self, drop_mask: np.ndarray) -> None:
+        keep = np.flatnonzero(~drop_mask)
+        self._pend_keys = [self._pend_keys[i] for i in keep]
+        for c in _PENDING_COLS:
+            self._pend[c] = self._pend[c][keep]
+
+    def update(self, emitted: pa.Table, codes_kv=None) -> pa.Table:
+        cands = self._pm.update(emitted, codes_kv)
+        if cands.num_rows:
+            iinfo = np.iinfo(np.int64)
+            ets = cands["end_ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            if self.absent_within_us is None:
+                dl = np.full(len(ets), iinfo.max)
+            else:
+                dl = ets + self.absent_within_us
+            self._pend_keys.extend(cands[self.key].to_pylist())
+            add = {
+                "start_seq": cands["start_seq"].to_numpy(zero_copy_only=False),
+                "end_seq": cands["end_seq"].to_numpy(zero_copy_only=False),
+                "start_ts_us": cands["start_ts"].cast(pa.int64()).to_numpy(
+                    zero_copy_only=False
+                ),
+                "end_ts_us": ets,
+                "deadline_us": dl,
+            }
+            for c in _PENDING_COLS:
+                self._pend[c] = np.concatenate(
+                    [self._pend[c], add[c].astype(np.int64)]
+                )
+
+        n_pend = len(self._pend_keys)
+        if n_pend and emitted.num_rows and self.role in emitted.column_names:
+            # cancellation: same-key absent rows with seq > end_seq landing
+            # inside the window. Joint factorize + composite (code<<32)|seq
+            # searchsorted + per-key suffix-min of absent ts — vectorized.
+            import pandas as pd
+
+            role_col = emitted[self.role]
+            if isinstance(role_col, pa.ChunkedArray):
+                role_col = role_col.combine_chunks()
+            amask = np.asarray(pc.equal(role_col, self.absent_role)).astype(bool)
+            if amask.any():
+                sel = np.flatnonzero(amask)
+                a_keys = np.asarray(
+                    emitted[self.key].take(pa.array(sel)).to_pylist(), dtype=object
+                )
+                a_seq = (
+                    emitted[self.seq]
+                    .take(pa.array(sel))
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64)
+                )
+                a_ts = (
+                    emitted[self.ts]
+                    .cast(pa.int64())
+                    .take(pa.array(sel))
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64)
+                )
+                p_keys = np.asarray(self._pend_keys, dtype=object)
+                codes, _ = pd.factorize(np.concatenate([a_keys, p_keys]))
+                a_code, p_code = codes[: len(a_keys)], codes[len(a_keys):]
+                order = np.lexsort((a_seq, a_code))
+                a_code, a_seq, a_ts = a_code[order], a_seq[order], a_ts[order]
+                suffmin = _absent_suffix_min(
+                    a_code, a_ts, np.ones(len(a_code), dtype=bool)
+                )
+                comp_a = (a_code << 32) | (a_seq & 0xFFFFFFFF)
+                comp_q = (p_code << 32) | (
+                    (self._pend["end_seq"] + 1) & 0xFFFFFFFF
+                )
+                pos = np.searchsorted(comp_a, comp_q, side="left")
+                has = pos < len(comp_a)
+                posc = np.minimum(pos, max(len(comp_a) - 1, 0))
+                cancelled = (
+                    has
+                    & (a_code[posc] == p_code)
+                    & (suffmin[posc] <= self._pend["deadline_us"])
+                )
+                if cancelled.any():
+                    self._drop(cancelled)
+
+        # fire survivors the watermark has passed
+        wm = self._pm.watermark
+        if wm is not None and len(self._pend_keys):
+            # python-int RHS avoids int64 overflow when deadline is the
+            # unbounded sentinel (int64.max) and lateness > 0
+            ready = self._pend["deadline_us"] < (wm - self.lateness_us)
+            if ready.any():
+                out = self._emit_table(np.flatnonzero(ready))
+                self._drop(ready)
+                return out
+        return _empty_matches(self.key)
+
+    def take_final(self) -> pa.Table:
+        """End-of-stream flush: every still-pending candidate survives (no
+        later event exists to cancel it). Exactly once — pending empties."""
+        if not len(self._pend_keys):
+            return _empty_matches(self.key)
+        out = self._emit_table(np.arange(len(self._pend_keys)))
+        self._pend_keys = []
+        for c in _PENDING_COLS:
+            self._pend[c] = np.zeros(0, dtype=np.int64)
+        return out
+
+    def gc(self, ttl_us: int) -> int:
+        # pending is deadline-bounded (fires/cancels on its own); only the
+        # inner pattern carry needs the idle-key TTL
+        return self._pm.gc(ttl_us)
+
+    def state_size(self) -> dict:
+        s = self._pm.state_size()
+        s["pending_rows"] = len(self._pend_keys)
+        return s
+
+    def snapshot(self) -> dict:
+        return {
+            "pm": self._pm.snapshot(),
+            "pending": {
+                "keys": list(self._pend_keys),
+                **{c: self._pend[c].tolist() for c in _PENDING_COLS},
+            },
+        }
+
+    def restore(self, snap: dict) -> None:
+        self._pm.restore(snap["pm"])
+        p = snap["pending"]
+        self._pend_keys = list(p["keys"])
+        self._pend = {
+            c: np.asarray(p[c], dtype=np.int64) for c in _PENDING_COLS
+        }

@@ -40,6 +40,9 @@ def build_config(args) -> "OrderedConfig":
         join_within_s=args.join_within,
         pattern=tuple(args.pattern.split(",")) if args.pattern else (),
         pattern_within_s=args.pattern_within,
+        absent_role=args.absent_role,
+        absent_within_s=args.absent_within,
+        pattern_lateness_s=args.pattern_lateness,
         with_book=args.with_book,
         status_every_epochs=args.status_every_epochs,
         status_interval_s=args.status_interval,
@@ -75,6 +78,14 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--pattern", default="",
                     help="comma-separated roles for CEP matching")
     ap.add_argument("--pattern-within", type=float, default=0.0)
+    ap.add_argument("--absent-role", default="",
+                    help="with --pattern: CEP negation — match only when no "
+                         "same-key turn with this role follows the pattern")
+    ap.add_argument("--absent-within", type=float, default=0.0,
+                    help="event-time window (s) for --absent-role "
+                         "(0 = never followed by)")
+    ap.add_argument("--pattern-lateness", type=float, default=0.0,
+                    help="watermark margin (s) before firing absence matches")
     ap.add_argument("--with-book", action="store_true")
     ap.add_argument("--status-every-epochs", type=int, default=1)
     ap.add_argument("--status-interval", type=float, default=0.0)

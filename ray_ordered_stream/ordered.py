@@ -134,7 +134,19 @@ class OrderedWorker:
                 cfg.key, cfg.seq,
                 within_us=int(cfg.join_within_s * 1_000_000) or None,
             )
-        if cfg.pattern:
+        if cfg.pattern and cfg.absent_role:
+            from .cep import AbsenceMatcher
+
+            self.matcher = AbsenceMatcher(
+                list(cfg.pattern), cfg.absent_role, cfg.key, cfg.seq,
+                within_us=int(cfg.pattern_within_s * 1_000_000) or None,
+                absent_within_us=(
+                    int(cfg.absent_within_s * 1_000_000) or None
+                ),
+                lateness_us=int(cfg.pattern_lateness_s * 1_000_000),
+                end_role=cfg.last_value if cfg.last_col == "role" else None,
+            )
+        elif cfg.pattern:
             from .cep import PatternMatcher
 
             self.matcher = PatternMatcher(
@@ -279,7 +291,7 @@ class OrderedWorker:
                 write_part_atomic(j, sink_paths["joined"]) if j is not None else 0
             )
         if "matches" in sink_paths and self.matcher is not None:
-            mt = self.take_match_output()
+            mt = self.take_match_output(final)
             out["matches"] = (
                 write_part_atomic(mt, sink_paths["matches"]) if mt is not None else 0
             )
@@ -353,7 +365,7 @@ class OrderedWorker:
             j = self.take_join_output()
             out["joined"] = write_part_atomic(j, sink_paths["joined"]) if j is not None else 0
         if "matches" in sink_paths and self.matcher is not None:
-            mt = self.take_match_output()
+            mt = self.take_match_output(final=True)
             out["matches"] = write_part_atomic(mt, sink_paths["matches"]) if mt is not None else 0
         return out
 
@@ -436,10 +448,16 @@ class OrderedWorker:
             return None
         return pa.concat_tables(out) if len(out) > 1 else out[0]
 
-    def take_match_output(self):
-        """CEP pattern matches produced since the last take (cep)."""
+    def take_match_output(self, final: bool = False):
+        """CEP pattern matches produced since the last take (cep). With
+        ``final=True`` an AbsenceMatcher also releases its still-pending
+        candidates (end-of-stream: nothing can cancel them anymore)."""
         if self.matcher is None:
             return None
+        if final and hasattr(self.matcher, "take_final"):
+            ft = self.matcher.take_final()
+            if ft is not None and ft.num_rows:
+                self._match_out.append(ft)
         out = self._match_out
         self._match_out = []
         if not out:

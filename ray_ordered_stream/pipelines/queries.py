@@ -427,6 +427,73 @@ WHERE role = 'view' AND r1 = 'click' AND r2 = 'purchase'
 """
 
 
+def q_cep_abandoned(sf_dir: str):
+    """CEP negation (cep.match_absence, Flink notFollowedBy): every
+    view->click on consecutive turns NOT followed by a purchase by the same
+    user within 12 hours — the canonical abandoned-cart detector. SQL
+    mirror is the LEAD-window pattern plus a NOT EXISTS anti-join."""
+    from ..cep import match_absence
+    from .transcripts import derive_transcripts
+
+    t = derive_transcripts(_read(sf_dir, "events"))
+    return match_absence(
+        t, ["view", "click"], "purchase",
+        absent_within_us=12 * 3600 * 1_000_000,
+    )
+
+
+SQL_CEP_ABANDONED = """
+WITH t AS (
+  SELECT cast(user_id AS varchar) AS conv_id,
+         cast(row_number() OVER w - 1 AS int) AS turn_idx,
+         event_type AS role, ts
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT conv_id, turn_idx, role, ts,
+         lead(role, 1) OVER w AS r1, lead(turn_idx, 1) OVER w AS i1,
+         lead(ts, 1) OVER w AS ts1
+  FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+),
+m AS (
+  SELECT conv_id, turn_idx::bigint AS start_seq, i1::bigint AS end_seq,
+         ts AS start_ts, ts1 AS end_ts
+  FROM s WHERE role = 'view' AND r1 = 'click' AND i1 = turn_idx + 1
+)
+SELECT conv_id, start_seq, end_seq, start_ts, end_ts
+FROM m
+WHERE NOT EXISTS (
+  SELECT 1 FROM t a
+  WHERE a.conv_id = m.conv_id AND a.turn_idx > m.end_seq
+    AND a.role = 'purchase' AND a.ts <= m.end_ts + INTERVAL 12 HOUR)
+"""
+
+
+def q_stream_cep_absence(sf_dir: str):
+    """The STREAMING absence matcher (cep.AbsenceMatcher in the state
+    actors, 'matches' sink) through the driver gate — same semantics as
+    cep_abandoned but run through the full multi-epoch engine (exactly-once
+    sinks, checkpoints, final flush). Lateness is set past the stream's ts
+    span so candidates fire only at the final flush — firing TIME under a
+    shuffled arrival is watermark policy, match CONTENT is not."""
+    from ..state import OrderedConfig
+
+    cfg = OrderedConfig(
+        warmup_rows=0,
+        pattern=("view", "click"),
+        absent_role="purchase",
+        absent_within_s=12 * 3600.0,
+        pattern_lateness_s=100 * 86400.0,
+    )
+    return _run_stream_query(
+        sf_dir, "cepabs", cfg, "matches",
+        [KEY, "start_seq", "end_seq", "start_ts", "end_ts"],
+    )
+
+
+SQL_STREAM_CEP_ABSENCE = SQL_CEP_ABANDONED
+
+
 def q_sketch_certify(sf_dir: str):
     """Sketch operators with an EXACT certificate (the planted-oracle style):
     HLL distinct counts are checked against the true cardinality (computed
@@ -2657,6 +2724,8 @@ QUERIES = {
     # -- (3) new in round 3 -------------------------------------------------
     "media_decode_real": (q_media_decode_real, SQL_MEDIA_DECODE_REAL),
     "media_audio_real": (q_media_audio_real, SQL_MEDIA_AUDIO_REAL),
+    "cep_abandoned": (q_cep_abandoned, SQL_CEP_ABANDONED),
+    "stream_cep_absence": (q_stream_cep_absence, SQL_STREAM_CEP_ABSENCE),
     # -- (4) green in round 2 ---------------------------------------------
     "conv_render": (q_conv_render, SQL_CONV_RENDER),
     "conv_examples": (q_conv_examples, SQL_CONV_EXAMPLES),

@@ -89,6 +89,15 @@ class OrderedConfig:
     # occur on consecutive turns of one key (cep.PatternMatcher side output)
     pattern: tuple = ()
     pattern_within_s: float = 0.0  # 0 = no event-time bound on a match
+    # non-empty (with pattern) switches the CEP side output to NEGATION
+    # (cep.AbsenceMatcher, Flink's notFollowedBy): emit a match only when
+    # NO same-key turn with this role follows the pattern within
+    # absent_within_s of event time (0 = unbounded "never followed by").
+    # Candidates wait until the watermark passes end_ts + absent_within_s
+    # + pattern_lateness_s, so firing is exactly-once and cancellable.
+    absent_role: str = ""
+    absent_within_s: float = 0.0
+    pattern_lateness_s: float = 0.0
     # event-time TTL for the keyed operator state above (windows, sessions,
     # join pendings, CEP carry): keys idle for more than this many seconds
     # of event time (vs each operator's watermark) are evicted at every

@@ -166,3 +166,224 @@ def test_pattern_matcher_carry_dropped_after_end_sentinel():
     )
     out = m.update(t2).to_pandas()
     assert len(out) == 1 and out["start_seq"].iloc[0] == 0
+
+
+# ---------------------------------------------------------------------------
+# CEP negation (match_absence / AbsenceMatcher)
+# ---------------------------------------------------------------------------
+
+APAT = ["user", "assistant"]
+ABSENT = "tool"
+
+
+def _brute_absence(df, pattern, absent_role, absent_within_us):
+    """Reference semantics: pattern on consecutive turns NOT followed by any
+    same-key absent_role turn with ts <= end_ts + window."""
+    base = _brute(df, pattern)
+    d = df.sort_values([KEY, SEQ])
+    keep = []
+    for _, m in base.iterrows():
+        g = d[d[KEY] == m[KEY]]
+        end_row = g[g[SEQ] == m["end_seq"]].iloc[0]
+        end_ts = pd.Timestamp(end_row["ts"]).value // 1000
+        later = g[(g[SEQ] > m["end_seq"]) & (g["role"] == absent_role)]
+        if absent_within_us is not None:
+            later = later[
+                later["ts"].astype("datetime64[us]").astype("int64") <= end_ts + absent_within_us
+            ]
+        keep.append(len(later) == 0)
+    return base[np.array(keep, dtype=bool)].reset_index(drop=True)
+
+
+def test_match_absence_batch_vs_bruteforce(transcript, ray_session):
+    import ray.data
+
+    from ray_ordered_stream.cep import match_absence
+
+    ds = ray.data.from_arrow(
+        pa.Table.from_pandas(transcript, preserve_index=False)
+    )
+    for win in (2_500_000, None):
+        got = (
+            match_absence(ds, APAT, ABSENT, absent_within_us=win,
+                          num_partitions=3)
+            .to_pandas()
+            .sort_values([KEY, "start_seq"])
+            .reset_index(drop=True)
+        )
+        exp = (
+            _brute_absence(transcript, APAT, ABSENT, win)
+            .sort_values([KEY, "start_seq"])
+            .reset_index(drop=True)
+        )
+        # the fixture must exercise BOTH outcomes or the test proves nothing
+        assert 0 < len(exp) < len(_brute(transcript, APAT))
+        pd.testing.assert_frame_equal(got[[KEY, "start_seq", "end_seq"]], exp)
+
+
+def test_absence_matcher_epochs_equals_batch(transcript):
+    # event-time-ordered arrival (the realistic case): when the watermark
+    # first passes a candidate's deadline, every potential canceller
+    # (ts <= deadline) has already been fed — update() cancels before it
+    # fires, so incremental firing with ZERO lateness is already exact
+    from ray_ordered_stream.cep import AbsenceMatcher
+
+    tbl = pa.Table.from_pandas(
+        transcript.sort_values(["ts", KEY, SEQ]), preserve_index=False
+    )
+    win = 2_500_000
+    exp = (
+        _brute_absence(transcript, APAT, ABSENT, win)
+        .sort_values([KEY, "start_seq"])
+        .reset_index(drop=True)
+    )
+    for n_chunks in (1, 7, 23):
+        m = AbsenceMatcher(APAT, ABSENT, absent_within_us=win)
+        outs = []
+        step = -(-tbl.num_rows // n_chunks)
+        for i in range(n_chunks):
+            outs.append(m.update(tbl.slice(i * step, step)))
+        fired_incrementally = sum(o.num_rows for o in outs)
+        outs.append(m.take_final())
+        got = (
+            pa.concat_tables(outs)
+            .to_pandas()
+            .sort_values([KEY, "start_seq"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got[[KEY, "start_seq", "end_seq"]], exp)
+        # exactly-once: nothing left pending after the final take
+        assert m.state_size()["pending_rows"] == 0
+        if n_chunks > 1:
+            # the watermark path must actually fire matches mid-stream —
+            # otherwise this only tests the final flush
+            assert fired_incrementally > 0
+
+
+def test_absence_matcher_key_sorted_needs_lateness(transcript):
+    # key-sorted arrival is the adversarial case for a partition-level
+    # watermark (one key's deadline passes while another key's canceller
+    # is still queued). A lateness margin past the per-key time span
+    # restores exactness — the documented knob for skewed arrivals.
+    from ray_ordered_stream.cep import AbsenceMatcher
+
+    tbl = pa.Table.from_pandas(
+        transcript.sort_values([KEY, SEQ]), preserve_index=False
+    )
+    win = 2_500_000
+    exp = (
+        _brute_absence(transcript, APAT, ABSENT, win)
+        .sort_values([KEY, "start_seq"])
+        .reset_index(drop=True)
+    )
+    m = AbsenceMatcher(APAT, ABSENT, absent_within_us=win,
+                       lateness_us=120_000_000)
+    outs = []
+    step = -(-tbl.num_rows // 7)
+    for i in range(7):
+        outs.append(m.update(tbl.slice(i * step, step)))
+    outs.append(m.take_final())
+    got = (
+        pa.concat_tables(outs)
+        .to_pandas()
+        .sort_values([KEY, "start_seq"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[[KEY, "start_seq", "end_seq"]], exp)
+
+
+def test_absence_matcher_cancel_across_epochs():
+    from ray_ordered_stream.cep import AbsenceMatcher
+
+    def turns(key, rows):
+        return pa.table(
+            {
+                KEY: pa.array([key] * len(rows), pa.string()),
+                SEQ: pa.array([r[0] for r in rows], pa.int32()),
+                "role": pa.array([r[1] for r in rows], pa.string()),
+                "ts": pa.array([r[2] for r in rows], pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+            }
+        )
+
+    m = AbsenceMatcher(["a", "b"], "c", absent_within_us=10)
+    # epoch 1: the pattern completes; candidate goes pending
+    assert m.update(turns("k", [(0, "a", 0), (1, "b", 1)])).num_rows == 0
+    assert m.state_size()["pending_rows"] == 1
+    # epoch 2: the absent role arrives INSIDE the window -> cancelled
+    assert m.update(turns("k", [(2, "c", 5)])).num_rows == 0
+    assert m.state_size()["pending_rows"] == 0
+    assert m.take_final().num_rows == 0
+
+    m2 = AbsenceMatcher(["a", "b"], "c", absent_within_us=10)
+    m2.update(turns("k", [(0, "a", 0), (1, "b", 1)]))
+    # absent role OUTSIDE the window (ts 20 > 1+10) -> candidate survives
+    # and fires as soon as the watermark passes its deadline
+    out = m2.update(turns("k", [(2, "c", 20)]))
+    assert out.num_rows == 1
+    assert out.to_pydict()["start_seq"] == [0]
+    assert m2.take_final().num_rows == 0
+
+
+def test_absence_matcher_snapshot_restore(transcript):
+    from ray_ordered_stream.cep import AbsenceMatcher
+
+    tbl = pa.Table.from_pandas(
+        transcript.sort_values([KEY, SEQ]), preserve_index=False
+    )
+    win = 2_500_000
+    half = tbl.num_rows // 2
+    m = AbsenceMatcher(APAT, ABSENT, absent_within_us=win)
+    o1 = m.update(tbl.slice(0, half))
+    snap = m.snapshot()
+
+    m2 = AbsenceMatcher(APAT, ABSENT, absent_within_us=win)
+    m2.restore(snap)
+    o2a = m2.update(tbl.slice(half))
+    o2b = m2.take_final()
+
+    o3a = m.update(tbl.slice(half))
+    o3b = m.take_final()
+    got_resumed = pa.concat_tables([o1, o2a, o2b]).to_pandas()
+    got_straight = pa.concat_tables([o1, o3a, o3b]).to_pandas()
+    pd.testing.assert_frame_equal(
+        got_resumed.sort_values([KEY, "start_seq"]).reset_index(drop=True),
+        got_straight.sort_values([KEY, "start_seq"]).reset_index(drop=True),
+    )
+
+
+def test_stream_absence_sink_e2e(tmp_path, ray_session):
+    from ray_ordered_stream.epochs import run_stream
+    from ray_ordered_stream.state import OrderedConfig
+
+    t = gen_transcripts(
+        n_convs=8, min_turns=10, max_turns=40, lateness=25, dup_rate=0.02, seed=3
+    )
+    d = tmp_path / "landing"
+    d.mkdir()
+    files = []
+    n, nf = t.num_rows, 5
+    step = -(-n // nf)
+    for i in range(nf):
+        f = d / f"part-{i:05d}.parquet"
+        pq.write_table(t.slice(i * step, step), f)
+        files.append(str(f))
+    cfg = OrderedConfig(
+        pattern=tuple(APAT), absent_role=ABSENT, absent_within_s=2.5,
+        pattern_lateness_s=1e9,  # fire only at the final flush (exact)
+    )
+    res = run_stream(files, str(tmp_path / "out"), cfg, num_partitions=3,
+                     files_per_epoch=2)
+    got = (
+        res.sinks["matches"].read().to_pandas()
+        .sort_values([KEY, "start_seq"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        _brute_absence(oracle_ordered(t), APAT, ABSENT, 2_500_000)
+        .sort_values([KEY, "start_seq"])
+        .reset_index(drop=True)
+    )
+    assert len(exp) > 0
+    pd.testing.assert_frame_equal(got[[KEY, "start_seq", "end_seq"]], exp)
