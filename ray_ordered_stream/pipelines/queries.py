@@ -2660,6 +2660,86 @@ FROM i GROUP BY pack_id
 """
 
 
+def q_doc_dup_spans(sf_dir: str):
+    """Span-level exact substring dedup (functions/spandedup.py, the Lee
+    et al. 2021 training-data op): merged [start, end) token intervals per
+    document covering every 5-gram that repeats corpus-wide. Two hash
+    exchanges (gram, then doc), island merge per doc; the SQL mirror is
+    the gaps-and-islands formulation over unnested grams."""
+    from ..functions.spandedup import duplicated_ngram_spans
+
+    return duplicated_ngram_spans(
+        _read(sf_dir, "documents", ["doc_id", "text"]), n=5, min_count=2
+    )
+
+
+SQL_DOC_DUP_SPANS = r"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS a FROM documents),
+g AS (
+  SELECT doc_id, i::bigint - 1 AS pos, array_to_string(a[i:i+4], ' ') AS gram
+  FROM t, unnest(generate_series(1, len(a) - 4)) AS s(i)),
+d AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+h AS (SELECT g.doc_id, g.pos FROM g JOIN d USING (gram)),
+b AS (
+  SELECT doc_id, pos,
+    CASE WHEN pos > coalesce(max(pos + 5) OVER (
+        PARTITION BY doc_id ORDER BY pos
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+      THEN 1 ELSE 0 END AS brk
+  FROM h),
+c AS (
+  SELECT doc_id, pos, sum(brk) OVER (
+    PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM b)
+SELECT doc_id, min(pos)::bigint AS span_start, (max(pos) + 5)::bigint AS span_end
+FROM c GROUP BY doc_id, grp
+"""
+
+
+def q_doc_dup_span_stats(sf_dir: str):
+    """Duplicated-fraction quality gate built on doc_dup_spans: per-doc
+    duplicated-token totals + an integer-exact keep rule
+    (dup_tokens * 100 <= 30 * n_tokens). Every doc appears (0 when no
+    duplicated span), so the verdict drives curation directly."""
+    from ..functions.spandedup import dup_span_stats
+
+    return dup_span_stats(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        n=5, min_count=2, max_dup_frac=0.3,
+    )
+
+
+SQL_DOC_DUP_SPAN_STATS = r"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS a FROM documents),
+g AS (
+  SELECT doc_id, i::bigint - 1 AS pos, array_to_string(a[i:i+4], ' ') AS gram
+  FROM t, unnest(generate_series(1, len(a) - 4)) AS s(i)),
+d AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+h AS (SELECT g.doc_id, g.pos FROM g JOIN d USING (gram)),
+b AS (
+  SELECT doc_id, pos,
+    CASE WHEN pos > coalesce(max(pos + 5) OVER (
+        PARTITION BY doc_id ORDER BY pos
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+      THEN 1 ELSE 0 END AS brk
+  FROM h),
+c AS (
+  SELECT doc_id, pos, sum(brk) OVER (
+    PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM b),
+spans AS (
+  SELECT doc_id, min(pos) AS s, max(pos) + 5 AS e
+  FROM c GROUP BY doc_id, grp),
+agg AS (SELECT doc_id, sum(e - s)::bigint AS dup_tokens FROM spans GROUP BY doc_id)
+SELECT t.doc_id, len(a)::bigint AS n_tokens,
+       coalesce(agg.dup_tokens, 0)::bigint AS dup_tokens,
+       coalesce(agg.dup_tokens, 0) * 100 <= 30 * len(a) AS keep
+FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id
+"""
+
+
 def q_emb_project(sf_dir: str):
     """Random-projection dimensionality reduction (functions/embed.py):
     64 -> 8 dims, one matmul per batch against a broadcast seeded JL
@@ -2726,6 +2806,8 @@ QUERIES = {
     "media_audio_real": (q_media_audio_real, SQL_MEDIA_AUDIO_REAL),
     "cep_abandoned": (q_cep_abandoned, SQL_CEP_ABANDONED),
     "stream_cep_absence": (q_stream_cep_absence, SQL_STREAM_CEP_ABSENCE),
+    "doc_dup_spans": (q_doc_dup_spans, SQL_DOC_DUP_SPANS),
+    "doc_dup_span_stats": (q_doc_dup_span_stats, SQL_DOC_DUP_SPAN_STATS),
     # -- (4) green in round 2 ---------------------------------------------
     "conv_render": (q_conv_render, SQL_CONV_RENDER),
     "conv_examples": (q_conv_examples, SQL_CONV_EXAMPLES),
