@@ -333,6 +333,8 @@ def run_stream_continuous(
     autoscale_backlog_epochs: int | None = None,
     autoscale_factor: int = 2,
     autoscale_max_partitions: int = 64,
+    autoscale_shrink_idle_s: float | None = None,
+    autoscale_min_partitions: int = 1,
     probe_state_every_epochs: int = 0,
 ) -> StreamResult:
     """Unbounded micro-batch streaming over a LANDING DIRECTORY (≙ the
@@ -358,6 +360,14 @@ def run_stream_continuous(
     actor pool, and continues. The rescale is recorded in the lineage meta,
     so a crash-resume re-enters at the migrated P; epochs committed before
     the cut keep their old-P sink parts (manifests are authoritative).
+
+    ``autoscale_shrink_idle_s`` enables the matching SCALE-DOWN: when the
+    unassigned backlog stays below one epoch's worth of files for that many
+    continuous seconds (and at least one epoch has been processed), P drops
+    to max(``autoscale_min_partitions``, P // ``autoscale_factor``) through
+    the same two-phase checkpoint migration — Dataflow's scale-to-idle,
+    micro-batched. Both directions share the durable ``_autoscale.json``
+    intent marker, so a crash mid-shrink is finished on resume too.
     """
     import time as _time
 
@@ -366,7 +376,10 @@ def run_stream_continuous(
     out.mkdir(parents=True, exist_ok=True)
     land = Path(landing_dir)
 
-    if resume and autoscale_backlog_epochs is not None:
+    if resume and (
+        autoscale_backlog_epochs is not None
+        or autoscale_shrink_idle_s is not None
+    ):
         # finish any rescale a crash interrupted (idempotent two-phase
         # protocol in rescale.rescale_checkpoint), then adopt the lineage
         # meta's P — authoritative over the caller's num_partitions
@@ -442,6 +455,43 @@ def run_stream_continuous(
     max_inflight = 3
     rescales: list[dict] = []  # autoscale events (observability)
     last_rescale_epoch = -(10**9)  # cooldown anchor (no rescale yet)
+
+    def rescale_to(new_P: int, kind: str) -> None:
+        """Shared grow/shrink body: drain in-flight epochs to a consistent
+        cut, write the durable intent marker, migrate every partition's
+        keyed state (crash-safe two-phase rescale_checkpoint), rebuild the
+        actor pool at new_P, restore from the cut."""
+        nonlocal proc, P, last_rescale_epoch
+        import json as _js
+        import os as _os
+
+        from .checkpoint import read_lineage_meta
+        from .rescale import rescale_checkpoint
+
+        while pending:
+            commit_oldest()
+        cut = next_epoch - 1
+        proc.shutdown()
+        # durable intent marker: a crash mid-rescale is finished by
+        # _complete_autoscale on the next resume
+        marker = Path(out_root) / "ckpt" / "_autoscale.json"
+        marker.parent.mkdir(parents=True, exist_ok=True)
+        tmpm = marker.with_suffix(".tmp")
+        tmpm.write_text(_js.dumps({"epoch": cut, "from": P, "to": new_P}))
+        _os.replace(tmpm, marker)
+        rescale_checkpoint(out_root, cut, P, new_P, key=cfg.key)
+        marker.unlink()
+        meta_r = read_lineage_meta(out_root)
+        overrides_r = (meta_r or {}).get("overrides") or None
+        proc = OrderedProcessor(cfg, new_P, overrides_r)
+        old_P, P = P, proc.P
+        ray.get([
+            w.set_partition_id.remote(p)
+            for p, w in enumerate(proc.workers)
+        ])
+        ray.get([w.restore_from.remote(out_root, cut) for w in proc.workers])
+        rescales.append({"epoch": cut, "from": old_P, "to": P, "kind": kind})
+        last_rescale_epoch = next_epoch
 
     def commit_oldest():
         nonlocal total_emitted, epochs_run
@@ -528,6 +578,7 @@ def run_stream_continuous(
     next_epoch = len(groups)
     last_was_flush = bool(groups) and not groups[-1]
     last_new = _time.monotonic()
+    low_since = None  # continuous low-backlog clock (shrink trigger)
 
     # 2. poll for newly landed files
     while True:
@@ -562,41 +613,32 @@ def run_stream_continuous(
             ):
                 # backlog-driven grow: drain to a consistent cut, migrate
                 # state, rebuild the pool at the larger P
-                from .checkpoint import read_lineage_meta
-                from .rescale import rescale_checkpoint
-
-                while pending:
-                    commit_oldest()
-                cut = next_epoch - 1
-                new_P = min(autoscale_max_partitions, P * autoscale_factor)
-                proc.shutdown()
-                # durable intent marker: a crash mid-rescale is finished by
-                # _complete_autoscale on the next resume
-                marker = Path(out_root) / "ckpt" / "_autoscale.json"
-                marker.parent.mkdir(parents=True, exist_ok=True)
-                import json as _js
-                import os as _os
-
-                tmpm = marker.with_suffix(".tmp")
-                tmpm.write_text(_js.dumps(
-                    {"epoch": cut, "from": P, "to": new_P}))
-
-                _os.replace(tmpm, marker)
-                rescale_checkpoint(out_root, cut, P, new_P, key=cfg.key)
-                marker.unlink()
-                meta_r = read_lineage_meta(out_root)
-                overrides_r = (meta_r or {}).get("overrides") or None
-                proc = OrderedProcessor(cfg, new_P, overrides_r)
-                old_P, P = P, proc.P
-                ray.get([
-                    w.set_partition_id.remote(p)
-                    for p, w in enumerate(proc.workers)
-                ])
-                ray.get([
-                    w.restore_from.remote(out_root, cut) for w in proc.workers
-                ])
-                rescales.append({"epoch": cut, "from": old_P, "to": P})
-                last_rescale_epoch = next_epoch
+                rescale_to(
+                    min(autoscale_max_partitions, P * autoscale_factor),
+                    "grow",
+                )
+                low_since = None
+        # idle-driven shrink: backlog has stayed under one epoch's worth
+        # of files continuously for autoscale_shrink_idle_s
+        if (
+            autoscale_shrink_idle_s is not None
+            and next_epoch > 0
+            and not exiting
+        ):
+            if len(new) >= files_per_epoch:
+                low_since = None
+            elif low_since is None:
+                low_since = _time.monotonic()
+            elif (
+                _time.monotonic() - low_since >= autoscale_shrink_idle_s
+                and P > autoscale_min_partitions
+            ):
+                new_P = max(
+                    autoscale_min_partitions, max(1, P // autoscale_factor)
+                )
+                if new_P < P:
+                    rescale_to(new_P, "shrink")
+                low_since = None
         if exiting:
             break
         _time.sleep(poll_interval_s)

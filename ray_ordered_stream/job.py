@@ -94,6 +94,11 @@ def main(argv: list[str] | None = None) -> int:
                          "epochs of files are backlogged (None disables)")
     ap.add_argument("--autoscale-factor", type=int, default=2)
     ap.add_argument("--autoscale-max-partitions", type=int, default=64)
+    ap.add_argument("--autoscale-shrink-idle", type=float, default=None,
+                    help="continuous mode: shrink partitions by the factor "
+                         "after this many seconds of sustained low backlog "
+                         "(None disables scale-down)")
+    ap.add_argument("--autoscale-min-partitions", type=int, default=1)
     ap.add_argument("--state-ttl", type=float, default=0.0,
                     help="event-time TTL (seconds) for keyed window/session/"
                          "join/CEP state; 0 disables eviction")
@@ -291,6 +296,8 @@ def main(argv: list[str] | None = None) -> int:
             autoscale_backlog_epochs=args.autoscale_backlog_epochs,
             autoscale_factor=args.autoscale_factor,
             autoscale_max_partitions=args.autoscale_max_partitions,
+            autoscale_shrink_idle_s=args.autoscale_shrink_idle,
+            autoscale_min_partitions=args.autoscale_min_partitions,
         )
     else:
         files = [str(f) for f in sorted(Path(args.input).glob("*.parquet"))]

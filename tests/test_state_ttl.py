@@ -301,3 +301,78 @@ def test_interrupted_autoscale_completes_on_resume(ray_session, tmp_path):
         .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
     )
     assert len(got) == first.total_emitted
+
+
+def test_autoscale_shrinks_on_idle_and_matches_fixed_run(ray_session, tmp_path):
+    # scale-DOWN parity: a sustained low-backlog lull drops P by the factor
+    # through the same two-phase migration; files landed after the shrink
+    # process at the smaller P and output content is unchanged.
+    import threading
+    import time
+
+    from ray_ordered_stream.checkpoint import read_lineage_meta
+    from ray_ordered_stream.epochs import run_stream_continuous
+    from ray_ordered_stream.fixtures import gen_transcripts
+
+    t = gen_transcripts(n_convs=12, min_turns=6, max_turns=20, lateness=15,
+                        dup_rate=0.02, seed=31)
+    n, F = t.num_rows, 8
+    step = -(-n // F)
+    land_a, land_b = tmp_path / "land_a", tmp_path / "land_b"
+    land_a.mkdir(); land_b.mkdir()
+
+    # fixed-P control gets ALL files up front (content is arrival-invariant)
+    for i in range(F):
+        pq.write_table(t.slice(i * step, step), land_b / f"p{i:04d}.parquet")
+    (land_b / "_STOP").write_text("")
+
+    # autoscaled run: first half now, second half after a lull long enough
+    # for the shrink clock, then stop
+    for i in range(F // 2):
+        pq.write_table(t.slice(i * step, step), land_a / f"p{i:04d}.parquet")
+
+    def late_producer():
+        # event-driven, not timed: the shrink rewrites the on-disk lineage
+        # meta to P=2, so wait for that (bounded) before landing the rest —
+        # robust under suite-level host contention
+        deadline = time.monotonic() + 30.0
+        while time.monotonic() < deadline:
+            meta = read_lineage_meta(str(tmp_path / "out_a"))
+            if meta is not None and meta.get("partitions") == 2:
+                break
+            time.sleep(0.1)
+        for i in range(F // 2, F):
+            tmp = land_a / f".p{i:04d}.tmp"
+            pq.write_table(t.slice(i * step, step), tmp)
+            tmp.rename(land_a / f"p{i:04d}.parquet")
+        (land_a / "_STOP").write_text("")
+
+    th = threading.Thread(target=late_producer)
+    th.start()
+    res = run_stream_continuous(
+        str(land_a), str(tmp_path / "out_a"), num_partitions=4,
+        files_per_epoch=2, poll_interval_s=0.05, idle_timeout_s=15.0,
+        autoscale_shrink_idle_s=0.7, autoscale_min_partitions=2,
+    )
+    th.join()
+    shrinks = [r for r in res.metrics["rescales"] if r["kind"] == "shrink"]
+    assert shrinks, "idle lull never triggered a shrink"
+    assert shrinks[0]["from"] == 4 and shrinks[0]["to"] == 2
+    assert read_lineage_meta(str(tmp_path / "out_a"))["partitions"] == 2
+
+    res_fixed = run_stream_continuous(
+        str(land_b), str(tmp_path / "out_b"), num_partitions=4,
+        files_per_epoch=2, poll_interval_s=0.05, idle_timeout_s=5.0,
+    )
+
+    def content(r):
+        return (
+            r.sinks["ordered"].read()
+            .select_columns(["conv_id", "turn_idx", "text"])
+            .to_pandas()
+            .sort_values(["conv_id", "turn_idx"])
+            .reset_index(drop=True)
+        )
+
+    pd.testing.assert_frame_equal(content(res), content(res_fixed))
+    assert res.total_emitted == res_fixed.total_emitted
