@@ -108,21 +108,14 @@ def _gram_occurrences(t: pa.Table, n: int, id_col: str, text_col: str) -> pa.Tab
     )
 
 
-def duplicated_ngram_spans(
-    ds,
-    n: int = 8,
-    min_count: int = 2,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    num_partitions: int | None = None,
-):
-    """Merged [span_start, span_end) token intervals per document covering
-    every n-gram that occurs >= min_count times corpus-wide. Returns a
-    Dataset with SPAN_SCHEMA; end is exclusive, indices are 0-based token
-    positions under the shared lowercase-\\w+ tokenizer."""
+def _span_refs(ds, n: int, min_count: int, id_col: str, text_col: str, P: int):
+    """The span pipeline up to its doc-partitioned output: returns P refs
+    of SPAN_SCHEMA tables, where partition p holds exactly the docs whose
+    int hash routes to p (exchange.int_partition_codes) — so callers can
+    zip them against an identically-sharded doc exchange with no extra
+    shuffle."""
     if n < 1:
         raise ValueError("n must be >= 1")
-    P = num_partitions or default_partitions()
 
     @ray.remote
     def occurrences(*blocks: pa.Table) -> pa.Table:
@@ -201,13 +194,112 @@ def duplicated_ngram_spans(
 
     refs = list(ds.select_columns([id_col, text_col]).to_arrow_refs())
     if not refs:
-        return ray.data.from_arrow(SPAN_SCHEMA.empty_table())
+        return None
     occ = [occurrences.remote(r) for r in refs]
     by_gram = shard_refs(occ, "gram", P)
     dups = [dup_positions.remote(*[g[p] for g in by_gram]) for p in range(P)]
     by_doc = shard_refs(dups, "doc_id", P, by_int=True)
-    spans = [merge_spans.remote(*[g[p] for g in by_doc]) for p in range(P)]
+    return [merge_spans.remote(*[g[p] for g in by_doc]) for p in range(P)]
+
+
+def duplicated_ngram_spans(
+    ds,
+    n: int = 8,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int | None = None,
+):
+    """Merged [span_start, span_end) token intervals per document covering
+    every n-gram that occurs >= min_count times corpus-wide. Returns a
+    Dataset with SPAN_SCHEMA; end is exclusive, indices are 0-based token
+    positions under the shared lowercase-\\w+ tokenizer."""
+    P = num_partitions or default_partitions()
+    spans = _span_refs(ds, n, min_count, id_col, text_col, P)
+    if spans is None:
+        return ray.data.from_arrow(SPAN_SCHEMA.empty_table())
     return ray.data.from_arrow_refs(spans)
+
+
+def strip_duplicated_spans(
+    ds,
+    n: int = 8,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int | None = None,
+):
+    """The span-stripping pass of Lee et al. 2021: remove every duplicated
+    span's tokens and return (doc_id, clean_text) — the deduplicated TOKEN
+    stream (space-joined lowercase tokens; training pipelines consume the
+    token sequence, so stripping happens in token space, not on the raw
+    bytes). Every document appears, '' when everything was stripped.
+
+    No extra shuffle beyond duplicated_ngram_spans: the span pipeline's
+    final partitions use the same int hash as the doc exchange here, so
+    partition p's docs and spans meet with a zip, not a join."""
+    import pyarrow.compute as pc
+
+    P = num_partitions or default_partitions()
+    spans = _span_refs(ds, n, min_count, id_col, text_col, P)
+    empty = pa.table(
+        {"doc_id": pa.array([], pa.int64()),
+         "clean_text": pa.array([], pa.string())}
+    )
+    if spans is None:
+        return ray.data.from_arrow(empty)
+
+    @ray.remote
+    def strip(span_tbl: pa.Table, *doc_shards: pa.Table) -> pa.Table:
+        real = [s for s in doc_shards if s.num_rows]
+        if not real:
+            return empty
+        t = (
+            pa.concat_tables(real, promote_options="none")
+            if len(real) > 1
+            else real[0]
+        )
+        toks, doc_of, pos, ids = _tokenize_block(t, id_col, text_col)
+        # global token coordinates: per-doc base offset within this block
+        counts = np.bincount(doc_of, minlength=t.num_rows).astype(np.int64)
+        base = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        keep = np.ones(len(doc_of), dtype=bool)
+        if span_tbl.num_rows:
+            sdoc = span_tbl["doc_id"].to_numpy(zero_copy_only=False)
+            sst = span_tbl["span_start"].to_numpy(zero_copy_only=False)
+            sen = span_tbl["span_end"].to_numpy(zero_copy_only=False)
+            # map span doc_ids to row indices of this block
+            order = np.argsort(ids, kind="stable")
+            ridx = order[np.searchsorted(ids[order], sdoc)]
+            gs = base[ridx] + sst
+            ge = base[ridx] + sen
+            so = np.argsort(gs, kind="stable")
+            gs, ge = gs[so], ge[so]
+            gpos = np.arange(len(doc_of), dtype=np.int64)
+            # spans are disjoint per doc and doc blocks are disjoint in
+            # global coords, so the latest span starting at-or-before pos
+            # decides coverage
+            j = np.searchsorted(gs, gpos, side="right") - 1
+            jj = np.maximum(j, 0)
+            covered = (j >= 0) & (gpos < ge[jj])
+            keep &= ~covered
+        kept_doc = doc_of[keep]
+        kept_toks = toks.filter(pa.array(keep))
+        # per-doc join of kept tokens (Arrow list + binary_join, no loop)
+        kcnt = np.bincount(kept_doc, minlength=t.num_rows).astype(np.int64)
+        offs = np.concatenate([[0], np.cumsum(kcnt)]).astype(np.int32)
+        lists = pa.ListArray.from_arrays(pa.array(offs, pa.int32()), kept_toks)
+        joined = pc.binary_join(lists, " ")
+        return pa.table(
+            {"doc_id": t[id_col].cast(pa.int64()), "clean_text": joined}
+        )
+
+    refs = list(ds.select_columns([id_col, text_col]).to_arrow_refs())
+    by_doc = shard_refs(refs, id_col, P, by_int=True)
+    out = [
+        strip.remote(spans[p], *[g[p] for g in by_doc]) for p in range(P)
+    ]
+    return ray.data.from_arrow_refs(out)
 
 
 def dup_span_stats(

@@ -2740,6 +2740,56 @@ FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id
 """
 
 
+def q_doc_strip_spans(sf_dir: str):
+    """The span-STRIPPING pass (Lee et al. 2021): remove every duplicated
+    5-gram span's tokens and return the deduplicated token stream per doc.
+    Zero extra shuffles beyond doc_dup_spans — the span partitions use the
+    same int hash as the doc exchange, so they zip per partition."""
+    from ..functions.spandedup import strip_duplicated_spans
+
+    return strip_duplicated_spans(
+        _read(sf_dir, "documents", ["doc_id", "text"]), n=5, min_count=2
+    )
+
+
+SQL_DOC_STRIP_SPANS = r"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS a FROM documents),
+g AS (
+  SELECT doc_id, i::bigint - 1 AS pos, array_to_string(a[i:i+4], ' ') AS gram
+  FROM t, unnest(generate_series(1, len(a) - 4)) AS s(i)),
+d AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+h AS (SELECT g.doc_id, g.pos FROM g JOIN d USING (gram)),
+b AS (
+  SELECT doc_id, pos,
+    CASE WHEN pos > coalesce(max(pos + 5) OVER (
+        PARTITION BY doc_id ORDER BY pos
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+      THEN 1 ELSE 0 END AS brk
+  FROM h),
+c AS (
+  SELECT doc_id, pos, sum(brk) OVER (
+    PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM b),
+spans AS (
+  SELECT doc_id, min(pos) AS s, max(pos) + 5 AS e
+  FROM c GROUP BY doc_id, grp),
+u AS (
+  SELECT doc_id, i::bigint - 1 AS pos, a[i] AS w
+  FROM t, unnest(generate_series(1, len(a))) s(i)),
+kept AS (
+  SELECT u.doc_id, u.pos, u.w FROM u
+  WHERE NOT EXISTS (
+    SELECT 1 FROM spans sp
+    WHERE sp.doc_id = u.doc_id AND u.pos >= sp.s AND u.pos < sp.e)),
+k AS (
+  SELECT doc_id, string_agg(w, ' ' ORDER BY pos) AS clean_text
+  FROM kept GROUP BY doc_id)
+SELECT t.doc_id, coalesce(k.clean_text, '') AS clean_text
+FROM t LEFT JOIN k ON t.doc_id = k.doc_id
+"""
+
+
 def q_emb_project(sf_dir: str):
     """Random-projection dimensionality reduction (functions/embed.py):
     64 -> 8 dims, one matmul per batch against a broadcast seeded JL
@@ -2808,6 +2858,7 @@ QUERIES = {
     "stream_cep_absence": (q_stream_cep_absence, SQL_STREAM_CEP_ABSENCE),
     "doc_dup_spans": (q_doc_dup_spans, SQL_DOC_DUP_SPANS),
     "doc_dup_span_stats": (q_doc_dup_span_stats, SQL_DOC_DUP_SPAN_STATS),
+    "doc_strip_spans": (q_doc_strip_spans, SQL_DOC_STRIP_SPANS),
     # -- (4) green in round 2 ---------------------------------------------
     "conv_render": (q_conv_render, SQL_CONV_RENDER),
     "conv_examples": (q_conv_examples, SQL_CONV_EXAMPLES),

@@ -130,3 +130,40 @@ def test_spans_never_cross_document_boundaries(ray_session):
     )
     exp2 = _brute_spans(docs, 2, 2)
     pd.testing.assert_frame_equal(got2, exp2)
+
+
+def test_strip_duplicated_spans(corpus, ray_session):
+    import ray.data
+
+    from ray_ordered_stream.functions.spandedup import strip_duplicated_spans
+
+    got = (
+        strip_duplicated_spans(
+            ray.data.from_pandas(corpus), n=3, min_count=2, num_partitions=3
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert set(got["doc_id"]) == set(corpus["doc_id"])
+    toks = {
+        r.doc_id: re.findall(r"\w+", r.text.lower())
+        for r in corpus.itertuples()
+    }
+    spans = _brute_spans(corpus, 3, 2)
+    by_doc = {
+        d: list(zip(g.span_start, g.span_end))
+        for d, g in spans.groupby("doc_id")
+    }
+    for r in got.itertuples():
+        tk = toks[r.doc_id]
+        cov = np.zeros(len(tk), dtype=bool)
+        for a, b in by_doc.get(r.doc_id, []):
+            cov[a:b] = True
+        exp = " ".join(np.array(tk, dtype=object)[~cov]) if len(tk) else ""
+        assert r.clean_text == exp
+    # stripping must actually change the planted-boilerplate docs
+    orig = corpus.set_index("doc_id")["text"].str.lower()
+    joined = {d: " ".join(toks[d]) for d in toks}
+    assert any(got.set_index("doc_id")["clean_text"][d] != joined[d]
+               for d in joined)
