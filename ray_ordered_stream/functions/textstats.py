@@ -342,3 +342,129 @@ def vocab_counts(ds, top_k: int | None = None, ngram: int = 1):
         .repartition(1)
         .map_batches(head, batch_format="pandas")
     )
+
+
+def unigram_lm_stats(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    rare_q: float = 0.25,
+    rare_max: int | None = None,
+    max_rare_ratio: tuple[int, int] = (1, 10),
+    num_partitions: int | None = None,
+):
+    """Per-document unigram-LM statistics against the corpus's OWN
+    vocabulary — the CCNet-style "train an LM on the corpus, filter by
+    how well each document fits it" quality gate, kept integer-exact so
+    correctness is bit-checkable against SQL.
+
+    Per document (one row each, documents with >=1 token):
+      ``n_tokens``   total tokens,
+      ``freq_sum``   sum over tokens of the token's GLOBAL corpus count
+                     (the linear-space analogue of summed unigram
+                     log-likelihood: high = stereotypical, low = rare),
+      ``rare_count`` tokens whose global count <= ``rare_max``,
+      ``keep``       integer cross-multiplication rule
+                     ``rare_count * den <= n_tokens * num`` for
+                     ``max_rare_ratio = (num, den)`` (default: at most
+                     10% rare tokens — drops OCR-garbage-like docs).
+
+    ``rare_max`` defaults to the exact ``rare_q`` discrete quantile of
+    the vocabulary counts (DuckDB ``quantile_disc`` convention), computed
+    distributedly from the vocabulary histogram.
+
+    Scale plan: the corpus tokenizes ONCE into (doc, token, tf) partials
+    (``tfidf.doc_term_freqs`` — block refs shared by both consumers);
+    global counts are a vocabulary-sized exchange_groupby; the
+    tf<->count join is the token-keyed ``hash_join`` (co-partitioned,
+    100 TB-safe for billion-gram vocabularies); the per-doc fold is one
+    doc-keyed exchange_groupby of 3 integer partials. The text itself
+    never shuffles.
+    """
+    import ray
+    import ray.data
+
+    from ..agg import exchange_groupby
+    from ..exchange import default_partitions
+    from ..join import hash_join
+    from .sketch import exact_value_histogram, quantile_disc_from_hist
+    from .tfidf import doc_term_freqs
+
+    P = num_partitions or default_partitions()
+
+    tf_refs = list(doc_term_freqs(ds, id_col, text_col).to_arrow_refs())
+    if not tf_refs:
+        return ds.select_columns([id_col]).limit(0), 0
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return pa.table(
+                {"token": pa.array([], pa.string()),
+                 "n": pa.array([], pa.int64())}
+            )
+        tok = t["token"]
+        if isinstance(tok, pa.ChunkedArray):
+            tok = tok.combine_chunks()
+        s = pd.Series(t["tf"].to_numpy(zero_copy_only=False))
+        g = s.groupby(tok.to_pandas(), sort=False).sum()
+        return pa.table(
+            {"token": pa.array(g.index, pa.string()),
+             "n": pa.array(g.to_numpy(), pa.int64())}
+        )
+
+    counts = exchange_groupby(
+        ray.data.from_arrow_refs(list(tf_refs)).map_batches(
+            df_partial, batch_format="pyarrow"
+        ),
+        "token",
+        {"n": ("n", "sum")},
+        num_partitions=P,
+    )
+    counts_refs = list(counts.to_arrow_refs())
+
+    if rare_max is None:
+        vals, cnts = exact_value_histogram(
+            ray.data.from_arrow_refs(list(counts_refs)), "n"
+        )
+        rare_max = quantile_disc_from_hist(vals, cnts, rare_q)
+
+    joined = hash_join(
+        ray.data.from_arrow_refs(list(tf_refs)),
+        ray.data.from_arrow_refs(list(counts_refs)),
+        key="token",
+        num_partitions=P,
+    )
+
+    thr = int(rare_max)
+
+    def derive(t: pa.Table) -> pa.Table:
+        tf = t["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "tf": pa.array(tf, pa.int64()),
+                "tfn": pa.array(tf * n, pa.int64()),
+                "rare": pa.array(np.where(n <= thr, tf, 0), pa.int64()),
+            }
+        )
+
+    stats = exchange_groupby(
+        joined.map_batches(derive, batch_format="pyarrow"),
+        id_col,
+        {
+            "n_tokens": ("tf", "sum"),
+            "freq_sum": ("tfn", "sum"),
+            "rare_count": ("rare", "sum"),
+        },
+        num_partitions=P,
+    )
+
+    num, den = max_rare_ratio
+
+    def finalize(t: pa.Table) -> pa.Table:
+        rc = t["rare_count"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nt = t["n_tokens"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("keep", pa.array(rc * den <= nt * num))
+
+    return stats.map_batches(finalize, batch_format="pyarrow"), thr

@@ -2790,6 +2790,39 @@ FROM t LEFT JOIN k ON t.doc_id = k.doc_id
 """
 
 
+def q_doc_lm_rarity(sf_dir: str):
+    """CCNet-style corpus-LM quality gate: per-doc token stats against the
+    corpus's own unigram counts (freq_sum = linear-space log-likelihood
+    analogue; rare threshold = exact 25th-percentile vocabulary count),
+    integer-exact keep rule (<=10% rare tokens)."""
+    from ..functions.textstats import unigram_lm_stats
+
+    stats, _thr = unigram_lm_stats(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        rare_q=0.25,
+        max_rare_ratio=(1, 10),
+    )
+    return stats
+
+
+SQL_DOC_LM_RARITY = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\w+')) AS token
+  FROM documents),
+counts AS (SELECT token, count(*)::BIGINT AS n FROM toks GROUP BY token),
+thr AS (SELECT quantile_disc(n, 0.25) AS rare_max FROM counts)
+SELECT t.doc_id,
+       count(*)::BIGINT AS n_tokens,
+       sum(c.n)::BIGINT AS freq_sum,
+       sum(CASE WHEN c.n <= (SELECT rare_max FROM thr)
+                THEN 1 ELSE 0 END)::BIGINT AS rare_count,
+       (sum(CASE WHEN c.n <= (SELECT rare_max FROM thr)
+                 THEN 1 ELSE 0 END) * 10 <= count(*)) AS keep
+FROM toks t JOIN counts c USING (token)
+GROUP BY t.doc_id
+"""
+
+
 def q_emb_project(sf_dir: str):
     """Random-projection dimensionality reduction (functions/embed.py):
     64 -> 8 dims, one matmul per batch against a broadcast seeded JL
@@ -2859,6 +2892,7 @@ QUERIES = {
     "doc_dup_spans": (q_doc_dup_spans, SQL_DOC_DUP_SPANS),
     "doc_dup_span_stats": (q_doc_dup_span_stats, SQL_DOC_DUP_SPAN_STATS),
     "doc_strip_spans": (q_doc_strip_spans, SQL_DOC_STRIP_SPANS),
+    "doc_lm_rarity": (q_doc_lm_rarity, SQL_DOC_LM_RARITY),
     # -- (4) green in round 2 ---------------------------------------------
     "conv_render": (q_conv_render, SQL_CONV_RENDER),
     "conv_examples": (q_conv_examples, SQL_CONV_EXAMPLES),

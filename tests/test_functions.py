@@ -740,3 +740,47 @@ def test_real_media_stages_match_closed_forms(ray_session):
     k = (j * 11) % 1000
     exp = np.floor((k * 32767 // 10000) / 32768.0 * 10000 + 0.5).astype("int64")
     assert (aout["mean_amp_1e4"].to_numpy() == exp).all()
+
+
+def test_unigram_lm_stats_matches_serial(ray_session):
+    import ray.data as rd
+
+    from ray_ordered_stream.functions.textstats import unigram_lm_stats
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": [
+                "the cat sat on the mat",
+                "the dog sat",
+                "zyzzyva qwerty the",  # two rare tokens out of three
+                "the the the",
+            ],
+        }
+    )
+    stats, thr = unigram_lm_stats(
+        rd.from_arrow(docs).repartition(3), rare_q=0.25, max_rare_ratio=(1, 2)
+    )
+    out = stats.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    # serial reference
+    toks = {
+        1: "the cat sat on the mat".split(),
+        2: "the dog sat".split(),
+        3: "zyzzyva qwerty the".split(),
+        4: "the the the".split(),
+    }
+    from collections import Counter
+
+    counts = Counter(w for ws in toks.values() for w in ws)
+    svals = sorted(counts.values())
+    exp_thr = svals[int(0.25 * (len(svals) - 1))]
+    assert thr == exp_thr
+    for i, (d, ws) in enumerate(sorted(toks.items())):
+        row = out.iloc[i]
+        assert row["doc_id"] == d
+        assert row["n_tokens"] == len(ws)
+        assert row["freq_sum"] == sum(counts[w] for w in ws)
+        rare = sum(1 for w in ws if counts[w] <= exp_thr)
+        assert row["rare_count"] == rare
+        assert bool(row["keep"]) == (rare * 2 <= len(ws))
