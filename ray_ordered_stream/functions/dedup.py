@@ -998,3 +998,167 @@ def simhash_near_dups(
     return ray.data.from_arrow_refs(
         _pair_groupby_refs(pair_refs, P, val_col="hamming", alias="hamming")
     )
+
+
+def semantic_dedup(
+    ds,
+    threshold: float = 0.9,
+    n_clusters: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids=None,
+    max_cluster: int = 65536,
+    chunk: int = 4096,
+    iters: int = 4,
+    seed: int = 3,
+    num_partitions: int | None = None,
+):
+    """SemDeDup (Abbas et al., arXiv:2303.09540): k-means-cluster the
+    embedding space, compare vectors ONLY within their cluster, and drop
+    every vector that has a smaller-id same-cluster neighbour with cosine
+    >= ``threshold``. Keep-min-id is this repo's standard deterministic
+    representative rule (the paper keeps the farthest-from-centroid
+    member; min-id is order-free and oracle-checkable).
+
+    Scale plan: centroids come from the distributed full-pass Lloyd's
+    trainer (every row votes, only (K x dim, K) partials reduce); cluster
+    assignment is one matmul per batch against the broadcast centroids;
+    rows route ONCE by cluster id through the shared exchange; each
+    partition walks its cluster runs with CHUNKED normalized matmuls
+    (``chunk`` rows vs all earlier rows — bounded memory for big
+    clusters); clusters larger than ``max_cluster`` are skipped WITH a
+    log line (same non-silent-cap policy as the LSH buckets). The final
+    keep is the co-partitioned anti-join — the drop list never
+    concentrates on the driver.
+
+    Returns ``(kept_ds, drops_ds)``: the surviving rows of ``ds`` (all
+    columns) and the (drop_id) list.
+    """
+    import ray
+    import ray.data
+
+    from ..exchange import default_partitions, shard_refs
+    from .graph import anti_join_drop_ids
+    from .similarity import train_centroids_distributed
+
+    P = num_partitions or default_partitions()
+    in_refs = list(ds.to_arrow_refs())
+    if not in_refs:
+        return ds, ray.data.from_arrow(
+            pa.table({"drop_id": pa.array([], pa.int64())})
+        )
+
+    def reread():
+        return ray.data.from_arrow_refs(list(in_refs))
+
+    if centroids is None:
+        centroids = train_centroids_distributed(
+            reread(), n_centroids=n_clusters, vec_col=vec_col,
+            iters=iters, seed=seed,
+        )
+    cent = np.asarray(centroids, dtype=np.float64)
+    cref = ray.put(cent)
+
+    class Assign:
+        def __init__(self, r):
+            self.c = ray.get(r)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if not t.num_rows:
+                # keep the input's own list type (list field names differ
+                # between parquet "element" and pa.list_ "item" — a fresh
+                # empty table would break concat in the exchange)
+                return pa.table(
+                    {
+                        id_col: t[id_col].cast(pa.int64()),
+                        vec_col: t[vec_col],
+                        "cluster": pa.array([], pa.int64()),
+                    }
+                )
+            v = np.stack(t[vec_col].to_pandas().to_numpy()).astype(np.float64)
+            c = self.c
+            d = (
+                (v * v).sum(axis=1)[:, None]
+                - 2.0 * (v @ c.T)
+                + (c * c).sum(axis=1)[None, :]
+            )
+            return pa.table(
+                {
+                    id_col: t[id_col].cast(pa.int64()),
+                    vec_col: t[vec_col],
+                    "cluster": pa.array(d.argmin(axis=1).astype(np.int64)),
+                }
+            )
+
+    assigned = reread().map_batches(
+        Assign, batch_format="pyarrow",
+        fn_constructor_args=(cref,), concurrency=(1, P),
+    )
+
+    thr = float(threshold)
+    cap = int(max_cluster)
+    ch = int(chunk)
+
+    @ray.remote
+    def drops_in_partition(*shards: pa.Table) -> pa.Table:
+        empty = pa.table({"drop_id": pa.array([], pa.int64())})
+        real = [t for t in shards if t.num_rows]
+        if not real:
+            return empty
+        tbl = (
+            pa.concat_tables(real, promote_options="none")
+            if len(real) > 1
+            else real[0]
+        )
+        cl = tbl["cluster"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = tbl[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        vecs = np.stack(tbl[vec_col].to_pandas().to_numpy()).astype(np.float64)
+        order = np.lexsort((ids, cl))
+        cl, ids, vecs = cl[order], ids[order], vecs[order]
+        nrm = np.linalg.norm(vecs, axis=1, keepdims=True)
+        nrm[nrm == 0.0] = 1.0
+        vecs = vecs / nrm
+        n = len(ids)
+        boundary = np.empty(n, dtype=bool)
+        boundary[0] = True
+        boundary[1:] = cl[1:] != cl[:-1]
+        starts = np.flatnonzero(boundary)
+        ends = np.append(starts[1:], n)
+        out: list[np.ndarray] = []
+        for s, e in zip(starts, ends):
+            b = e - s
+            if b < 2:
+                continue
+            if b > cap:
+                print(
+                    f"[semantic_dedup] skipping cluster {cl[s]} of size {b} "
+                    f"(> max_cluster={cap})"
+                )
+                continue
+            v = vecs[s:e]  # rows already ascending by id within the run
+            drop = np.zeros(b, dtype=bool)
+            for lo in range(1, b, ch):
+                hi = min(lo + ch, b)
+                sims = v[lo:hi] @ v[:hi].T  # each row vs ALL earlier rows
+                # mask self & later rows inside the chunk
+                m = np.arange(lo, hi)[:, None] > np.arange(hi)[None, :]
+                drop[lo:hi] |= ((sims >= thr) & m).any(axis=1)
+            if drop.any():
+                out.append(ids[s:e][drop])
+        if not out:
+            return empty
+        return pa.table({"drop_id": pa.array(np.concatenate(out), pa.int64())})
+
+    groups = shard_refs(list(assigned.to_arrow_refs()), "cluster", P, by_int=True)
+    drop_refs = [
+        drops_in_partition.remote(*[g[p] for g in groups]) for p in range(P)
+    ]
+    drops = ray.data.from_arrow_refs(drop_refs)
+    drops_refs2 = list(drops.to_arrow_refs())
+    kept = anti_join_drop_ids(
+        reread(),
+        ray.data.from_arrow_refs(list(drops_refs2)),
+        id_col,
+        num_partitions=P,
+    )
+    return kept, ray.data.from_arrow_refs(list(drops_refs2))

@@ -226,11 +226,28 @@ def cluster_dedup(
         return pa.table({"drop_id": pa.array(node[comp != node], pa.int64())})
 
     drop = cc.map_batches(drops, batch_format="pyarrow")
+    return anti_join_drop_ids(ds, drop, id_col, num_partitions=num_partitions)
+
+
+def anti_join_drop_ids(
+    ds,
+    drop,
+    id_col: str,
+    drop_col: str = "drop_id",
+    num_partitions: int | None = None,
+):
+    """Hash-partitioned ANTI-join: rows of ``ds`` whose ``id_col`` appears
+    in ``drop[drop_col]`` are removed. Drop-set and payload co-partition by
+    the same id hash; membership is a sorted searchsorted per partition;
+    the drop-set never concentrates on the driver. Shared by cluster-level
+    dedup and semantic dedup (any operator whose output is "the corpus
+    minus a distributed drop list")."""
+    import ray.data
 
     @ray.remote
     def filt(n_drop: int, *shards: pa.Table) -> pa.Table:
         drop_ids = [
-            t["drop_id"].to_numpy(zero_copy_only=False)
+            t[drop_col].to_numpy(zero_copy_only=False)
             for t in shards[:n_drop]
             if t.num_rows
         ]
@@ -254,7 +271,7 @@ def cluster_dedup(
         return tbl.filter(pa.array(dset[pos] != ids))
 
     P = num_partitions or default_partitions()
-    d_groups = shard_refs(list(drop.to_arrow_refs()), "drop_id", P, by_int=True)
+    d_groups = shard_refs(list(drop.to_arrow_refs()), drop_col, P, by_int=True)
     p_groups = shard_refs(list(ds.to_arrow_refs()), id_col, P, by_int=True)
     out = [
         filt.remote(

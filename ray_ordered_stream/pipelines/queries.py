@@ -2805,6 +2805,37 @@ def q_doc_lm_rarity(sf_dir: str):
     return stats
 
 
+def q_emb_semantic_dedup(sf_dir: str):
+    """SemDeDup end-to-end oracle: on embeddings ∪ an id-offset copy,
+    k-means puts identical vectors in the SAME cluster (equal distances
+    => equal argmin), their cosine is 1.0 >= 0.9, and no organic pair of
+    64-dim synthetic vectors exceeds 0.61 — so exactly the copies drop
+    and exactly the originals survive, whatever the trained centroids."""
+    from ..functions.dedup import semantic_dedup
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+
+    def copy_ids(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "vec_id": pc.add(t["vec_id"], _PLANT_OFFSET),
+                "embedding": t["embedding"],
+                "label": t["label"],
+            }
+        )
+
+    both = ds.union(ds.map_batches(copy_ids, batch_format="pyarrow"))
+    kept, _drops = semantic_dedup(
+        both, threshold=0.9, n_clusters=8, id_col="vec_id"
+    )
+    return kept.select_columns(["vec_id", "label"])
+
+
+SQL_EMB_SEMANTIC_DEDUP = """
+SELECT vec_id, label FROM embeddings
+"""
+
+
 SQL_DOC_LM_RARITY = r"""
 WITH toks AS (
   SELECT doc_id, unnest(regexp_extract_all(lower(text), '\w+')) AS token
@@ -2893,6 +2924,7 @@ QUERIES = {
     "doc_dup_span_stats": (q_doc_dup_span_stats, SQL_DOC_DUP_SPAN_STATS),
     "doc_strip_spans": (q_doc_strip_spans, SQL_DOC_STRIP_SPANS),
     "doc_lm_rarity": (q_doc_lm_rarity, SQL_DOC_LM_RARITY),
+    "emb_semantic_dedup": (q_emb_semantic_dedup, SQL_EMB_SEMANTIC_DEDUP),
     # -- (4) green in round 2 ---------------------------------------------
     "conv_render": (q_conv_render, SQL_CONV_RENDER),
     "conv_examples": (q_conv_examples, SQL_CONV_EXAMPLES),

@@ -784,3 +784,80 @@ def test_unigram_lm_stats_matches_serial(ray_session):
         rare = sum(1 for w in ws if counts[w] <= exp_thr)
         assert row["rare_count"] == rare
         assert bool(row["keep"]) == (rare * 2 <= len(ws))
+
+
+def test_semantic_dedup_matches_serial_rule(ray_session):
+    import ray.data as rd
+
+    from ray_ordered_stream.functions.dedup import semantic_dedup
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((40, 16)).astype(np.float32)
+    # a transitive chain: b ~ a, c ~ b but c !~ a — the rule drops ANY
+    # vector with a smaller-id >=t neighbour, dropped-or-not
+    a = base[0]
+    b = (0.9 * a + 0.45 * base[1]).astype(np.float32)
+    c = (0.9 * b / np.linalg.norm(b) * np.linalg.norm(a) + 0.45 * base[2]).astype(
+        np.float32
+    )
+    vecs = np.concatenate([base, [a * 1.5, b, c]], axis=0)
+    ids = np.arange(len(vecs), dtype=np.int64)
+
+    t = pa.table(
+        {"vec_id": ids, "embedding": [list(map(float, v)) for v in vecs]}
+    )
+    thr = 0.8
+    kept, drops = semantic_dedup(
+        rd.from_arrow(t).repartition(4),
+        threshold=thr,
+        n_clusters=1,  # cluster-blind => the serial rule is global
+        id_col="vec_id",
+        chunk=3,  # force the chunked matmul path
+        num_partitions=3,
+    )
+    got = sorted(kept.to_pandas()["vec_id"].tolist())
+    dropped = sorted(drops.to_pandas()["drop_id"].tolist())
+
+    nv = vecs.astype(np.float64)
+    nv = nv / np.linalg.norm(nv, axis=1, keepdims=True)
+    sims = nv @ nv.T
+    exp_drop = [
+        int(i)
+        for i in ids
+        if any(sims[i, j] >= thr for j in range(i))
+    ]
+    exp_keep = [int(i) for i in ids if int(i) not in exp_drop]
+    assert dropped == exp_drop and len(exp_drop) >= 2
+    assert got == exp_keep
+
+
+def test_semantic_dedup_multicluster_keeps_planted_rule(ray_session):
+    import ray.data as rd
+
+    from ray_ordered_stream.functions.dedup import semantic_dedup
+
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((60, 8)).astype(np.float32)
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(60, dtype=np.int64)),
+            "embedding": [list(map(float, v)) for v in vecs],
+        }
+    )
+    ds = rd.from_arrow(t)
+
+    def copy(tb: pa.Table) -> pa.Table:
+        import pyarrow.compute as pcc
+
+        return pa.table(
+            {"vec_id": pcc.add(tb["vec_id"], 1000), "embedding": tb["embedding"]}
+        )
+
+    both = ds.union(ds.map_batches(copy, batch_format="pyarrow"))
+    kept, drops = semantic_dedup(
+        both, threshold=0.95, n_clusters=4, id_col="vec_id", num_partitions=3
+    )
+    assert sorted(kept.to_pandas()["vec_id"].tolist()) == list(range(60))
+    assert sorted(drops.to_pandas()["drop_id"].tolist()) == [
+        1000 + i for i in range(60)
+    ]
