@@ -468,3 +468,56 @@ def unigram_lm_stats(
         return t.append_column("keep", pa.array(rc * den <= nt * num))
 
     return stats.map_batches(finalize, batch_format="pyarrow"), thr
+
+
+def normalize_text(
+    ds,
+    text_col: str = "text",
+    out_col: str = "norm_text",
+    nfc: bool = True,
+    lower: bool = True,
+    collapse_ws: bool = True,
+):
+    """Canonical text normalization (the stage that runs BEFORE hashing /
+    dedup in a crawl pipeline, so byte-different renderings of the same
+    content collide): Unicode NFC -> lowercase -> collapse runs of
+    whitespace to one space -> trim. Pure Arrow kernels (utf8_normalize /
+    utf8_lower / RE2 replace) per batch — zero-copy in, one new string
+    column out, embarrassingly parallel, no shuffle."""
+    import pyarrow.compute as pc
+
+    def f(t: pa.Table) -> pa.Table:
+        s = t[text_col]
+        if isinstance(s, pa.ChunkedArray):
+            s = s.combine_chunks()
+        if nfc:
+            # pyarrow's utf8_normalize ignores its form option on this
+            # build (every form decomposes) — NFC must come from
+            # unicodedata. ASCII rows (the vast bulk of crawl text) are
+            # NFC by construction: mask them vectorized and touch only
+            # the non-ASCII minority with Python.
+            ascii_mask = pc.string_is_ascii(s).to_numpy(zero_copy_only=False)
+            if not ascii_mask.all():
+                import unicodedata
+
+                vals = s.to_pylist()
+                fixed = [
+                    v
+                    if ok or v is None
+                    else unicodedata.normalize("NFC", v)
+                    for v, ok in zip(vals, ascii_mask)
+                ]
+                s = pa.array(fixed, pa.string())
+        if lower:
+            s = pc.utf8_lower(s)
+        if collapse_ws:
+            # trim exactly ' ' (DuckDB trim() parity — utf8_trim_whitespace
+            # would also strip unicode spaces RE2 \s never collapsed)
+            s = pc.utf8_trim(
+                pc.replace_substring_regex(s, r"\s+", " "), " "
+            )
+        if out_col in t.column_names:
+            t = t.drop_columns([out_col])
+        return t.append_column(out_col, s)
+
+    return ds.map_batches(f, batch_format="pyarrow")

@@ -2805,6 +2805,24 @@ def q_doc_lm_rarity(sf_dir: str):
     return stats
 
 
+def q_doc_normalize(sf_dir: str):
+    """Canonical text normalization (NFC -> lower -> collapse whitespace ->
+    trim), the pre-hash stage of a crawl pipeline. Pure per-batch Arrow
+    kernels; both sides are RE2 so the SQL mirrors byte-for-byte."""
+    from ..functions.textstats import normalize_text
+
+    out = normalize_text(_read(sf_dir, "documents", ["doc_id", "text"]))
+    return out.select_columns(["doc_id", "norm_text"])
+
+
+SQL_DOC_NORMALIZE = r"""
+SELECT doc_id,
+       trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g'))
+         AS norm_text
+FROM documents
+"""
+
+
 def q_emb_semantic_dedup(sf_dir: str):
     """SemDeDup end-to-end oracle: on embeddings ∪ an id-offset copy,
     k-means puts identical vectors in the SAME cluster (equal distances
@@ -2925,6 +2943,7 @@ QUERIES = {
     "doc_strip_spans": (q_doc_strip_spans, SQL_DOC_STRIP_SPANS),
     "doc_lm_rarity": (q_doc_lm_rarity, SQL_DOC_LM_RARITY),
     "emb_semantic_dedup": (q_emb_semantic_dedup, SQL_EMB_SEMANTIC_DEDUP),
+    "doc_normalize": (q_doc_normalize, SQL_DOC_NORMALIZE),
     # -- (4) green in round 2 ---------------------------------------------
     "conv_render": (q_conv_render, SQL_CONV_RENDER),
     "conv_examples": (q_conv_examples, SQL_CONV_EXAMPLES),

@@ -861,3 +861,33 @@ def test_semantic_dedup_multicluster_keeps_planted_rule(ray_session):
     assert sorted(drops.to_pandas()["drop_id"].tolist()) == [
         1000 + i for i in range(60)
     ]
+
+
+def test_normalize_text_unicode_and_ws(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from ray_ordered_stream.functions.textstats import normalize_text
+
+    rows = [
+        "  Hello   WORLD  ",
+        "Café de  Flore",   # combining acute -> NFC composes to é
+        "tabs\tand\nnewlines",
+        "",
+    ]
+    t = pa.table({"doc_id": pa.array(range(4), pa.int64()), "text": rows})
+    out = (
+        normalize_text(rd.from_arrow(t))
+        .to_pandas()
+        .sort_values("doc_id")["norm_text"]
+        .tolist()
+    )
+    exp = [
+        duckdb.sql(
+            "SELECT trim(regexp_replace(lower(nfc_normalize(?)), '\\s+', ' ', 'g'))",
+            params=[s],
+        ).fetchone()[0]
+        for s in rows
+    ]
+    assert out == exp
+    assert out[1] == "café de flore"
