@@ -1057,11 +1057,14 @@ def semantic_dedup(
             iters=iters, seed=seed,
         )
     cent = np.asarray(centroids, dtype=np.float64)
-    cref = ray.put(cent)
 
     class Assign:
-        def __init__(self, r):
-            self.c = ray.get(r)
+        """Task-pool kernel (pickled instance, NOT an actor pool: K x dim
+        centroids ship per task for free; a fresh actor pool costs 2-4 s
+        of startup — see the textstats module note)."""
+
+        def __init__(self, c):
+            self.c = c
 
         def __call__(self, t: pa.Table) -> pa.Table:
             if not t.num_rows:
@@ -1090,10 +1093,7 @@ def semantic_dedup(
                 }
             )
 
-    assigned = reread().map_batches(
-        Assign, batch_format="pyarrow",
-        fn_constructor_args=(cref,), concurrency=(1, P),
-    )
+    assigned = reread().map_batches(Assign(cent), batch_format="pyarrow")
 
     thr = float(threshold)
     cap = int(max_cluster)

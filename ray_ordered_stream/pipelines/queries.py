@@ -2844,7 +2844,7 @@ def q_emb_semantic_dedup(sf_dir: str):
 
     both = ds.union(ds.map_batches(copy_ids, batch_format="pyarrow"))
     kept, _drops = semantic_dedup(
-        both, threshold=0.9, n_clusters=8, id_col="vec_id"
+        both, threshold=0.9, n_clusters=8, id_col="vec_id", iters=2
     )
     return kept.select_columns(["vec_id", "label"])
 
