@@ -2805,6 +2805,46 @@ def q_doc_lm_rarity(sf_dir: str):
     return stats
 
 
+def q_bpe_first_merge(sf_dir: str):
+    """Driver-checkable slice of BPE training: round 1's winning pair is a
+    pure char-pair count over the word vocabulary (no prior merges), which
+    ANSI SQL can mirror exactly. Gates the trainer's pair-count partials,
+    tree-reduce fold, and (count DESC, left, right) tie-break end-to-end;
+    the full iterative trainer is pinned by tests/test_bpe.py."""
+    from ..functions.bpe import train_bpe
+
+    return train_bpe(
+        _read(sf_dir, "documents", ["text"]), n_merges=1, min_pair_count=1
+    )
+
+
+SQL_BPE_FIRST_MERGE = r"""
+WITH words AS (
+  SELECT unnest(regexp_extract_all(lower(text), '\w+')) AS w FROM documents),
+wc AS (SELECT w, count(*)::BIGINT AS c FROM words GROUP BY w),
+pairs AS (
+  SELECT substring(w, i, 1) AS l, substring(w, i + 1, 1) AS r,
+         sum(c)::BIGINT AS n
+  FROM wc, unnest(generate_series(1, length(w) - 1)) s(i)
+  GROUP BY 1, 2)
+SELECT 0::BIGINT AS rank, l AS "left", r AS "right", n AS "count"
+FROM pairs ORDER BY n DESC, l, r LIMIT 1
+"""
+
+
+def q_bpe_merges(sf_dir: str):
+    """Full distributed BPE training (16 merges over the corpus word
+    vocabulary). Rows-only: each round's counts depend on the previous
+    round's re-segmentation — not expressible as one SQL query. The
+    serial-conformance gate lives in tests/test_bpe.py; round 1 is
+    SQL-gated by bpe_first_merge."""
+    from ..functions.bpe import train_bpe
+
+    return train_bpe(
+        _read(sf_dir, "documents", ["text"]), n_merges=16, min_pair_count=2
+    )
+
+
 def q_doc_normalize(sf_dir: str):
     """Canonical text normalization (NFC -> lower -> collapse whitespace ->
     trim), the pre-hash stage of a crawl pipeline. Pure per-batch Arrow
@@ -2944,6 +2984,7 @@ QUERIES = {
     "doc_lm_rarity": (q_doc_lm_rarity, SQL_DOC_LM_RARITY),
     "emb_semantic_dedup": (q_emb_semantic_dedup, SQL_EMB_SEMANTIC_DEDUP),
     "doc_normalize": (q_doc_normalize, SQL_DOC_NORMALIZE),
+    "bpe_first_merge": (q_bpe_first_merge, SQL_BPE_FIRST_MERGE),
     # -- (4) green in round 2 ---------------------------------------------
     "conv_render": (q_conv_render, SQL_CONV_RENDER),
     "conv_examples": (q_conv_examples, SQL_CONV_EXAMPLES),
@@ -2996,4 +3037,5 @@ QUERIES = {
     "doc_near_dups": (q_doc_near_dups, None),
     "doc_simhash": (q_doc_simhash, None),
     "doc_simhash_pairs": (q_doc_simhash_pairs, None),
+    "bpe_merges": (q_bpe_merges, None),
 }
