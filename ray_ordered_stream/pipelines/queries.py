@@ -2805,6 +2805,25 @@ def q_doc_lm_rarity(sf_dir: str):
     return stats
 
 
+def q_doc_source_cap(sf_dir: str):
+    """Per-domain quota capping (crawl balancing: keep at most k docs per
+    source, preferring the longest) — grouped_topk's partial-prune +
+    one-shuffle shape; no global sort."""
+    from ..functions.topk import grouped_topk
+
+    docs = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+    return grouped_topk(
+        docs, "source", "n_chars", 10, tiebreak="doc_id"
+    )
+
+
+SQL_DOC_SOURCE_CAP = """
+SELECT doc_id, source, n_chars FROM documents
+QUALIFY row_number() OVER (
+  PARTITION BY source ORDER BY n_chars DESC, doc_id DESC) <= 10
+"""
+
+
 def q_bpe_first_merge(sf_dir: str):
     """Driver-checkable slice of BPE training: round 1's winning pair is a
     pure char-pair count over the word vocabulary (no prior merges), which
@@ -2985,6 +3004,7 @@ QUERIES = {
     "emb_semantic_dedup": (q_emb_semantic_dedup, SQL_EMB_SEMANTIC_DEDUP),
     "doc_normalize": (q_doc_normalize, SQL_DOC_NORMALIZE),
     "bpe_first_merge": (q_bpe_first_merge, SQL_BPE_FIRST_MERGE),
+    "doc_source_cap": (q_doc_source_cap, SQL_DOC_SOURCE_CAP),
     # -- (4) green in round 2 ---------------------------------------------
     "conv_render": (q_conv_render, SQL_CONV_RENDER),
     "conv_examples": (q_conv_examples, SQL_CONV_EXAMPLES),
