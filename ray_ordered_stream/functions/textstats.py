@@ -521,3 +521,58 @@ def normalize_text(
         return t.append_column(out_col, s)
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def hash_features(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 1024,
+):
+    """Hashing-trick sparse feature extraction (Weinberger et al. 2009):
+    each document becomes (id, bucket, count) rows with
+    ``bucket = int(md5(token)[:8], 16) % k`` — the downstream-ML feature
+    matrix in COO form, vocabulary-free so it needs no global dictionary
+    build at 100 TB.
+
+    No shuffle at all: a document's text lives in one row, so all its
+    (token, count) pairs stay inside one batch; bucketizing is the shared
+    md5-LUT kernel (one md5 per UNIQUE token in the batch, then a codes
+    gather) and bucket-collision summing is a local groupby. The md5
+    derivation matches DuckDB ``('0x' || substr(md5(w),1,8))::BIGINT % k``
+    exactly (same convention as the sequence packer)."""
+    from .pack import _token_ids
+    from .tfidf import doc_term_freqs
+
+    kk = int(k)
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "bucket": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        tok = t["token"]
+        if isinstance(tok, pa.ChunkedArray):
+            tok = tok.combine_chunks()
+        b = _token_ids(tok, kk)
+        df = pd.DataFrame(
+            {
+                id_col: t[id_col].to_numpy(zero_copy_only=False),
+                "bucket": b,
+                "n": t["tf"].to_numpy(zero_copy_only=False),
+            }
+        )
+        out = df.groupby([id_col, "bucket"], sort=False, as_index=False)["n"].sum()
+        return pa.Table.from_pandas(out, preserve_index=False).cast(
+            pa.schema(
+                [(id_col, pa.int64()), ("bucket", pa.int64()), ("n", pa.int64())]
+            )
+        )
+
+    return doc_term_freqs(ds, id_col, text_col).map_batches(
+        bucketize, batch_format="pyarrow"
+    )

@@ -2805,6 +2805,27 @@ def q_doc_lm_rarity(sf_dir: str):
     return stats
 
 
+def q_doc_hash_features(sf_dir: str):
+    """Hashing-trick sparse features in COO form (vocabulary-free feature
+    extraction for downstream ML): no shuffle — a doc's (token, count)
+    pairs never leave their batch; md5-LUT bucketing matches the SQL."""
+    from ..functions.textstats import hash_features
+
+    return hash_features(
+        _read(sf_dir, "documents", ["doc_id", "text"]), k=256
+    )
+
+
+SQL_DOC_HASH_FEATURES = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\w+')) AS w
+  FROM documents)
+SELECT doc_id, ('0x' || substr(md5(w), 1, 8))::BIGINT % 256 AS bucket,
+       count(*)::BIGINT AS n
+FROM toks GROUP BY doc_id, bucket
+"""
+
+
 def q_doc_source_cap(sf_dir: str):
     """Per-domain quota capping (crawl balancing: keep at most k docs per
     source, preferring the longest) — grouped_topk's partial-prune +
@@ -3005,6 +3026,7 @@ QUERIES = {
     "doc_normalize": (q_doc_normalize, SQL_DOC_NORMALIZE),
     "bpe_first_merge": (q_bpe_first_merge, SQL_BPE_FIRST_MERGE),
     "doc_source_cap": (q_doc_source_cap, SQL_DOC_SOURCE_CAP),
+    "doc_hash_features": (q_doc_hash_features, SQL_DOC_HASH_FEATURES),
     # -- (4) green in round 2 ---------------------------------------------
     "conv_render": (q_conv_render, SQL_CONV_RENDER),
     "conv_examples": (q_conv_examples, SQL_CONV_EXAMPLES),
