@@ -2805,6 +2805,93 @@ def q_doc_lm_rarity(sf_dir: str):
     return stats
 
 
+def q_corpus_curation3(sf_dir: str):
+    """Round-3 composed curation pipeline — the NEW operators chained:
+    normalize (NFC/lower/ws) -> exact content dedup on the NORMALIZED text
+    (keep-first, grouped_topk k=1) -> corpus unigram-LM rarity gate
+    (distributed quantile threshold, integer keep rule) -> doc_id hash
+    join back to (lang, source) -> one exchange rollup. Nothing
+    materializes between stages except the shared block refs."""
+    import hashlib as _hl
+
+    from ..agg import exchange_groupby
+    from ..functions.textstats import normalize_text, unigram_lm_stats
+    from ..functions.topk import grouped_topk
+    from ..join import hash_join
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "lang", "source"])
+    norm = normalize_text(docs)
+
+    def fp(b: pd.DataFrame) -> pd.DataFrame:
+        b["fingerprint"] = b["norm_text"].map(
+            lambda s: _hl.md5(s.encode()).hexdigest()
+        )
+        return b
+
+    deduped = grouped_topk(
+        norm.map_batches(fp, batch_format="pandas"),
+        "fingerprint", "doc_id", 1, tiebreak="doc_id", descending=False,
+    )
+    import ray.data as _rd
+
+    dref = list(deduped.to_arrow_refs())
+    stats, _thr = unigram_lm_stats(
+        _rd.from_arrow_refs(list(dref)), text_col="norm_text",
+        rare_q=0.25, max_rare_ratio=(1, 10),
+    )
+    def keep_only(t: pa.Table) -> pa.Table:
+        k = t["keep"]
+        if isinstance(k, pa.ChunkedArray):
+            k = k.combine_chunks()
+        return t.filter(k)
+
+    kept = stats.map_batches(keep_only, batch_format="pyarrow")
+    attrs = _rd.from_arrow_refs(list(dref)).select_columns(
+        ["doc_id", "lang", "source"]
+    )
+    joined = hash_join(kept, attrs, key="doc_id", by_int=True)
+    return exchange_groupby(
+        joined,
+        ["lang", "source"],
+        {
+            "n_docs": (None, "count"),
+            "total_tokens": ("n_tokens", "sum"),
+            "total_rare": ("rare_count", "sum"),
+        },
+    )
+
+
+SQL_CORPUS_CURATION3 = r"""
+WITH norm AS (
+  SELECT doc_id, lang, source,
+    trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g'))
+      AS norm_text
+  FROM documents),
+dedup AS (
+  SELECT * FROM norm
+  QUALIFY row_number() OVER (
+    PARTITION BY md5(norm_text) ORDER BY doc_id) = 1),
+toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(norm_text, '\w+')) AS token
+  FROM dedup),
+counts AS (SELECT token, count(*)::BIGINT AS n FROM toks GROUP BY token),
+thr AS (SELECT quantile_disc(n, 0.25) AS rare_max FROM counts),
+per_doc AS (
+  SELECT t.doc_id, count(*)::BIGINT AS n_tokens,
+         sum(CASE WHEN c.n <= (SELECT rare_max FROM thr)
+                  THEN 1 ELSE 0 END)::BIGINT AS rare_count
+  FROM toks t JOIN counts c USING (token) GROUP BY t.doc_id),
+kept AS (
+  SELECT d.lang, d.source, p.n_tokens, p.rare_count
+  FROM per_doc p JOIN dedup d USING (doc_id)
+  WHERE p.rare_count * 10 <= p.n_tokens)
+SELECT lang, source, count(*)::BIGINT AS n_docs,
+       sum(n_tokens)::BIGINT AS total_tokens,
+       sum(rare_count)::BIGINT AS total_rare
+FROM kept GROUP BY lang, source
+"""
+
+
 def q_doc_hash_features(sf_dir: str):
     """Hashing-trick sparse features in COO form (vocabulary-free feature
     extraction for downstream ML): no shuffle — a doc's (token, count)
@@ -3027,6 +3114,7 @@ QUERIES = {
     "bpe_first_merge": (q_bpe_first_merge, SQL_BPE_FIRST_MERGE),
     "doc_source_cap": (q_doc_source_cap, SQL_DOC_SOURCE_CAP),
     "doc_hash_features": (q_doc_hash_features, SQL_DOC_HASH_FEATURES),
+    "corpus_curation3": (q_corpus_curation3, SQL_CORPUS_CURATION3),
     # -- (4) green in round 2 ---------------------------------------------
     "conv_render": (q_conv_render, SQL_CONV_RENDER),
     "conv_examples": (q_conv_examples, SQL_CONV_EXAMPLES),
