@@ -2805,6 +2805,50 @@ def q_doc_lm_rarity(sf_dir: str):
     return stats
 
 
+def q_events_window_fns(sf_dir: str):
+    """Generic SQL window functions (functions/analytics.py): ROW_NUMBER,
+    LAG, cumulative SUM (integer-exact via floor) and cumulative MAX per
+    user in (ts, event_id) order — ONE hash exchange on the partition
+    key, then vectorized per-partition evaluation (lexsort + pandas
+    C-level grouped cumops); no global sort."""
+    import pyarrow.compute as _pc
+
+    from ..functions.analytics import window_functions
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        f = _pc.cast(_pc.floor(t["value"]), pa.int64())
+        return t.append_column("fvalue", f)
+
+    out = window_functions(
+        ev.map_batches(derive, batch_format="pyarrow"),
+        part_key="user_id",
+        order_by=["ts", "event_id"],
+        specs={
+            "rn": ("row_number",),
+            "prev_value": ("lag", "value", 1),
+            "run_fsum": ("cumsum", "fvalue"),
+            "max_value": ("cummax", "value"),
+        },
+        by_int=True,
+    )
+    return out.select_columns(
+        ["event_id", "user_id", "rn", "prev_value", "run_fsum", "max_value"]
+    )
+
+
+SQL_EVENTS_WINDOW_FNS = """
+SELECT event_id, user_id,
+       row_number() OVER w AS rn,
+       lag(value, 1) OVER w AS prev_value,
+       (sum(CAST(floor(value) AS BIGINT)) OVER w)::BIGINT AS run_fsum,
+       max(value) OVER w AS max_value
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
 def q_corpus_curation3(sf_dir: str):
     """Round-3 composed curation pipeline — the NEW operators chained:
     normalize (NFC/lower/ws) -> exact content dedup on the NORMALIZED text
@@ -3115,6 +3159,7 @@ QUERIES = {
     "doc_source_cap": (q_doc_source_cap, SQL_DOC_SOURCE_CAP),
     "doc_hash_features": (q_doc_hash_features, SQL_DOC_HASH_FEATURES),
     "corpus_curation3": (q_corpus_curation3, SQL_CORPUS_CURATION3),
+    "events_window_fns": (q_events_window_fns, SQL_EVENTS_WINDOW_FNS),
     # -- (4) green in round 2 ---------------------------------------------
     "conv_render": (q_conv_render, SQL_CONV_RENDER),
     "conv_examples": (q_conv_examples, SQL_CONV_EXAMPLES),

@@ -1,0 +1,122 @@
+"""Window functions vs pandas/SQL semantics."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _input() -> pd.DataFrame:
+    rng = np.random.default_rng(5)
+    n = 500
+    return pd.DataFrame(
+        {
+            "id": np.arange(n, dtype=np.int64),
+            "k": rng.integers(0, 7, n).astype(np.int64),
+            "o": rng.integers(0, 40, n).astype(np.int64),  # heavy ties
+            "v": rng.normal(size=n).round(3),
+        }
+    )
+
+
+def test_window_functions_match_pandas(ray_session):
+    import ray.data as rd
+
+    from ray_ordered_stream.functions.analytics import window_functions
+
+    df = _input()
+    out = (
+        window_functions(
+            rd.from_arrow(pa.Table.from_pandas(df)).repartition(5),
+            part_key="k",
+            order_by=["o", "id"],
+            specs={
+                "rn": ("row_number",),
+                "rk": ("rank",),
+                "prev": ("lag", "v", 1),
+                "nxt2": ("lead", "v", 2),
+                "cs": ("cumsum", "o"),
+                "cm": ("cummax", "v"),
+                "cmin": ("cummin", "v"),
+            },
+            by_int=True,
+            num_partitions=3,
+        )
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+
+    ref = df.sort_values(["k", "o", "id"]).reset_index(drop=True)
+    g = ref.groupby("k", sort=False)
+    ref["rn"] = g.cumcount() + 1
+    # competition rank over the (o, id) tuple — ids are unique so rank==rn,
+    # make it interesting by ranking over o alone via a second call below
+    ref["prev"] = g["v"].shift(1)
+    ref["nxt2"] = g["v"].shift(-2)
+    ref["cs"] = g["o"].cumsum()
+    ref["cm"] = g["v"].cummax()
+    ref["cmin"] = g["v"].cummin()
+    ref = ref.sort_values("id").reset_index(drop=True)
+
+    for c in ["rn", "cs", "cm", "cmin"]:
+        assert (out[c].to_numpy() == ref[c].to_numpy()).all(), c
+    for c in ["prev", "nxt2"]:
+        a, b = out[c].to_numpy(), ref[c].to_numpy()
+        assert ((a == b) | (np.isnan(a) & np.isnan(b))).all(), c
+    # unique order tuple => rank == row_number
+    assert (out["rk"].to_numpy() == out["rn"].to_numpy()).all()
+
+
+def test_window_rank_with_ties(ray_session):
+    import ray.data as rd
+
+    from ray_ordered_stream.functions.analytics import window_functions
+
+    df = pd.DataFrame(
+        {
+            "id": np.arange(8, dtype=np.int64),
+            "k": np.array([1, 1, 1, 1, 2, 2, 2, 2], dtype=np.int64),
+            "o": np.array([5, 5, 7, 9, 1, 1, 1, 2], dtype=np.int64),
+        }
+    )
+    out = (
+        window_functions(
+            rd.from_arrow(pa.Table.from_pandas(df)).repartition(3),
+            part_key="k",
+            order_by=["o"],
+            specs={"rk": ("rank",), "rn": ("row_number",)},
+            by_int=True,
+            num_partitions=2,
+        )
+        .to_pandas()
+        .sort_values(["k", "o", "id"])
+        .reset_index(drop=True)
+    )
+    assert out["rk"].tolist() == [1, 1, 3, 4, 1, 1, 1, 4]
+
+
+def test_window_functions_empty_and_single(ray_session):
+    import ray.data as rd
+
+    from ray_ordered_stream.functions.analytics import window_functions
+
+    t = pa.table(
+        {
+            "id": pa.array([7], pa.int64()),
+            "k": pa.array([3], pa.int64()),
+            "v": pa.array([1.5], pa.float64()),
+        }
+    )
+    out = window_functions(
+        rd.from_arrow(t),
+        part_key="k",
+        order_by="id",
+        specs={"rn": ("row_number",), "p": ("lag", "v"), "cs": ("cumsum", "v")},
+        by_int=True,
+        num_partitions=4,
+    ).to_pandas()
+    assert len(out) == 1
+    assert out.loc[0, "rn"] == 1 and np.isnan(out.loc[0, "p"])
+    assert out.loc[0, "cs"] == 1.5
