@@ -2833,6 +2833,16 @@ def q_events_window_fns(sf_dir: str):
         },
         by_int=True,
     )
+    def fill_edges(t: pa.Table) -> pa.Table:
+        # the hash compare can't treat NaN as a value: coalesce the
+        # group-leading lag NULL to a sentinel on BOTH sides
+        pv = t["prev_value"]
+        if isinstance(pv, pa.ChunkedArray):
+            pv = pv.combine_chunks()
+        i = t.column_names.index("prev_value")
+        return t.set_column(i, "prev_value", pv.fill_null(-1.0))
+
+    out = out.map_batches(fill_edges, batch_format="pyarrow")
     return out.select_columns(
         ["event_id", "user_id", "rn", "prev_value", "run_fsum", "max_value"]
     )
@@ -2841,7 +2851,7 @@ def q_events_window_fns(sf_dir: str):
 SQL_EVENTS_WINDOW_FNS = """
 SELECT event_id, user_id,
        row_number() OVER w AS rn,
-       lag(value, 1) OVER w AS prev_value,
+       coalesce(lag(value, 1) OVER w, -1.0) AS prev_value,
        (sum(CAST(floor(value) AS BIGINT)) OVER w)::BIGINT AS run_fsum,
        max(value) OVER w AS max_value
 FROM events
