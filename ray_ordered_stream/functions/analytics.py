@@ -20,7 +20,10 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-_FNS = ("row_number", "rank", "lag", "lead", "cumsum", "cummax", "cummin", "cumcount")
+_FNS = (
+    "row_number", "rank", "lag", "lead", "cumsum", "cummax", "cummin",
+    "cumcount", "ntile", "percent_rank",
+)
 
 
 def window_functions(
@@ -41,6 +44,8 @@ def window_functions(
       ("cumsum", col)        running sum, UNBOUNDED PRECEDING..CURRENT ROW
       ("cummax", col) / ("cummin", col)
       ("cumcount",)          running count (== row_number, int64)
+      ("ntile", k)           k near-equal buckets in order (SQL NTILE)
+      ("percent_rank",)      (rank - 1) / (group_size - 1), 0.0 singleton
 
     Output row order is unspecified (hash-partitioned), as everywhere
     else in the engine — consumers sort or aggregate.
@@ -66,8 +71,10 @@ def window_functions(
                     base = t.slice(0, 0).to_pandas()
                     for alias, spec in specs.items():
                         fn = spec[0]
-                        if fn in ("row_number", "rank", "cumcount"):
+                        if fn in ("row_number", "rank", "cumcount", "ntile"):
                             dt = "int64"
+                        elif fn == "percent_rank":
+                            dt = "float64"
                         elif fn in ("cumsum", "cummax", "cummin"):
                             dt = base[spec[1]].dtype  # pandas keeps it
                         else:  # lag/lead: shift makes numeric -> float64
@@ -101,6 +108,8 @@ def window_functions(
         first_of = np.repeat(firsts, np.diff(np.append(firsts, n)))
         pos = np.arange(n) - first_of  # 0-based within group
         gid = np.cumsum(boundary) - 1
+        sizes = np.diff(np.append(firsts, n))
+        size_of = np.repeat(sizes, sizes)  # group size at every row
         g = df.groupby(gid, sort=False)
         for alias, spec in specs.items():
             fn = spec[0]
@@ -129,6 +138,29 @@ def window_functions(
                 df[alias] = g[spec[1]].cummax()
             elif fn == "cummin":
                 df[alias] = g[spec[1]].cummin()
+            elif fn == "ntile":
+                k = int(spec[1])
+                # SQL NTILE: first (size % k) buckets get ceil(size/k) rows
+                q, r = size_of // k, size_of % k
+                big = r * (q + 1)
+                df[alias] = np.where(
+                    pos < big, pos // np.maximum(q + 1, 1),
+                    np.where(q > 0, r + (pos - big) // np.maximum(q, 1), pos),
+                ).astype(np.int64) + 1
+            elif fn == "percent_rank":
+                tie = np.zeros(n, dtype=bool)
+                tie[0] = True
+                tie[1:] = boundary[1:]
+                for c in order_by:
+                    v = df[c].to_numpy()
+                    tie[1:] |= v[1:] != v[:-1]
+                run_first = np.repeat(
+                    np.flatnonzero(tie),
+                    np.diff(np.append(np.flatnonzero(tie), n)),
+                )
+                rk = (run_first - first_of).astype(np.float64)
+                denom = np.maximum(size_of - 1, 1).astype(np.float64)
+                df[alias] = np.where(size_of > 1, rk / denom, 0.0)
         return pa.Table.from_pandas(df, preserve_index=False)
 
     groups = shard_refs(list(ds.to_arrow_refs()), part_key, P, by_int=by_int)

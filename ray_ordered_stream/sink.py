@@ -167,3 +167,81 @@ def export_dataset(ds, out_dir: str, name: str = "export") -> dict:
         tmp.write_text(json.dumps(summary))
         os.replace(tmp, root / "_SUCCESS")
     return summary
+
+
+def export_partitioned(
+    ds, out_dir: str, by: str, name: str = "export"
+) -> dict:
+    """Resumable HIVE-PARTITIONED export: ``name/<by>=<value>/part-*.parquet``
+    so downstream reads prune whole directories by partition value (the
+    "one directory per key" layout the 100-TB resume story needs).
+
+    No shuffle: each input block splits locally by the partition column
+    and writes one file per value it contains, then commits ONE atomic
+    per-block manifest listing those files — a crashed run re-submits only
+    blocks whose manifest is missing, rewriting their files in place
+    (staged-write + ``os.replace``, so readers never see torn parts).
+    Intended for low-cardinality partition columns (date / lang / source);
+    a high-cardinality ``by`` would fan out to files-per-block × values.
+
+    Returns the summary dict also written to ``_SUCCESS`` when all blocks
+    have committed."""
+    import pyarrow.compute as pc
+    import ray
+
+    root = Path(out_dir) / name
+    mdir = root / "_manifests"
+    mdir.mkdir(parents=True, exist_ok=True)
+
+    @ray.remote
+    def write_block(tbl: pa.Table, block: int, root_s: str, mpath: str) -> dict:
+        col = tbl[by]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        files = []
+        if tbl.num_rows:
+            for v in pc.unique(col).to_pylist():
+                sub = tbl.filter(pc.equal(col, v))
+                d = Path(root_s) / f"{by}={v}"
+                d.mkdir(parents=True, exist_ok=True)
+                path = str(d / f"part-{block:05d}.parquet")
+                rows = write_part_atomic(sub, path)
+                files.append({"value": str(v), "file": path, "rows": rows})
+        man = {"block": block, "files": files,
+               "rows": int(sum(f["rows"] for f in files))}
+        tmp = Path(mpath).with_suffix(".tmp")
+        tmp.write_text(json.dumps(man))
+        os.replace(tmp, mpath)
+        return man
+
+    refs = list(ds.to_arrow_refs())
+    pending, skipped_rows, skipped = [], 0, 0
+    for i, ref in enumerate(refs):
+        mpath = mdir / f"block-{i:05d}.json"
+        if mpath.exists():
+            man = json.loads(mpath.read_text())
+            if all(Path(f["file"]).exists() for f in man["files"]):
+                skipped += 1
+                skipped_rows += man["rows"]
+                continue
+        pending.append(write_block.remote(ref, i, str(root), str(mpath)))
+    written = ray.get(pending)
+
+    values: dict[str, int] = {}
+    for mp in sorted(mdir.glob("block-*.json")):
+        for f in json.loads(mp.read_text())["files"]:
+            values[f["value"]] = values.get(f["value"], 0) + f["rows"]
+    summary = {
+        "name": name,
+        "by": by,
+        "n_blocks": len(refs),
+        "blocks_written": len(written),
+        "blocks_skipped": skipped,
+        "rows": int(sum(m["rows"] for m in written)) + skipped_rows,
+        "values": values,
+    }
+    if len(list(mdir.glob("block-*.json"))) == len(refs):
+        tmp = root / "_SUCCESS.tmp"
+        tmp.write_text(json.dumps(summary))
+        os.replace(tmp, root / "_SUCCESS")
+    return summary

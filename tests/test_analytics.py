@@ -120,3 +120,33 @@ def test_window_functions_empty_and_single(ray_session):
     assert len(out) == 1
     assert out.loc[0, "rn"] == 1 and np.isnan(out.loc[0, "p"])
     assert out.loc[0, "cs"] == 1.5
+
+
+def test_ntile_and_percent_rank_match_duckdb(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from ray_ordered_stream.functions.analytics import window_functions
+
+    df = _input()
+    out = (
+        window_functions(
+            rd.from_arrow(pa.Table.from_pandas(df)).repartition(4),
+            part_key="k",
+            order_by=["o", "id"],
+            specs={"nt": ("ntile", 4), "pr": ("percent_rank",)},
+            by_int=True,
+            num_partitions=3,
+        )
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    ref = duckdb.sql(
+        """
+        SELECT id, ntile(4) OVER w AS nt, percent_rank() OVER w AS pr
+        FROM df WINDOW w AS (PARTITION BY k ORDER BY o, id) ORDER BY id
+        """
+    ).df()
+    assert (out["nt"].to_numpy() == ref["nt"].to_numpy()).all()
+    assert np.allclose(out["pr"].to_numpy(), ref["pr"].to_numpy())

@@ -168,3 +168,54 @@ def test_export_dataset_resumes_and_skips_finished_parts(
     # third run: everything skipped
     s3 = export_dataset(ds, str(tmp_path), name="exp")
     assert s3["parts_written"] == 0 and s3["parts_skipped"] == 4
+
+
+def test_export_partitioned_hive_layout_and_resume(ray_session, tmp_path):
+    import json
+    from pathlib import Path
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ray_ordered_stream.sink import export_partitioned
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(60), pa.int64()),
+            "lang": pa.array([["en", "de", "fr"][i % 3] for i in range(60)]),
+            "n": pa.array([i * 2 for i in range(60)], pa.int64()),
+        }
+    )
+    ds = rd.from_arrow(t).repartition(4)
+    s1 = export_partitioned(ds, str(tmp_path), by="lang", name="docs")
+    root = tmp_path / "docs"
+    assert (root / "_SUCCESS").exists()
+    assert s1["rows"] == 60 and s1["blocks_skipped"] == 0
+    assert sorted(s1["values"]) == ["de", "en", "fr"]
+    # hive dirs prune by value
+    en = pq.read_table(str(root / "lang=en"))
+    assert set(en["lang"].to_pylist()) == {"en"} and en.num_rows == 20
+
+    # full re-run: everything skipped, files untouched
+    f = next((root / "lang=en").glob("*.parquet"))
+    mt = f.stat().st_mtime_ns
+    s2 = export_partitioned(ds, str(tmp_path), by="lang", name="docs")
+    assert s2["blocks_written"] == 0 and s2["blocks_skipped"] == s1["n_blocks"]
+    assert s2["rows"] == 60 and f.stat().st_mtime_ns == mt
+
+    # crash-sim: drop one block manifest -> only that block rewrites
+    man = sorted((root / "_manifests").glob("block-*.json"))[1]
+    victim = json.loads(man.read_text())
+    man.unlink()
+    s3 = export_partitioned(ds, str(tmp_path), by="lang", name="docs")
+    assert s3["blocks_written"] == 1 and s3["rows"] == 60
+    # whole-table content identical to the input (read per hive dir —
+    # _SUCCESS/_manifests would trip a naive directory read)
+    back = pa.concat_tables(
+        [pq.read_table(str(root / f"lang={v}")) for v in ("en", "de", "fr")]
+    ).sort_by("doc_id")
+    assert back.select(["doc_id", "n"]).equals(t.select(["doc_id", "n"]))
+    assert {Path(x["file"]).parent.name for x in victim["files"]} <= {
+        "lang=en", "lang=de", "lang=fr"
+    }
