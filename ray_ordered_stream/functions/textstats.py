@@ -576,3 +576,40 @@ def hash_features(
     return doc_term_freqs(ds, id_col, text_col).map_batches(
         bucketize, batch_format="pyarrow"
     )
+
+
+def extract_json_int(
+    ds,
+    col: str,
+    field: str,
+    out_col: str | None = None,
+    default: int = -1,
+):
+    """Vectorized semi-structured field extraction: pull an integer
+    ``field`` out of a JSON-string column with one Arrow RE2 pass per
+    batch (no per-row json.loads — at 100 TB the payload column never
+    becomes Python objects). Nulls / missing fields get ``default``.
+    Scalar-int fields only (the common telemetry shape); nested payloads
+    need a real parser stage."""
+    import pyarrow.compute as pc
+
+    out_col = out_col or field
+    pat = r'"' + field + r'":\s*(?P<v>-?\d+)'
+
+    def f(t: pa.Table) -> pa.Table:
+        s = t[col]
+        if isinstance(s, pa.ChunkedArray):
+            s = s.combine_chunks()
+        m = pc.extract_regex(s, pat)
+        v = pc.cast(
+            pc.if_else(
+                pc.is_valid(m), pc.struct_field(m, "v"), pa.scalar(None, pa.string())
+            ),
+            pa.int64(),
+        )
+        v = v.fill_null(default)
+        if out_col in t.column_names:
+            t = t.drop_columns([out_col])
+        return t.append_column(out_col, v)
+
+    return ds.map_batches(f, batch_format="pyarrow")

@@ -2805,6 +2805,39 @@ def q_doc_lm_rarity(sf_dir: str):
     return stats
 
 
+def q_events_json_stats(sf_dir: str):
+    """Semi-structured field extraction (one Arrow RE2 pass per batch —
+    the props payload never becomes Python objects) -> per-type exchange
+    rollup. SQL mirrors with a real JSON parser, so the regex shortcut is
+    verified against json_extract semantics on this payload shape."""
+    from ..agg import exchange_groupby
+    from ..functions.textstats import extract_json_int
+
+    ev = _read(sf_dir, "events", ["event_type", "props"])
+    ext = extract_json_int(ev, "props", "k")
+    return exchange_groupby(
+        ext,
+        "event_type",
+        {
+            "n": (None, "count"),
+            "sum_k": ("k", "sum"),
+            "max_k": ("k", "max"),
+            "min_k": ("k", "min"),
+        },
+    )
+
+
+SQL_EVENTS_JSON_STATS = """
+WITH e AS (
+  SELECT event_type,
+         coalesce(json_extract(props, '$.k')::BIGINT, -1) AS k
+  FROM events)
+SELECT event_type, count(*)::BIGINT AS n, sum(k)::BIGINT AS sum_k,
+       max(k)::BIGINT AS max_k, min(k)::BIGINT AS min_k
+FROM e GROUP BY event_type
+"""
+
+
 def q_events_window_fns(sf_dir: str):
     """Generic SQL window functions (functions/analytics.py): ROW_NUMBER,
     LAG, cumulative SUM (integer-exact via floor) and cumulative MAX per
@@ -3170,6 +3203,7 @@ QUERIES = {
     "doc_hash_features": (q_doc_hash_features, SQL_DOC_HASH_FEATURES),
     "corpus_curation3": (q_corpus_curation3, SQL_CORPUS_CURATION3),
     "events_window_fns": (q_events_window_fns, SQL_EVENTS_WINDOW_FNS),
+    "events_json_stats": (q_events_json_stats, SQL_EVENTS_JSON_STATS),
     # -- (4) green in round 2 ---------------------------------------------
     "conv_render": (q_conv_render, SQL_CONV_RENDER),
     "conv_examples": (q_conv_examples, SQL_CONV_EXAMPLES),
