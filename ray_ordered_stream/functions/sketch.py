@@ -557,3 +557,108 @@ def exact_distinct(ds, col: str) -> int:
     groups = shard_refs(refs, col, P, by_int=by_int)
     return int(sum(ray.get([count_unique.remote(*[g[p] for g in groups])
                             for p in range(P)])))
+
+
+def grouped_approx_distinct(
+    ds,
+    group_col: str,
+    col: str,
+    p: int = 12,
+    num_partitions: int | None = None,
+):
+    """Approximate distinct count of ``col`` PER GROUP — HLL with SPARSE
+    registers so high group cardinality never materializes groups x m
+    bytes: each batch emits (group, register, rho) triples maxed within
+    the batch (bounded by the batch's distinct (group, value) pairs, the
+    same combiner bound as exact counting), ONE exchange maxes them per
+    (group, register), and a second vocabulary-sized exchange folds each
+    group's sparse registers into the HLL estimate (untouched registers
+    contribute (m - nnz) zeros in closed form, so the full m-vector never
+    exists anywhere).
+
+    Returns a Dataset (group_col, approx float64). Same estimator as
+    ``HLL.estimate`` (alpha_m bias + linear-counting small-range
+    correction); relative error ~1.04/sqrt(2^p)."""
+    import pandas as pd_
+
+    from ..agg import exchange_groupby
+
+    m = 1 << p
+    pp = p
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                group_col: t[group_col].combine_chunks()
+                if isinstance(t[group_col], pa.ChunkedArray)
+                else t[group_col],
+                "reg": pa.array([], pa.int64()),
+                "rho": pa.array([], pa.int64()),
+            }
+        ) if not t.num_rows else None
+        if empty is not None:
+            return empty
+        g = t[group_col]
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        enc = pa.compute.dictionary_encode(g)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = np.asarray(enc.indices).astype(np.int64)
+        h = _hash_column(t[col])
+        idx = (h >> np.uint64(64 - pp)).astype(np.int64)
+        bits = h & np.uint64((1 << (64 - pp)) - 1)
+        fl = np.zeros(len(bits), dtype=np.int64)
+        nz = bits > 0
+        fl[nz] = np.floor(np.log2(bits[nz].astype(np.float64))).astype(np.int64)
+        rho = np.where(nz, (64 - pp) - fl, (64 - pp) + 1).astype(np.int64)
+        order = np.lexsort((idx, codes))
+        c_s, i_s, r_s = codes[order], idx[order], rho[order]
+        b = np.empty(len(c_s), dtype=bool)
+        b[0] = True
+        b[1:] = (c_s[1:] != c_s[:-1]) | (i_s[1:] != i_s[:-1])
+        starts = np.flatnonzero(b)
+        best = np.maximum.reduceat(r_s, starts)
+        return pa.table(
+            {
+                group_col: enc.dictionary.take(pa.array(c_s[starts])),
+                "reg": pa.array(i_s[starts], pa.int64()),
+                "rho": pa.array(best, pa.int64()),
+            }
+        )
+
+    partials = ds.select_columns([group_col, col]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    merged = exchange_groupby(
+        partials, [group_col, "reg"], {"rho": ("rho", "max")},
+        num_partitions=num_partitions,
+    )
+
+    def derive(t: pa.Table) -> pa.Table:
+        rho = t["rho"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                group_col: t[group_col],
+                "s": pa.array(np.power(2.0, -np.minimum(rho, 255.0))),
+            }
+        )
+
+    folded = exchange_groupby(
+        merged.map_batches(derive, batch_format="pyarrow"),
+        group_col,
+        {"s": ("s", "sum"), "nnz": (None, "count")},
+        num_partitions=num_partitions,
+    )
+
+    def estimate(df: pd_.DataFrame) -> pd_.DataFrame:
+        s = df["s"].to_numpy(dtype=np.float64)
+        nnz = df["nnz"].to_numpy(dtype=np.int64)
+        alpha = 0.7213 / (1 + 1.079 / m)
+        e = alpha * m * m / ((m - nnz) + s)
+        v = m - nnz
+        lin = np.where(v > 0, m * np.log(np.where(v > 0, m / np.maximum(v, 1), 1.0)), e)
+        out = np.where((e <= 2.5 * m) & (v > 0), lin, e)
+        return pd_.DataFrame({group_col: df[group_col], "approx": out})
+
+    return folded.map_batches(estimate, batch_format="pandas")

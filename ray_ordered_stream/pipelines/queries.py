@@ -2805,6 +2805,53 @@ def q_doc_lm_rarity(sf_dir: str):
     return stats
 
 
+def q_events_user_distinct_certify(sf_dir: str):
+    """Grouped approx-distinct (sparse per-group HLL registers through the
+    exchange — groups x m bytes never materializes) CERTIFIED against the
+    exact distinct-pair count, certificate-query style: the oracle checks
+    the exact side and the within-bounds verdict."""
+    import pyarrow.compute as _pc
+
+    from ..agg import exchange_groupby
+    from ..functions.sketch import grouped_approx_distinct
+    from ..join import hash_join
+
+    ev = _read(sf_dir, "events", ["event_type", "user_id"])
+    approx = grouped_approx_distinct(ev, "event_type", "user_id", p=12)
+
+    # exact: distinct (type, user) pairs -> count per type (two
+    # distinct-pair-sized exchanges; the raw rows never shuffle twice)
+    pairs = exchange_groupby(
+        ev, ["event_type", "user_id"], {"c": (None, "count")}
+    )
+    exact = exchange_groupby(
+        pairs, "event_type", {"n_exact": (None, "count")}
+    )
+
+    joined = hash_join(exact, approx, key="event_type")
+
+    def verdict(t: pa.Table) -> pa.Table:
+        a = t["approx"].to_numpy(zero_copy_only=False)
+        n = t["n_exact"].to_numpy(zero_copy_only=False).astype(np.float64)
+        tol = 5.0 * 1.04 / np.sqrt(4096.0)
+        ok = np.abs(a - n) <= tol * n + 3.0
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "n_exact": t["n_exact"],
+                "ok": pa.array(ok),
+            }
+        )
+
+    return joined.map_batches(verdict, batch_format="pyarrow")
+
+
+SQL_EVENTS_USER_DISTINCT_CERTIFY = """
+SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_exact, true AS ok
+FROM events GROUP BY event_type
+"""
+
+
 def q_events_json_stats(sf_dir: str):
     """Semi-structured field extraction (one Arrow RE2 pass per batch —
     the props payload never becomes Python objects) -> per-type exchange
@@ -3204,6 +3251,7 @@ QUERIES = {
     "corpus_curation3": (q_corpus_curation3, SQL_CORPUS_CURATION3),
     "events_window_fns": (q_events_window_fns, SQL_EVENTS_WINDOW_FNS),
     "events_json_stats": (q_events_json_stats, SQL_EVENTS_JSON_STATS),
+    "events_user_distinct_certify": (q_events_user_distinct_certify, SQL_EVENTS_USER_DISTINCT_CERTIFY),
     # -- (4) green in round 2 ---------------------------------------------
     "conv_render": (q_conv_render, SQL_CONV_RENDER),
     "conv_examples": (q_conv_examples, SQL_CONV_EXAMPLES),

@@ -203,3 +203,38 @@ def test_exact_distinct_matches_oracle():
     ).repartition(6)
     assert exact_distinct(ds, "i") == len(np.unique(ints))
     assert exact_distinct(ds, "s") == len(np.unique(strs))
+
+
+def test_grouped_approx_distinct_matches_serial_hll(ray_session):
+    import ray.data as rd
+
+    from ray_ordered_stream.functions.sketch import (
+        HLL,
+        _hash_column,
+        grouped_approx_distinct,
+    )
+
+    rng = np.random.default_rng(3)
+    n = 20000
+    grp = rng.integers(0, 5, n).astype(np.int64)
+    # per-group distinct scales with the group id
+    val = rng.integers(0, 1 + 400 * (1 + grp), n).astype(np.int64) + grp * 10**9
+    t = pa.table({"g": grp, "v": val})
+
+    out = (
+        grouped_approx_distinct(
+            rd.from_arrow(t).repartition(6), "g", "v", p=12
+        )
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+
+    # serial reference: one dense HLL per group over the same hashes
+    for gi in range(5):
+        mask = grp == gi
+        ref = HLL(12).add_hashes(_hash_column(pa.array(val[mask])))
+        approx = out.loc[out["g"] == gi, "approx"].iloc[0]
+        assert abs(approx - ref.estimate()) < 1e-6, gi
+        exact = len(np.unique(val[mask]))
+        assert abs(approx - exact) <= 5 * 1.04 / np.sqrt(4096) * exact + 3
