@@ -2805,6 +2805,45 @@ def q_doc_lm_rarity(sf_dir: str):
     return stats
 
 
+def q_stream_embdedup(sf_dir: str):
+    """Streaming hyperplane-LSH EMBEDDING near-dedup end-to-end gate
+    (stream_dedup.run_embdedup_stream) on planted copies: identical
+    vectors collide in every band, and the synthetic corpus's max natural
+    cosine (~0.6) makes a 48-planes/band false collision < 1e-4 across
+    every sf dir (measured), so kept == originals exactly."""
+    import hashlib
+    import shutil
+    from pathlib import Path
+
+    import pyarrow.parquet as pq_
+
+    from ..stream_dedup import run_embdedup_stream
+
+    emb = pq_.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = Path(f"/tmp/ros_stream_embdedup_{tag}")
+    shutil.rmtree(base, ignore_errors=True)
+    feed = base / "feed"
+    feed.mkdir(parents=True)
+    half = emb.num_rows // 2
+    copies = emb.set_column(0, "vec_id", pc.add(emb["vec_id"], _PLANT_OFFSET))
+    for i, sl in enumerate(
+        [emb.slice(0, half), emb.slice(half), copies.slice(0, half),
+         copies.slice(half)]
+    ):
+        pq_.write_table(sl, feed / f"f{i}.parquet")
+    res = run_embdedup_stream(
+        [str(feed / f"f{i}.parquet") for i in range(4)],
+        str(base / "out"), num_partitions=3, files_per_epoch=2,
+    )
+    return res.sink.read().select_columns(["vec_id"])
+
+
+SQL_STREAM_EMBDEDUP = "SELECT vec_id FROM embeddings"
+
+
 def q_events_user_distinct_certify(sf_dir: str):
     """Grouped approx-distinct (sparse per-group HLL registers through the
     exchange — groups x m bytes never materializes) CERTIFIED against the
@@ -3252,6 +3291,7 @@ QUERIES = {
     "events_window_fns": (q_events_window_fns, SQL_EVENTS_WINDOW_FNS),
     "events_json_stats": (q_events_json_stats, SQL_EVENTS_JSON_STATS),
     "events_user_distinct_certify": (q_events_user_distinct_certify, SQL_EVENTS_USER_DISTINCT_CERTIFY),
+    "stream_embdedup": (q_stream_embdedup, SQL_STREAM_EMBDEDUP),
     # -- (4) green in round 2 ---------------------------------------------
     "conv_render": (q_conv_render, SQL_CONV_RENDER),
     "conv_examples": (q_conv_examples, SQL_CONV_EXAMPLES),

@@ -616,10 +616,12 @@ class NearDupPayloadPartition:
     verdicts, writes kept rows actor-direct to the sink, and emits the kept
     docs' (band_hash) rows split by band partition for record()."""
 
-    def __init__(self, partition: int, band_P: int, bands: int):
+    def __init__(self, partition: int, band_P: int, bands: int,
+                 id_col: str = "doc_id"):
         self.partition = partition
         self.band_P = band_P
         self.bands = bands
+        self.id_col = id_col
 
     def decide(self, part_path: str, n_payload: int, *args):
         shards, matched = args[:n_payload], args[n_payload:]
@@ -637,7 +639,7 @@ class NearDupPayloadPartition:
             if any(len(m) for m in matched)
             else np.empty(0, dtype=np.int64)
         )
-        ids = payload["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = payload[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         drop = np.isin(ids, bad)
         keep_idx = np.flatnonzero(~drop)
         arr = payload["arrival"].to_numpy(zero_copy_only=False)[keep_idx]
@@ -674,13 +676,19 @@ def _read_split_neardup(
     seed: int,
     arrival_base: int,
     columns: list[str] | None,
+    sig: str = "minhash",
 ):
-    """Fused read + banded-minhash + double split for one epoch: payload
+    """Fused read + banded signature + double split for one epoch: payload
     shards by doc id (with the doc's band hashes as columns) AND band-pair
     shards by band hash. One full-data read; only (band_hash, doc_id,
-    arrival) triples go to the band partitions."""
+    arrival) triples go to the band partitions.
+
+    ``sig``: "minhash" hashes ``text_col`` text (banded MinHash);
+    "hyperplane" treats ``text_col`` as an embedding list column and
+    bands hyperplane sign patterns (``num_perm`` total planes split over
+    ``bands``; ``k`` unused) — everything downstream is signature-agnostic."""
     from .exchange import split_compact
-    from .functions.dedup import band_hashes
+    from .functions.dedup import band_hashes, embedding_band_hashes
 
     tbls = []
     off = arrival_base
@@ -695,7 +703,12 @@ def _read_split_neardup(
     col = tbl[text_col]
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
-    bh = band_hashes(col, num_perm=num_perm, bands=bands, k=k, seed=seed)
+    if sig == "hyperplane":
+        bh = embedding_band_hashes(
+            col, bands=bands, planes_per_band=num_perm // bands, seed=seed
+        )
+    else:
+        bh = band_hashes(col, num_perm=num_perm, bands=bands, k=k, seed=seed)
     for b in range(bands):
         tbl = tbl.append_column(f"bh_{b}", pa.array(bh[:, b], pa.int64()))
     ids = tbl[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -741,6 +754,7 @@ def run_neardup_stream(
     fail_after_epoch: int | None = None,
     compact_every: int = 8,
     ttl_epochs: int | None = None,
+    sig: str = "minhash",
 ) -> DedupStreamResult:
     """Streaming APPROXIMATE near-dedup: drop any document one of whose
     MinHash band hashes collides with a previously KEPT document (or with
@@ -776,7 +790,7 @@ def run_neardup_stream(
             # parameters; resuming with different MinHash params would
             # silently compare incompatible hashes.
             for name, val in (("bands", bands), ("num_perm", num_perm),
-                              ("k", k), ("seed", seed)):
+                              ("k", k), ("seed", seed), ("sig", sig)):
                 if name in meta and meta[name] != val:
                     raise ValueError(
                         f"checkpoint was written with {name}={meta[name]}, "
@@ -795,13 +809,13 @@ def run_neardup_stream(
         sink.reset()
     meta_path.write_text(
         json.dumps({"partitions": num_partitions, "bands": bands,
-                    "num_perm": num_perm, "k": k, "seed": seed})
+                    "num_perm": num_perm, "k": k, "seed": seed, "sig": sig})
     )
 
     P = num_partitions
     band_workers = [BandPartition.remote(p, P, ttl_epochs) for p in range(P)]
     payload_workers = [
-        NearDupPayloadPartition.remote(p, P, bands) for p in range(P)
+        NearDupPayloadPartition.remote(p, P, bands, id_col) for p in range(P)
     ]
 
     def delta_dir(epoch: int) -> Path:
@@ -861,7 +875,7 @@ def run_neardup_stream(
         shard_groups = [
             _read_split_neardup.options(num_returns=2 * P).remote(
                 [f], id_col, text_col, P, P, bands, num_perm, k, seed,
-                f_bases[i], columns,
+                f_bases[i], columns, sig,
             )
             for i, f in enumerate(g)
         ]
@@ -929,6 +943,51 @@ def run_neardup_stream(
         ray.kill(w)
     return DedupStreamResult(
         sink, epochs_run, epochs_skipped, kept_total, dropped_total
+    )
+
+
+def run_embdedup_stream(
+    files: list[str],
+    out_root: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    columns: list[str] | None = None,
+    num_partitions: int = 4,
+    files_per_epoch: int = 2,
+    bands: int = 4,
+    total_planes: int = 192,
+    seed: int = 13,
+    resume: bool = False,
+    fail_after_epoch: int | None = None,
+    compact_every: int = 8,
+    ttl_epochs: int | None = None,
+) -> DedupStreamResult:
+    """Streaming EMBEDDING near-dedup: hyperplane-LSH band hashes
+    (``total_planes`` seeded Gaussian planes split over ``bands``; a
+    collision in ANY band drops the arrival — cluster-head-keep, the
+    semantic-dedup analogue of ``run_neardup_stream``). Identical vectors
+    collide in every band; at 48 planes/band two random vectors below
+    ~0.7 cosine collide with p < 1e-7 per band. All exactly-once /
+    checkpoint / TTL / rescale machinery is shared with the MinHash
+    stream — only the fused signature kernel differs
+    (``functions.dedup.embedding_band_hashes``)."""
+    return run_neardup_stream(
+        files,
+        out_root,
+        id_col=id_col,
+        text_col=vec_col,
+        columns=columns or [id_col, vec_col],
+        num_partitions=num_partitions,
+        files_per_epoch=files_per_epoch,
+        bands=bands,
+        num_perm=total_planes,
+        k=0,
+        seed=seed,
+        resume=resume,
+        fail_after_epoch=fail_after_epoch,
+        compact_every=compact_every,
+        ttl_epochs=ttl_epochs,
+        sig="hyperplane",
     )
 
 

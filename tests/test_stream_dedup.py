@@ -418,3 +418,64 @@ def test_dedup_stream_fresh_rerun_wipes_phantom_epochs(ray_session, tmp_path):
     got = short.sink.read().count()
     assert got == n_short  # no phantom rows from the longer run
     assert short.sink.committed_epochs() == [0]
+
+
+def _emb_feed(n=160, d=32, n_copies=40, seed=21):
+    rng = np.random.default_rng(seed)
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    rows = [list(map(float, v)) for v in vecs]
+    df = pd.DataFrame({"vec_id": np.arange(n, dtype="int64"), "embedding": rows})
+    copies = pd.DataFrame(
+        {
+            "vec_id": np.arange(n, n + n_copies, dtype="int64"),
+            "embedding": rows[:n_copies],
+        }
+    )
+    return pd.concat([df, copies], ignore_index=True), n, n_copies
+
+
+def test_embdedup_stream_drops_copies(ray_session, tmp_path):
+    """Streaming hyperplane-LSH embedding near-dedup: identical vectors
+    collide in every band; random 32-dim vectors never collide at 48
+    planes/band."""
+    from ray_ordered_stream.stream_dedup import run_embdedup_stream
+
+    feed, n, n_copies = _emb_feed()
+    files = _write_feed(feed, tmp_path / "feed", 5)
+    res = run_embdedup_stream(
+        files, str(tmp_path / "out"), num_partitions=3, files_per_epoch=2
+    )
+    got = res.sink.read().select_columns(["vec_id"]).to_pandas()
+    kept = set(got["vec_id"])
+    assert kept == set(range(n))
+    assert res.total_dropped == n_copies
+
+
+def test_embdedup_stream_crash_resume_and_param_guard(ray_session, tmp_path):
+    import pytest as _pt
+
+    from ray_ordered_stream.stream_dedup import run_embdedup_stream
+
+    feed, n, _ = _emb_feed(n=120, n_copies=30, seed=22)
+    files = _write_feed(feed, tmp_path / "feed", 6)
+
+    full = run_embdedup_stream(files, str(tmp_path / "full"),
+                               num_partitions=2, files_per_epoch=2)
+    with _pt.raises(RuntimeError, match="injected failure"):
+        run_embdedup_stream(files, str(tmp_path / "crash"), num_partitions=2,
+                            files_per_epoch=2, fail_after_epoch=0)
+    res = run_embdedup_stream(files, str(tmp_path / "crash"),
+                              num_partitions=2, files_per_epoch=2, resume=True)
+    assert res.epochs_skipped == 1
+    a = full.sink.read().select_columns(["vec_id"]).to_pandas()
+    b = res.sink.read().select_columns(["vec_id"]).to_pandas()
+    assert sorted(a["vec_id"]) == sorted(b["vec_id"])
+    # resuming the hyperplane stream as a minhash stream must refuse
+    from ray_ordered_stream.stream_dedup import run_neardup_stream
+
+    with _pt.raises(ValueError, match="resume requires identical"):
+        run_neardup_stream(files, str(tmp_path / "crash"), id_col="vec_id",
+                           text_col="embedding",
+                           columns=["vec_id", "embedding"],
+                           bands=4, num_perm=192, k=0, seed=13,
+                           num_partitions=2, files_per_epoch=2, resume=True)
