@@ -110,7 +110,7 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--warmup-rows", type=int, default=8192)
     ap.add_argument(
         "--pipeline",
-        choices=("ordered", "dedup", "neardup", "curate", "pack"),
+        choices=("ordered", "dedup", "neardup", "embdedup", "curate", "pack"),
         default="ordered",
         help="which pipeline to run: the ordered engine (default), the "
              "content-dedup streams (stream_dedup.py; --input is then a "
@@ -236,7 +236,7 @@ def main(argv: list[str] | None = None) -> int:
         }))
         return 0
 
-    if args.pipeline in ("dedup", "neardup"):
+    if args.pipeline in ("dedup", "neardup", "embdedup"):
         from .stream_dedup import (
             run_dedup_stream,
             run_dedup_stream_continuous,
@@ -250,22 +250,29 @@ def main(argv: list[str] | None = None) -> int:
             files_per_epoch=args.files_per_epoch,
             compact_every=args.checkpoint_full_every,
         )
+        if args.pipeline == "embdedup":
+            # the hyperplane stream rides the shared neardup machinery
+            common.update(sig="hyperplane", k=0, bands=4, num_perm=192,
+                          seed=13,
+                          columns=[args.dedup_id_col, args.dedup_text_col])
         if args.dedup_ttl_epochs is not None:
             common["ttl_epochs"] = args.dedup_ttl_epochs
         if args.continuous:
             res = run_dedup_stream_continuous(
                 args.input, args.out, idle_timeout_s=args.idle_timeout,
-                near=(args.pipeline == "neardup"), **common,
+                near=(args.pipeline in ("neardup", "embdedup")), **common,
             )
         else:
             files = [str(f) for f in sorted(Path(args.input).glob("*.parquet"))]
             if not files:
                 print(json.dumps({"error": f"no parquet files in {args.input}"}))
                 return 2
-            runner = (
-                run_neardup_stream if args.pipeline == "neardup"
-                else run_dedup_stream
-            )
+            if args.pipeline == "neardup":
+                runner = run_neardup_stream
+            elif args.pipeline == "embdedup":
+                runner = run_neardup_stream  # common carries sig/planes
+            else:
+                runner = run_dedup_stream
             res = runner(
                 files, args.out, resume=not args.no_resume, **common,
             )
