@@ -22,7 +22,7 @@ import pyarrow as pa
 
 _FNS = (
     "row_number", "rank", "lag", "lead", "cumsum", "cummax", "cummin",
-    "cumcount", "ntile", "percent_rank",
+    "cumcount", "ntile", "percent_rank", "session_id",
 )
 
 
@@ -46,6 +46,10 @@ def window_functions(
       ("cumcount",)          running count (== row_number, int64)
       ("ntile", k)           k near-equal buckets in order (SQL NTILE)
       ("percent_rank",)      (rank - 1) / (group_size - 1), 0.0 singleton
+      ("session_id", col, gap) 1-based session number per group: a new
+                             session starts when col - previous col > gap
+                             (gap in col's own units) — gap-based
+                             sessionization as a window function
 
     Output row order is unspecified (hash-partitioned), as everywhere
     else in the engine — consumers sort or aggregate.
@@ -71,7 +75,8 @@ def window_functions(
                     base = t.slice(0, 0).to_pandas()
                     for alias, spec in specs.items():
                         fn = spec[0]
-                        if fn in ("row_number", "rank", "cumcount", "ntile"):
+                        if fn in ("row_number", "rank", "cumcount", "ntile",
+                                  "session_id"):
                             dt = "int64"
                         elif fn == "percent_rank":
                             dt = "float64"
@@ -147,6 +152,19 @@ def window_functions(
                     pos < big, pos // np.maximum(q + 1, 1),
                     np.where(q > 0, r + (pos - big) // np.maximum(q, 1), pos),
                 ).astype(np.int64) + 1
+            elif fn == "session_id":
+                col, gap = spec[1], spec[2]
+                v = df[col].to_numpy()
+                if np.issubdtype(v.dtype, np.datetime64):
+                    v = v.astype("datetime64[us]").astype(np.int64)
+                brk = np.zeros(n, dtype=np.int64)
+                brk[0] = 1
+                brk[1:] = ((v[1:] - v[:-1]) > gap).astype(np.int64)
+                brk[boundary] = 1  # every group restarts at session 1
+                cs = np.cumsum(brk)
+                # subtract the running total just before each group start
+                base = np.repeat(cs[firsts] - 1, sizes)
+                df[alias] = cs - base
             elif fn == "percent_rank":
                 tie = np.zeros(n, dtype=bool)
                 tie[0] = True

@@ -2805,6 +2805,37 @@ def q_doc_lm_rarity(sf_dir: str):
     return stats
 
 
+def q_events_sessionize(sf_dir: str):
+    """Gap-based sessionization as a WINDOW FUNCTION (30-min inactivity
+    starts a new session) — the batch-analytics complement of the
+    streaming SessionAccumulator; one exchange, vectorized break+cumsum
+    per partition."""
+    from ..functions.analytics import window_functions
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+    out = window_functions(
+        ev,
+        part_key="user_id",
+        order_by=["ts", "event_id"],
+        specs={"sid": ("session_id", "ts", 1_800_000_000)},  # 30 min in us
+        by_int=True,
+    )
+    return out.select_columns(["event_id", "user_id", "sid"])
+
+
+SQL_EVENTS_SESSIONIZE = """
+WITH d AS (
+  SELECT event_id, user_id, ts,
+    CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+         THEN 1 ELSE 0 END AS brk
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT event_id, user_id,
+  (sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id))::BIGINT + 1
+    AS sid
+FROM d
+"""
+
+
 def q_stream_embdedup(sf_dir: str):
     """Streaming hyperplane-LSH EMBEDDING near-dedup end-to-end gate
     (stream_dedup.run_embdedup_stream) on planted copies: identical
@@ -3292,6 +3323,7 @@ QUERIES = {
     "events_json_stats": (q_events_json_stats, SQL_EVENTS_JSON_STATS),
     "events_user_distinct_certify": (q_events_user_distinct_certify, SQL_EVENTS_USER_DISTINCT_CERTIFY),
     "stream_embdedup": (q_stream_embdedup, SQL_STREAM_EMBDEDUP),
+    "events_sessionize": (q_events_sessionize, SQL_EVENTS_SESSIONIZE),
     # -- (4) green in round 2 ---------------------------------------------
     "conv_render": (q_conv_render, SQL_CONV_RENDER),
     "conv_examples": (q_conv_examples, SQL_CONV_EXAMPLES),

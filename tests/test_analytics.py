@@ -150,3 +150,31 @@ def test_ntile_and_percent_rank_match_duckdb(ray_session):
     ).df()
     assert (out["nt"].to_numpy() == ref["nt"].to_numpy()).all()
     assert np.allclose(out["pr"].to_numpy(), ref["pr"].to_numpy())
+
+
+def test_session_id_window_fn(ray_session):
+    import ray.data as rd
+
+    from ray_ordered_stream.functions.analytics import window_functions
+
+    df = pd.DataFrame(
+        {
+            "id": np.arange(8, dtype=np.int64),
+            "k": np.array([1, 1, 1, 1, 2, 2, 2, 2], dtype=np.int64),
+            "t": np.array([0, 5, 100, 103, 0, 200, 201, 500], dtype=np.int64),
+        }
+    )
+    out = (
+        window_functions(
+            rd.from_arrow(pa.Table.from_pandas(df)).repartition(3),
+            part_key="k",
+            order_by=["t", "id"],
+            specs={"sid": ("session_id", "t", 50)},
+            by_int=True,
+            num_partitions=2,
+        )
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    assert out["sid"].tolist() == [1, 1, 2, 2, 1, 2, 2, 3]
