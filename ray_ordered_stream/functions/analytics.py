@@ -64,7 +64,10 @@ def window_functions(
         if spec[0] not in _FNS:
             raise ValueError(f"unsupported window fn {spec[0]!r} for {alias!r}")
 
-    P = num_partitions or default_partitions()
+    # the shared exchange needs >= 2 output partitions (num_returns=1
+    # would return the shard list itself); P=1 still computes correctly
+    # through 2 partitions, one of which may simply be empty
+    P = max(2, num_partitions or default_partitions())
 
     @ray.remote
     def part(*shards: pa.Table) -> pa.Table:

@@ -178,3 +178,65 @@ def test_session_id_window_fn(ray_session):
         .reset_index(drop=True)
     )
     assert out["sid"].tolist() == [1, 1, 2, 2, 1, 2, 2, 3]
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    n=st.integers(1, 120),
+    n_keys=st.integers(1, 6),
+    tie_span=st.integers(1, 5),
+    seed=st.integers(0, 10_000),
+    P=st.integers(1, 4),
+)
+def test_window_functions_property_vs_pandas(
+    ray_session, n, n_keys, tie_span, seed, P
+):
+    import ray.data as rd
+
+    from ray_ordered_stream.functions.analytics import window_functions
+
+    rng = np.random.default_rng(seed)
+    df = pd.DataFrame(
+        {
+            "id": np.arange(n, dtype=np.int64),
+            "k": rng.integers(0, n_keys, n).astype(np.int64),
+            "o": rng.integers(0, tie_span, n).astype(np.int64),
+            "v": rng.integers(-50, 50, n).astype(np.int64),
+        }
+    )
+    out = (
+        window_functions(
+            rd.from_arrow(pa.Table.from_pandas(df)).repartition(3),
+            part_key="k",
+            order_by=["o", "id"],
+            specs={
+                "rn": ("row_number",),
+                "prev": ("lag", "v", 1),
+                "cs": ("cumsum", "v"),
+                "cm": ("cummax", "v"),
+                "sid": ("session_id", "o", 1),
+            },
+            by_int=True,
+            num_partitions=P,
+        )
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    ref = df.sort_values(["k", "o", "id"]).reset_index(drop=True)
+    g = ref.groupby("k", sort=False)
+    ref["rn"] = g.cumcount() + 1
+    ref["prev"] = g["v"].shift(1)
+    ref["cs"] = g["v"].cumsum()
+    ref["cm"] = g["v"].cummax()
+    brk = (g["o"].diff() > 1) | (g.cumcount() == 0)
+    ref["sid"] = brk.astype(int).groupby(ref["k"], sort=False).cumsum()
+    ref = ref.sort_values("id").reset_index(drop=True)
+    for c in ["rn", "cs", "cm", "sid"]:
+        assert (out[c].to_numpy() == ref[c].to_numpy()).all(), c
+    a, b = out["prev"].to_numpy(), ref["prev"].to_numpy()
+    assert ((a == b) | (np.isnan(a) & np.isnan(b))).all()
