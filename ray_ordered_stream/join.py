@@ -471,3 +471,60 @@ def _default_P() -> int:
     from .exchange import default_partitions
 
     return default_partitions()
+
+
+def broadcast_join(
+    left,
+    right,
+    key: str,
+    right_key: str | None = None,
+    right_cols: list[str] | None = None,
+    how: str = "inner",
+    suffix: str = "_r",
+):
+    """Broadcast hash join for a SMALL right side: the right table is
+    collected once, ``ray.put`` once, and every left batch probes it with
+    a vectorized pandas merge — NO exchange, no repartition, the left
+    side streams through untouched. This is the first-class form of the
+    ad-hoc ``ray.put`` + ``map_batches`` lookup several queries hand-roll
+    (and the shape the 100-TB guidance mandates for dim-table joins:
+    ``hash_join`` is for two BIG sides).
+
+    ``how``: "inner" or "left" (left keeps unmatched rows with nulls).
+    The right side must fit comfortably in every worker's heap — callers
+    own that judgement; a guard raises above ~50M right rows."""
+    import pandas as pd_
+    import ray
+
+    rk = right_key or key
+    if right_cols is not None:
+        cols = list(dict.fromkeys([rk] + right_cols))
+        right = right.select_columns(cols)
+    rt = right.to_pandas()
+    if len(rt) > 50_000_000:
+        raise ValueError(
+            f"broadcast side has {len(rt)} rows; use hash_join for big-big"
+        )
+    rref = ray.put(rt)
+
+    class Probe:
+        """Task-pool kernel: the broadcast table ref is resolved once per
+        task process via ray.get's local-object fast path (zero-copy from
+        the plasma store, shared across tasks on a node)."""
+
+        def __init__(self, r):
+            self.r = r
+            self.rt = None
+
+        def __call__(self, b: pd_.DataFrame) -> pd_.DataFrame:
+            if self.rt is None:
+                self.rt = ray.get(self.r)
+            return b.merge(
+                self.rt,
+                how=how,
+                left_on=key,
+                right_on=rk,
+                suffixes=("", suffix),
+            )
+
+    return left.map_batches(Probe(rref), batch_format="pandas")

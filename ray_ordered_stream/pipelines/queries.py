@@ -2805,6 +2805,46 @@ def q_doc_lm_rarity(sf_dir: str):
     return stats
 
 
+def q_region_customer_stats(sf_dir: str):
+    """Two chained BROADCAST dim joins (customer -> nation -> region; the
+    first-class join.broadcast_join — no exchange, the fact side streams)
+    + one exchange rollup per region."""
+    from ..agg import exchange_groupby
+    from ..join import broadcast_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"])
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"])
+    region = _read(sf_dir, "region", ["r_regionkey", "r_name"])
+
+    j1 = broadcast_join(
+        cust, nation, key="c_nationkey", right_key="n_nationkey"
+    )
+    j2 = broadcast_join(
+        j1, region, key="n_regionkey", right_key="r_regionkey",
+        right_cols=["r_name"],
+    )
+
+    def derive(t: pa.Table) -> pa.Table:
+        f = pc.cast(pc.floor(t["c_acctbal"]), pa.int64())
+        return t.append_column("fbal", f)
+
+    return exchange_groupby(
+        j2.map_batches(derive, batch_format="pyarrow"),
+        "r_name",
+        {"n_customers": (None, "count"), "sum_fbal": ("fbal", "sum")},
+    )
+
+
+SQL_REGION_CUSTOMER_STATS = """
+SELECT r_name, count(*)::BIGINT AS n_customers,
+       sum(CAST(floor(c_acctbal) AS BIGINT))::BIGINT AS sum_fbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
 def q_doc_classifier_distill(sf_dir: str):
     """Certificate query for distributed model training (functions/ml.py):
     distill an integer length heuristic (n_chars >= 250) into a logistic
@@ -3381,6 +3421,7 @@ QUERIES = {
     "stream_embdedup": (q_stream_embdedup, SQL_STREAM_EMBDEDUP),
     "events_sessionize": (q_events_sessionize, SQL_EVENTS_SESSIONIZE),
     "doc_classifier_distill": (q_doc_classifier_distill, SQL_DOC_CLASSIFIER_DISTILL),
+    "region_customer_stats": (q_region_customer_stats, SQL_REGION_CUSTOMER_STATS),
     # -- (4) green in round 2 ---------------------------------------------
     "conv_render": (q_conv_render, SQL_CONV_RENDER),
     "conv_examples": (q_conv_examples, SQL_CONV_EXAMPLES),

@@ -363,3 +363,55 @@ def test_bloom_filter_guarantees_and_semi_prefilter(ray_session):
     refs = list(ray.data.from_pandas(right).repartition(3).to_arrow_refs())
     merged = build_bloom_from_refs(refs, "rk", 1 << 12)
     assert merged.maybe_contains(pa.array(right["rk"].to_numpy())).all()
+
+
+def test_broadcast_join_inner_left(ray_session):
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ray_ordered_stream.join import broadcast_join
+
+    left = pa.table(
+        {
+            "id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "k": pa.array([10, 20, 30, 20, 99], pa.int64()),
+        }
+    )
+    right = pa.table(
+        {
+            "rk": pa.array([10, 20, 30], pa.int64()),
+            "name": ["a", "b", "c"],
+            "extra": pa.array([7, 8, 9], pa.int64()),
+        }
+    )
+    inner = (
+        broadcast_join(
+            rd.from_arrow(left).repartition(3),
+            rd.from_arrow(right),
+            key="k",
+            right_key="rk",
+            right_cols=["name"],
+        )
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    assert inner["id"].tolist() == [1, 2, 3, 4]
+    assert inner["name"].tolist() == ["a", "b", "c", "b"]
+    assert "extra" not in inner.columns
+
+    lj = (
+        broadcast_join(
+            rd.from_arrow(left).repartition(2),
+            rd.from_arrow(right),
+            key="k",
+            right_key="rk",
+            how="left",
+        )
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    assert len(lj) == 5
+    assert pd.isna(lj.loc[4, "name"]) and lj.loc[4, "id"] == 5
