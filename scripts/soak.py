@@ -42,7 +42,7 @@ res = run_stream_continuous({land!r}, {out!r}, cfg, num_partitions=4,
                             files_per_epoch=4, poll_interval_s=0.2,
                             idle_timeout_s=60.0, resume=True,
                             checkpoint_full_every=8,
-                            probe_state_every_epochs=4)
+                            probe_state_every_epochs=4{autoscale})
 print("CONSUMER_DONE", res.epochs_run, res.total_emitted, flush=True)
 ray.shutdown()
 """
@@ -107,6 +107,9 @@ def main() -> int:
     ap.add_argument("--turns", type=int, default=8)
     ap.add_argument("--cpus", type=int, default=8)
     ap.add_argument("--ttl", type=float, default=7200.0)
+    ap.add_argument("--autoscale", action="store_true",
+                    help="enable backlog-driven scale-up + idle scale-down "
+                         "in the consumer (P may change mid-soak)")
     args = ap.parse_args()
 
     root = Path(args.root)
@@ -135,8 +138,16 @@ def main() -> int:
     prod = threading.Thread(target=producer, daemon=True)
     prod.start()
 
+    autoscale = (
+        ",\n                            autoscale_backlog_epochs=3,"
+        "\n                            autoscale_factor=2,"
+        "\n                            autoscale_max_partitions=8,"
+        "\n                            autoscale_shrink_idle_s=20.0,"
+        "\n                            autoscale_min_partitions=2"
+        if args.autoscale else ""
+    )
     code = CONSUMER.format(repo=REPO, cpus=args.cpus, ttl=args.ttl,
-                           land=str(land), out=str(out))
+                           land=str(land), out=str(out), autoscale=autoscale)
 
     def start_consumer():
         return subprocess.Popen(
