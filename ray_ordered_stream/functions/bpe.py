@@ -39,21 +39,41 @@ import pandas as pd
 import pyarrow as pa
 
 
-def _init_block(words: list[str], counts: np.ndarray) -> pa.Table:
-    """Flatten a (word, count) slice into the per-symbol representation:
-    one row per symbol with the word's index and count. Init-only Python
-    (one pass over the vocabulary slice); every later round is numpy."""
+def _explode_symbols(words: list[str]):
+    """(sym object array, word_of int64) — one row per character. ASCII
+    fast path: join + frombuffer('S1') + vectorized U1 decode (no Python
+    per character); non-ASCII falls back to the per-word loop (unicode
+    chars are variable-width bytes, so the buffer trick misaligns)."""
+    if not words:
+        return np.array([], dtype=object), np.array([], dtype=np.int64)
+    joined = "".join(words)
+    if joined.isascii():
+        lens = np.fromiter((len(w) for w in words), dtype=np.int64,
+                           count=len(words))
+        sym = (
+            np.frombuffer(joined.encode(), dtype="S1")
+            .astype("U1")
+            .astype(object)
+        )
+        word_of = np.repeat(np.arange(len(words), dtype=np.int64), lens)
+        return sym, word_of
     syms: list[str] = []
-    word_of: list[int] = []
+    word_of_l: list[int] = []
     for i, w in enumerate(words):
         cs = list(w)
         syms.extend(cs)
-        word_of.extend([i] * len(cs))
-    wo = np.asarray(word_of, dtype=np.int64)
+        word_of_l.extend([i] * len(cs))
+    return np.asarray(syms, dtype=object), np.asarray(word_of_l, np.int64)
+
+
+def _init_block(words: list[str], counts: np.ndarray) -> pa.Table:
+    """Flatten a (word, count) slice into the per-symbol representation:
+    one row per symbol with the word's index and count."""
+    sym, wo = _explode_symbols(words)
     wt = counts[wo] if len(wo) else np.array([], dtype=np.int64)
     return pa.table(
         {
-            "sym": pa.array(syms, pa.string()),
+            "sym": pa.array(sym.tolist(), pa.string()),
             "word": pa.array(wo),
             "wt": pa.array(wt, pa.int64()),
         }
@@ -261,15 +281,8 @@ class _Encoder:
         doc_of = np.repeat(np.arange(len(wc)), wc)[nz]
         toks = flat.filter(pa.array(nz)).to_pylist()
         # flatten to symbols with a WORD-INSTANCE id (each occurrence is
-        # its own segmentation unit)
-        sym: list[str] = []
-        word_of: list[int] = []
-        for i, w in enumerate(toks):
-            cs = list(w)
-            sym.extend(cs)
-            word_of.extend([i] * len(cs))
-        s = np.asarray(sym, dtype=object)
-        wd = np.asarray(word_of, dtype=np.int64)
+        # its own segmentation unit); vectorized char explode
+        s, wd = _explode_symbols(toks)
         for left, right in self.merges:
             m = _leftmost_matches(s, wd, left, right)
             if not m.any():
