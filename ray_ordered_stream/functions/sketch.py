@@ -47,6 +47,15 @@ def _hash_column(col) -> np.ndarray:
         # takes its bucket index from the TOP p bits — finalize with
         # splitmix64 for full-width dispersion
         return _splitmix64(hash_string_array(col))
+    if pa.types.is_floating(col.type):
+        # hash the IEEE bit pattern (a lossy int cast would both truncate
+        # and collide distinct values)
+        bits = (
+            col.cast(pa.float64())
+            .to_numpy(zero_copy_only=False)
+            .view(np.int64)
+        )
+        return _splitmix64(bits)
     return _splitmix64(col.cast(pa.int64()).to_numpy(zero_copy_only=False))
 
 
@@ -516,13 +525,19 @@ def exact_distinct(ds, col: str) -> int:
     from ..exchange import default_partitions, shard_refs
 
     def uniq(t: pa_.Table) -> pa_.Table:
-        if not t.num_rows:
-            return t.select([col])
+        import pyarrow.compute as pc_
+
         v = t[col]
         if isinstance(v, pa_.ChunkedArray):
             v = v.combine_chunks()
-        import pyarrow.compute as pc_
-
+        if pa.types.is_floating(v.type):
+            # route float values by their IEEE bit pattern (the string
+            # hash path has no buffers to walk); +0.0 folds -0.0 into 0.0
+            # so distinct-bit-patterns == distinct-values
+            arr = v.cast(pa.float64()).to_numpy(zero_copy_only=False) + 0.0
+            v = pa.array(arr.view(np.int64), pa.int64())
+        if not t.num_rows:
+            return pa_.table({col: v})
         return pa_.table({col: pc_.unique(v)})
 
     partials = ds.map_batches(uniq, batch_format="pyarrow")
@@ -548,10 +563,13 @@ def exact_distinct(ds, col: str) -> int:
     sch = ds.schema()  # Ray Data Schema wrapper: parallel names/types lists
     typ = dict(zip(sch.names, sch.types))[col]
     if isinstance(typ, pa.DataType):
-        by_int = pa.types.is_integer(typ)
+        # floats were re-expressed as int64 bit patterns in the partial
+        by_int = pa.types.is_integer(typ) or pa.types.is_floating(typ)
     else:  # from_pandas plans may report numpy dtypes / python object
         try:
-            by_int = np.issubdtype(typ, np.integer)
+            by_int = np.issubdtype(typ, np.integer) or np.issubdtype(
+                typ, np.floating
+            )
         except TypeError:
             by_int = False
     groups = shard_refs(refs, col, P, by_int=by_int)

@@ -2805,6 +2805,42 @@ def q_doc_lm_rarity(sf_dir: str):
     return stats
 
 
+def q_events_profile(sf_dir: str):
+    """One-pass dataset profiling (functions/profile.py): per-column
+    counts/extrema exactly, HLL approx-distinct certified against the
+    exact distinct pass (certificate column, sketch_certify style)."""
+    from ..functions.profile import profile_dataset
+    from ..functions.sketch import exact_distinct
+
+    cols = ["event_id", "user_id", "value"]
+    ds = _read(sf_dir, "events", cols)
+    prof = profile_dataset(ds, cols)
+    oks = []
+    tol = 5.2 * 1.04 / np.sqrt(4096.0)
+    for i, c in enumerate(cols):
+        exact = exact_distinct(_read(sf_dir, "events", [c]), c)
+        approx = prof["approx_distinct"][i].as_py()
+        oks.append(abs(approx - exact) <= tol * exact + 3.0)
+    return prof.drop_columns(["approx_distinct", "sum_f"]).append_column(
+        "distinct_ok", pa.array(oks)
+    )
+
+
+SQL_EVENTS_PROFILE = """
+SELECT 'event_id' AS "column", count(*)::BIGINT AS n,
+       (count(*) - count(event_id))::BIGINT AS nulls,
+       min(event_id)::DOUBLE AS min_f, max(event_id)::DOUBLE AS max_f,
+       true AS distinct_ok
+FROM events
+UNION ALL
+SELECT 'user_id', count(*)::BIGINT, (count(*) - count(user_id))::BIGINT,
+       min(user_id)::DOUBLE, max(user_id)::DOUBLE, true FROM events
+UNION ALL
+SELECT 'value', count(*)::BIGINT, (count(*) - count(value))::BIGINT,
+       min(value)::DOUBLE, max(value)::DOUBLE, true FROM events
+"""
+
+
 def q_region_customer_stats(sf_dir: str):
     """Two chained BROADCAST dim joins (customer -> nation -> region; the
     first-class join.broadcast_join — no exchange, the fact side streams)
@@ -3422,6 +3458,7 @@ QUERIES = {
     "events_sessionize": (q_events_sessionize, SQL_EVENTS_SESSIONIZE),
     "doc_classifier_distill": (q_doc_classifier_distill, SQL_DOC_CLASSIFIER_DISTILL),
     "region_customer_stats": (q_region_customer_stats, SQL_REGION_CUSTOMER_STATS),
+    "events_profile": (q_events_profile, SQL_EVENTS_PROFILE),
     # -- (4) green in round 2 ---------------------------------------------
     "conv_render": (q_conv_render, SQL_CONV_RENDER),
     "conv_examples": (q_conv_examples, SQL_CONV_EXAMPLES),
