@@ -174,6 +174,31 @@ def run_docs_bench() -> dict:
         ),
     )
     timed("shuffle_rank", lambda: sample.shuffle_rank(ds(["doc_id"]), "doc_id"))
+    timed(
+        "normalize_text",
+        lambda: textstats.normalize_text(ds(["doc_id", "text"])),
+    )
+    timed(
+        "unigram_lm_stats",
+        lambda: textstats.unigram_lm_stats(ds(["doc_id", "text"]))[0],
+    )
+    timed(
+        "hash_features",
+        lambda: textstats.hash_features(ds(["doc_id", "text"]), k=1024),
+    )
+
+    from ray_ordered_stream.functions import analytics, bpe
+
+    timed("bpe_train16", lambda: bpe.train_bpe(ds(["text"]), n_merges=16))
+    timed(
+        "window_fns",
+        lambda: analytics.window_functions(
+            ds(["doc_id", "source"]),
+            part_key="source",
+            order_by=["doc_id"],
+            specs={"rn": ("row_number",), "cs": ("cumsum", "doc_id")},
+        ),
+    )
 
     import shutil
 

@@ -1030,9 +1030,13 @@ def q_stream_neardup(sf_dir: str):
     ids = raw["doc_id"].to_pylist()
     import hashlib as _hl
 
+    # hash text AND id together: natural exact-dup texts would otherwise
+    # share the 32-hex prefix and differ only in the id tail — genuinely
+    # near-dup derived strings the stream would (correctly) drop but the
+    # SQL cannot predict (bit at sf0.1, which has 8 natural dup texts)
     derived = pa.array(
         [
-            f"{_hl.md5((t or '').encode()).hexdigest()}:{i}"
+            _hl.md5(f"{t or ''}:{i}".encode()).hexdigest()
             for i, t in zip(ids, raw["text"].to_pylist())
         ],
         pa.string(),
@@ -1060,7 +1064,7 @@ def q_stream_neardup(sf_dir: str):
 
 
 SQL_STREAM_NEARDUP = (
-    "SELECT doc_id, md5(text) || ':' || cast(doc_id AS varchar) AS text "
+    "SELECT doc_id, md5(text || ':' || cast(doc_id AS varchar)) AS text "
     "FROM documents"
 )
 
@@ -1839,13 +1843,42 @@ SQL_CONV_STATS = (
 _PLANT_OFFSET = 1_000_000
 
 
+_SQL_DERIVED_DOCS = (
+    "SELECT doc_id, md5(text || ':' || cast(doc_id AS varchar)) AS text "
+    "FROM documents"
+)
+
+
+def _derived_docs(sf_dir: str):
+    """documents with per-doc INDEPENDENT 32-hex texts (md5(text:id)) —
+    the planted-oracle base. Mirrored by _SQL_DERIVED_DOCS."""
+    import hashlib as _hl
+
+    def derive(b: pd.DataFrame) -> pd.DataFrame:
+        b["text"] = [
+            _hl.md5(f"{t}:{i}".encode()).hexdigest()
+            for i, t in zip(b["doc_id"], b["text"])
+        ]
+        return b
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        derive, batch_format="pandas"
+    )
+
+
 def _docs_with_planted_copies(sf_dir: str):
     """documents ∪ an id-offset copy of itself — a corpus whose near-dup
     pair set is exactly known (every doc and its copy), which turns the
     sketch pipelines into ORACLED queries: LSH banding must bucket each
     copy with its original, the text join-back must resolve both sides,
     and the exact-jaccard verify must return 1.0."""
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    # derive pairwise-INDEPENDENT texts (md5 of text||':'||id): the raw
+    # corpus contains natural exact dups (sf0.1 has 8) and even
+    # distinct-text pairs with IDENTICAL shingle sets (jaccard 1.0), which
+    # no closed-form SQL can predict — same policy as stream_neardup.
+    # Hex strings still exercise the full machinery (shingles, banding,
+    # exact-jaccard verify); only the planted copy can tie at 1.0.
+    ds = _derived_docs(sf_dir)
 
     def copy_ids(t: pa.Table) -> pa.Table:
         return pa.table(
@@ -1977,7 +2010,8 @@ def _docs_with_two_planted_copies(sf_dir: str):
     3-member duplicate cluster {i, i+OFF, i+2·OFF}, which exercises the
     pair->cluster step (a doc crawled n times yields n·(n-1)/2 pairs but
     ONE cluster)."""
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    # same derived-text policy as _docs_with_planted_copies
+    ds = _derived_docs(sf_dir)
 
     def copy_ids(off):
         def f(t: pa.Table) -> pa.Table:
@@ -2037,7 +2071,7 @@ def q_doc_cluster_dedup(sf_dir: str):
     )
 
 
-SQL_DOC_CLUSTER_DEDUP = "SELECT doc_id, text FROM documents"
+SQL_DOC_CLUSTER_DEDUP = f"SELECT doc_id, text FROM ({_SQL_DERIVED_DOCS})"
 
 
 def q_doc_exact_dedup_keep(sf_dir: str):
@@ -2049,7 +2083,7 @@ def q_doc_exact_dedup_keep(sf_dir: str):
     return exact_dedup(_docs_with_planted_copies(sf_dir))
 
 
-SQL_DOC_EXACT_DEDUP_KEEP = "SELECT doc_id, text FROM documents"
+SQL_DOC_EXACT_DEDUP_KEEP = f"SELECT doc_id, text FROM ({_SQL_DERIVED_DOCS})"
 
 
 def _docs_as_media(sf_dir: str):
