@@ -3493,6 +3493,7 @@ QUERIES = {
     "doc_classifier_distill": (q_doc_classifier_distill, SQL_DOC_CLASSIFIER_DISTILL),
     "region_customer_stats": (q_region_customer_stats, SQL_REGION_CUSTOMER_STATS),
     "events_profile": (q_events_profile, SQL_EVENTS_PROFILE),
+    "bpe_merges": (q_bpe_merges, None),  # rows-only, but never checked: keep in the driver window
     # -- (4) green in round 2 ---------------------------------------------
     "conv_render": (q_conv_render, SQL_CONV_RENDER),
     "conv_examples": (q_conv_examples, SQL_CONV_EXAMPLES),
@@ -3545,5 +3546,4 @@ QUERIES = {
     "doc_near_dups": (q_doc_near_dups, None),
     "doc_simhash": (q_doc_simhash, None),
     "doc_simhash_pairs": (q_doc_simhash_pairs, None),
-    "bpe_merges": (q_bpe_merges, None),
 }
