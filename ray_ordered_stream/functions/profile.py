@@ -69,24 +69,83 @@ def profile_dataset(ds, columns: list[str] | None = None, p: int = 12):
             }
         )
 
-    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    @ray.remote
+    def merge(*tbls: pa.Table) -> pa.Table:
+        """Fold partial profile tables: one output row per column (max of
+        registers, sums of counts, extrema of extrema) — the tree level
+        keeps driver traffic at fanin x columns rows, never blocks x
+        columns (at 10^6 blocks the flat fold would ship ~GBs of
+        registers to the driver)."""
+        import pandas as pd_
+
+        df = pa.concat_tables(
+            [t for t in tbls if t.num_rows], promote_options="none"
+        ).to_pandas()
+        rows = []
+        for c, g in df.groupby("column", sort=False):
+            h = HLL(p)
+            for blob in g["registers"]:
+                h.merge(HLL(p, registers=np.frombuffer(blob, dtype=np.uint8)))
+            rows.append(
+                {
+                    "column": c,
+                    "n": int(g["n"].sum()),
+                    "nulls": int(g["nulls"].sum()),
+                    "registers": h.registers.tobytes(),
+                    "min_f": float(g["min_f"].min())
+                    if g["min_f"].notna().any()
+                    else None,
+                    "max_f": float(g["max_f"].max())
+                    if g["max_f"].notna().any()
+                    else None,
+                    "sum_f": float(g["sum_f"].sum())
+                    if g["sum_f"].notna().any()
+                    else None,
+                }
+            )
+        out = pd_.DataFrame(rows)
+        return pa.Table.from_pandas(out, preserve_index=False).cast(
+            pa.schema(
+                [
+                    ("column", pa.string()),
+                    ("n", pa.int64()),
+                    ("nulls", pa.int64()),
+                    ("registers", pa.binary()),
+                    ("min_f", pa.float64()),
+                    ("max_f", pa.float64()),
+                    ("sum_f", pa.float64()),
+                ]
+            )
+        )
+
+    refs = list(
+        ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+    )
+    fanin = 8
+    while len(refs) > 1:
+        refs = [
+            merge.remote(*refs[i : i + fanin])
+            for i in range(0, len(refs), fanin)
+        ]
+    folded = ray.get(refs[0]).to_pandas() if refs else None
     out = {
         "column": [], "n": [], "nulls": [], "approx_distinct": [],
         "min_f": [], "max_f": [], "sum_f": [],
     }
     for c in columns:
-        rows = parts[parts["column"] == c]
-        h = HLL(p)
-        for blob in rows["registers"]:
-            h.merge(HLL(p, registers=np.frombuffer(blob, dtype=np.uint8)))
+        rows = folded[folded["column"] == c] if folded is not None else None
+        if rows is None or not len(rows):
+            continue
+        r = rows.iloc[0]
+        h = HLL(p, registers=np.frombuffer(r["registers"], dtype=np.uint8))
         out["column"].append(c)
-        out["n"].append(int(rows["n"].sum()))
-        out["nulls"].append(int(rows["nulls"].sum()))
+        out["n"].append(int(r["n"]))
+        out["nulls"].append(int(r["nulls"]))
         out["approx_distinct"].append(float(h.estimate()))
-        mn, mx, sm = rows["min_f"], rows["max_f"], rows["sum_f"]
-        out["min_f"].append(float(mn.min()) if mn.notna().any() else None)
-        out["max_f"].append(float(mx.max()) if mx.notna().any() else None)
-        out["sum_f"].append(float(sm.sum()) if sm.notna().any() else None)
+        # pandas surfaces nulls as NaN (x != x)
+        for k in ("min_f", "max_f", "sum_f"):
+            v = r[k]
+            out[k].append(None if v is None or v != v else float(v))
     return pa.table(
         {
             "column": pa.array(out["column"], pa.string()),

@@ -238,3 +238,37 @@ def test_grouped_approx_distinct_matches_serial_hll(ray_session):
         assert abs(approx - ref.estimate()) < 1e-6, gi
         exact = len(np.unique(val[mask]))
         assert abs(approx - exact) <= 5 * 1.04 / np.sqrt(4096) * exact + 3
+
+
+def test_profile_dataset_tree_reduce(ray_session):
+    import ray.data as rd
+
+    from ray_ordered_stream.functions.profile import profile_dataset
+
+    n = 5000
+    t = pa.table(
+        {
+            "i": pa.array(np.arange(n, dtype=np.int64) % 700),
+            "f": pa.array((np.arange(n) % 13).astype(np.float64) * 1.5),
+            "s": pa.array([f"v{j % 50}" for j in range(n)]),
+            "with_null": pa.array(
+                [None if j % 10 == 0 else j for j in range(n)], pa.int64()
+            ),
+        }
+    )
+    prof = (
+        profile_dataset(rd.from_arrow(t).repartition(23))
+        .to_pandas()
+        .set_index("column")
+    )
+    assert prof.loc["i", "n"] == n and prof.loc["i", "nulls"] == 0
+    assert prof.loc["i", "min_f"] == 0.0 and prof.loc["i", "max_f"] == 699.0
+    assert prof.loc["f", "sum_f"] == float(((np.arange(n) % 13) * 1.5).sum())
+    assert prof.loc["with_null", "nulls"] == 500
+    assert prof.loc["s", "min_f"] != prof.loc["s", "min_f"] or prof.loc[
+        "s", "min_f"
+    ] is None  # string col: no numeric stats
+    # HLL within 10% of the true cardinalities
+    for c, exact in (("i", 700), ("f", 13), ("s", 50), ("with_null", 4500)):
+        approx = prof.loc[c, "approx_distinct"]
+        assert abs(approx - exact) <= 0.1 * exact + 3, (c, approx)
