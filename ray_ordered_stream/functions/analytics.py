@@ -22,7 +22,8 @@ import pyarrow as pa
 
 _FNS = (
     "row_number", "rank", "lag", "lead", "cumsum", "cummax", "cummin",
-    "cumcount", "ntile", "percent_rank", "session_id",
+    "cumcount", "ntile", "percent_rank", "session_id", "first_value",
+    "last_value",
 )
 
 
@@ -46,6 +47,8 @@ def window_functions(
       ("cumcount",)          running count (== row_number, int64)
       ("ntile", k)           k near-equal buckets in order (SQL NTILE)
       ("percent_rank",)      (rank - 1) / (group_size - 1), 0.0 singleton
+      ("first_value", col) / ("last_value", col)  group's first/last col
+                             in order (full-group frame for last_value)
       ("session_id", col, gap) 1-based session number per group: a new
                              session starts when col - previous col > gap
                              (gap in col's own units) — gap-based
@@ -83,7 +86,8 @@ def window_functions(
                             dt = "int64"
                         elif fn == "percent_rank":
                             dt = "float64"
-                        elif fn in ("cumsum", "cummax", "cummin"):
+                        elif fn in ("cumsum", "cummax", "cummin",
+                                    "first_value", "last_value"):
                             dt = base[spec[1]].dtype  # pandas keeps it
                         else:  # lag/lead: shift makes numeric -> float64
                             src = base[spec[1]].dtype
@@ -155,6 +159,10 @@ def window_functions(
                     pos < big, pos // np.maximum(q + 1, 1),
                     np.where(q > 0, r + (pos - big) // np.maximum(q, 1), pos),
                 ).astype(np.int64) + 1
+            elif fn in ("first_value", "last_value"):
+                df[alias] = g[spec[1]].transform(
+                    "first" if fn == "first_value" else "last"
+                )
             elif fn == "session_id":
                 col, gap = spec[1], spec[2]
                 v = df[col].to_numpy()

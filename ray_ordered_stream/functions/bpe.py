@@ -26,6 +26,14 @@ Ties break deterministically by (count DESC, left ASC, right ASC), so
 training is reproducible across partitionings; conformance vs a serial
 reference implementation is pinned in tests/test_bpe.py.
 
+Complexity note: each merge round recounts pairs over the (shrinking)
+vocabulary — O(n_merges x vocab symbols), 2 task waves per round. Right
+for the hundreds-of-merges regime this engine targets (subword analyses,
+domain tokenizers); a 32k-merge production tokenizer wants the classic
+incremental-count trick (update only pairs adjacent to the merge,
+Sennrich's learn_bpe) layered on the same partials, which this module
+deliberately leaves out.
+
 No ANSI-SQL oracle: iterative merge selection is not expressible in a
 closed-form query (each round's counts depend on the previous round's
 re-segmentation), so the registry entry is rows-only and the correctness

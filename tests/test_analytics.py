@@ -240,3 +240,32 @@ def test_window_functions_property_vs_pandas(
         assert (out[c].to_numpy() == ref[c].to_numpy()).all(), c
     a, b = out["prev"].to_numpy(), ref["prev"].to_numpy()
     assert ((a == b) | (np.isnan(a) & np.isnan(b))).all()
+
+
+def test_first_last_value_window_fns(ray_session):
+    import ray.data as rd
+
+    from ray_ordered_stream.functions.analytics import window_functions
+
+    df = pd.DataFrame(
+        {
+            "id": np.arange(6, dtype=np.int64),
+            "k": np.array([1, 1, 1, 2, 2, 2], dtype=np.int64),
+            "v": np.array([30.0, 10.0, 20.0, 5.0, 7.0, 6.0]),
+        }
+    )
+    out = (
+        window_functions(
+            rd.from_arrow(pa.Table.from_pandas(df)).repartition(2),
+            part_key="k",
+            order_by=["v", "id"],
+            specs={"fv": ("first_value", "v"), "lv": ("last_value", "v")},
+            by_int=True,
+            num_partitions=2,
+        )
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    assert out["fv"].tolist() == [10.0, 10.0, 10.0, 5.0, 5.0, 5.0]
+    assert out["lv"].tolist() == [30.0, 30.0, 30.0, 7.0, 7.0, 7.0]
