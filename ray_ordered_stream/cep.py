@@ -608,13 +608,28 @@ class AbsenceMatcher:
                 suffmin = _absent_suffix_min(
                     a_code, a_ts, np.ones(len(a_code), dtype=bool)
                 )
-                comp_a = (a_code << 32) | (a_seq & 0xFFFFFFFF)
-                comp_q = (p_code << 32) | (
-                    (self._pend["end_seq"] + 1) & 0xFFFFFFFF
+                # full-width two-key searchsorted via a merged lexsort (a
+                # packed (code<<32)|seq composite would silently wrap for
+                # seq >= 2^32 and corrupt the order on long-lived keys):
+                # sort a-entries and queries together on (code, seq) with
+                # queries FIRST on exact ties, then the number of a-entries
+                # preceding each query equals searchsorted(..., 'left')
+                m_a = len(a_code)
+                q_seq = self._pend["end_seq"] + 1
+                code_all = np.concatenate([a_code, p_code])
+                seq_all = np.concatenate([a_seq, q_seq])
+                tie = np.concatenate(
+                    [np.ones(m_a, np.int8), np.zeros(len(p_code), np.int8)]
                 )
-                pos = np.searchsorted(comp_a, comp_q, side="left")
-                has = pos < len(comp_a)
-                posc = np.minimum(pos, max(len(comp_a) - 1, 0))
+                order2 = np.lexsort((tie, seq_all, code_all))
+                ranks = np.empty(len(order2), np.int64)
+                ranks[order2] = np.arange(len(order2))
+                a_before = np.concatenate(
+                    [[0], np.cumsum((order2 < m_a).astype(np.int64))]
+                )
+                pos = a_before[ranks[m_a:]]
+                has = pos < m_a
+                posc = np.minimum(pos, max(m_a - 1, 0))
                 cancelled = (
                     has
                     & (a_code[posc] == p_code)
@@ -647,9 +662,27 @@ class AbsenceMatcher:
         return out
 
     def gc(self, ttl_us: int) -> int:
-        # pending is deadline-bounded (fires/cancels on its own); only the
-        # inner pattern carry needs the idle-key TTL
-        return self._pm.gc(ttl_us)
+        """With a bounded ``absent_within_us`` pending is deadline-bounded
+        (fires/cancels on its own) and only the inner pattern carry needs
+        the idle-key TTL. With ``absent_within_us=None`` ("never followed
+        by") pending would otherwise grow forever on an unbounded stream —
+        candidates older than the TTL horizon (end_ts vs the watermark)
+        are DROPPED, the same bounded-horizon semantics as the window/
+        dedup TTLs (a drop is a missed would-be match, exactly like an
+        evicted window key; the alternative — firing them early — would
+        emit matches a later cancelling event could still contradict)."""
+        n = self._pm.gc(ttl_us)
+        wm = self._pm.watermark
+        if (
+            self.absent_within_us is None
+            and wm is not None
+            and len(self._pend_keys)
+        ):
+            stale = self._pend["end_ts_us"] < int(wm) - int(ttl_us)
+            if stale.any():
+                n += int(stale.sum())
+                self._drop(stale)
+        return n
 
     def state_size(self) -> dict:
         s = self._pm.state_size()

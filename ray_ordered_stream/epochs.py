@@ -593,6 +593,7 @@ def run_stream_continuous(
             last_new = _time.monotonic()
         new = [f for f in files_now if f not in assigned]
         exiting = stop or (_time.monotonic() - last_new > idle_timeout_s)
+        assigned_this_poll = 0
         # full groups always; the partial remainder only when exiting
         while len(new) >= files_per_epoch or (exiting and new):
             group = new[:files_per_epoch]
@@ -601,6 +602,7 @@ def run_stream_continuous(
             assigned.update(group)
             feed(next_epoch, group, final=False)
             next_epoch += 1
+            assigned_this_poll += 1
             last_was_flush = False
             if (
                 autoscale_backlog_epochs is not None
@@ -625,7 +627,12 @@ def run_stream_continuous(
             and next_epoch > 0
             and not exiting
         ):
-            if len(new) >= files_per_epoch:
+            if assigned_this_poll:
+                # work flowed this poll — the stream is NOT idle. (The old
+                # `len(new) >= files_per_epoch` test was unreachable: the
+                # assignment loop above always drains `new` below one
+                # epoch's worth, so a fully busy stream would have been
+                # shrunk as if idle.)
                 low_since = None
             elif low_since is None:
                 low_since = _time.monotonic()

@@ -25,6 +25,16 @@ def profile_dataset(ds, columns: list[str] | None = None, p: int = 12):
     if columns is None:
         columns = ds.schema().names
 
+    def hashable(ty: pa.DataType) -> bool:
+        return (
+            pa.types.is_string(ty)
+            or pa.types.is_large_string(ty)
+            or pa.types.is_integer(ty)
+            or pa.types.is_floating(ty)
+            or pa.types.is_boolean(ty)
+            or pa.types.is_temporal(ty)
+        )
+
     def partial(t: pa.Table) -> pa.Table:
         names, ns, nulls, regs, mins, maxs, sums = [], [], [], [], [], [], []
         for c in columns:
@@ -35,8 +45,16 @@ def profile_dataset(ds, columns: list[str] | None = None, p: int = 12):
             ns.append(t.num_rows)
             nulls.append(col.null_count)
             h = HLL(p)
-            if t.num_rows:
-                h.add_hashes(_hash_column(col.drop_null()))
+            if t.num_rows and hashable(col.type):
+                # list/struct/binary columns get counts but no distinct
+                # estimate (no 64-bit hash kernel for nested payloads);
+                # the empty registers estimate ~0 and the fold marks them
+                v = col.drop_null()
+                if pa.types.is_boolean(v.type) or pa.types.is_temporal(
+                    v.type
+                ):
+                    v = v.cast(pa.int64())
+                h.add_hashes(_hash_column(v))
             regs.append(h.registers)
             ty = col.type
             if (
@@ -141,7 +159,13 @@ def profile_dataset(ds, columns: list[str] | None = None, p: int = 12):
         out["column"].append(c)
         out["n"].append(int(r["n"]))
         out["nulls"].append(int(r["nulls"]))
-        out["approx_distinct"].append(float(h.estimate()))
+        ty = dict(zip(ds.schema().names, ds.schema().types)).get(c)
+        est = (
+            float(h.estimate())
+            if not isinstance(ty, pa.DataType) or hashable(ty)
+            else None
+        )
+        out["approx_distinct"].append(est)
         # pandas surfaces nulls as NaN (x != x)
         for k in ("min_f", "max_f", "sum_f"):
             v = r[k]

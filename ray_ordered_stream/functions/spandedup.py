@@ -108,9 +108,12 @@ def _gram_occurrences(t: pa.Table, n: int, id_col: str, text_col: str) -> pa.Tab
     )
 
 
-def _span_refs(ds, n: int, min_count: int, id_col: str, text_col: str, P: int):
-    """The span pipeline up to its doc-partitioned output: returns P refs
-    of SPAN_SCHEMA tables, where partition p holds exactly the docs whose
+def _span_refs(doc_refs, n: int, min_count: int, id_col: str, text_col: str,
+               P: int):
+    """The span pipeline up to its doc-partitioned output: takes the
+    (id, text) block refs — MATERIALIZED ONCE by the caller so the
+    upstream dataset is never executed twice — and returns P refs of
+    SPAN_SCHEMA tables, where partition p holds exactly the docs whose
     int hash routes to p (exchange.int_partition_codes) — so callers can
     zip them against an identically-sharded doc exchange with no extra
     shuffle."""
@@ -192,7 +195,7 @@ def _span_refs(ds, n: int, min_count: int, id_col: str, text_col: str, P: int):
             }
         )
 
-    refs = list(ds.select_columns([id_col, text_col]).to_arrow_refs())
+    refs = list(doc_refs)
     if not refs:
         return None
     occ = [occurrences.remote(r) for r in refs]
@@ -215,7 +218,8 @@ def duplicated_ngram_spans(
     Dataset with SPAN_SCHEMA; end is exclusive, indices are 0-based token
     positions under the shared lowercase-\\w+ tokenizer."""
     P = num_partitions or default_partitions()
-    spans = _span_refs(ds, n, min_count, id_col, text_col, P)
+    refs = list(ds.select_columns([id_col, text_col]).to_arrow_refs())
+    spans = _span_refs(refs, n, min_count, id_col, text_col, P)
     if spans is None:
         return ray.data.from_arrow(SPAN_SCHEMA.empty_table())
     return ray.data.from_arrow_refs(spans)
@@ -241,7 +245,8 @@ def strip_duplicated_spans(
     import pyarrow.compute as pc
 
     P = num_partitions or default_partitions()
-    spans = _span_refs(ds, n, min_count, id_col, text_col, P)
+    doc_refs = list(ds.select_columns([id_col, text_col]).to_arrow_refs())
+    spans = _span_refs(doc_refs, n, min_count, id_col, text_col, P)
     empty = pa.table(
         {"doc_id": pa.array([], pa.int64()),
          "clean_text": pa.array([], pa.string())}
@@ -294,8 +299,7 @@ def strip_duplicated_spans(
             {"doc_id": t[id_col].cast(pa.int64()), "clean_text": joined}
         )
 
-    refs = list(ds.select_columns([id_col, text_col]).to_arrow_refs())
-    by_doc = shard_refs(refs, id_col, P, by_int=True)
+    by_doc = shard_refs(list(doc_refs), id_col, P, by_int=True)
     out = [
         strip.remote(spans[p], *[g[p] for g in by_doc]) for p in range(P)
     ]
@@ -319,10 +323,18 @@ def dup_span_stats(
     gate a curation pipeline directly."""
     import pyarrow.compute as pc
 
+    import ray.data as _rd
+
+    from ..exchange import default_partitions as _dp
+
     frac_pct = int(round(max_dup_frac * 100))
-    spans = duplicated_ngram_spans(
-        ds, n=n, min_count=min_count, id_col=id_col, text_col=text_col,
-        num_partitions=num_partitions,
+    P = num_partitions or _dp()
+    doc_refs = list(ds.select_columns([id_col, text_col]).to_arrow_refs())
+    span_refs = _span_refs(doc_refs, n, min_count, id_col, text_col, P)
+    spans = (
+        _rd.from_arrow(SPAN_SCHEMA.empty_table())
+        if span_refs is None
+        else _rd.from_arrow_refs(span_refs)
     )
 
     def span_partial(t: pa.Table) -> pa.Table:
@@ -348,7 +360,7 @@ def dup_span_stats(
             }
         )
 
-    totals = ds.select_columns([id_col, text_col]).map_batches(
+    totals = _rd.from_arrow_refs(list(doc_refs)).map_batches(
         tok_counts, batch_format="pyarrow"
     )
 

@@ -279,12 +279,20 @@ def _migrate_snapshots(
         for q in range(new_P):
             new[q]["join"] = {"pending": pend[q]}
 
-    # CEP carry tails
+    # CEP state: PatternMatcher snapshots are {carry, watermark};
+    # AbsenceMatcher snapshots are {pm: {carry, watermark}, pending} —
+    # both the inner carry AND the pending-candidate rows re-route by key
     if any("cep" in s for s in snaps):
+        absence = any("pm" in s.get("cep", {}) for s in snaps)
+
+        def inner(s):
+            c = s.get("cep", {})
+            return c.get("pm", c)
+
         cols = None
         rows: list[tuple] = []
         for s in snaps:
-            c = s.get("cep", {}).get("carry")
+            c = inner(s).get("carry")
             if not c:
                 continue
             cols = list(c.keys())  # (key, seq, role, ts) — key first
@@ -292,16 +300,45 @@ def _migrate_snapshots(
         carries: list[list] = [[] for _ in range(new_P)]
         for r, q in zip(rows, route([r[0] for r in rows])):
             carries[q].append(r)
-        for q in range(new_P):
-            if carries[q] and cols:
-                new[q]["cep"] = {
-                    "carry": {
-                        col: [r[i] for r in carries[q]]
-                        for i, col in enumerate(cols)
-                    }
+        pm_parts = [
+            {
+                "carry": {
+                    col: [r[i] for r in carries[q]]
+                    for i, col in enumerate(cols)
                 }
-            else:
-                new[q]["cep"] = {"carry": None}
+            }
+            if carries[q] and cols
+            else {"carry": None}
+            for q in range(new_P)
+        ]
+        if not absence:
+            for q in range(new_P):
+                new[q]["cep"] = pm_parts[q]
+        else:
+            from .cep import _PENDING_COLS
+
+            pend_rows: list[tuple] = []
+            for s in snaps:
+                p = s.get("cep", {}).get("pending")
+                if not p or not p.get("keys"):
+                    continue
+                pend_rows.extend(
+                    zip(p["keys"], *[p[c] for c in _PENDING_COLS])
+                )
+            pends: list[list] = [[] for _ in range(new_P)]
+            for r, q in zip(pend_rows, route([r[0] for r in pend_rows])):
+                pends[q].append(r)
+            for q in range(new_P):
+                new[q]["cep"] = {
+                    "pm": pm_parts[q],
+                    "pending": {
+                        "keys": [r[0] for r in pends[q]],
+                        **{
+                            c: [r[i + 1] for r in pends[q]]
+                            for i, c in enumerate(_PENDING_COLS)
+                        },
+                    },
+                }
 
     # order book
     if any("book" in s for s in snaps):

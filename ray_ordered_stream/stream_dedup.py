@@ -791,11 +791,15 @@ def run_neardup_stream(
             # silently compare incompatible hashes.
             for name, val in (("bands", bands), ("num_perm", num_perm),
                               ("k", k), ("seed", seed), ("sig", sig)):
-                if name in meta and meta[name] != val:
+                # a pre-"sig" checkpoint is implicitly minhash — a missing
+                # key must NOT skip the check (resuming minhash state under
+                # sig="hyperplane" would silently compare garbage hashes)
+                mval = meta.get(name, "minhash" if name == "sig" else None)
+                if mval != val:
                     raise ValueError(
-                        f"checkpoint was written with {name}={meta[name]}, "
+                        f"checkpoint was written with {name}={mval}, "
                         f"got {name}={val}; resume requires identical "
-                        f"MinHash parameters"
+                        f"signature parameters"
                     )
     if not resume:
         import shutil

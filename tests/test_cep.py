@@ -387,3 +387,118 @@ def test_stream_absence_sink_e2e(tmp_path, ray_session):
     )
     assert len(exp) > 0
     pd.testing.assert_frame_equal(got[[KEY, "start_seq", "end_seq"]], exp)
+
+
+def _aturns(key, rows):
+    return pa.table(
+        {
+            KEY: pa.array([key] * len(rows), pa.string()),
+            SEQ: pa.array([r[0] for r in rows], pa.int32()),
+            "role": pa.array([r[1] for r in rows], pa.string()),
+            "ts": pa.array([r[2] for r in rows], pa.int64()).cast(
+                pa.timestamp("us")
+            ),
+        }
+    )
+
+
+def _aturns64(key, rows):
+    # int64 seq: the generic CEP API accepts any integer sequence column
+    # (the transcript schema's int32 turn_idx is just one caller)
+    return pa.table(
+        {
+            KEY: pa.array([key] * len(rows), pa.string()),
+            SEQ: pa.array([r[0] for r in rows], pa.int64()),
+            "role": pa.array([r[1] for r in rows], pa.string()),
+            "ts": pa.array([r[2] for r in rows], pa.int64()).cast(
+                pa.timestamp("us")
+            ),
+        }
+    )
+
+
+def test_absence_matcher_seq_beyond_32_bits():
+    """The cancellation search must stay full-width: seq >= 2^32 used to
+    wrap in a packed (code<<32)|seq composite and corrupt decisions."""
+    from ray_ordered_stream.cep import AbsenceMatcher
+
+    big = 1 << 33
+    m = AbsenceMatcher(["a", "b"], "c", absent_within_us=10)
+    m.update(_aturns64("k", [(big, "a", 0), (big + 1, "b", 1)]))
+    assert m.state_size()["pending_rows"] == 1
+    # cancelling event with a huge seq INSIDE the window must cancel
+    assert m.update(_aturns64("k", [(big + 2, "c", 5)])).num_rows == 0
+    assert m.state_size()["pending_rows"] == 0
+    assert m.take_final().num_rows == 0
+
+    # and an event BEFORE end_seq (after wrap it would look later) must NOT
+    m2 = AbsenceMatcher(["a", "b"], "c", absent_within_us=10)
+    m2.update(_aturns64("k", [(big, "a", 0), (big + 1, "b", 1)]))
+    m2.update(_aturns64("k2", [((big + 2) % (1 << 32), "c", 5)]))  # other key
+    assert m2.take_final().num_rows == 1
+
+
+def test_absence_matcher_unbounded_pending_ttl():
+    """absent_within_us=None: pending candidates never fire via watermark;
+    gc(ttl) must bound them on an unbounded stream (bounded-horizon drop,
+    same semantics as the window/dedup TTLs)."""
+    from ray_ordered_stream.cep import AbsenceMatcher
+
+    m = AbsenceMatcher(["a", "b"], "c", absent_within_us=None)
+    for i in range(50):
+        m.update(
+            _aturns(f"k{i}", [(0, "a", i * 1000), (1, "b", i * 1000 + 1)])
+        )
+    assert m.state_size()["pending_rows"] == 50
+    # watermark is the max ts seen (~49_001); ttl 10_000 evicts candidates
+    # whose end_ts is older than wm - ttl
+    evicted = m.gc(10_000)
+    assert evicted >= 30
+    assert m.state_size()["pending_rows"] < 20
+
+
+def test_rescale_migrates_absence_matcher_state(ray_session, tmp_path):
+    """Autoscale rescale on a stream with CEP negation: the {pm, pending}
+    snapshot shape must migrate by key (the old code only understood
+    {carry} and crashed restore / dropped pending candidates)."""
+    from ray_ordered_stream.cep import AbsenceMatcher, _PENDING_COLS
+    from ray_ordered_stream.rescale import _migrate_snapshots
+
+    m = AbsenceMatcher(["a", "b"], "c", absent_within_us=1_000_000)
+    for i in range(8):
+        m.update(
+            _aturns(f"conv{i}", [(0, "a", i), (1, "b", i + 1)])
+        )
+    # plus an unfinished pattern tail (inner pm carry)
+    m.update(_aturns("conv8", [(0, "a", 100)]))
+    snap = m.snapshot()
+    assert snap["pending"]["keys"] and snap["pm"]["carry"]
+
+    def full(cep):
+        return {"counters": {}, "buffer": None, "call_count": 0,
+                "last_status_us": 0, "cep": cep}
+
+    old = [full(snap), full(AbsenceMatcher(["a", "b"], "c").snapshot())]
+    new = _migrate_snapshots(old, 3, KEY)
+    # every pending key lands in exactly one new partition, with its rows
+    all_keys = []
+    for q in range(3):
+        p = new[q]["cep"]["pending"]
+        assert set(p.keys()) == {"keys", *(_PENDING_COLS)}
+        all_keys.extend(p["keys"])
+        for c in _PENDING_COLS:
+            assert len(p[c]) == len(p["keys"])
+    assert sorted(all_keys) == sorted(snap["pending"]["keys"])
+    # the inner carry rows survived, partitioned without loss or dup
+    carried = [
+        k
+        for q in range(3)
+        if new[q]["cep"]["pm"]["carry"]
+        for k in new[q]["cep"]["pm"]["carry"][KEY]
+    ]
+    assert sorted(carried) == sorted(snap["pm"]["carry"][KEY])
+    assert "conv8" in carried
+    # and restore accepts the migrated shape
+    for q in range(3):
+        m2 = AbsenceMatcher(["a", "b"], "c", absent_within_us=1_000_000)
+        m2.restore(new[q]["cep"])

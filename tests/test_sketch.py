@@ -272,3 +272,26 @@ def test_profile_dataset_tree_reduce(ray_session):
     for c, exact in (("i", 700), ("f", 13), ("s", 50), ("with_null", 4500)):
         approx = prof.loc[c, "approx_distinct"]
         assert abs(approx - exact) <= 0.1 * exact + 3, (c, approx)
+
+
+def test_profile_dataset_skips_unhashable_columns(ray_session):
+    """profile_dataset() default (all columns) must not crash on list/
+    binary columns — counts still report; approx_distinct is null."""
+    import ray.data as rd
+
+    from ray_ordered_stream.functions.profile import profile_dataset
+
+    t = pa.table(
+        {
+            "vec_id": pa.array([1, 2, 3], pa.int64()),
+            "embedding": [[1.0, 2.0], [3.0, 4.0], None],
+            "blob": pa.array([b"a", b"bb", b"ccc"], pa.binary()),
+        }
+    )
+    prof = profile_dataset(rd.from_arrow(t)).to_pandas().set_index("column")
+    assert abs(prof.loc["vec_id", "approx_distinct"] - 3.0) < 0.1
+    assert prof.loc["embedding", "nulls"] == 1
+    e = prof.loc["embedding", "approx_distinct"]
+    assert e is None or e != e  # null
+    b = prof.loc["blob", "approx_distinct"]
+    assert b is None or b != b

@@ -376,3 +376,43 @@ def test_autoscale_shrinks_on_idle_and_matches_fixed_run(ray_session, tmp_path):
 
     pd.testing.assert_frame_equal(content(res), content(res_fixed))
     assert res.total_emitted == res_fixed.total_emitted
+
+
+def test_busy_stream_never_idle_shrinks(tmp_path, ray_session):
+    """Regression: the shrink clock must reset whenever epochs flow. The
+    old reset condition (`len(new) >= files_per_epoch` AFTER the
+    assignment loop drained `new`) was unreachable, so a fully busy
+    stream shrank as if idle."""
+    import threading
+    import time
+
+    from ray_ordered_stream.epochs import run_stream_continuous
+    from ray_ordered_stream.fixtures import gen_transcripts
+
+    t = gen_transcripts(n_convs=10, min_turns=4, max_turns=10, lateness=5,
+                        seed=33)
+    F = 24
+    step = -(-t.num_rows // F)
+    land = tmp_path / "land"
+    land.mkdir()
+
+    def producer():
+        # steady trickle >= one epoch (1 file) per shrink window
+        for i in range(F):
+            tmp = land / f".p{i:04d}.tmp"
+            pq.write_table(t.slice(i * step, step), tmp)
+            tmp.rename(land / f"p{i:04d}.parquet")
+            time.sleep(0.15)
+        (land / "_STOP").write_text("")
+
+    th = threading.Thread(target=producer)
+    th.start()
+    res = run_stream_continuous(
+        str(land), str(tmp_path / "out"), num_partitions=4,
+        files_per_epoch=1, poll_interval_s=0.05, idle_timeout_s=20.0,
+        autoscale_shrink_idle_s=1.0, autoscale_min_partitions=2,
+    )
+    th.join()
+    shrinks = [r for r in res.metrics["rescales"] if r["kind"] == "shrink"]
+    assert not shrinks, f"busy stream idle-shrank: {shrinks}"
+    assert res.total_emitted == t.num_rows
