@@ -257,6 +257,44 @@ def q_ordered_stream_replay(sf_dir: str):
 SQL_ORDERED_STREAM_REPLAY = SQL_ORDERED_REPLAY
 
 
+def q_stream_topk(sf_dir: str):
+    """Continuous leaderboard from the status side-channel: the stream's
+    per-key ``result_count`` is monotone, so the final leaderboard is a
+    grouped MAX over the committed status sink + a global top-k — the
+    "most active keys" analytics surface with zero extra engine state
+    (any epoch's status parts give the leaderboard as-of that epoch)."""
+    from ..agg import exchange_groupby
+    from ..state import OrderedConfig
+
+    tbl = _run_stream_query(
+        sf_dir, "topk", OrderedConfig(warmup_rows=0), "status",
+        [KEY, "result_count"],
+    )
+    import ray.data as _rd
+
+    per_key = exchange_groupby(
+        _rd.from_arrow(tbl), KEY, {"n": ("result_count", "max")}
+    )
+
+    def head(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(
+            ["n", KEY], ascending=[False, True], kind="stable"
+        ).head(10)
+
+    return (
+        per_key.map_batches(head, batch_format="pandas")
+        .repartition(1)
+        .map_batches(head, batch_format="pandas")
+    )
+
+
+SQL_STREAM_TOPK = f"""
+WITH t AS ({_T_SQL})
+SELECT conv_id, count(*)::BIGINT AS n FROM t GROUP BY conv_id
+ORDER BY n DESC, conv_id LIMIT 10
+"""
+
+
 def q_stream_sessions(sf_dir: str):
     """Streaming session windows (SessionAccumulator in the state actors,
     'sessions' sink) through the driver gate, same 4h gap as the batch
@@ -3494,6 +3532,7 @@ QUERIES = {
     "region_customer_stats": (q_region_customer_stats, SQL_REGION_CUSTOMER_STATS),
     "events_profile": (q_events_profile, SQL_EVENTS_PROFILE),
     "bpe_merges": (q_bpe_merges, None),  # rows-only, but never checked: keep in the driver window
+    "stream_topk": (q_stream_topk, SQL_STREAM_TOPK),
     # -- (4) green in round 2 ---------------------------------------------
     "conv_render": (q_conv_render, SQL_CONV_RENDER),
     "conv_examples": (q_conv_examples, SQL_CONV_EXAMPLES),
