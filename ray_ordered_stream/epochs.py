@@ -105,10 +105,14 @@ class StreamResult:
     epochs_run: int
     epochs_skipped: int
     total_emitted: int
-    final_status: pd.DataFrame
+    # Per-key final status: one row per key EVER SEEN — a driver-side
+    # materialization at 10^9 keys, so it is OPT-IN
+    # (run_stream(collect_final_status=True)); the scale path is `summary`
+    # (O(P) counters, the reference perf protocol) and the committed
+    # 'status' sink (per-epoch per-key rows, readable as a Dataset).
+    final_status: pd.DataFrame | None = None
     sinks: dict = field(default_factory=dict)
-    # O(1) perf-protocol completion summary (scale path; final_status is the
-    # per-key table, fine at test scale, a driver materialization at 10^9)
+    # O(1) perf-protocol completion summary (always populated)
     summary: dict = field(default_factory=dict)
     # per-epoch throughput/latency surface (metrics.StatsTracker summaries,
     # ≙ the reference StatsTracker's ops/s + latency percentiles)
@@ -126,6 +130,7 @@ def run_stream(
     checkpoint_full_every: int = 16,
     max_inflight: int = 3,
     salt_hot_keys: bool = False,
+    collect_final_status: bool = False,
 ) -> StreamResult:
     """Run the full streaming pipeline over an arrival-ordered file list.
 
@@ -236,9 +241,11 @@ def run_stream(
     # actor teardown below can outlast the window and trim it to zero
     rates = stats.rates()
 
-    fin = proc.final_status_table(
-        pd.Timestamp("1970-01-01") + pd.Timedelta(seconds=len(groups))
-    ).to_pandas()
+    fin = None
+    if collect_final_status:
+        fin = proc.final_status_table(
+            pd.Timestamp("1970-01-01") + pd.Timedelta(seconds=len(groups))
+        ).to_pandas()
     summary = proc.completion_summary()
     proc.shutdown()
     return StreamResult(
@@ -336,6 +343,7 @@ def run_stream_continuous(
     autoscale_shrink_idle_s: float | None = None,
     autoscale_min_partitions: int = 1,
     probe_state_every_epochs: int = 0,
+    collect_final_status: bool = False,
 ) -> StreamResult:
     """Unbounded micro-batch streaming over a LANDING DIRECTORY (≙ the
     reference's Pub/Sub subscription, OrderBookProcessingPipeline.java:103-105
@@ -667,9 +675,11 @@ def run_stream_continuous(
     # actor teardown below can outlast the window and trim it to zero
     rates = stats.rates()
 
-    fin = proc.final_status_table(
-        pd.Timestamp("1970-01-01") + pd.Timedelta(seconds=next_epoch)
-    ).to_pandas()
+    fin = None
+    if collect_final_status:
+        fin = proc.final_status_table(
+            pd.Timestamp("1970-01-01") + pd.Timedelta(seconds=next_epoch)
+        ).to_pandas()
     summary = proc.completion_summary()
     proc.shutdown()
     return StreamResult(

@@ -9,6 +9,9 @@ names).
 
 from __future__ import annotations
 
+import os
+from pathlib import Path
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -178,65 +181,75 @@ FROM s GROUP BY conv_id, sid
 """
 
 
+# landing dirs are content-identical across the stream queries (all derive
+# the same shuffled-arrival transcript stream from `events`), so one write
+# per (sf_dir, session) is shared by every _run_stream_query call — the
+# per-query fixture cost (derive + shuffle + parquet write of the whole
+# stream) was the dominant wall of the stream-query gate at sf0.1
+_LANDING_CACHE: dict = {}
+
+
 def _stream_landing(sf_dir: str, tag: str):
     """Write the derived transcript stream as an arrival-ordered landing dir
     (rows shuffled WITHIN each block by a deterministic event hash), for
     queries that drive the FULL multi-epoch streaming engine through the
     driver's correctness gate. Output content is arrival-invariant by the
-    engine's core guarantee, so block/file composition may vary freely."""
+    engine's core guarantee, so block/file composition may vary freely.
+    Cached per sf_dir for the life of the process (scratch under /tmp)."""
     import tempfile
 
     import pyarrow.parquet as pq
     import ray
 
-    from .transcripts import derive_transcripts
+    hit = _LANDING_CACHE.get(sf_dir)
+    if hit is not None and all(Path(f).exists() for f in hit[1]):
+        return hit
 
-    from .transcripts import ARRIVAL, with_shuffled_arrival
+    from .transcripts import ARRIVAL, derive_transcripts, with_shuffled_arrival
 
     d = tempfile.mkdtemp(prefix=f"ros_q_{tag}_")
     t = with_shuffled_arrival(derive_transcripts(_read(sf_dir, "events")))
 
     # sort WITHIN each block by the shared deterministic arrival hash (one
-    # formula, owned by transcripts.with_shuffled_arrival), then drop it
-    def shuf(tb: pa.Table) -> pa.Table:
+    # formula, owned by transcripts.with_shuffled_arrival), then drop it,
+    # and write each block to its landing file IN THE SAME TASK (the write
+    # never crosses the object store back to the driver)
+    def shuf_write(tb: pa.Table) -> pa.Table:
         order = np.argsort(
             tb[ARRIVAL].to_numpy(zero_copy_only=False), kind="stable"
         )
-        return tb.drop_columns([ARRIVAL]).take(pa.array(order))
+        tb = tb.drop_columns([ARRIVAL]).take(pa.array(order))
+        if tb.num_rows:
+            fd, path = tempfile.mkstemp(suffix=".parquet", dir=d)
+            os.close(fd)
+            pq.write_table(tb, path)
+        return tb.slice(0, 0)
 
-    ds = t.map_batches(shuf, batch_format="pyarrow")
-    files = []
-    for i, ref in enumerate(ds.to_arrow_refs()):
-        tb = ray.get(ref)
-        if tb.num_rows == 0:
-            continue
-        f = f"{d}/part-{i:05d}.parquet"
-        pq.write_table(tb, f)
-        files.append(f)
+    t.map_batches(shuf_write, batch_format="pyarrow").materialize()
+    files = sorted(str(p) for p in Path(d).glob("*.parquet"))
+    _LANDING_CACHE[sf_dir] = (d, files)
     return d, files
 
 
 def _run_stream_query(sf_dir: str, tag: str, cfg, sink: str, columns):
+    """Drive the full multi-epoch engine and return the committed sink as a
+    MATERIALIZED Dataset (blocks stay in the object store; nothing is
+    concatenated on the driver — the caller/driver iterates it)."""
     import shutil
     import tempfile
 
     from ..epochs import run_stream
 
-    d, files = _stream_landing(sf_dir, tag)
+    _d, files = _stream_landing(sf_dir, tag)
     out = tempfile.mkdtemp(prefix=f"ros_q_{tag}_out_")
     try:
         res = run_stream(
             files, out, cfg, num_partitions=4,
             files_per_epoch=max(1, len(files) // 4),
         )
-        ds = res.sinks[sink].read().select_columns(columns)
-        import pyarrow as _pa
-        import ray as _ray
-
-        tbls = [t for t in _ray.get(list(ds.to_arrow_refs())) if t.num_rows]
-        return _pa.concat_tables(tbls, promote_options="none")
+        return res.sinks[sink].read().select_columns(columns).materialize()
     finally:
-        shutil.rmtree(d, ignore_errors=True)
+        # landing dir stays (process-lifetime cache); sink scratch goes
         shutil.rmtree(out, ignore_errors=True)
 
 
@@ -266,15 +279,11 @@ def q_stream_topk(sf_dir: str):
     from ..agg import exchange_groupby
     from ..state import OrderedConfig
 
-    tbl = _run_stream_query(
+    ds = _run_stream_query(
         sf_dir, "topk", OrderedConfig(warmup_rows=0), "status",
         [KEY, "result_count"],
     )
-    import ray.data as _rd
-
-    per_key = exchange_groupby(
-        _rd.from_arrow(tbl), KEY, {"n": ("result_count", "max")}
-    )
+    per_key = exchange_groupby(ds, KEY, {"n": ("result_count", "max")})
 
     def head(df: pd.DataFrame) -> pd.DataFrame:
         return df.sort_values(

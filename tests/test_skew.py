@@ -120,7 +120,8 @@ def test_rescale_remaps_pins_and_resumes(skewed_files, tmp_path):
     assert list(new_pins) == list(old_pins)          # same keys, same order
     assert sorted(set(new_pins.values())) == [0, 1, 2, 3]
 
-    resumed = run_stream(files, out, cfg, num_partitions=4, files_per_epoch=2)
+    resumed = run_stream(files, out, cfg, num_partitions=4, files_per_epoch=2,
+                         collect_final_status=True)
     assert resumed.epochs_skipped == 2
     pd.testing.assert_frame_equal(
         _ordered(resumed)[[KEY, SEQ, "text", "emit_seq"]],

@@ -42,7 +42,8 @@ def test_stream_end_to_end_and_exactly_once(stream_files, tmp_path):
     t, files = stream_files
     out = str(tmp_path / "run1")
     cfg = OrderedConfig(window_size_s=60.0, stream_join=True)
-    res = run_stream(files, out, cfg, num_partitions=3, files_per_epoch=2)
+    res = run_stream(files, out, cfg, num_partitions=3, files_per_epoch=2,
+                     collect_final_status=True)
 
     exp = oracle_ordered(t)
     got = (
@@ -263,6 +264,7 @@ def test_continuous_source_processes_midrun_files(tmp_path, ray_session):
         OrderedConfig(window_size_s=60.0, session_gap_s=0.5,
                       pattern=("user", "tool", "user")),
         num_partitions=3, files_per_epoch=2, poll_interval_s=0.1,
+        collect_final_status=True,
     )
     th.join()
     exp = oracle_ordered(t)
