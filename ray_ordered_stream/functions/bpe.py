@@ -34,10 +34,12 @@ incremental-count trick (update only pairs adjacent to the merge,
 Sennrich's learn_bpe) layered on the same partials, which this module
 deliberately leaves out.
 
-No ANSI-SQL oracle: iterative merge selection is not expressible in a
-closed-form query (each round's counts depend on the previous round's
-re-segmentation), so the registry entry is rows-only and the correctness
-gate is the serial-conformance property test.
+SQL oracle: the full merge sequence IS expressible — a DuckDB recursive
+CTE replays the trainer level by level (each level re-segments the
+vocabulary under that level's winner via a list_reduce lambda implementing
+the same greedy-leftmost rule); see SQL_BPE_MERGES in pipelines/queries.py.
+The serial-conformance property test in tests/test_bpe.py additionally
+pins the trainer against a row-at-a-time reference implementation.
 """
 
 from __future__ import annotations

@@ -3378,15 +3378,57 @@ FROM pairs ORDER BY n DESC, l, r LIMIT 1
 
 def q_bpe_merges(sf_dir: str):
     """Full distributed BPE training (16 merges over the corpus word
-    vocabulary). Rows-only: each round's counts depend on the previous
-    round's re-segmentation — not expressible as one SQL query. The
-    serial-conformance gate lives in tests/test_bpe.py; round 1 is
-    SQL-gated by bpe_first_merge."""
+    vocabulary), oracled end-to-end: the SQL mirror replays the whole
+    iterative trainer in a recursive CTE — each level re-segments every
+    vocabulary word under that level's winning pair (greedy leftmost via a
+    list_reduce lambda, the trainer's run-parity rule) and the final select
+    recomputes each level's (count DESC, left, right) winner. Gates merge
+    selection, tie-breaks, re-segmentation AND the min_pair_count stop
+    across all 16 rounds (serial-conformance also in tests/test_bpe.py)."""
     from ..functions.bpe import train_bpe
 
     return train_bpe(
         _read(sf_dir, "documents", ["text"]), n_merges=16, min_pair_count=2
     )
+
+
+SQL_BPE_MERGES = r"""
+WITH RECURSIVE
+words AS (
+  SELECT unnest(regexp_extract_all(lower(text), '\w+')) AS w FROM documents),
+wc AS (SELECT w, count(*)::BIGINT AS c FROM words GROUP BY w),
+seg AS (
+  SELECT 0 AS it, w, c, split(w, '') AS toks FROM wc
+  UNION ALL
+  -- one level per merge round: win = this level's best pair over the whole
+  -- working vocabulary; the lambda replays greedy leftmost merging (a just-
+  -- formed token never re-merges because left||right != left)
+  SELECT it + 1, seg.w, seg.c,
+    CASE WHEN len(toks) < 2 THEN toks ELSE
+      list_reduce(list_transform(toks, x -> [x]),
+        (acc, x) -> CASE WHEN acc[-1] = win.l AND x[1] = win.r
+                    THEN acc[:len(acc)-1] || [acc[-1] || x[1]]
+                    ELSE list_append(acc, x[1]) END) END
+  FROM seg CROSS JOIN (
+    SELECT l, r, n FROM (
+      SELECT t.toks[i] AS l, t.toks[i+1] AS r, sum(t.c)::BIGINT AS n
+      FROM seg t, unnest(generate_series(1, len(t.toks)-1)) s(i)
+      GROUP BY 1, 2)
+    ORDER BY n DESC, l, r LIMIT 1) win
+  WHERE it < 15 AND win.n >= 2
+),
+pairs AS (
+  SELECT it, toks[i] AS l, toks[i+1] AS r, sum(c)::BIGINT AS n
+  FROM seg, unnest(generate_series(1, len(toks)-1)) s(i)
+  GROUP BY 1, 2, 3),
+ranked AS (
+  SELECT it::BIGINT AS rank, l AS "left", r AS "right", n AS "count",
+         row_number() OVER (PARTITION BY it ORDER BY n DESC, l, r) AS rn
+  FROM pairs)
+SELECT rank, "left", "right", "count" FROM ranked
+WHERE rn = 1 AND "count" >= 2 AND rank < 16
+ORDER BY rank
+"""
 
 
 def q_doc_normalize(sf_dir: str):
@@ -3540,7 +3582,7 @@ QUERIES = {
     "doc_classifier_distill": (q_doc_classifier_distill, SQL_DOC_CLASSIFIER_DISTILL),
     "region_customer_stats": (q_region_customer_stats, SQL_REGION_CUSTOMER_STATS),
     "events_profile": (q_events_profile, SQL_EVENTS_PROFILE),
-    "bpe_merges": (q_bpe_merges, None),  # rows-only, but never checked: keep in the driver window
+    "bpe_merges": (q_bpe_merges, SQL_BPE_MERGES),
     "stream_topk": (q_stream_topk, SQL_STREAM_TOPK),
     # -- (4) green in round 2 ---------------------------------------------
     "conv_render": (q_conv_render, SQL_CONV_RENDER),
