@@ -276,7 +276,18 @@ class OrderedWorker:
         emitted, status = self.process_epoch(status_ts, empty_like, *parts)
         out = {}
         if "ordered" in sink_paths:
-            out["ordered"] = write_part_atomic(emitted, sink_paths["ordered"])
+            towrite = emitted
+            if self.cfg.stamp_ingest_ts:
+                # status_ts is a pd.Timestamp (.value = ns since epoch)
+                tick_us = int(status_ts.value) // 1_000
+                towrite = emitted.append_column(
+                    "ingest_ts",
+                    pa.array(
+                        np.full(emitted.num_rows, tick_us, dtype=np.int64),
+                        pa.timestamp("us"),
+                    ),
+                )
+            out["ordered"] = write_part_atomic(towrite, sink_paths["ordered"])
         if "status" in sink_paths:
             out["status"] = write_part_atomic(status, sink_paths["status"])
         if "windows" in sink_paths and self.windows is not None:

@@ -326,6 +326,174 @@ SQL_STREAM_SESSIONS = SQL_WINDOWS_SESSION
 
 
 # ---------------------------------------------------------------------------
+# per-event end-to-end latency (reference README.md:145-184: ingest_ts
+# DEFAULT CURRENT_TIMESTAMP() at the BQ sink + APPROX_QUANTILES over
+# TIMESTAMP_DIFF(ingest_ts, event_ts)). Deterministic analog: the sink
+# stamps ingest_ts with the committing epoch's tick (OrderedConfig.
+# stamp_ingest_ts), and the fixture assigns arrival epochs by a pure
+# per-row hash range — so each event's delivery latency (epochs spent
+# buffered waiting for its predecessors) is an exact function of the input
+# that SQL mirrors with a running max over the turn prefix.
+# ---------------------------------------------------------------------------
+
+_LAT_EPOCHS = 8
+_LAT_WIDTH = (1 << 32) // _LAT_EPOCHS  # arrival hash is mod 2^32
+
+
+def _arrival_epoch(event_id: np.ndarray) -> np.ndarray:
+    """Knuth-hash arrival epoch (the transcripts.with_shuffled_arrival
+    formula, bucketed into _LAT_EPOCHS equal hash ranges)."""
+    ev = event_id.astype(np.uint64)
+    h = (ev * np.uint64(2654435761)) % np.uint64(1 << 32)
+    return (h // np.uint64(_LAT_WIDTH)).astype(np.int64)
+
+
+def _latency_landing(sf_dir: str):
+    """Landing dir with EPOCH-ALIGNED files: file e holds exactly the rows
+    whose arrival-hash range is e (one file per epoch, written by per-epoch
+    tasks — rows never cross the driver)."""
+    import tempfile
+
+    import pyarrow.parquet as pq
+    import ray
+
+    key = ("latency", sf_dir)
+    hit = _LANDING_CACHE.get(key)
+    if hit is not None and all(Path(f).exists() for f in hit[1]):
+        return hit
+
+    from .transcripts import derive_transcripts
+
+    d = tempfile.mkdtemp(prefix="ros_q_latency_")
+
+    def add_ep(tb: pa.Table) -> pa.Table:
+        ep = _arrival_epoch(
+            tb["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        return tb.append_column("__ep", pa.array(ep, pa.int64()))
+
+    refs = list(
+        derive_transcripts(_read(sf_dir, "events"))
+        .map_batches(add_ep, batch_format="pyarrow")
+        .to_arrow_refs()
+    )
+
+    @ray.remote(num_returns=_LAT_EPOCHS)
+    def split(*tbls: pa.Table):
+        from ..exchange import split_compact
+
+        real = [t for t in tbls if t.num_rows]
+        if not real:
+            e = tbls[0].slice(0, 0)
+            return [e] * _LAT_EPOCHS
+        t = pa.concat_tables(real, promote_options="none") if len(real) > 1 else real[0]
+        parts = t["__ep"].to_numpy(zero_copy_only=False)
+        return split_compact(t, parts, _LAT_EPOCHS)
+
+    @ray.remote
+    def write(path: str, *shards: pa.Table) -> int:
+        t = pa.concat_tables(
+            [s for s in shards], promote_options="none"
+        ).drop_columns(["__ep"])
+        pq.write_table(t, path)
+        return t.num_rows
+
+    groups = [split.remote(*refs[i : i + 8]) for i in range(0, len(refs), 8)]
+    files = [f"{d}/part-{e:05d}.parquet" for e in range(_LAT_EPOCHS)]
+    # empty epochs still get a (schema-correct) file so epoch index == tick
+    ray.get(
+        [write.remote(files[e], *[g[e] for g in groups]) for e in range(_LAT_EPOCHS)]
+    )
+    _LANDING_CACHE[key] = (d, files)
+    return d, files
+
+
+def q_stream_latency_quantiles(sf_dir: str):
+    """Per-event delivery-latency quantiles over the committed ordered sink:
+    run the full engine on an epoch-aligned arrival stream with
+    stamp_ingest_ts, then latency(event) = emission epoch (from ingest_ts)
+    minus arrival epoch (from the event's hash range) — the epochs an event
+    sat buffered waiting for its in-order predecessors. Quantile ranks use
+    DuckDB's quantile_disc rule (1-indexed ceil(q*n)), computed exactly from
+    the (<= _LAT_EPOCHS)-row distributed latency histogram."""
+    import math
+    import shutil
+    import tempfile
+
+    from ..agg import exchange_groupby
+    from ..epochs import run_stream
+    from ..state import OrderedConfig
+
+    _d, files = _latency_landing(sf_dir)
+    out = tempfile.mkdtemp(prefix="ros_q_latency_out_")
+    try:
+        res = run_stream(
+            files, out,
+            OrderedConfig(warmup_rows=0, stamp_ingest_ts=True),
+            num_partitions=4, files_per_epoch=1,
+        )
+
+        def hist(tb: pa.Table) -> pa.Table:
+            emit_ep = (
+                tb["ingest_ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+                // 1_000_000
+            )
+            ae = _arrival_epoch(
+                tb["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            )
+            vals, cnt = np.unique(emit_ep - ae, return_counts=True)
+            return pa.table(
+                {"lat": pa.array(vals, pa.int64()),
+                 "n": pa.array(cnt.astype(np.int64), pa.int64())}
+            )
+
+        parts = (
+            res.sinks["ordered"].read()
+            .select_columns(["event_id", "ingest_ts"])
+            .map_batches(hist, batch_format="pyarrow")
+        )
+        h = (
+            exchange_groupby(parts, "lat", {"n": ("n", "sum")})
+            .to_pandas()
+            .sort_values("lat")
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    cum = h["n"].cumsum().to_numpy()
+    lat = h["lat"].to_numpy()
+    total = int(cum[-1])
+
+    def qv(q: float) -> int:
+        rank = max(1, math.ceil(round(q * total, 9)))
+        return int(lat[np.searchsorted(cum, rank, side="left")])
+
+    return pa.table(
+        {f"lat_p{int(q * 100)}": pa.array([qv(q)], pa.int64())
+         for q in (0.0, 0.2, 0.5, 0.9, 1.0)}
+    )
+
+
+SQL_STREAM_LATENCY_QUANTILES = f"""
+WITH t AS (
+  SELECT cast(user_id AS varchar) AS conv_id,
+         cast(row_number() OVER w - 1 AS int) AS turn_idx, event_id
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+a AS (
+  SELECT conv_id, turn_idx,
+         ((event_id * 2654435761) % 4294967296) // {_LAT_WIDTH} AS ae FROM t),
+e AS (
+  SELECT max(ae) OVER (PARTITION BY conv_id ORDER BY turn_idx) - ae AS lat
+  FROM a)
+SELECT quantile_disc(lat, 0)::BIGINT AS lat_p0,
+       quantile_disc(lat, 0.2)::BIGINT AS lat_p20,
+       quantile_disc(lat, 0.5)::BIGINT AS lat_p50,
+       quantile_disc(lat, 0.9)::BIGINT AS lat_p90,
+       quantile_disc(lat, 1.0)::BIGINT AS lat_p100
+FROM e
+"""
+
+
+# ---------------------------------------------------------------------------
 # stream-stream join
 # ---------------------------------------------------------------------------
 
@@ -3605,6 +3773,9 @@ QUERIES = {
     "windows_session": (q_windows_session, SQL_WINDOWS_SESSION),
     "ordered_stream_replay": (q_ordered_stream_replay, SQL_ORDERED_STREAM_REPLAY),
     "stream_sessions": (q_stream_sessions, SQL_STREAM_SESSIONS),
+    "stream_latency_quantiles": (
+        q_stream_latency_quantiles, SQL_STREAM_LATENCY_QUANTILES,
+    ),
     "join_user_assistant": (q_join_user_assistant, SQL_JOIN_USER_ASSISTANT),
     "asof_event_order": (q_asof_event_order, SQL_ASOF_EVENT_ORDER),
     "interval_follow_purchases": (q_interval_follow_purchases, SQL_INTERVAL_FOLLOW_PURCHASES),

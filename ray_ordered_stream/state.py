@@ -108,6 +108,14 @@ class OrderedConfig:
     # eviction is the standard state-TTL one (a returning key restarts its
     # session_id at 0, a pattern straddling an idle gap > TTL is missed).
     state_ttl_s: float = 0.0
+    # Stamp an `ingest_ts` column on the 'ordered' sink's rows at part-write
+    # time, valued at the committing epoch's status tick — the engine analog
+    # of the reference's BigQuery `ingest_ts TIMESTAMP DEFAULT
+    # CURRENT_TIMESTAMP()` sink column (terraform/bigquery-schema/
+    # market-depth.json; README.md:145-184 latency quantiles). The epoch
+    # tick (not wall clock) keeps resumed re-runs byte-identical, so
+    # exactly-once still holds under crash-resume.
+    stamp_ingest_ts: bool = False
     partitions: int = 0           # 0 = auto (set by ordered.py)
     # State actors are long-lived RPC-style stores whose calls serialize per
     # actor; reserving whole CPUs for them starves the stateless split/read

@@ -577,3 +577,39 @@ def test_continuous_salt_waits_for_first_files(tmp_path, ray_session):
     pd.testing.assert_frame_equal(
         got[[KEY, SEQ, "text"]], exp[[KEY, SEQ, "text"]]
     )
+
+
+def test_ingest_ts_stamp_deterministic_and_monotone(stream_files, tmp_path):
+    """stamp_ingest_ts: every ordered-sink row carries the committing
+    epoch's tick; re-running after an injected crash reproduces the SAME
+    ingest_ts per row (exactly-once includes the latency surface), and
+    within a key ingest_ts is monotone in turn_idx (a turn cannot commit
+    before its predecessors)."""
+    t, files = stream_files
+    cfg = OrderedConfig(stamp_ingest_ts=True)
+    full = run_stream(files, str(tmp_path / "full"), cfg,
+                      num_partitions=3, files_per_epoch=2)
+    got = (
+        read_sink(full, "ordered")
+        .sort_values([KEY, SEQ], kind="stable")
+        .reset_index(drop=True)
+    )
+    assert "ingest_ts" in got.columns
+    # epoch ticks: 1970-01-01 + epoch seconds
+    ep = got["ingest_ts"].astype("int64") // 1_000_000_000
+    assert (ep >= 0).all() and (ep < len(files) // 2 + 1).all()
+    assert (
+        got.groupby(KEY)["ingest_ts"].apply(lambda s: s.is_monotonic_increasing)
+    ).all()
+
+    out = str(tmp_path / "resumed")
+    with pytest.raises(RuntimeError):
+        run_stream(files, out, cfg, num_partitions=3, files_per_epoch=2,
+                   fail_after_epoch=1)
+    resumed = run_stream(files, out, cfg, num_partitions=3, files_per_epoch=2)
+    got2 = (
+        read_sink(resumed, "ordered")
+        .sort_values([KEY, SEQ], kind="stable")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, got2)
