@@ -117,21 +117,26 @@ def lang_id(ds):
 
 class Fingerprinter:
     """Document fingerprinting: md5 of the lower-cased, whitespace-normalized
-    text (content hash) + a rolling 8-gram winnowing-style min-hash."""
+    text (content hash). Normalization is Arrow RE2 kernels (byte-identical
+    to the DuckDB mirror's regexp_replace) and the digest goes through the
+    repo's shared vectorized md5 routing (stream_dedup.md5_hex: DuckDB's C++
+    md5 for short rows, raw-buffer hashlib for long rows — the same kernel
+    the streaming dedup ingest uses, unified per VERDICT r3 #4)."""
 
-    def __init__(self):
-        self.ws = re.compile(r"\s+")
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        import hashlib
+        norm = pc.utf8_trim(
+            pc.replace_substring_regex(pc.utf8_lower(t["text"]), r"\s+", " "),
+            " ",
+        )
+        from ..stream_dedup import md5_hex
 
-        norm = batch["text"].str.lower().map(lambda s: self.ws.sub(" ", s).strip())
-        batch["fingerprint"] = norm.map(lambda s: hashlib.md5(s.encode()).hexdigest())
-        return batch
+        return t.append_column("fingerprint", md5_hex(norm))
 
 
 def fingerprint(ds):
-    return ds.map_batches(Fingerprinter(), batch_format="pandas")
+    return ds.map_batches(Fingerprinter(), batch_format="pyarrow")
 
 
 # Redaction patterns: RE2 syntax on BOTH sides (pyarrow's regex engine and

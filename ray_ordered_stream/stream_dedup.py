@@ -114,6 +114,47 @@ def _fingerprints(texts: pa.Array) -> tuple[np.ndarray, np.ndarray]:
     return hi, lo
 
 
+def md5_hex(texts: pa.Array) -> pa.Array:
+    """Hex md5 per row, same DuckDB-vs-hashlib routing as _fingerprints
+    (shared by the batch Fingerprinter in functions/textstats.py — one md5
+    kernel for the whole repo). Nulls hash as ''."""
+    import hashlib
+
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    n = len(texts)
+    if n == 0:
+        return pa.array([], pa.string())
+    try:
+        import os
+
+        if os.environ.get("ROS_NO_DUCKDB_MD5"):
+            raise ImportError
+        if texts.nbytes / max(1, n) >= 640:
+            raise ImportError
+        con = _md5_connection()
+        tbl = pa.table({"t": texts})  # zero-copy view
+        res = con.execute("SELECT md5(coalesce(t,'')) AS h FROM tbl").arrow()
+        return res["h"].combine_chunks()
+    except Exception:
+        pass
+    md5 = hashlib.md5
+    if texts.null_count == 0 and isinstance(texts, pa.StringArray):
+        bufs = texts.buffers()
+        off = np.frombuffer(bufs[1], dtype=np.int32)[
+            texts.offset : texts.offset + n + 1
+        ]
+        data = memoryview(bufs[2])
+        return pa.array(
+            [md5(data[off[i] : off[i + 1]]).hexdigest() for i in range(n)],
+            pa.string(),
+        )
+    return pa.array(
+        [md5((s or "").encode()).hexdigest() for s in texts.to_pylist()],
+        pa.string(),
+    )
+
+
 def _member(
     seen_hi: np.ndarray, seen_lo: np.ndarray, hi: np.ndarray, lo: np.ndarray
 ) -> np.ndarray:

@@ -12,15 +12,15 @@ Design (SURVEY.md §2.5, §7.1.5):
   small ``groupby().aggregate`` — the shuffle moves one row per
   (key, window, batch), not one per turn;
 - order-dependent products (text_digest) and session windows (per-key gap
-  merge) use ``groupby(key).map_groups`` — a per-key sorted replay, the batch
-  analogue of the in-actor state path.
+  merge) use one hash exchange on the key + a per-partition vectorized
+  lexsort/boundary pass — the batch analogue of the in-actor state path
+  (never a Python callback per key or per group).
 
 All functions take/return ``ray.data.Dataset`` and never materialize input.
 """
 
 from __future__ import annotations
 
-import hashlib
 
 import numpy as np
 import pandas as pd
@@ -101,25 +101,79 @@ def tumbling_counts(ds, size_s: float, key: str = KEY, ts: str = "ts"):
 
 def tumbling_digest(ds, size_s: float, key: str = KEY, ts: str = "ts", seq: str = "turn_idx"):
     """Tumbling windows with an order-dependent text digest (md5 of texts
-    concatenated in turn order) — the conformance variant (FIXTURES.md §4)."""
-    size = _size_us(size_s)
-    with_w = assign_tumbling(ds, size_s, ts)
+    concatenated in turn order) — the conformance variant (FIXTURES.md §4).
 
-    def per_group(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(seq, kind="stable")
-        return pd.DataFrame(
+    One hash exchange on the key, then per-partition vectorized grouping
+    (lexsort + boundary flags, the session_windows shape) with the digest
+    through the shared vectorized md5 kernel. The previous
+    groupby(...).map_groups paid Ray Data's sort-based shuffle plus one
+    Python callback per (key, window) group (VERDICT r3 'what's wrong' #3)."""
+    import ray
+    import ray.data
+
+    from .exchange import shard_refs
+    from .stream_dedup import md5_hex
+
+    size = _size_us(size_s)
+
+    @ray.remote
+    def digest(*shards: pa.Table) -> pa.Table:
+        empty = pa.table(
             {
-                key: [g[key].iloc[0]],
-                "window_start": [g["window_start"].iloc[0]],
-                "window_end": [g["window_end"].iloc[0]],
-                "turn_count": [len(g)],
-                "text_digest": [hashlib.md5("|".join(g["text"]).encode()).hexdigest()],
+                key: pa.array([], pa.string()),
+                "window_start": pa.array([], pa.timestamp("us")),
+                "window_end": pa.array([], pa.timestamp("us")),
+                "turn_count": pa.array([], pa.int64()),
+                "text_digest": pa.array([], pa.string()),
+            }
+        )
+        real = [t for t in shards if t.num_rows]
+        if not real:
+            return empty
+        tbl = pa.concat_tables(real, promote_options="none") if len(real) > 1 else real[0]
+        col = tbl[key].combine_chunks() if isinstance(tbl[key], pa.ChunkedArray) else tbl[key]
+        enc = pc.dictionary_encode(col)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = np.asarray(enc.indices).astype(np.int64)
+        tsi = tbl[ts].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        sq = tbl[seq].to_numpy(zero_copy_only=False)
+        ws = (tsi // size) * size
+        order = np.lexsort((sq, ws, codes))
+        c, w = codes[order], ws[order]
+        n = len(c)
+        new_g = np.empty(n, dtype=bool)
+        new_g[0] = True
+        new_g[1:] = (c[1:] != c[:-1]) | (w[1:] != w[:-1])
+        starts = np.flatnonzero(new_g)
+        ends = np.append(starts[1:], n)
+        texts = tbl["text"].to_pandas().to_numpy(dtype=object)[order]
+        joined = pa.array(
+            ["|".join(texts[s:e]) for s, e in zip(starts, ends)], pa.string()
+        )
+        return pa.table(
+            {
+                key: pc.take(enc.dictionary, pa.array(c[starts])),
+                "window_start": pa.array(w[starts], pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+                "window_end": pa.array(w[starts] + size, pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+                "turn_count": pa.array(ends - starts, pa.int64()),
+                "text_digest": md5_hex(joined),
             }
         )
 
-    return with_w.groupby([key, "window_start"]).map_groups(
-        per_group, batch_format="pandas"
+    P = max(2, int(ray.cluster_resources().get("CPU", 4)) // 2)
+    block_refs = list(
+        ds.select_columns([key, ts, seq, "text"]).to_arrow_refs()
     )
+    if not block_refs:
+        return ds
+    per_group = shard_refs(block_refs, key, P)
+    out = [digest.remote(*[pg[p] for pg in per_group]) for p in range(P)]
+    return ray.data.from_arrow_refs(out)
 
 
 def sliding_counts(ds, size_s: float, step_s: float, key: str = KEY, ts: str = "ts"):
