@@ -3808,3 +3808,62 @@ QUERIES = {
     "doc_simhash": (q_doc_simhash, None),
     "doc_simhash_pairs": (q_doc_simhash_pairs, None),
 }
+
+
+# Round-4 driver-window rotation: the driver gates ~50 queries per round
+# (head of this dict). Put every query NOT gated in round 3 first so
+# CORRECTNESS_r4 ∪ CORRECTNESS_r3 covers the whole registry (VERDICT r3
+# next-step #4); the round-3-gated tail rotates back in next round.
+_R4_WINDOW_FIRST = [
+    "doc_quality_filter",
+    "doc_curriculum",
+    "corpus_chunking",
+    "doc_pack_sequences",
+    "doc_chunks",
+    "doc_jaccard_pairs",
+    "doc_pack",
+    "doc_tfidf_top",
+    "order_book_depth",
+    "ordered_replay",
+    "ordered_final_status",
+    "windows_tumbling",
+    "windows_sliding",
+    "windows_session",
+    "ordered_stream_replay",
+    "stream_sessions",
+    "stream_latency_quantiles",
+    "join_user_assistant",
+    "asof_event_order",
+    "interval_follow_purchases",
+    "cep_funnel",
+    "sketch_certify",
+    "heavy_hitters_certify",
+    "top_orders_per_cust",
+    "corpus_curation",
+    "corpus_curation2",
+    "events_quantiles_by_type",
+    "doc_exact_dedup",
+    "doc_token_count",
+    "doc_quality",
+    "doc_lang_id",
+    "doc_fingerprint",
+    "customers_without_urgent",
+    "parts_in_lineitems",
+    "doc_pii_scrub",
+    "doc_hash_sample",
+    "doc_stratified_sample",
+    "doc_vocab_top",
+    "doc_shuffle",
+    "corpus_mix",
+    "doc_bigrams_top",
+    "stream_dedup",
+    "stream_neardup",
+    "doc_near_dups_planted",
+    "doc_near_dups",
+    "doc_simhash",
+    "doc_simhash_pairs",
+]
+QUERIES = {
+    **{n: QUERIES[n] for n in _R4_WINDOW_FIRST},
+    **{n: v for n, v in QUERIES.items() if n not in _R4_WINDOW_FIRST},
+}
