@@ -628,6 +628,16 @@ def run_stream_continuous(
                     "grow",
                 )
                 low_since = None
+        # keep the commit frontier CURRENT when no new work arrived: the
+        # pipelined protocol only forces a commit when pending hits
+        # max_inflight, so an idle stream would otherwise sit on finished
+        # epochs whose manifests never commit until exit — stalling every
+        # frontier consumer (status/stream_topk readers, the lease-queue
+        # pump's acks in source.py) and inflating apparent latency. One
+        # commit per idle poll bounds driver work while load resumes
+        # pipelined behavior immediately.
+        if not assigned_this_poll and pending:
+            commit_oldest()
         # idle-driven shrink: backlog has stayed under one epoch's worth
         # of files continuously for autoscale_shrink_idle_s
         if (

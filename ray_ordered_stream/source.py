@@ -1,0 +1,208 @@
+"""Push-source shim: lease/ack delivery semantics over the landing-dir
+consumer (≙ PubsubIO's acked delivery, reference
+OrderBookProcessingPipeline.java:103-105 + PubSubConsumer.java flow control).
+
+The continuous consumer (`epochs.run_stream_continuous`) is pull-based over
+a landing directory. A real message bus delivers with LEASES: a consumer
+claims messages, must ack before the lease deadline, and unacked messages
+are redelivered (at-least-once). This module provides that contract as a
+durable file-backed queue plus a pump that bridges it to the landing dir:
+
+    producer ──publish──▶ FileLeaseQueue ──lease──▶ pump ──hardlink──▶
+        landing dir ──▶ run_stream_continuous ──commit──▶ manifests
+                                      ▲                        │
+                                      └────── ack when the ────┘
+                                              manifest frontier covers
+                                              the lease's files
+
+- Delivery names are the queue message ids, so a REDELIVERY lands the same
+  filename: an already-assigned file is a no-op (epoch records / the
+  assigned set dedup by name), and a re-processed duplicate row is dropped
+  by the engine's exact dedup — at-least-once delivery, exactly-once output.
+- Acks happen only after the epoch's sink manifests commit (the consumer's
+  durable frontier), never at lease time — a crash between delivery and
+  commit leaves the lease unacked, so the bus redelivers (the reference
+  gets the same from Pub/Sub's ack deadline).
+- Everything is atomic-rename on one filesystem; a crash mid-lease or
+  mid-ack leaves each message in exactly one of available/leased/acked.
+
+At 100-TB scale the queue holds file/shard POINTERS (one small json per
+shard), never data; the pump hardlinks (no copy).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from pathlib import Path
+
+
+class FileLeaseQueue:
+    """Durable at-least-once delivery queue of file pointers.
+
+    Layout: <root>/{available,leased,acked}/msg-*.json; each message is a
+    single json file moved between the three states by atomic rename.
+    """
+
+    def __init__(self, root: str):
+        self.root = Path(root)
+        for d in ("available", "leased", "acked"):
+            (self.root / d).mkdir(parents=True, exist_ok=True)
+
+    # -- producer side ----------------------------------------------------
+
+    def publish(self, files: list[str]) -> list[str]:
+        """Enqueue file pointers; returns message ids (also the delivery
+        filenames). Ids are content-stable (publish order), so a producer
+        retry of the same sequence is idempotent."""
+        ids = []
+        n0 = self._next_seq()
+        for i, f in enumerate(files):
+            mid = f"msg-{n0 + i:08d}"
+            tmp = self.root / "available" / f".{mid}.tmp"
+            tmp.write_text(json.dumps(
+                {"id": mid, "file": str(f), "deliveries": 0}
+            ))
+            os.replace(tmp, self.root / "available" / f"{mid}.json")
+            ids.append(mid)
+        return ids
+
+    def _next_seq(self) -> int:
+        mx = -1
+        for d in ("available", "leased", "acked"):
+            for p in (self.root / d).glob("msg-*.json"):
+                mx = max(mx, int(p.stem.split("-")[1]))
+        return mx + 1
+
+    # -- consumer side ----------------------------------------------------
+
+    def lease(self, max_n: int, lease_s: float) -> tuple[str, list[dict]]:
+        """Claim up to max_n oldest available messages until now+lease_s.
+        Returns (lease_id, [{"id", "file", "deliveries"}...])."""
+        lease_id = uuid.uuid4().hex[:12]
+        deadline = time.time() + lease_s
+        out = []
+        for p in sorted((self.root / "available").glob("msg-*.json"))[:max_n]:
+            try:
+                rec = json.loads(p.read_text())
+            except (OSError, json.JSONDecodeError):
+                continue
+            rec["lease_id"] = lease_id
+            rec["deadline"] = deadline
+            rec["deliveries"] = int(rec.get("deliveries", 0)) + 1
+            dst = self.root / "leased" / p.name
+            tmp = self.root / "leased" / f".{p.name}.tmp"
+            tmp.write_text(json.dumps(rec))
+            try:
+                os.replace(tmp, dst)
+                p.unlink()  # claim: message now lives in leased/ only
+            except OSError:
+                tmp.unlink(missing_ok=True)
+                continue
+            out.append(rec)
+        return lease_id, out
+
+    def ack(self, msg_ids: list[str]) -> int:
+        """Durably ack delivered messages (by id). Returns count acked."""
+        n = 0
+        for mid in msg_ids:
+            src = self.root / "leased" / f"{mid}.json"
+            if src.exists():
+                os.replace(src, self.root / "acked" / f"{mid}.json")
+                n += 1
+        return n
+
+    def expire(self, now: float | None = None) -> list[str]:
+        """Return past-deadline leased messages to available (REDELIVERY).
+        Called by the pump each poll; ≙ Pub/Sub's ack-deadline timeout."""
+        now = time.time() if now is None else now
+        back = []
+        for p in (self.root / "leased").glob("msg-*.json"):
+            try:
+                rec = json.loads(p.read_text())
+            except (OSError, json.JSONDecodeError):
+                continue
+            if rec.get("deadline", 0) <= now:
+                rec.pop("lease_id", None)
+                rec.pop("deadline", None)
+                dst = self.root / "available" / p.name
+                tmp = self.root / "available" / f".{p.name}.tmp"
+                tmp.write_text(json.dumps(rec))
+                os.replace(tmp, dst)
+                p.unlink()
+                back.append(rec["id"])
+        return back
+
+    def counts(self) -> dict:
+        return {
+            d: sum(1 for _ in (self.root / d).glob("msg-*.json"))
+            for d in ("available", "leased", "acked")
+        }
+
+
+def committed_landing_files(out_root: str) -> set[str]:
+    """Landing filenames fully covered by the consumer's durable frontier:
+    epochs recorded in <out_root>/epochs whose 'ordered' manifest committed
+    (contiguous prefix — the same rule epochs._resume_point uses)."""
+    from .epochs import _load_epoch_records
+    from .sink import ManifestSink
+
+    committed = ManifestSink(out_root, "ordered").committed_epochs()
+    prefix = -1
+    for e in committed:
+        if e == prefix + 1:
+            prefix = e
+        else:
+            break
+    files: set[str] = set()
+    for e, group in enumerate(_load_epoch_records(out_root)):
+        if e > prefix:
+            break
+        files.update(Path(f).name for f in group)
+    return files
+
+
+def pump(
+    queue: FileLeaseQueue,
+    landing_dir: str,
+    out_root: str,
+    max_n: int = 16,
+    lease_s: float = 30.0,
+) -> dict:
+    """One non-blocking delivery/ack step (call in a loop beside the
+    consumer): expire stale leases, deliver freshly leased files into the
+    landing dir (hardlink named by message id — redelivery is idempotent),
+    and ack every leased message whose delivery the consumer's committed
+    manifest frontier now covers."""
+    land = Path(landing_dir)
+    land.mkdir(parents=True, exist_ok=True)
+    redelivered = queue.expire()
+
+    _, msgs = queue.lease(max_n, lease_s)
+    for m in msgs:
+        dst = land / f"{m['id']}.parquet"
+        tmp = land / f".{m['id']}.parquet.tmp"
+        try:
+            if tmp.exists():
+                tmp.unlink()
+            os.link(m["file"], tmp)
+        except OSError:
+            # cross-device fallback: copy
+            tmp.write_bytes(Path(m["file"]).read_bytes())
+        os.replace(tmp, dst)
+
+    done = committed_landing_files(out_root)
+    ackable = [
+        json.loads(p.read_text())["id"]
+        for p in (queue.root / "leased").glob("msg-*.json")
+        if f"{p.stem}.parquet" in done
+    ]
+    n_acked = queue.ack(ackable)
+    return {
+        "delivered": len(msgs),
+        "acked_now": n_acked,
+        "redelivered": len(redelivered),
+        **queue.counts(),
+    }

@@ -1,0 +1,120 @@
+"""Push-source shim tests: lease/ack delivery (FileLeaseQueue + pump)
+bridging a message bus to the landing-dir consumer — at-least-once delivery
+with redelivery on lease expiry, exactly-once engine output."""
+
+import threading
+import time
+
+import pandas as pd
+import pyarrow.parquet as pq
+
+from ray_ordered_stream.epochs import run_stream_continuous
+from ray_ordered_stream.fixtures import gen_transcripts, oracle_ordered
+from ray_ordered_stream.schema import KEY, SEQ
+from ray_ordered_stream.source import FileLeaseQueue, pump
+from ray_ordered_stream.state import OrderedConfig
+
+
+def _publish_fixture(tmp_path, n_files=8, seed=31):
+    t = gen_transcripts(
+        n_convs=10, min_turns=8, max_turns=30, lateness=40, dup_rate=0.02,
+        seed=seed,
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    step = -(-t.num_rows // n_files)
+    files = []
+    for i in range(n_files):
+        f = src / f"shard-{i:03d}.parquet"
+        pq.write_table(t.slice(i * step, step), f)
+        files.append(str(f))
+    q = FileLeaseQueue(str(tmp_path / "queue"))
+    q.publish(files)
+    return t, q
+
+
+def test_lease_pump_delivers_acks_exactly_once(tmp_path, ray_session):
+    t, q = _publish_fixture(tmp_path)
+    land, out = str(tmp_path / "landing"), str(tmp_path / "out")
+    stop = threading.Event()
+
+    def pumper():
+        while not stop.is_set():
+            st = pump(q, land, out, max_n=3, lease_s=30.0)
+            if st["available"] == 0 and st["leased"] == 0:
+                (tmp_path / "landing" / "_STOP").write_text("")
+                return
+            time.sleep(0.1)
+
+    th = threading.Thread(target=pumper)
+    th.start()
+    res = run_stream_continuous(
+        land, out, OrderedConfig(), num_partitions=2, files_per_epoch=2,
+        poll_interval_s=0.1,
+    )
+    stop.set()
+    th.join()
+    # every message acked exactly through the committed frontier
+    c = q.counts()
+    assert c == {"available": 0, "leased": 0, "acked": 8}
+    exp = oracle_ordered(t)
+    got = (
+        res.sinks["ordered"].read().to_pandas()
+        .sort_values([KEY, SEQ], kind="stable").reset_index(drop=True)
+    )
+    assert res.total_emitted == len(exp)
+    pd.testing.assert_frame_equal(
+        got[[KEY, SEQ, "text", "emit_seq"]], exp[[KEY, SEQ, "text", "emit_seq"]]
+    )
+
+
+def test_lease_expiry_redelivers_and_output_stays_exactly_once(
+    tmp_path, ray_session
+):
+    """Crash-shaped path: deliveries happen but the consumer never commits
+    (no acks) -> leases expire -> messages are REDELIVERED; a later healthy
+    consumer run still produces exactly-once output (same landing names +
+    engine dedup)."""
+    t, q = _publish_fixture(tmp_path, seed=77)
+    land, out = str(tmp_path / "landing"), str(tmp_path / "out")
+
+    # consumer is down: pump leases+delivers, nothing commits, leases expire
+    st1 = pump(q, land, out, max_n=4, lease_s=0.05)
+    assert st1["delivered"] == 4 and st1["acked_now"] == 0
+    time.sleep(0.1)
+    st2 = pump(q, land, out, max_n=0, lease_s=0.05)
+    assert st2["redelivered"] == 4          # back to available
+    assert q.counts()["available"] == 8     # 4 never leased + 4 returned
+    # redelivery increments the per-message delivery count
+    _, msgs = q.lease(8, lease_s=30.0)
+    assert sorted(m["deliveries"] for m in msgs) == [1, 1, 1, 1, 2, 2, 2, 2]
+    # put them back for the healthy run
+    q.expire(now=time.time() + 1e6)
+
+    stop = threading.Event()
+
+    def pumper():
+        while not stop.is_set():
+            st = pump(q, land, out, max_n=8, lease_s=30.0)
+            if st["available"] == 0 and st["leased"] == 0:
+                (tmp_path / "landing" / "_STOP").write_text("")
+                return
+            time.sleep(0.1)
+
+    th = threading.Thread(target=pumper)
+    th.start()
+    res = run_stream_continuous(
+        land, out, OrderedConfig(), num_partitions=2, files_per_epoch=2,
+        poll_interval_s=0.1,
+    )
+    stop.set()
+    th.join()
+    assert q.counts() == {"available": 0, "leased": 0, "acked": 8}
+    exp = oracle_ordered(t)
+    got = (
+        res.sinks["ordered"].read().to_pandas()
+        .sort_values([KEY, SEQ], kind="stable").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[[KEY, SEQ, "text", "emit_seq"]], exp[[KEY, SEQ, "text", "emit_seq"]]
+    )
