@@ -72,23 +72,25 @@ def token_count(ds):
 
 class QualityScorer:
     """Length / punctuation / stopword-ratio quality signals
-    (SQL-mirrorable)."""
+    (SQL-mirrorable). Arrow RE2 kernels end-to-end — the same regex engine
+    as the DuckDB oracle, zero pandas conversion."""
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        text = batch["text"]
-        n_chars = text.str.len().astype("int64")
-        n_words = text.str.count(WORD_RE).astype("int64")
-        n_punct = text.str.count(r"[^\w\s]").astype("int64")
-        n_stop = text.str.count(LANG_MARKERS["en"]).astype("int64")
-        batch["n_chars_m"] = n_chars
-        batch["n_words"] = n_words
-        batch["n_punct"] = n_punct
-        batch["n_stopwords"] = n_stop
-        return batch
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        text = t["text"]
+        for name, arr in (
+            ("n_chars_m", pc.utf8_length(text)),
+            ("n_words", pc.count_substring_regex(text, WORD_RE)),
+            ("n_punct", pc.count_substring_regex(text, r"[^\w\s]")),
+            ("n_stopwords", pc.count_substring_regex(text, LANG_MARKERS["en"])),
+        ):
+            t = t.append_column(name, pc.cast(arr, pa.int64()))
+        return t
 
 
 def quality_score(ds):
-    return ds.map_batches(QualityScorer(), batch_format="pandas")
+    return ds.map_batches(QualityScorer(), batch_format="pyarrow")
 
 
 class LangId:
@@ -99,20 +101,26 @@ class LangId:
 
     LANGS = ("de", "en", "es", "fr")
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        low = batch["text"].str.lower()
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        low = pc.utf8_lower(t["text"])
         scores = np.stack(
-            [low.str.count(LANG_MARKERS[lg]).to_numpy() for lg in self.LANGS], axis=1
+            [
+                pc.count_substring_regex(low, LANG_MARKERS[lg])
+                .to_numpy(zero_copy_only=False)
+                for lg in self.LANGS
+            ],
+            axis=1,
         )
         best = scores.argmax(axis=1)
         lang = np.array(self.LANGS, dtype=object)[best]
         lang[scores.max(axis=1) == 0] = "und"
-        batch["lang_guess"] = lang
-        return batch
+        return t.append_column("lang_guess", pa.array(lang, pa.string()))
 
 
 def lang_id(ds):
-    return ds.map_batches(LangId(), batch_format="pandas")
+    return ds.map_batches(LangId(), batch_format="pyarrow")
 
 
 class Fingerprinter:

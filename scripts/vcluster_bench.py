@@ -36,6 +36,23 @@ def sh(cmd: list[str], env=None) -> None:
         raise RuntimeError(f"{cmd}: {r.stderr[-800:]}")
 
 
+def _node_ports(i: int) -> list[str]:
+    """Disjoint per-node port assignments. All virtual nodes share one
+    host's port space; ray's defaults collide (observed: a worker node's
+    gRPC server dying at startup with EADDRINUSE on a worker port, which
+    silently invalidates the 4x8 measurement)."""
+    return [
+        "--node-manager-port", str(6480 + i),
+        "--object-manager-port", str(6520 + i),
+        "--dashboard-agent-listen-port", str(52400 + i),
+        "--dashboard-agent-grpc-port", str(52500 + i),
+        "--runtime-env-agent-port", str(52600 + i),
+        "--metrics-export-port", str(62000 + i),
+        "--min-worker-port", str(11000 + i * 1000),
+        "--max-worker-port", str(11999 + i * 1000),
+    ]
+
+
 def start_cluster(nodes: int, cores_per: int, store_gb: int) -> None:
     env = {k: v for k, v in os.environ.items() if k != "RAY_ADDRESS"}
     base = [
@@ -45,16 +62,41 @@ def start_cluster(nodes: int, cores_per: int, store_gb: int) -> None:
     ]
     sh(
         ["taskset", "-c", f"0-{cores_per - 1}", "ray", "start", "--head",
-         "--port", str(HEAD_PORT), "--include-dashboard=false", *base],
+         "--port", str(HEAD_PORT), "--include-dashboard=false",
+         *_node_ports(0), *base],
         env,
     )
     for i in range(1, nodes):
         lo, hi = i * cores_per, (i + 1) * cores_per - 1
         sh(
             ["taskset", "-c", f"{lo}-{hi}", "ray", "start",
-             "--address", f"127.0.0.1:{HEAD_PORT}", *base],
+             "--address", f"127.0.0.1:{HEAD_PORT}", *_node_ports(i), *base],
             env,
         )
+    _wait_nodes(nodes, cores_per)
+
+
+def _wait_nodes(nodes: int, cores_per: int, timeout_s: float = 60.0) -> None:
+    """Block until every virtual node is ALIVE with its full CPU count —
+    a crashed raylet must fail the run, not skew it."""
+    import ray
+
+    ray.init(address=f"127.0.0.1:{HEAD_PORT}", include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    deadline = time.time() + timeout_s
+    while True:
+        alive = [n for n in ray.nodes() if n["Alive"]]
+        cpus = sum(int(n["Resources"].get("CPU", 0)) for n in alive)
+        if len(alive) == nodes and cpus == nodes * cores_per:
+            ray.shutdown()
+            return
+        if time.time() > deadline:
+            ray.shutdown()
+            raise RuntimeError(
+                f"cluster degraded: {len(alive)}/{nodes} nodes, "
+                f"{cpus}/{nodes * cores_per} CPUs"
+            )
+        time.sleep(1.0)
 
 
 def stop_cluster() -> None:
