@@ -56,7 +56,10 @@ class FileLeaseQueue:
     def publish(self, files: list[str]) -> list[str]:
         """Enqueue file pointers; returns message ids (also the delivery
         filenames). Ids are content-stable (publish order), so a producer
-        retry of the same sequence is idempotent."""
+        retry of the same sequence is idempotent. One logical producer per
+        queue (≙ the reference's single ordered simulator publisher); the
+        EXCL link below turns an accidental concurrent publish into a loud
+        error instead of silently overwriting a message."""
         ids = []
         n0 = self._next_seq()
         for i, f in enumerate(files):
@@ -65,7 +68,11 @@ class FileLeaseQueue:
             tmp.write_text(json.dumps(
                 {"id": mid, "file": str(f), "deliveries": 0}
             ))
-            os.replace(tmp, self.root / "available" / f"{mid}.json")
+            try:
+                os.link(tmp, self.root / "available" / f"{mid}.json")  # EXCL
+            except FileExistsError:
+                pass  # producer retry of an id still queued: no-op
+            tmp.unlink()
             ids.append(mid)
         return ids
 
@@ -80,27 +87,35 @@ class FileLeaseQueue:
 
     def lease(self, max_n: int, lease_s: float) -> tuple[str, list[dict]]:
         """Claim up to max_n oldest available messages until now+lease_s.
-        Returns (lease_id, [{"id", "file", "deliveries"}...])."""
+        Returns (lease_id, [{"id", "file", "deliveries"}...]).
+
+        The claim is a single atomic rename of the message file into
+        leased/ — with concurrent consumers exactly one rename wins and the
+        losers see ENOENT, so a message is never double-leased. A crash
+        between the rename and the metadata rewrite leaves a leased record
+        with the OLD deadline; expire() returns it, which is just an early
+        redelivery (at-least-once)."""
         lease_id = uuid.uuid4().hex[:12]
         deadline = time.time() + lease_s
         out = []
-        for p in sorted((self.root / "available").glob("msg-*.json"))[:max_n]:
+        for p in sorted((self.root / "available").glob("msg-*.json")):
+            if len(out) >= max_n:
+                break
+            dst = self.root / "leased" / p.name
             try:
-                rec = json.loads(p.read_text())
+                os.rename(p, dst)  # atomic claim: exactly one winner
+            except OSError:
+                continue  # another consumer won, or already expired away
+            try:
+                rec = json.loads(dst.read_text())
             except (OSError, json.JSONDecodeError):
                 continue
             rec["lease_id"] = lease_id
             rec["deadline"] = deadline
             rec["deliveries"] = int(rec.get("deliveries", 0)) + 1
-            dst = self.root / "leased" / p.name
-            tmp = self.root / "leased" / f".{p.name}.tmp"
+            tmp = self.root / "leased" / f".{p.name}.{lease_id}.tmp"
             tmp.write_text(json.dumps(rec))
-            try:
-                os.replace(tmp, dst)
-                p.unlink()  # claim: message now lives in leased/ only
-            except OSError:
-                tmp.unlink(missing_ok=True)
-                continue
+            os.replace(tmp, dst)
             out.append(rec)
         return lease_id, out
 
@@ -108,10 +123,12 @@ class FileLeaseQueue:
         """Durably ack delivered messages (by id). Returns count acked."""
         n = 0
         for mid in msg_ids:
-            src = self.root / "leased" / f"{mid}.json"
-            if src.exists():
-                os.replace(src, self.root / "acked" / f"{mid}.json")
+            try:
+                os.rename(self.root / "leased" / f"{mid}.json",
+                          self.root / "acked" / f"{mid}.json")
                 n += 1
+            except OSError:
+                continue  # expired away meanwhile: will redeliver, dedup'd
         return n
 
     def expire(self, now: float | None = None) -> list[str]:
@@ -125,13 +142,13 @@ class FileLeaseQueue:
             except (OSError, json.JSONDecodeError):
                 continue
             if rec.get("deadline", 0) <= now:
-                rec.pop("lease_id", None)
-                rec.pop("deadline", None)
-                dst = self.root / "available" / p.name
-                tmp = self.root / "available" / f".{p.name}.tmp"
-                tmp.write_text(json.dumps(rec))
-                os.replace(tmp, dst)
-                p.unlink()
+                # atomic return: rename wins exactly once even with
+                # concurrent expirers (stale lease metadata left in the
+                # record is harmless — the next lease() overwrites it)
+                try:
+                    os.rename(p, self.root / "available" / p.name)
+                except OSError:
+                    continue  # concurrently acked or already expired
                 back.append(rec["id"])
         return back
 

@@ -118,3 +118,46 @@ def test_lease_expiry_redelivers_and_output_stays_exactly_once(
     pd.testing.assert_frame_equal(
         got[[KEY, SEQ, "text", "emit_seq"]], exp[[KEY, SEQ, "text", "emit_seq"]]
     )
+
+
+def test_concurrent_consumers_never_double_lease(tmp_path):
+    """The claim is one atomic rename: with many consumers racing on one
+    queue, every message is leased by exactly one of them; expire() then
+    returns them all and a second racing wave re-leases each exactly once."""
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+
+    src = tmp_path / "src"
+    src.mkdir()
+    files = []
+    for i in range(40):
+        f = src / f"s{i:03d}.parquet"
+        pq.write_table(pa.table({"x": [i]}), f)
+        files.append(str(f))
+    q = FileLeaseQueue(str(tmp_path / "q"))
+    q.publish(files)
+
+    def wave():
+        got = []
+        barrier.wait()
+        while True:
+            _, msgs = q.lease(3, lease_s=60.0)
+            if not msgs:
+                return got
+            got.extend(m["id"] for m in msgs)
+
+    for expected_deliveries in (1, 2):
+        barrier = threading.Barrier(6)
+        import concurrent.futures as cf
+
+        with cf.ThreadPoolExecutor(6) as ex:
+            claims = [x for fut in [ex.submit(wave) for _ in range(6)]
+                      for x in fut.result()]
+        assert len(claims) == 40 and len(set(claims)) == 40  # no double-lease
+        _, still = q.lease(100, 1.0)
+        assert still == [] and q.counts()["leased"] == 40
+        returned = q.expire(now=time.time() + 1e6)
+        assert len(returned) == 40
+    # delivery counts survived both waves
+    _, msgs = q.lease(100, 60.0)
+    assert sorted({m["deliveries"] for m in msgs}) == [3]
