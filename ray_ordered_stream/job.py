@@ -110,15 +110,18 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--warmup-rows", type=int, default=8192)
     ap.add_argument(
         "--pipeline",
-        choices=("ordered", "dedup", "neardup", "embdedup", "curate", "pack"),
+        choices=("ordered", "dedup", "neardup", "embdedup", "curate", "pack",
+                 "publish"),
         default="ordered",
         help="which pipeline to run: the ordered engine (default), the "
              "content-dedup streams (stream_dedup.py; --input is then a "
              "documents feed with doc_id/text), the streaming sequence "
              "packer (stream_pack.py: fixed-budget training sequences "
-             "with exactly-once carry state), or the BATCH curation "
+             "with exactly-once carry state), the BATCH curation "
              "pipeline (exact dedup -> percentile quality filter -> "
-             "overlapping chunking -> resumable export)")
+             "overlapping chunking -> resumable export), or the producer "
+             "side of the push-source shim (publish --input's parquet "
+             "files as messages onto the lease queue at --out; no Ray)")
     ap.add_argument("--pack-budget", type=int, default=512,
                     help="pack: tokens per training sequence")
     ap.add_argument("--pack-vocab", type=int, default=65536,
@@ -145,7 +148,36 @@ def main(argv: list[str] | None = None) -> int:
     )
     ap.add_argument("--address", default="auto",
                     help="Ray address ('auto' in a submitted job, 'local' standalone)")
+    ap.add_argument("--source", choices=("landing", "queue"),
+                    default="landing",
+                    help="'queue' (--continuous only): --input is a "
+                         "FileLeaseQueue root (see --pipeline publish); an "
+                         "in-job pump leases messages, delivers them into "
+                         "<out>/landing, and acks once the committed "
+                         "manifest frontier covers them — at-least-once "
+                         "delivery with redelivery on lease expiry, "
+                         "exactly-once output")
+    ap.add_argument("--lease-s", type=float, default=30.0,
+                    help="queue source: lease (ack deadline) seconds")
+    ap.add_argument("--close", action="store_true",
+                    help="publish: mark the queue closed after publishing "
+                         "(consumers drain and terminate; omit to keep the "
+                         "topic open for more publishes)")
     args = ap.parse_args(argv)
+
+    if args.pipeline == "publish":
+        from pathlib import Path
+
+        from .source import FileLeaseQueue
+
+        files = [str(f) for f in sorted(Path(args.input).glob("*.parquet"))]
+        q = FileLeaseQueue(args.out)
+        ids = q.publish(files) if files else []
+        if args.close:
+            q.close()
+        print(json.dumps({"pipeline": "publish", "published": len(ids),
+                          "closed": q.is_closed(), **q.counts()}))
+        return 0
 
     import ray
 
@@ -291,6 +323,59 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     cfg = build_config(args)
+    if args.source == "queue":
+        if not args.continuous:
+            print(json.dumps({"error": "--source queue requires --continuous"}))
+            return 2
+        import threading
+
+        from .source import run_pump_loop
+
+        land = str(Path(args.out) / "landing")
+        Path(land).mkdir(parents=True, exist_ok=True)
+        pump_stop = threading.Event()
+        pump_stats: dict = {}
+
+        def _pump():
+            pump_stats.update(run_pump_loop(
+                args.input, land, args.out,
+                max_n=args.files_per_epoch * 2, lease_s=args.lease_s,
+                stop=pump_stop,
+            ))
+
+        pump_th = threading.Thread(target=_pump, daemon=True)
+        pump_th.start()
+        try:
+            res = run_stream_continuous(
+                land, args.out, cfg,
+                num_partitions=args.partitions,
+                files_per_epoch=args.files_per_epoch,
+                idle_timeout_s=args.idle_timeout,
+                resume=not args.no_resume,
+                checkpoint_full_every=args.checkpoint_full_every,
+                salt_hot_keys=args.salt_hot_keys,
+                autoscale_backlog_epochs=args.autoscale_backlog_epochs,
+                autoscale_factor=args.autoscale_factor,
+                autoscale_max_partitions=args.autoscale_max_partitions,
+                autoscale_shrink_idle_s=args.autoscale_shrink_idle,
+                autoscale_min_partitions=args.autoscale_min_partitions,
+            )
+        finally:
+            # grace: the final epochs commit at consumer shutdown — let the
+            # pump ack that frontier (it exits itself once closed+drained)
+            pump_th.join(timeout=30)
+            pump_stop.set()
+        pump_th.join(timeout=60)
+        print(json.dumps({
+            "out_root": res.out_root,
+            "epochs_run": res.epochs_run,
+            "epochs_skipped": res.epochs_skipped,
+            "total_emitted": res.total_emitted,
+            "summary": res.summary,
+            "source": {"kind": "queue", **pump_stats},
+            "sinks": {k: "committed" for k in res.sinks},
+        }))
+        return 0
     if args.continuous:
         res = run_stream_continuous(
             args.input, args.out, cfg,

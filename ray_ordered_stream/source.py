@@ -158,6 +158,21 @@ class FileLeaseQueue:
             for d in ("available", "leased", "acked")
         }
 
+    # -- end-of-topic ------------------------------------------------------
+
+    def close(self) -> None:
+        """Producer signals no further publishes; consumers drain and stop
+        (a real bus has no such marker — this is the batch-replay affordance
+        so a finite job can terminate instead of polling forever)."""
+        (self.root / "_CLOSED").write_text("")
+
+    def is_closed(self) -> bool:
+        return (self.root / "_CLOSED").exists()
+
+    def is_drained(self) -> bool:
+        c = self.counts()
+        return self.is_closed() and c["available"] == 0 and c["leased"] == 0
+
 
 def committed_landing_files(out_root: str) -> set[str]:
     """Landing filenames fully covered by the consumer's durable frontier:
@@ -179,6 +194,34 @@ def committed_landing_files(out_root: str) -> set[str]:
             break
         files.update(Path(f).name for f in group)
     return files
+
+
+def run_pump_loop(
+    queue_root: str,
+    landing_dir: str,
+    out_root: str,
+    max_n: int = 16,
+    lease_s: float = 30.0,
+    interval_s: float = 0.5,
+    stop=None,
+) -> dict:
+    """Blocking delivery loop (run in a thread beside the consumer, or as
+    its own process on a real deployment): pump until the queue is closed
+    AND fully acked — then write the landing ``_STOP`` marker so a finite
+    replay terminates — or until ``stop`` (threading.Event) is set.
+    Returns cumulative delivery stats."""
+    q = FileLeaseQueue(queue_root)
+    tot = {"delivered": 0, "acked": 0, "redelivered": 0}
+    while stop is None or not stop.is_set():
+        st = pump(q, landing_dir, out_root, max_n=max_n, lease_s=lease_s)
+        tot["delivered"] += st["delivered"]
+        tot["acked"] += st["acked_now"]
+        tot["redelivered"] += st["redelivered"]
+        if q.is_drained():
+            (Path(landing_dir) / "_STOP").write_text("")
+            break
+        time.sleep(interval_s)
+    return tot
 
 
 def pump(

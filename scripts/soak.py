@@ -110,6 +110,13 @@ def main() -> int:
     ap.add_argument("--autoscale", action="store_true",
                     help="enable backlog-driven scale-up + idle scale-down "
                          "in the consumer (P may change mid-soak)")
+    ap.add_argument("--source", choices=("landing", "queue"),
+                    default="landing",
+                    help="'queue' routes the producer through the lease/ack "
+                         "push-source shim (source.FileLeaseQueue + pump): "
+                         "the SIGKILL then also exercises lease expiry -> "
+                         "redelivery while output stays exactly-once")
+    ap.add_argument("--lease-s", type=float, default=20.0)
     args = ap.parse_args()
 
     root = Path(args.root)
@@ -123,20 +130,54 @@ def main() -> int:
 
     stop_producing = threading.Event()
     n_files = [0]
+    queue = None
+    pump_stats = {"redelivered": 0, "acked": 0}
+    src = land  # landing mode: verify directly against the landed files
+    if args.source == "queue":
+        sys.path.insert(0, REPO)
+        from ray_ordered_stream.source import FileLeaseQueue
+
+        src = root / "src"
+        src.mkdir()
+        queue = FileLeaseQueue(str(root / "queue"))
 
     def producer():
         e = 0
         while not stop_producing.is_set():
             tbl = band_table(e, args.keys_per_band, args.turns)
-            tmp = land / f".tmp-{e:06d}"
+            dst_dir = src if queue is not None else land
+            tmp = dst_dir / f".tmp-{e:06d}"
             pq.write_table(tbl, tmp, compression="zstd")
-            os.replace(tmp, land / f"f{e:06d}.parquet")  # write-then-rename
+            os.replace(tmp, dst_dir / f"f{e:06d}.parquet")
+            if queue is not None:
+                queue.publish([str(dst_dir / f"f{e:06d}.parquet")])
             n_files[0] = e + 1
             e += 1
             time.sleep(args.file_interval)
 
     prod = threading.Thread(target=producer, daemon=True)
     prod.start()
+
+    stop_pumping = threading.Event()
+
+    def pumper():
+        from ray_ordered_stream.source import pump
+
+        while not stop_pumping.is_set():
+            st = pump(queue, str(land), str(out), max_n=8,
+                      lease_s=args.lease_s)
+            pump_stats["redelivered"] += st["redelivered"]
+            pump_stats["acked"] += st["acked_now"]
+            if (stop_producing.is_set() and st["available"] == 0
+                    and st["leased"] == 0):
+                (land / "_STOP").write_text("")
+                return
+            time.sleep(0.5)
+
+    pump_th = None
+    if queue is not None:
+        pump_th = threading.Thread(target=pumper, daemon=True)
+        pump_th.start()
 
     autoscale = (
         ",\n                            autoscale_backlog_epochs=3,"
@@ -184,7 +225,11 @@ def main() -> int:
 
     stop_producing.set()
     prod.join()
-    (land / "_STOP").write_text("")
+    if pump_th is not None:
+        pump_th.join(timeout=600)  # pump writes _STOP once fully acked
+        stop_pumping.set()
+    else:
+        (land / "_STOP").write_text("")
     rc = consumer.wait(timeout=600)
     if rc != 0:
         print(json.dumps({"error": "consumer exit", "rc": rc}))
@@ -201,7 +246,7 @@ def main() -> int:
     ).df()
     exp = con.execute(
         f"""SELECT DISTINCT conv_id, turn_idx, text
-            FROM read_parquet('{land}/f*.parquet')
+            FROM read_parquet('{src}/f*.parquet')
             ORDER BY conv_id, turn_idx"""
     ).df()
     content_ok = got.equals(exp)
@@ -228,6 +273,16 @@ def main() -> int:
         "window_keys_last": key_series[-1] if key_series else 0,
         "probes": len(probes),
     }
+    if queue is not None:
+        qc = queue.counts()
+        summary["source"] = "queue"
+        summary["queue_counts"] = qc
+        summary["queue_redelivered"] = pump_stats["redelivered"]
+        summary["queue_fully_acked"] = (
+            qc["available"] == 0 and qc["leased"] == 0
+            and qc["acked"] == n_files[0]
+        )
+        content_ok = content_ok and summary["queue_fully_acked"]
     (root / "summary.json").write_text(json.dumps(summary, indent=1))
     print(json.dumps(summary))
     return 0 if content_ok else 1

@@ -180,3 +180,49 @@ def test_job_cli_pack_with_rescale(tmp_path):
              "RAY_ADDRESS": "local"},
     )
     assert out.returncode == 2
+
+
+def test_job_cli_publish_then_queue_consumer(tmp_path):
+    """Producer CLI publishes shards onto the lease queue (+ close), the
+    consumer CLI runs --source queue --continuous: in-job pump delivers,
+    engine emits exactly-once, every message acked, run terminates via the
+    closed+drained marker."""
+    from ray_ordered_stream.fixtures import oracle_ordered
+
+    t = gen_transcripts(n_convs=6, min_turns=6, max_turns=18, lateness=10,
+                        dup_rate=0.05, seed=21)
+    src = tmp_path / "shards"
+    src.mkdir()
+    nf = 5
+    step = -(-t.num_rows // nf)
+    for i in range(nf):
+        pq.write_table(t.slice(i * step, step), src / f"s{i:03d}.parquet")
+
+    queue = str(tmp_path / "queue")
+    pub = _run(["--input", str(src), "--out", queue,
+                "--pipeline", "publish", "--close"])
+    assert pub == {"pipeline": "publish", "published": nf, "closed": True,
+                   "available": nf, "leased": 0, "acked": 0}
+
+    out_root = tmp_path / "out"
+    res = _run(["--input", queue, "--out", str(out_root),
+                "--source", "queue", "--continuous",
+                "--partitions", "2", "--files-per-epoch", "2",
+                "--address", "local", "--warmup-rows", "0",
+                "--idle-timeout", "60", "--lease-s", "30"])
+    assert res["source"]["kind"] == "queue"
+    # at-least-once: every message delivered; a slow first commit may let a
+    # lease expire and redeliver (same landing name -> engine dedups)
+    assert res["source"]["delivered"] >= nf
+    assert res["source"]["acked"] == nf
+    assert res["source"]["redelivered"] == res["source"]["delivered"] - nf
+    exp = oracle_ordered(t)
+    assert res["total_emitted"] == len(exp)
+    import duckdb
+
+    got = duckdb.sql(
+        f"""SELECT conv_id, turn_idx, text
+            FROM read_parquet('{out_root}/ordered/epoch=*/*.parquet')
+            ORDER BY conv_id, turn_idx"""
+    ).df()
+    assert got["text"].tolist() == exp["text"].tolist()
