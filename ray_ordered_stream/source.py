@@ -177,7 +177,11 @@ class FileLeaseQueue:
 def committed_landing_files(out_root: str) -> set[str]:
     """Landing filenames fully covered by the consumer's durable frontier:
     epochs recorded in <out_root>/epochs whose 'ordered' manifest committed
-    (contiguous prefix — the same rule epochs._resume_point uses)."""
+    (contiguous prefix — the same rule epochs._resume_point uses).
+
+    Full rescan — O(total epochs). The stateless ``pump()`` uses it;
+    long-running loops should use ``Pump``, whose frontier cursor makes
+    each poll O(newly committed epochs)."""
     from .epochs import _load_epoch_records
     from .sink import ManifestSink
 
@@ -196,6 +200,108 @@ def committed_landing_files(out_root: str) -> set[str]:
     return files
 
 
+class Pump:
+    """Stateful delivery/ack loop body — one instance per consumer run.
+
+    Unlike the stateless ``pump()`` (which rescans every epoch record and
+    manifest each call), a Pump keeps a commit-frontier CURSOR: each step
+    probes only ``epoch-(cursor+1)`` manifests, so a poll is O(newly
+    committed epochs) — constant work when idle, regardless of how many
+    million epochs the stream has run. It also tracks per-message
+    delivery->ack latency (≙ the reference simulator's publish-side
+    StatsTracker quantiles) over a bounded sample window."""
+
+    def __init__(self, queue: FileLeaseQueue, landing_dir: str,
+                 out_root: str, max_n: int = 16, lease_s: float = 30.0,
+                 sink_name: str = "ordered"):
+        self.queue = queue
+        self.land = Path(landing_dir)
+        self.land.mkdir(parents=True, exist_ok=True)
+        self.out_root = out_root
+        self.max_n = max_n
+        self.lease_s = lease_s
+        self.sink_name = sink_name
+        self._cursor = -1          # acked through this committed epoch
+        self._delivered_at: dict[str, float] = {}   # in-flight only
+        self._lat: list[float] = []                  # bounded sample
+        self.totals = {"delivered": 0, "acked": 0, "redelivered": 0}
+
+    def _newly_committed_names(self) -> list[str]:
+        """Landing filenames of epochs that committed since the cursor."""
+        from .sink import ManifestSink
+
+        sink = ManifestSink(self.out_root, self.sink_name)
+        rec_dir = Path(self.out_root) / "epochs"
+        names: list[str] = []
+        while True:
+            e = self._cursor + 1
+            if not sink.manifest_path(e).exists():
+                return names
+            rec = rec_dir / f"epoch-{e:05d}.json"
+            try:
+                group = json.loads(rec.read_text())["files"]
+            except (OSError, json.JSONDecodeError):
+                return names  # record not visible yet; retry next poll
+            names.extend(Path(f).name for f in group)
+            self._cursor = e
+
+    def step(self) -> dict:
+        now = time.time()
+        redelivered = self.queue.expire(now)
+        for mid in redelivered:
+            self._delivered_at.pop(mid, None)
+        _, msgs = self.queue.lease(self.max_n, self.lease_s)
+        for m in msgs:
+            _deliver(self.land, m)
+            self._delivered_at[m["id"]] = now
+        ackable = [n[: -len(".parquet")] for n in self._newly_committed_names()
+                   if n.endswith(".parquet")]
+        n_acked = self.queue.ack(ackable)
+        for mid in ackable:
+            t0 = self._delivered_at.pop(mid, None)
+            if t0 is not None and len(self._lat) < 65536:
+                self._lat.append(time.time() - t0)
+        self.totals["delivered"] += len(msgs)
+        self.totals["acked"] += n_acked
+        self.totals["redelivered"] += len(redelivered)
+        return {
+            "delivered": len(msgs),
+            "acked_now": n_acked,
+            "redelivered": len(redelivered),
+            **self.queue.counts(),
+        }
+
+    def stats(self) -> dict:
+        out = dict(self.totals)
+        out["inflight"] = len(self._delivered_at)
+        if self._lat:
+            import numpy as np
+
+            q = np.quantile(np.array(self._lat), [0.5, 0.9, 1.0])
+            out["ack_latency_s"] = {
+                "p50": round(float(q[0]), 3),
+                "p90": round(float(q[1]), 3),
+                "max": round(float(q[2]), 3),
+                "n": len(self._lat),
+            }
+        return out
+
+
+def _deliver(land: Path, m: dict) -> None:
+    """Idempotently land one leased message (hardlink named by message id —
+    a redelivery overwrites with identical content)."""
+    dst = land / f"{m['id']}.parquet"
+    tmp = land / f".{m['id']}.parquet.tmp"
+    try:
+        if tmp.exists():
+            tmp.unlink()
+        os.link(m["file"], tmp)
+    except OSError:
+        # cross-device fallback: copy
+        tmp.write_bytes(Path(m["file"]).read_bytes())
+    os.replace(tmp, dst)
+
+
 def run_pump_loop(
     queue_root: str,
     landing_dir: str,
@@ -211,17 +317,14 @@ def run_pump_loop(
     replay terminates — or until ``stop`` (threading.Event) is set.
     Returns cumulative delivery stats."""
     q = FileLeaseQueue(queue_root)
-    tot = {"delivered": 0, "acked": 0, "redelivered": 0}
+    p = Pump(q, landing_dir, out_root, max_n=max_n, lease_s=lease_s)
     while stop is None or not stop.is_set():
-        st = pump(q, landing_dir, out_root, max_n=max_n, lease_s=lease_s)
-        tot["delivered"] += st["delivered"]
-        tot["acked"] += st["acked_now"]
-        tot["redelivered"] += st["redelivered"]
+        p.step()
         if q.is_drained():
             (Path(landing_dir) / "_STOP").write_text("")
             break
         time.sleep(interval_s)
-    return tot
+    return p.stats()
 
 
 def pump(
@@ -242,16 +345,7 @@ def pump(
 
     _, msgs = queue.lease(max_n, lease_s)
     for m in msgs:
-        dst = land / f"{m['id']}.parquet"
-        tmp = land / f".{m['id']}.parquet.tmp"
-        try:
-            if tmp.exists():
-                tmp.unlink()
-            os.link(m["file"], tmp)
-        except OSError:
-            # cross-device fallback: copy
-            tmp.write_bytes(Path(m["file"]).read_bytes())
-        os.replace(tmp, dst)
+        _deliver(land, m)
 
     done = committed_landing_files(out_root)
     ackable = [

@@ -11,7 +11,7 @@ import pyarrow.parquet as pq
 from ray_ordered_stream.epochs import run_stream_continuous
 from ray_ordered_stream.fixtures import gen_transcripts, oracle_ordered
 from ray_ordered_stream.schema import KEY, SEQ
-from ray_ordered_stream.source import FileLeaseQueue, pump
+from ray_ordered_stream.source import FileLeaseQueue, Pump, pump
 from ray_ordered_stream.state import OrderedConfig
 
 
@@ -34,13 +34,17 @@ def _publish_fixture(tmp_path, n_files=8, seed=31):
 
 
 def test_lease_pump_delivers_acks_exactly_once(tmp_path, ray_session):
+    """Uses the stateful Pump (incremental commit-frontier cursor) — the
+    long-running form; the redelivery test below covers the stateless
+    pump()."""
     t, q = _publish_fixture(tmp_path)
     land, out = str(tmp_path / "landing"), str(tmp_path / "out")
     stop = threading.Event()
+    p = Pump(q, land, out, max_n=3, lease_s=30.0)
 
     def pumper():
         while not stop.is_set():
-            st = pump(q, land, out, max_n=3, lease_s=30.0)
+            st = p.step()
             if st["available"] == 0 and st["leased"] == 0:
                 (tmp_path / "landing" / "_STOP").write_text("")
                 return
@@ -57,6 +61,10 @@ def test_lease_pump_delivers_acks_exactly_once(tmp_path, ray_session):
     # every message acked exactly through the committed frontier
     c = q.counts()
     assert c == {"available": 0, "leased": 0, "acked": 8}
+    st = p.stats()
+    assert st["delivered"] == 8 and st["acked"] == 8 and st["inflight"] == 0
+    assert st["ack_latency_s"]["n"] == 8 >= 1
+    assert 0 <= st["ack_latency_s"]["p50"] <= st["ack_latency_s"]["max"]
     exp = oracle_ordered(t)
     got = (
         res.sinks["ordered"].read().to_pandas()
