@@ -270,6 +270,65 @@ def q_ordered_stream_replay(sf_dir: str):
 SQL_ORDERED_STREAM_REPLAY = SQL_ORDERED_REPLAY
 
 
+def q_ordered_queue_replay(sf_dir: str):
+    """The push-source lease/ack shim through the driver gate (≙ PubsubIO
+    acked delivery, reference OrderBookProcessingPipeline.java:103-105):
+    the landing files are PUBLISHED as messages onto a FileLeaseQueue, an
+    in-process Pump leases them, delivers into the consumer's landing dir,
+    and acks against the committed manifest frontier while
+    run_stream_continuous consumes. The committed 'ordered' sink must equal
+    the SQL-ordered stream AND the queue must end closed+fully-acked."""
+    import shutil
+    import tempfile
+    import threading
+    import time as _time
+
+    from ..epochs import run_stream_continuous
+    from ..source import FileLeaseQueue, Pump
+    from ..state import OrderedConfig
+
+    _d, files = _stream_landing(sf_dir, "replay")
+    out = tempfile.mkdtemp(prefix="ros_q_qreplay_out_")
+    qroot = tempfile.mkdtemp(prefix="ros_q_qreplay_queue_")
+    land = os.path.join(out, "landing")
+    try:
+        q = FileLeaseQueue(qroot)
+        q.publish(files)
+        q.close()
+        p = Pump(q, land, out, max_n=64, lease_s=120.0)
+        stop = threading.Event()
+
+        def pumper():
+            while not stop.is_set():
+                p.step()
+                if q.is_drained():
+                    (Path(land) / "_STOP").write_text("")
+                    return
+                _time.sleep(0.05)
+
+        th = threading.Thread(target=pumper, daemon=True)
+        th.start()
+        res = run_stream_continuous(
+            land, out, OrderedConfig(warmup_rows=0), num_partitions=4,
+            files_per_epoch=max(1, len(files) // 4), poll_interval_s=0.05,
+        )
+        th.join(timeout=60)
+        stop.set()
+        if not q.is_drained():  # ack protocol must have completed
+            raise RuntimeError(f"queue not fully acked: {q.counts()}")
+        return (
+            res.sinks["ordered"].read()
+            .select_columns([KEY, SEQ, "role", "text", "ts", "emit_seq"])
+            .materialize()
+        )
+    finally:
+        shutil.rmtree(qroot, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
+
+
+SQL_ORDERED_QUEUE_REPLAY = SQL_ORDERED_REPLAY
+
+
 def q_stream_topk(sf_dir: str):
     """Continuous leaderboard from the status side-channel: the stream's
     per-key ``result_count`` is monotone, so the final leaderboard is a
@@ -3772,6 +3831,7 @@ QUERIES = {
     "windows_sliding": (q_windows_sliding, SQL_WINDOWS_SLIDING),
     "windows_session": (q_windows_session, SQL_WINDOWS_SESSION),
     "ordered_stream_replay": (q_ordered_stream_replay, SQL_ORDERED_STREAM_REPLAY),
+    "ordered_queue_replay": (q_ordered_queue_replay, SQL_ORDERED_QUEUE_REPLAY),
     "stream_sessions": (q_stream_sessions, SQL_STREAM_SESSIONS),
     "stream_latency_quantiles": (
         q_stream_latency_quantiles, SQL_STREAM_LATENCY_QUANTILES,
@@ -3830,6 +3890,7 @@ _R4_WINDOW_FIRST = [
     "windows_sliding",
     "windows_session",
     "ordered_stream_replay",
+    "ordered_queue_replay",
     "stream_sessions",
     "stream_latency_quantiles",
     "join_user_assistant",
