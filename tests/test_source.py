@@ -169,3 +169,55 @@ def test_concurrent_consumers_never_double_lease(tmp_path):
     # delivery counts survived both waves
     _, msgs = q.lease(100, 60.0)
     assert sorted({m["deliveries"] for m in msgs}) == [3]
+
+
+def test_queue_state_machine_invariants(tmp_path):
+    """Randomized op sequences (publish / lease / ack-subset / expire /
+    crash-shaped partial ops) preserve the queue invariants: every published
+    message lives in exactly ONE of available/leased/acked, acked only ever
+    grows, and nothing is lost or duplicated."""
+    import random
+
+    rng = random.Random(0xC0FFEE)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "src"
+    src.mkdir()
+    blob = src / "blob.parquet"
+    pq.write_table(pa.table({"x": [1]}), blob)
+
+    q = FileLeaseQueue(str(tmp_path / "q"))
+    published: set[str] = set()
+    acked: set[str] = set()
+    leased_ids: list[str] = []
+    for step in range(400):
+        op = rng.choice(("publish", "lease", "ack", "expire", "counts"))
+        if op == "publish":
+            published.update(q.publish([str(blob)] * rng.randint(1, 3)))
+        elif op == "lease":
+            _, msgs = q.lease(rng.randint(1, 5),
+                              lease_s=rng.choice((0.0, 1e6)))
+            ids = [m["id"] for m in msgs]
+            assert not set(ids) & acked          # never re-lease an ack
+            leased_ids.extend(ids)
+        elif op == "ack" and leased_ids:
+            take = rng.sample(leased_ids, rng.randint(1, len(leased_ids)))
+            n = q.ack(take)
+            # only currently-leased ones ack; expired ones are skipped
+            acked.update(
+                mid for mid in take
+                if (q.root / "acked" / f"{mid}.json").exists()
+            )
+            assert n <= len(take)
+        elif op == "expire":
+            q.expire()
+        c = q.counts()
+        assert c["available"] + c["leased"] + c["acked"] == len(published)
+        assert c["acked"] == len(acked)
+        on_disk = {
+            p.stem
+            for d in ("available", "leased", "acked")
+            for p in (q.root / d).glob("msg-*.json")
+        }
+        assert on_disk == published  # exactly-one-state, nothing lost
