@@ -99,8 +99,9 @@ def tree_rss_kb(pid: int) -> int:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--minutes", type=float, default=25.0)
-    ap.add_argument("--kill-at", type=float, default=8.0,
-                    help="minutes into the soak to SIGKILL the consumer")
+    ap.add_argument("--kill-at", default="8.0",
+                    help="minutes into the soak to SIGKILL the consumer; "
+                         "comma-separated for multiple kills (e.g. 5,15)")
     ap.add_argument("--root", default="/tmp/ros_soak")
     ap.add_argument("--file-interval", type=float, default=0.5)
     ap.add_argument("--keys-per-band", type=int, default=400)
@@ -202,7 +203,7 @@ def main() -> int:
     rss_log = open(root / "rss.jsonl", "a")
     t0 = time.time()
     consumer = start_consumer()
-    killed = False
+    kill_plan = sorted(float(x) for x in str(args.kill_at).split(",") if x)
     kills = []
     while time.time() - t0 < args.minutes * 60:
         time.sleep(10)
@@ -211,11 +212,11 @@ def main() -> int:
             "t": time.time() - t0, "rss_kb": rss, "files": n_files[0],
         }) + "\n")
         rss_log.flush()
-        if not killed and time.time() - t0 > args.kill_at * 60:
+        if kill_plan and time.time() - t0 > kill_plan[0] * 60:
+            kill_plan.pop(0)
             os.killpg(os.getpgid(consumer.pid), signal.SIGKILL)
             consumer.wait()
             kills.append(round(time.time() - t0, 1))
-            killed = True
             time.sleep(2)
             consumer = start_consumer()  # resume=True path
         if consumer.poll() is not None and consumer.returncode != 0:
