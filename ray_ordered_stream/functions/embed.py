@@ -56,9 +56,14 @@ def _centroid_partial(t: pa.Table, label_col: str, vec_col: str):
     return ls[starts], counts.astype(np.int64), sums
 
 
-def label_centroids(ds, label_col: str = "label", vec_col: str = "embedding"):
+def label_centroids(ds=None, label_col: str = "label",
+                    vec_col: str = "embedding", *, refs=None):
     """dict label -> (count, centroid ndarray). Driver-side result is
-    O(labels x dim) — small by assumption (see module docstring)."""
+    O(labels x dim) — small by assumption (see module docstring).
+    ``refs`` lets a caller that already materialized the dataset's block
+    refs share them (one parquet decode for multi-pass consumers)."""
+    if refs is None:
+        refs = ds.to_arrow_refs()
 
     @ray.remote
     def partial(t: pa.Table):
@@ -66,7 +71,7 @@ def label_centroids(ds, label_col: str = "label", vec_col: str = "embedding"):
             return None
         return _centroid_partial(t, label_col, vec_col)
 
-    parts = [p for p in ray.get([partial.remote(b) for b in ds.to_arrow_refs()])
+    parts = [p for p in ray.get([partial.remote(b) for b in refs])
              if p is not None]
     if not parts:
         return {}
@@ -93,7 +98,11 @@ def centroid_cohesion(
     ``(label, n, mean_cos, min_cos)``. SQL mirror: parallel-unnest
     centroid CTE + ``list_cosine_similarity`` (queries.SQL_EMB_COHESION).
     """
-    cents = label_centroids(ds, label_col, vec_col)
+    # One dataset execution feeds BOTH passes: the centroid partials and
+    # the cosine scoring read the same materialized blocks (the second
+    # pass previously re-ran the parquet read + decode).
+    refs = ds.to_arrow_refs()
+    cents = label_centroids(label_col=label_col, vec_col=vec_col, refs=refs)
     labs = np.array(sorted(cents), dtype=np.int64)
     mat = np.stack([cents[l][1] for l in labs]) if len(labs) else np.zeros((0, 0))
     cent_ref = ray.put((labs, mat, np.linalg.norm(mat, axis=1)))
@@ -124,7 +133,7 @@ def centroid_cohesion(
                 }
             )
 
-    scored = ds.map_batches(
+    scored = ray.data.from_arrow_refs(list(refs)).map_batches(
         Cos, batch_format="pyarrow", concurrency=2,
         fn_constructor_args=(cent_ref,),
     )

@@ -3120,13 +3120,20 @@ def q_events_profile(sf_dir: str):
     from ..functions.profile import profile_dataset
     from ..functions.sketch import exact_distinct
 
+    import ray.data as _rd
+
     cols = ["event_id", "user_id", "value"]
     ds = _read(sf_dir, "events", cols)
-    prof = profile_dataset(ds, cols)
+    # One parquet decode feeds the profile AND the three exact-distinct
+    # certificate passes (previously 4 column-pruned reads of events).
+    refs = list(ds.to_arrow_refs())
+    prof = profile_dataset(_rd.from_arrow_refs(refs), cols)
     oks = []
     tol = 5.2 * 1.04 / np.sqrt(4096.0)
     for i, c in enumerate(cols):
-        exact = exact_distinct(_read(sf_dir, "events", [c]), c)
+        exact = exact_distinct(
+            _rd.from_arrow_refs(refs).select_columns([c]), c
+        )
         approx = prof["approx_distinct"][i].as_py()
         oks.append(abs(approx - exact) <= tol * exact + 3.0)
     return prof.drop_columns(["approx_distinct", "sum_f"]).append_column(
