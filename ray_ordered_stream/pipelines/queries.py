@@ -782,15 +782,25 @@ def q_sketch_certify(sf_dir: str):
         exact_distinct,
     )
 
-    ev = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+    import ray.data as _rd
+
+    # Six certificate passes (2x exact, 2x HLL, quantile candidates +
+    # counting) share ONE parquet decode via materialized block refs.
+    refs = list(
+        _read(sf_dir, "events", ["event_id", "user_id", "value"])
+        .to_arrow_refs()
+    )
+
+    def ev():
+        return _rd.from_arrow_refs(refs)
 
     checks = []
     for name, col in (("hll_event_ids", "event_id"), ("hll_users", "user_id")):
-        exact = exact_distinct(ev, col)
-        est = approx_distinct(ev, col, p=12)
+        exact = exact_distinct(ev().select_columns([col]), col)
+        est = approx_distinct(ev().select_columns([col]), col, p=12)
         ok = abs(est - exact) <= max(3 * 1.04 / (1 << 6), 0.05) * exact
         checks.append((name, exact, bool(ok)))
-    qres = distributed_quantiles(ev, "value", [0.5, 0.9, 0.99])
+    qres = distributed_quantiles(ev(), "value", [0.5, 0.9, 0.99])
     for q in (0.5, 0.9, 0.99):
         r = qres[q]
         ok = abs(r["rank"] - q * r["n"]) <= r["max_rank_err"] + 1
@@ -3333,13 +3343,21 @@ def q_events_user_distinct_certify(sf_dir: str):
     from ..functions.sketch import grouped_approx_distinct
     from ..join import hash_join
 
-    ev = _read(sf_dir, "events", ["event_type", "user_id"])
-    approx = grouped_approx_distinct(ev, "event_type", "user_id", p=12)
+    import ray.data as _rd
+
+    # approx + exact sides share one parquet decode via block refs
+    refs = list(
+        _read(sf_dir, "events", ["event_type", "user_id"]).to_arrow_refs()
+    )
+    approx = grouped_approx_distinct(
+        _rd.from_arrow_refs(refs), "event_type", "user_id", p=12
+    )
 
     # exact: distinct (type, user) pairs -> count per type (two
     # distinct-pair-sized exchanges; the raw rows never shuffle twice)
     pairs = exchange_groupby(
-        ev, ["event_type", "user_id"], {"c": (None, "count")}
+        _rd.from_arrow_refs(refs), ["event_type", "user_id"],
+        {"c": (None, "count")},
     )
     exact = exchange_groupby(
         pairs, "event_type", {"n_exact": (None, "count")}
