@@ -1648,14 +1648,24 @@ def q_knn_ivf(sf_dir: str):
         train_centroids_distributed,
     )
 
-    ds = _read(sf_dir, "embeddings")
-    cent = train_centroids_distributed(ds, n_centroids=8)
+    import ray.data as _rd
+
+    # One embeddings decode feeds k-means training, the index build AND
+    # the brute-force recall gate (was three full reads).
+    refs = list(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]).to_arrow_refs()
+    )
+
+    def ds():
+        return _rd.from_arrow_refs(refs)
+
+    cent = train_centroids_distributed(ds(), n_centroids=8)
     q, qids = _load_queries(sf_dir)
     tag = hashlib.md5(str(Path(sf_dir).resolve()).encode()).hexdigest()[:12]
     index_dir = str(Path(tempfile.gettempdir()) / f"ros_ivf_{tag}")
-    build_ivf_index(ds, index_dir, centroids=cent)
+    build_ivf_index(ds(), index_dir, centroids=cent)
     approx = knn_ivf_index(index_dir, q, qids, k=5)
-    exact = knn_bruteforce(_read(sf_dir, "embeddings"), q, qids, k=5)
+    exact = knn_bruteforce(ds(), q, qids, k=5)
     a = approx.groupby("query_id")["neighbor_id"].apply(set)
     e = exact.groupby("query_id")["neighbor_id"].apply(set)
     recalls = [
@@ -2669,7 +2679,11 @@ def q_doc_jaccard_pairs(sf_dir: str):
 
     from ..functions.dedup import jaccard_pair_scores
 
-    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    import ray.data as _rd
+
+    refs = list(
+        _read(sf_dir, "documents", ["doc_id", "text"]).to_arrow_refs()
+    )
 
     def adjacent(b: pa.Table) -> pa.Table:
         ids = b["doc_id"]
@@ -2677,10 +2691,12 @@ def q_doc_jaccard_pairs(sf_dir: str):
 
         return pa.table({"id_a": ids, "id_b": pc.add(ids, 1)})
 
-    pairs = _read(sf_dir, "documents", ["doc_id"]).map_batches(
-        adjacent, batch_format="pyarrow"
+    pairs = (
+        _rd.from_arrow_refs(refs)
+        .select_columns(["doc_id"])
+        .map_batches(adjacent, batch_format="pyarrow")
     )
-    return jaccard_pair_scores(docs, pairs, k=1)
+    return jaccard_pair_scores(_rd.from_arrow_refs(refs), pairs, k=1)
 
 
 SQL_DOC_JACCARD_PAIRS = r"""
