@@ -6,8 +6,10 @@ here (nor in the library) calls ``ray.init`` / ``ray.shutdown``.
 - ``entry()``       — flagship ordered-processing pipeline at sf0.001.
 - ``queries()``     — every implemented operator/pipeline (SURVEY.md §2 and
                       the training-data extensions), keyed by name.
-- ``oracle_sql()``  — DuckDB-runnable ANSI-SQL mirror for each query that is
-                      SQL-expressible (sketch/ANN queries are rows-only).
+- ``oracle_sql()``  — DuckDB-runnable SQL mirror for EVERY query (100%
+                      oracled: the sketch/LSH queries replay their seeded
+                      hash families in HUGEINT wrap-mod arithmetic with
+                      the constants inlined as literals).
 """
 
 from __future__ import annotations

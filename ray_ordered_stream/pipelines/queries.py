@@ -1579,9 +1579,14 @@ GROUP BY token ORDER BY n DESC, token LIMIT 50
 
 
 def q_doc_near_dups(sf_dir: str):
-    """MinHash-LSH candidates exact-verified by n-gram Jaccard (no SQL
-    oracle for the LSH stage, but every reported pair carries its EXACT
-    jaccard from the text join-back — see functions/dedup.near_dup_pairs)."""
+    """MinHash-LSH candidates exact-verified by n-gram Jaccard
+    (functions/dedup.near_dup_pairs). Value-oracled: SQL_DOC_NEAR_DUPS
+    replays the ENTIRE pipeline — normalization, the 7-char rolling
+    polynomial shingle hash (closed-form mod-2^64 weights), the 64-perm
+    (a·x+b mod M61) min-hashes with the seeded family inlined as
+    literals, the 8-band polynomial fold, bucket capping, candidate
+    generation, and the exact shingle-set Jaccard verify — in DuckDB
+    HUGEINT arithmetic."""
     from ..functions.dedup import near_dup_pairs
 
     return near_dup_pairs(
@@ -1590,12 +1595,156 @@ def q_doc_near_dups(sf_dir: str):
 
 
 def q_doc_simhash(sf_dir: str):
-    """SimHash signatures + buckets (no SQL oracle — bit-manipulation)."""
+    """SimHash signatures + buckets. Value-oracled: SQL_DOC_SIMHASH
+    replays FNV-1a over each distinct token (recursive CTE with wrap-mod
+    HUGEINT arithmetic) and the 64 bit-plane majority votes."""
     from ..functions.dedup import simhash
 
     return simhash(_read(sf_dir, "documents", ["doc_id", "text"])).select_columns(
         ["doc_id", "simhash", "simhash_bucket"]
     )
+
+
+# SQL mirror of SimHasher (functions/dedup.py): FNV-1a 64 over each distinct
+# lowered whitespace token via a recursive CTE (HUGEINT wrap-mod 2^64 per
+# byte; corpus text is ASCII so ascii() == byte value), then the 64
+# bit-plane majority votes weighted by token occurrence counts. The final
+# CASE reinterprets the u64 as the kernel's signed int64 ``simhash``;
+# ``simhash_bucket`` is the top 16 bits (u64 >> 48).
+_SQL_SIM_CTE = r"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, tok, count(*) AS cnt
+  FROM (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+        FROM documents)
+  WHERE length(tok) > 0
+  GROUP BY doc_id, tok
+),
+dtok AS (SELECT DISTINCT tok FROM toks),
+fnv AS (
+  SELECT tok, 1 AS j, CAST(14695981039346656037 AS HUGEINT) AS h FROM dtok
+  UNION ALL
+  SELECT tok, j + 1,
+         (CAST(xor(CAST(h AS UBIGINT), CAST(ascii(substr(tok, j, 1)) AS UBIGINT)) AS HUGEINT)
+          * 1099511628211) % CAST('18446744073709551616' AS HUGEINT)
+  FROM fnv WHERE j <= length(tok)
+),
+tokh AS (SELECT tok, h FROM fnv WHERE j = length(tok) + 1),
+bits AS (
+  SELECT t.doc_id, b.bit,
+         sum(CASE WHEN (CAST(th.h AS UBIGINT) >> b.bit) & 1 = 1
+                  THEN t.cnt ELSE -t.cnt END) AS acc
+  FROM toks t JOIN tokh th USING (tok), (SELECT unnest(range(64)) AS bit) b
+  GROUP BY t.doc_id, b.bit),
+sim AS (
+  SELECT doc_id,
+         sum(CASE WHEN acc > 0 THEN CAST(1::UBIGINT << bit AS HUGEINT)
+                  ELSE CAST(0 AS HUGEINT) END) AS u
+  FROM bits GROUP BY doc_id)
+"""
+
+SQL_DOC_SIMHASH = _SQL_SIM_CTE + r"""
+SELECT doc_id,
+       CAST(CASE WHEN u >= CAST('9223372036854775808' AS HUGEINT)
+                 THEN u - CAST('18446744073709551616' AS HUGEINT)
+                 ELSE u END AS BIGINT) AS simhash,
+       CAST(u // 281474976710656 AS BIGINT) AS simhash_bucket
+FROM sim
+"""
+
+# SQL mirror of simhash_near_dups: four 16-bit bands over the simhash CTE,
+# buckets capped at max_bucket=2048 exactly like the kernel, candidate
+# pairs verified by popcount(xor) <= 3.
+SQL_DOC_SIMHASH_PAIRS = _SQL_SIM_CTE + r""",
+banded AS (
+  SELECT doc_id, u, b.band,
+         CAST((CAST(u AS UBIGINT) >> (16 * b.band)) & 65535 AS BIGINT) AS band_hash
+  FROM sim, (SELECT unnest(range(4)) AS band) b),
+ok_buckets AS (
+  SELECT band, band_hash FROM banded
+  GROUP BY band, band_hash HAVING count(*) BETWEEN 2 AND 2048),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b, a.u AS ua, b2.u AS ub
+  FROM banded a
+  JOIN ok_buckets s ON s.band = a.band AND s.band_hash = a.band_hash
+  JOIN banded b2 ON b2.band = a.band AND b2.band_hash = a.band_hash
+                AND a.doc_id < b2.doc_id)
+SELECT id_a, id_b,
+       CAST(bit_count(xor(CAST(ua AS UBIGINT), CAST(ub AS UBIGINT))) AS BIGINT) AS hamming
+FROM cand
+WHERE bit_count(xor(CAST(ua AS UBIGINT), CAST(ub AS UBIGINT))) <= 3
+"""
+
+
+def _build_sql_doc_near_dups() -> str:
+    """SQL mirror of near_dup_pairs(threshold=0.5, k=7, num_perm=64,
+    bands=8, seed=7, max_bucket=2048): the seeded (a, b) hash family and
+    the mod-2^64 polynomial weights are inlined as literals (same
+    precedent as SQL_EMB_PROJECT's inlined matrix). Every arithmetic step
+    reproduces the kernel's u64 wrap-around via HUGEINT mod 2^64."""
+    m61 = (1 << 61) - 1
+    prime = 1099511628211
+    two64 = 1 << 64
+    rng = np.random.default_rng(7)
+    a = rng.integers(1, m61, size=64, dtype=np.uint64)
+    b = rng.integers(0, m61, size=64, dtype=np.uint64)
+    wk = [pow(prime, 6 - j, two64) for j in range(7)]   # shingle char weights
+    wb = [pow(prime, 7 - j, two64) for j in range(8)]   # band fold weights
+    perm_rows = ",".join(
+        f"({i},{int(a[i])}::HUGEINT,{int(b[i])}::HUGEINT,{i // 8},"
+        f"{wb[i % 8]}::HUGEINT)"
+        for i in range(64)
+    )
+    sh_expr = " + ".join(
+        f"CAST(ascii(substr(norm, s + {1 + j}, 1)) AS HUGEINT) * "
+        f"{wk[j]}::HUGEINT"
+        for j in range(7)
+    )
+    return rf"""
+WITH docs AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+  FROM documents),
+shs AS (
+  SELECT DISTINCT doc_id,
+         ({sh_expr}) % CAST('18446744073709551616' AS HUGEINT) AS h
+  FROM docs, unnest(range(length(norm) - 6)) AS t(s)),
+perms(i, a, b, band, w) AS (VALUES {perm_rows}),
+sig AS (
+  SELECT doc_id, p.i, p.band, p.w,
+         min(((h * p.a) % CAST('18446744073709551616' AS HUGEINT) + p.b)
+             % CAST('18446744073709551616' AS HUGEINT)
+             % 2305843009213693951) AS sig
+  FROM shs, perms p GROUP BY doc_id, p.i, p.band, p.w),
+bh AS (
+  SELECT doc_id, band,
+         (sum(sig * w) % CAST('18446744073709551616' AS HUGEINT)) // 2 AS band_hash
+  FROM sig GROUP BY doc_id, band),
+ok_buckets AS (
+  SELECT band, band_hash FROM bh
+  GROUP BY band, band_hash HAVING count(*) BETWEEN 2 AND 2048),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+  FROM bh a
+  JOIN ok_buckets s ON s.band = a.band AND s.band_hash = a.band_hash
+  JOIN bh b2 ON b2.band = a.band AND b2.band_hash = a.band_hash
+            AND a.doc_id < b2.doc_id),
+sizes AS (SELECT doc_id, count(*) AS n FROM shs GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS ni
+  FROM cand c
+  JOIN shs sa ON sa.doc_id = c.id_a
+  JOIN shs sb ON sb.doc_id = c.id_b AND sb.h = sa.h
+  GROUP BY c.id_a, c.id_b)
+SELECT c.id_a AS id_a, c.id_b AS id_b,
+       round(COALESCE(i.ni, 0)::DOUBLE / (za.n + zb.n - COALESCE(i.ni, 0)), 6) AS jaccard
+FROM cand c
+JOIN sizes za ON za.doc_id = c.id_a
+JOIN sizes zb ON zb.doc_id = c.id_b
+LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+WHERE COALESCE(i.ni, 0)::DOUBLE / (za.n + zb.n - COALESCE(i.ni, 0)) >= 0.5
+"""
+
+
+SQL_DOC_NEAR_DUPS = _build_sql_doc_near_dups()
 
 
 # ---------------------------------------------------------------------------
@@ -2212,9 +2361,10 @@ FROM documents
 
 def q_doc_simhash_pairs(sf_dir: str):
     """SimHash near-dup pairs (banded 16-bit buckets + exact hamming
-    verify). Rows-only: organic simhash collisions at tiny hamming exist in
-    the synthetic corpus, so no closed-form SQL oracle; the machinery is
-    gated by doc_simhash_planted (copies -> identical signatures)."""
+    verify). Value-oracled: SQL_DOC_SIMHASH_PAIRS reproduces the banding,
+    the bucket cap and the popcount(xor) verify over the SQL-replayed
+    signatures; doc_simhash_planted additionally gates the
+    copies-get-identical-signatures invariant."""
     from ..functions.dedup import simhash_near_dups
 
     return simhash_near_dups(
@@ -3905,9 +4055,9 @@ QUERIES = {
     "stream_neardup": (q_stream_neardup, SQL_STREAM_NEARDUP),
     "doc_near_dups_planted": (q_doc_near_dups_planted, SQL_DOC_NEAR_DUPS_PLANTED),
     # -- (5) rows-only sketch outputs (no closed-form ANSI SQL) -----------
-    "doc_near_dups": (q_doc_near_dups, None),
-    "doc_simhash": (q_doc_simhash, None),
-    "doc_simhash_pairs": (q_doc_simhash_pairs, None),
+    "doc_near_dups": (q_doc_near_dups, SQL_DOC_NEAR_DUPS),
+    "doc_simhash": (q_doc_simhash, SQL_DOC_SIMHASH),
+    "doc_simhash_pairs": (q_doc_simhash_pairs, SQL_DOC_SIMHASH_PAIRS),
 }
 
 
