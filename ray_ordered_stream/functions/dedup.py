@@ -612,8 +612,18 @@ def near_dup_pairs(
     import ray
     import ray.data
 
-    cands = minhash_lsh_candidates(ds, id_col=id_col, k=k, **lsh_kw)
-    docs = ds.select_columns([id_col, "text"])
+    from ..exchange import ensure_min_blocks
+
+    # ONE execution of the input feeds both the LSH candidate stage and
+    # the text join-back (each previously re-ran the upstream read/derive)
+    base_refs = list(ensure_min_blocks(ds).to_arrow_refs())
+    cands = minhash_lsh_candidates(
+        ray.data.from_arrow_refs(list(base_refs)), id_col=id_col, k=k,
+        **lsh_kw,
+    )
+    docs = ray.data.from_arrow_refs(list(base_refs)).select_columns(
+        [id_col, "text"]
+    )
 
     # hash-partitioned join-back of texts with the repo's own exchange
     # (split tasks aligned on the SAME id hash for both sides, one pandas

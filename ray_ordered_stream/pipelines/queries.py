@@ -2501,17 +2501,22 @@ def q_doc_cluster_dedup(sf_dir: str):
     """End-to-end cluster dedup: pairs -> components -> keep the min-id
     representative of each cluster (anti-join of the drop-set). On the
     3-copies corpus the survivors are exactly the original documents."""
+    import ray.data as _rd
+
     from ..functions.dedup import near_dup_pairs
     from ..functions.graph import cluster_dedup
 
-    both = _docs_with_two_planted_copies(sf_dir)
-    pairs = near_dup_pairs(both, threshold=1.0)
+    # one execution of the planted-corpus derivation feeds the pair
+    # generator and the anti-join survivor scan
+    refs = list(_docs_with_two_planted_copies(sf_dir).to_arrow_refs())
+    pairs = near_dup_pairs(_rd.from_arrow_refs(list(refs)), threshold=1.0)
 
     def exact_only(t: pa.Table) -> pa.Table:
         return t.filter(pc.equal(t["jaccard"], 1.0))
 
     return cluster_dedup(
-        both, pairs.map_batches(exact_only, batch_format="pyarrow")
+        _rd.from_arrow_refs(list(refs)),
+        pairs.map_batches(exact_only, batch_format="pyarrow"),
     )
 
 
