@@ -141,8 +141,13 @@ def run_docs_bench() -> dict:
 
     # warm the session: the one-time executor/actor startup otherwise
     # lands entirely on whichever op happens to run first (measured 12.9 s
-    # vs 1.4-2.3 s warm for exact_dedup_groups)
-    ds(["doc_id"]).count()
+    # vs 1.4-2.3 s warm for exact_dedup_groups). The warm pass decodes the
+    # FULL text column through map_batches (count() alone is a metadata
+    # shortcut) so plasma first-write page-faulting under the preallocated
+    # store is also paid here, not by the first text-touching op.
+    ds(["doc_id", "text"]).map_batches(
+        lambda t: t, batch_format="pyarrow"
+    ).count()
 
     res = {}
 
