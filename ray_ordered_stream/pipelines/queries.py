@@ -1680,7 +1680,12 @@ def _build_sql_doc_near_dups() -> str:
     bands=8, seed=7, max_bucket=2048): the seeded (a, b) hash family and
     the mod-2^64 polynomial weights are inlined as literals (same
     precedent as SQL_EMB_PROJECT's inlined matrix). Every arithmetic step
-    reproduces the kernel's u64 wrap-around via HUGEINT mod 2^64."""
+    reproduces the kernel's u64 wrap-around via HUGEINT mod 2^64.
+
+    Preconditions (hold for every documents table this oracle runs on,
+    asserted by tests/test_oracles.py's randomized sweep): ASCII text
+    (byte value == ascii() code point) and normalized length >= k=7 (the
+    kernel's short-doc whole-string-FNV fallback is not mirrored)."""
     m61 = (1 << 61) - 1
     prime = 1099511628211
     two64 = 1 << 64

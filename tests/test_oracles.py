@@ -52,3 +52,79 @@ def test_lsh_sql_oracle_matches_kernel(ray_session, name, keys):
     got = got[sorted(got.columns)]
     exp = exp[sorted(exp.columns)]
     pd.testing.assert_frame_equal(got, exp, check_dtype=False, atol=1e-9)
+
+
+@pytest.mark.parametrize("seed", [11, 12])
+def test_lsh_sql_oracle_random_corpus(ray_session, tmp_path, seed):
+    """The oracles must mirror the kernels on ARBITRARY corpora meeting
+    their documented preconditions (ASCII, normalized length >= 7), not
+    just the fixed testdata: random zipf word soup with messy whitespace,
+    1-12 char tokens and planted exact + near duplicates."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ray_ordered_stream.functions.dedup import (
+        SimHasher,
+        near_dup_pairs,
+        simhash_near_dups,
+    )
+    from ray_ordered_stream.pipelines.queries import (
+        SQL_DOC_NEAR_DUPS,
+        SQL_DOC_SIMHASH,
+        SQL_DOC_SIMHASH_PAIRS,
+    )
+
+    rng = np.random.default_rng(seed)
+    vocab = np.array(
+        ["".join(rng.choice(list("abcdefgh"), size=rng.integers(1, 13)))
+         for _ in range(60)],
+        dtype=object,
+    )
+    texts = []
+    for i in range(120):
+        words = rng.choice(vocab, size=rng.integers(3, 25))
+        sep = "  " if i % 7 == 0 else " "   # messy whitespace hits _normalize
+        t = sep.join(words)
+        if i % 11 == 0:
+            t = " " + t + "\t"
+        texts.append(t)
+    for i in range(0, 20, 2):               # planted exact duplicates
+        texts[100 + i] = texts[i]
+    for i in range(1, 20, 2):               # near duplicates (one-word edit)
+        texts[100 + i] = texts[i] + " " + str(vocab[0])
+    tbl = pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()),
+         "text": pa.array(texts, pa.string())}
+    )
+    path = tmp_path / "documents.parquet"
+    pq.write_table(tbl, path)
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}')"
+    )
+
+    def docs():
+        return rd.read_parquet(str(path))
+
+    sims = SimHasher.simhash_batch(tbl["text"].combine_chunks())
+    got = pd.DataFrame(
+        {"doc_id": range(len(texts)),
+         "simhash": sims.astype("int64"),
+         "simhash_bucket": (sims >> np.uint64(48)).astype("int64")}
+    )
+    exp = con.sql(SQL_DOC_SIMHASH).df().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+    for ds_fn, sql, kw in (
+        (simhash_near_dups, SQL_DOC_SIMHASH_PAIRS, {"max_hamming": 3}),
+        (near_dup_pairs, SQL_DOC_NEAR_DUPS, {"threshold": 0.5}),
+    ):
+        got = ds_fn(docs(), **kw).to_pandas()
+        got = got[sorted(got.columns)].sort_values(["id_a", "id_b"]).reset_index(drop=True)
+        exp = con.sql(sql).df()
+        exp = exp[sorted(exp.columns)].sort_values(["id_a", "id_b"]).reset_index(drop=True)
+        assert len(got) > 0  # planted dups guarantee pairs exist
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False, atol=1e-9)
