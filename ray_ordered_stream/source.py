@@ -119,17 +119,20 @@ class FileLeaseQueue:
             out.append(rec)
         return lease_id, out
 
-    def ack(self, msg_ids: list[str]) -> int:
-        """Durably ack delivered messages (by id). Returns count acked."""
-        n = 0
+    def ack(self, msg_ids: list[str]) -> list[str]:
+        """Durably ack delivered messages (by id). Returns the ids actually
+        acked — a message whose lease expired sits in available/ and cannot
+        be acked until re-leased, so callers must RETRY the misses (see
+        Pump._pending_ack) rather than assume commit implies ack."""
+        done = []
         for mid in msg_ids:
             try:
                 os.rename(self.root / "leased" / f"{mid}.json",
                           self.root / "acked" / f"{mid}.json")
-                n += 1
+                done.append(mid)
             except OSError:
                 continue  # expired away meanwhile: will redeliver, dedup'd
-        return n
+        return done
 
     def expire(self, now: float | None = None) -> list[str]:
         """Return past-deadline leased messages to available (REDELIVERY).
@@ -222,6 +225,7 @@ class Pump:
         self.lease_s = lease_s
         self.sink_name = sink_name
         self._cursor = -1          # acked through this committed epoch
+        self._pending_ack: set[str] = set()  # committed but not yet acked
         self._delivered_at: dict[str, float] = {}   # in-flight only
         self._lat: list[float] = []                  # bounded sample
         self.totals = {"delivered": 0, "acked": 0, "redelivered": 0}
@@ -254,10 +258,19 @@ class Pump:
         for m in msgs:
             _deliver(self.land, m)
             self._delivered_at[m["id"]] = now
-        ackable = [n[: -len(".parquet")] for n in self._newly_committed_names()
-                   if n.endswith(".parquet")]
-        n_acked = self.queue.ack(ackable)
-        for mid in ackable:
+        # the commit-frontier cursor passes each epoch exactly once, so a
+        # committed message whose ack MISSES (its lease expired moments
+        # before the commit and the redelivery hasn't been re-leased yet)
+        # must be retried from a pending set — otherwise it bounces
+        # available<->leased forever, never acked
+        self._pending_ack.update(
+            n[: -len(".parquet")] for n in self._newly_committed_names()
+            if n.endswith(".parquet")
+        )
+        acked_ids = self.queue.ack(sorted(self._pending_ack))
+        n_acked = len(acked_ids)
+        for mid in acked_ids:
+            self._pending_ack.discard(mid)
             t0 = self._delivered_at.pop(mid, None)
             if t0 is not None and len(self._lat) < 65536:
                 self._lat.append(time.time() - t0)
@@ -353,7 +366,7 @@ def pump(
         for p in (queue.root / "leased").glob("msg-*.json")
         if f"{p.stem}.parquet" in done
     ]
-    n_acked = queue.ack(ackable)
+    n_acked = len(queue.ack(ackable))
     return {
         "delivered": len(msgs),
         "acked_now": n_acked,

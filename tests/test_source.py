@@ -203,7 +203,7 @@ def test_queue_state_machine_invariants(tmp_path):
             leased_ids.extend(ids)
         elif op == "ack" and leased_ids:
             take = rng.sample(leased_ids, rng.randint(1, len(leased_ids)))
-            n = q.ack(take)
+            n = len(q.ack(take))
             # only currently-leased ones ack; expired ones are skipped
             acked.update(
                 mid for mid in take
@@ -221,3 +221,53 @@ def test_queue_state_machine_invariants(tmp_path):
             for p in (q.root / d).glob("msg-*.json")
         }
         assert on_disk == published  # exactly-one-state, nothing lost
+
+
+def test_pump_retries_ack_after_lease_expiry(tmp_path):
+    """Regression: a message whose lease expired just before its epoch
+    committed must still get acked. The commit-frontier cursor passes each
+    epoch exactly once, so if the ack misses (the message sits in
+    available/ and the lease slot is taken by an older message) the Pump
+    must retry from its pending set — the old code dropped the ack forever
+    and the message bounced available<->leased unacked."""
+    import json as _json
+
+    from ray_ordered_stream.sink import ManifestSink
+    from ray_ordered_stream.source import FileLeaseQueue, Pump
+
+    src = tmp_path / "src"
+    src.mkdir()
+    f1, f2 = src / "a.bin", src / "b.bin"
+    f1.write_bytes(b"1")
+    f2.write_bytes(b"2")
+    q = FileLeaseQueue(str(tmp_path / "q"))
+    m1, m2 = q.publish([str(f1), str(f2)])
+    out, land = tmp_path / "out", tmp_path / "land"
+    p = Pump(q, str(land), str(out), max_n=2, lease_s=1e6)
+    st = p.step()  # delivers both
+    assert st["delivered"] == 2
+
+    # force-expire BOTH leases (deadline rewrite, then expire)
+    for mid in (m1, m2):
+        rec_p = q.root / "leased" / f"{mid}.json"
+        rec = _json.loads(rec_p.read_text())
+        rec["deadline"] = 0.0
+        rec_p.write_text(_json.dumps(rec))
+    assert set(q.expire()) == {m1, m2}
+
+    # the consumer commits epoch 0 covering ONLY m2's delivery
+    (out / "epochs").mkdir(parents=True)
+    (out / "epochs" / "epoch-00000.json").write_text(
+        _json.dumps({"epoch": 0, "files": [str(land / f"{m2}.parquet")]})
+    )
+    ManifestSink(str(out), "ordered").commit_epoch(0, {0: 1})
+
+    # next step: the single lease slot goes to m1 (older id), so m2's ack
+    # MISSES — it must land in the pending set, not be dropped
+    p.max_n = 1
+    st = p.step()
+    assert st["acked_now"] == 0
+    # the following step leases m2 and the retried ack lands durably
+    st = p.step()
+    assert st["acked_now"] == 1
+    assert (q.root / "acked" / f"{m2}.json").exists()
