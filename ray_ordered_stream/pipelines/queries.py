@@ -1635,11 +1635,16 @@ bits AS (
                   THEN t.cnt ELSE -t.cnt END) AS acc
   FROM toks t JOIN tokh th USING (tok), (SELECT unnest(range(64)) AS bit) b
   GROUP BY t.doc_id, b.bit),
-sim AS (
+sim0 AS (
   SELECT doc_id,
          sum(CASE WHEN acc > 0 THEN CAST(1::UBIGINT << bit AS HUGEINT)
                   ELSE CAST(0 AS HUGEINT) END) AS u
-  FROM bits GROUP BY doc_id)
+  FROM bits GROUP BY doc_id),
+sim AS (
+  -- zero-token documents (empty / whitespace-only text) get simhash 0 in
+  -- the kernel; the LEFT JOIN keeps them instead of dropping their rows
+  SELECT d.doc_id, COALESCE(s.u, CAST(0 AS HUGEINT)) AS u
+  FROM (SELECT doc_id FROM documents) d LEFT JOIN sim0 s USING (doc_id))
 """
 
 SQL_DOC_SIMHASH = _SQL_SIM_CTE + r"""
@@ -1745,7 +1750,7 @@ FROM cand c
 JOIN sizes za ON za.doc_id = c.id_a
 JOIN sizes zb ON zb.doc_id = c.id_b
 LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
-WHERE COALESCE(i.ni, 0)::DOUBLE / (za.n + zb.n - COALESCE(i.ni, 0)) >= 0.5
+WHERE round(COALESCE(i.ni, 0)::DOUBLE / (za.n + zb.n - COALESCE(i.ni, 0)), 6) >= 0.5
 """
 
 
@@ -3960,8 +3965,8 @@ SQL_EMB_PROJECT = _emb_project_sql()
 # evaluates a bounded window (~50 queries) from the front, so queries are
 # ordered: (1) never driver-checked, (2) stale (last green in round 1,
 # before heavy churn), (3) new this round, (4) green in round 2,
-# (5) rows-only sketch outputs (their planted variants above are the
-# oracled gates) last.
+# (5) the formerly rows-only LSH trio (fully SQL-oracled since late
+# round 4; their planted variants above remain additional gates) last.
 QUERIES = {
     # -- (1) never driver-checked before round 3 -------------------------
     "doc_simhash_planted": (q_doc_simhash_planted, SQL_DOC_SIMHASH_PLANTED),
@@ -4064,7 +4069,7 @@ QUERIES = {
     "stream_dedup": (q_stream_dedup, SQL_STREAM_DEDUP),
     "stream_neardup": (q_stream_neardup, SQL_STREAM_NEARDUP),
     "doc_near_dups_planted": (q_doc_near_dups_planted, SQL_DOC_NEAR_DUPS_PLANTED),
-    # -- (5) rows-only sketch outputs (no closed-form ANSI SQL) -----------
+    # -- (5) formerly rows-only LSH trio, SQL-oracled since late round 4 --
     "doc_near_dups": (q_doc_near_dups, SQL_DOC_NEAR_DUPS),
     "doc_simhash": (q_doc_simhash, SQL_DOC_SIMHASH),
     "doc_simhash_pairs": (q_doc_simhash_pairs, SQL_DOC_SIMHASH_PAIRS),

@@ -120,10 +120,14 @@ class FileLeaseQueue:
         return lease_id, out
 
     def ack(self, msg_ids: list[str]) -> list[str]:
-        """Durably ack delivered messages (by id). Returns the ids actually
-        acked — a message whose lease expired sits in available/ and cannot
-        be acked until re-leased, so callers must RETRY the misses (see
-        Pump._pending_ack) rather than assume commit implies ack."""
+        """Durably ack delivered messages (by id). Returns the ids now in
+        the acked state — including ALREADY-acked ids (idempotent: a
+        resumed Pump rescans the whole commit history and must be able to
+        retire historical ids from its pending set, not retry a doomed
+        rename forever). A message whose lease expired sits in available/
+        and cannot be acked until re-leased, so callers must RETRY those
+        misses (see Pump._pending_ack) rather than assume commit implies
+        ack."""
         done = []
         for mid in msg_ids:
             try:
@@ -131,7 +135,10 @@ class FileLeaseQueue:
                           self.root / "acked" / f"{mid}.json")
                 done.append(mid)
             except OSError:
-                continue  # expired away meanwhile: will redeliver, dedup'd
+                # already acked (e.g. before a consumer restart): done.
+                # Otherwise it expired back to available: redeliver + retry.
+                if (self.root / "acked" / f"{mid}.json").exists():
+                    done.append(mid)
         return done
 
     def expire(self, now: float | None = None) -> list[str]:

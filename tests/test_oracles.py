@@ -77,8 +77,10 @@ def test_lsh_sql_oracle_random_corpus(ray_session, tmp_path, seed):
     )
 
     rng = np.random.default_rng(seed)
+    # word length >= 3 so the shortest doc (3 words) normalizes to >= 11
+    # chars — every doc satisfies the oracle's length >= k=7 precondition
     vocab = np.array(
-        ["".join(rng.choice(list("abcdefgh"), size=rng.integers(1, 13)))
+        ["".join(rng.choice(list("abcdefgh"), size=rng.integers(3, 13)))
          for _ in range(60)],
         dtype=object,
     )
@@ -128,3 +130,52 @@ def test_lsh_sql_oracle_random_corpus(ray_session, tmp_path, seed):
         exp = exp[sorted(exp.columns)].sort_values(["id_a", "id_b"]).reset_index(drop=True)
         assert len(got) > 0  # planted dups guarantee pairs exist
         pd.testing.assert_frame_equal(got, exp, check_dtype=False, atol=1e-9)
+
+
+def test_simhash_sql_oracle_zero_token_docs(ray_session, tmp_path):
+    """Empty / whitespace-only documents get simhash 0 in the kernel (and
+    collide in every band); the SQL mirror's LEFT JOIN must keep them
+    rather than dropping their rows."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ray_ordered_stream.functions.dedup import SimHasher, simhash_near_dups
+    from ray_ordered_stream.pipelines.queries import (
+        SQL_DOC_SIMHASH,
+        SQL_DOC_SIMHASH_PAIRS,
+    )
+
+    texts = ["", "   \t ", "alpha beta gamma", "delta epsilon", "alpha beta gamma"]
+    tbl = pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()),
+         "text": pa.array(texts, pa.string())}
+    )
+    path = tmp_path / "documents.parquet"
+    pq.write_table(tbl, path)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}')")
+
+    sims = SimHasher.simhash_batch(tbl["text"].combine_chunks())
+    assert sims[0] == 0 and sims[1] == 0  # the zero-token cases
+    got = pd.DataFrame(
+        {"doc_id": range(len(texts)),
+         "simhash": sims.astype("int64"),
+         "simhash_bucket": (sims >> np.uint64(48)).astype("int64")}
+    )
+    exp = con.sql(SQL_DOC_SIMHASH).df().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+    got_p = simhash_near_dups(
+        rd.read_parquet(str(path)), max_hamming=3
+    ).to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    exp_p = con.sql(SQL_DOC_SIMHASH_PAIRS).df().sort_values(
+        ["id_a", "id_b"]
+    ).reset_index(drop=True)
+    # the two zero-token docs and the duplicated text must both pair up
+    assert {(0, 1), (2, 4)} <= set(zip(exp_p.id_a, exp_p.id_b))
+    pd.testing.assert_frame_equal(
+        got_p[sorted(got_p.columns)], exp_p[sorted(exp_p.columns)],
+        check_dtype=False,
+    )

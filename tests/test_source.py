@@ -271,3 +271,37 @@ def test_pump_retries_ack_after_lease_expiry(tmp_path):
     st = p.step()
     assert st["acked_now"] == 1
     assert (q.root / "acked" / f"{m2}.json").exists()
+
+
+def test_pump_resume_retires_historical_acks(tmp_path):
+    """A resumed Pump rescans the commit history from epoch 0; ids that
+    were already acked before the restart must be RETIRED from its pending
+    set (idempotent ack), not retried as doomed renames forever."""
+    import json as _json
+
+    from ray_ordered_stream.sink import ManifestSink
+    from ray_ordered_stream.source import FileLeaseQueue, Pump
+
+    src = tmp_path / "src"
+    src.mkdir()
+    f1 = src / "a.bin"
+    f1.write_bytes(b"1")
+    q = FileLeaseQueue(str(tmp_path / "q"))
+    (m1,) = q.publish([str(f1)])
+    out, land = tmp_path / "out", tmp_path / "land"
+    p = Pump(q, str(land), str(out), max_n=2, lease_s=1e6)
+    p.step()
+    (out / "epochs").mkdir(parents=True)
+    (out / "epochs" / "epoch-00000.json").write_text(
+        _json.dumps({"epoch": 0, "files": [str(land / f"{m1}.parquet")]})
+    )
+    ManifestSink(str(out), "ordered").commit_epoch(0, {0: 1})
+    assert p.step()["acked_now"] == 1
+    assert (q.root / "acked" / f"{m1}.json").exists()
+
+    # consumer restart: a fresh Pump sweeps the whole history
+    p2 = Pump(q, str(land), str(out), max_n=2, lease_s=1e6)
+    p2.step()
+    assert p2._pending_ack == set()   # historical id retired, not stuck
+    c = q.counts()
+    assert c == {"available": 0, "leased": 0, "acked": 1}
