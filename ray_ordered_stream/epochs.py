@@ -383,6 +383,12 @@ def run_stream_continuous(
     out = Path(out_root)
     out.mkdir(parents=True, exist_ok=True)
     land = Path(landing_dir)
+    # NOTE on the stop marker: a PRE-EXISTING <landing>/<stop_file> is a
+    # supported finite-replay pattern (callers land files then write the
+    # marker), so it is NOT cleared here. Queue-mode runs instead clear a
+    # stale marker on the producer side (run_pump_loop / the job CLI)
+    # before the first delivery, so a reused --out cannot exit early on a
+    # previous run's leftover marker (ADVICE r4).
 
     if resume and (
         autoscale_backlog_epochs is not None
@@ -635,9 +641,18 @@ def run_stream_continuous(
         # frontier consumer (status/stream_topk readers, the lease-queue
         # pump's acks in source.py) and inflating apparent latency. One
         # commit per idle poll bounds driver work while load resumes
-        # pipelined behavior immediately.
+        # pipelined behavior immediately. Only commit when the oldest
+        # epoch's refs are all READY — commit_oldest() blocks in ray.get(),
+        # and under trickle arrival an unconditional call would serialize
+        # the driver on the in-flight epoch every poll, stalling _STOP /
+        # new-file polling for the epoch's full duration (ADVICE r4).
         if not assigned_this_poll and pending:
-            commit_oldest()
+            oldest_refs = list(pending[0][1])
+            ready, _ = ray.wait(
+                oldest_refs, num_returns=len(oldest_refs), timeout=0
+            )
+            if len(ready) == len(oldest_refs):
+                commit_oldest()
         # idle-driven shrink: backlog has stayed under one epoch's worth
         # of files continuously for autoscale_shrink_idle_s
         if (

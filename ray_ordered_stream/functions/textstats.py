@@ -73,7 +73,15 @@ def token_count(ds):
 class QualityScorer:
     """Length / punctuation / stopword-ratio quality signals
     (SQL-mirrorable). Arrow RE2 kernels end-to-end — the same regex engine
-    as the DuckDB oracle, zero pandas conversion."""
+    as the DuckDB oracle, zero pandas conversion.
+
+    PRECONDITION (ASCII corpus, like the near-dup oracles): RE2's ``\\w`` /
+    ``\\s`` are ASCII classes by default, unlike Python ``re``'s
+    Unicode-aware ones — on non-ASCII text ``n_words`` / ``n_punct`` /
+    ``n_stopwords`` differ from a Python-``re`` implementation (accented
+    letters count as punctuation, not word chars). This is intentional:
+    the counts must match the DuckDB oracle, which runs the SAME RE2
+    patterns. For Unicode-aware counts, pass ``(?U)``-flagged patterns."""
 
     def __call__(self, t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -97,7 +105,11 @@ class LangId:
     """n-gram/stopword-marker language heuristic: the language with the most
     marker hits wins; ties and zero-hit rows -> 'und' (undetermined).
     Tie-break is fixed alphabetical-by-insertion order (de,en,es,fr ordering
-    below is applied as: highest count wins, earlier key wins ties)."""
+    below is applied as: highest count wins, earlier key wins ties).
+
+    Same ASCII-corpus precondition as QualityScorer: the marker patterns
+    run under Arrow's RE2 (ASCII ``\\w``/``\\b``), matching the DuckDB
+    oracle; non-ASCII word boundaries may differ from Python ``re``."""
 
     LANGS = ("de", "en", "es", "fr")
 

@@ -333,14 +333,22 @@ def main(argv: list[str] | None = None) -> int:
 
         land = str(Path(args.out) / "landing")
         Path(land).mkdir(parents=True, exist_ok=True)
+        # clear a stale stop marker from a previous drained run BEFORE the
+        # pump thread starts (run_pump_loop also does this, but doing it
+        # here makes it deterministic w.r.t. the consumer's first poll)
+        try:
+            (Path(land) / "_STOP").unlink()
+        except OSError:
+            pass
         pump_stop = threading.Event()
+        pump_finish = threading.Event()
         pump_stats: dict = {}
 
         def _pump():
             pump_stats.update(run_pump_loop(
                 args.input, land, args.out,
                 max_n=args.files_per_epoch * 2, lease_s=args.lease_s,
-                stop=pump_stop,
+                stop=pump_stop, finish=pump_finish,
             ))
 
         pump_th = threading.Thread(target=_pump, daemon=True)
@@ -361,8 +369,13 @@ def main(argv: list[str] | None = None) -> int:
                 autoscale_min_partitions=args.autoscale_min_partitions,
             )
         finally:
-            # grace: the final epochs commit at consumer shutdown — let the
-            # pump ack that frontier (it exits itself once closed+drained)
+            # drain-aware shutdown: signal the pump FIRST that the commit
+            # frontier is final — it then steps without sleeping until a
+            # step acks/delivers nothing and exits by itself, so an
+            # unclosed queue no longer burns a fixed 30 s grace (the old
+            # join-before-signal ordering). The hard stop is only the
+            # backstop for a wedged pump.
+            pump_finish.set()
             pump_th.join(timeout=30)
             pump_stop.set()
         pump_th.join(timeout=60)

@@ -71,7 +71,28 @@ class FileLeaseQueue:
             try:
                 os.link(tmp, self.root / "available" / f"{mid}.json")  # EXCL
             except FileExistsError:
-                pass  # producer retry of an id still queued: no-op
+                # Either a producer retry of an id still queued (benign:
+                # the existing record carries the SAME file pointer) or two
+                # racing publishers that computed the same n0 (the loser's
+                # message would otherwise be silently dropped while
+                # publish() still returned its id — a lost message). Verify
+                # before treating it as a no-op retry.
+                existing = None
+                for d in ("available", "leased", "acked"):
+                    p = self.root / d / f"{mid}.json"
+                    try:
+                        existing = json.loads(p.read_text())
+                        break
+                    except (OSError, json.JSONDecodeError):
+                        continue
+                if existing is None or existing.get("file") != str(f):
+                    tmp.unlink()
+                    raise RuntimeError(
+                        f"concurrent publish collision on {mid}: existing "
+                        f"record {existing!r} does not match {str(f)!r} — "
+                        "this queue supports one logical producer; the "
+                        "colliding message was NOT enqueued"
+                    )
             tmp.unlink()
             ids.append(mid)
         return ids
@@ -330,19 +351,44 @@ def run_pump_loop(
     lease_s: float = 30.0,
     interval_s: float = 0.5,
     stop=None,
+    finish=None,
 ) -> dict:
     """Blocking delivery loop (run in a thread beside the consumer, or as
     its own process on a real deployment): pump until the queue is closed
     AND fully acked — then write the landing ``_STOP`` marker so a finite
     replay terminates — or until ``stop`` (threading.Event) is set.
-    Returns cumulative delivery stats."""
+
+    ``finish`` (threading.Event, optional) is the drain-aware shutdown
+    signal: once set, the consumer has exited and the committed manifest
+    frontier is FINAL — keep stepping (no sleep) only until a step is
+    quiescent (delivers nothing, acks nothing, redelivers nothing), then
+    return. An unclosed queue therefore no longer costs a fixed grace
+    timeout at shutdown: the loop exits as soon as every ackable message
+    under the final frontier is acked. Returns cumulative delivery stats."""
     q = FileLeaseQueue(queue_root)
     p = Pump(q, landing_dir, out_root, max_n=max_n, lease_s=lease_s)
+    # a leftover _STOP from an earlier drained run (same reused landing
+    # dir) would make the consumer exit as soon as currently-landed files
+    # are processed, leaving freshly published messages unconsumed — the
+    # pump owns the marker in queue mode, so clear any stale one before
+    # the first delivery (ADVICE r4); it is re-written below once the
+    # queue is actually closed + drained
+    try:
+        (Path(landing_dir) / "_STOP").unlink()
+    except OSError:
+        pass
     while stop is None or not stop.is_set():
-        p.step()
+        st = p.step()
         if q.is_drained():
             (Path(landing_dir) / "_STOP").write_text("")
             break
+        if finish is not None and finish.is_set():
+            if not any(
+                st.get(k, 0)
+                for k in ("delivered", "acked_now", "redelivered")
+            ):
+                break
+            continue  # frontier is final: drain fast, no sleep
         time.sleep(interval_s)
     return p.stats()
 
