@@ -14,6 +14,7 @@ here; import them directly:
 
 from .schema import ORDERED_OUTPUT_SCHEMA, STATUS_SCHEMA, TRANSCRIPT_SCHEMA
 from .state import OrderedConfig, OrderedPartitionState
+from .userstate import UserState
 
 __all__ = [
     "ORDERED_OUTPUT_SCHEMA",
@@ -21,4 +22,5 @@ __all__ = [
     "TRANSCRIPT_SCHEMA",
     "OrderedConfig",
     "OrderedPartitionState",
+    "UserState",
 ]

@@ -83,6 +83,8 @@ def write_partition_checkpoint(
         extras["cep"] = snap["cep"]
     if "book" in snap:
         extras["book"] = snap["book"]
+    if "user" in snap:
+        extras["user"] = snap["user"]  # JSON-safe per-key map (userstate.py)
     tmp = d / "extras.json.tmp"
     tmp.write_text(json.dumps(extras))
     os.replace(tmp, d / "extras.json")
@@ -150,6 +152,8 @@ def read_partition_checkpoint(root: str, partition: int, epoch: int) -> dict | N
         snap["cep"] = extras["cep"]
     if "book" in extras:
         snap["book"] = extras["book"]
+    if "user" in extras:
+        snap["user"] = extras["user"]
     return snap
 
 

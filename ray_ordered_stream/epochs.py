@@ -155,6 +155,8 @@ def run_stream(
         sinks["matches"] = ManifestSink(out_root, "matches")
     if cfg.with_book:
         sinks["depth"] = ManifestSink(out_root, "depth")
+    if cfg.state_factory is not None:
+        sinks["user"] = ManifestSink(out_root, "user")
     if cfg.late_data == "drop" and (cfg.window_size_s > 0 or cfg.session_gap_s > 0):
         sinks["late"] = ManifestSink(out_root, "late")
 
@@ -417,6 +419,8 @@ def run_stream_continuous(
         sinks["matches"] = ManifestSink(out_root, "matches")
     if cfg.with_book:
         sinks["depth"] = ManifestSink(out_root, "depth")
+    if cfg.state_factory is not None:
+        sinks["user"] = ManifestSink(out_root, "user")
     if cfg.late_data == "drop" and (cfg.window_size_s > 0 or cfg.session_gap_s > 0):
         sinks["late"] = ManifestSink(out_root, "late")
 

@@ -49,7 +49,16 @@ def build_config(args) -> "OrderedConfig":
         state_ttl_s=args.state_ttl,
         spread_actors=args.spread_actors,
         warmup_rows=args.warmup_rows,
+        state_factory=(
+            _resolve_user_state(args.user_state) if args.user_state else None
+        ),
     )
+
+
+def _resolve_user_state(spec: str):
+    from .userstate import resolve_factory
+
+    return resolve_factory(spec)
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -87,6 +96,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--pattern-lateness", type=float, default=0.0,
                     help="watermark margin (s) before firing absence matches")
     ap.add_argument("--with-book", action="store_true")
+    ap.add_argument("--user-state", default="",
+                    help="pluggable MutableState factory as "
+                         "'package.module:callable' (userstate.py recipe); "
+                         "its results flow to the 'user' sink")
     ap.add_argument("--status-every-epochs", type=int, default=1)
     ap.add_argument("--status-interval", type=float, default=0.0)
     ap.add_argument("--autoscale-backlog-epochs", type=int, default=None,

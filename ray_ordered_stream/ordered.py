@@ -28,6 +28,7 @@ from dataclasses import dataclass
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
@@ -102,8 +103,13 @@ class OrderedWorker:
         self.joiner = None
         self.matcher = None
         self.book = None
+        # ≙ the MutableState extension hook (userstate.py): one fresh user
+        # state per partition actor, built once here — the actor-pool
+        # analogue of Beam creating the state on the initial event
+        self.user = cfg.state_factory() if cfg.state_factory is not None else None
         self._join_out: list[pa.Table] = []
         self._match_out: list[pa.Table] = []
+        self._user_out: list[pa.Table] = []
         self._dlq: list[pa.Table] = []
         self._late: list[pa.Table] = []
         # event-time frontier observed by THIS actor since (re)start
@@ -251,6 +257,21 @@ class OrderedWorker:
                 self._match_out.append(mt)
         if self.book is not None and emitted.num_rows:
             self.book.update(emitted)
+        if self.user is not None and emitted.num_rows:
+            u = self.user.update(emitted)
+            if u is not None and u.num_rows:
+                self._user_out.append(u)
+            # ≙ the reference's cleanup-on-isLastEvent
+            # (docs/pipeline-design.md:52-56): keys whose last event was
+            # just processed release their user state
+            from .state import last_event_mask
+
+            m = last_event_mask(emitted, cfg)
+            if m is not None and m.any() and hasattr(self.user, "evict"):
+                done = pc.unique(
+                    emitted[cfg.key].filter(pa.array(m))
+                ).to_pylist()
+                self.user.evict(done)
         return emitted, status
 
     def process_epoch_to_sink(
@@ -309,6 +330,11 @@ class OrderedWorker:
         if "depth" in sink_paths and self.book is not None:
             d = self.book.take_touched_depth(self.cfg.book_depth)
             out["depth"] = write_part_atomic(d, sink_paths["depth"])
+        if "user" in sink_paths and self.user is not None:
+            u = self.take_user_output()
+            out["user"] = (
+                write_part_atomic(u, sink_paths["user"]) if u is not None else 0
+            )
         if "dlq" in sink_paths:
             d = self.take_dlq()
             out["dlq"] = write_part_atomic(d, sink_paths["dlq"]) if d is not None else 0
@@ -378,6 +404,9 @@ class OrderedWorker:
         if "matches" in sink_paths and self.matcher is not None:
             mt = self.take_match_output(final=True)
             out["matches"] = write_part_atomic(mt, sink_paths["matches"]) if mt is not None else 0
+        if "user" in sink_paths and self.user is not None:
+            u = self.take_user_output()
+            out["user"] = write_part_atomic(u, sink_paths["user"]) if u is not None else 0
         return out
 
     def drain(self, status_ts):
@@ -449,6 +478,14 @@ class OrderedWorker:
         last take (late_data="drop" side output)."""
         return self._take_buffered(self._late)
 
+    def take_user_output(self):
+        """User-state result rows produced since the last take
+        (userstate.UserState.update side output)."""
+        return self._take_buffered(self._user_out)
+
+    def has_user_output(self) -> bool:
+        return bool(self._user_out)
+
     def take_join_output(self):
         """Join pairs produced since the last take (stream_ops)."""
         if self.joiner is None:
@@ -487,6 +524,8 @@ class OrderedWorker:
             snap["cep"] = self.matcher.snapshot()
         if self.book is not None:
             snap["book"] = self.book.snapshot()
+        if self.user is not None:
+            snap["user"] = self.user.snapshot()
         return snap
 
     def restore(self, snap):
@@ -502,6 +541,9 @@ class OrderedWorker:
         self._match_out = []
         if self.book is not None and "book" in snap:
             self.book.restore(snap["book"])
+        if self.user is not None and "user" in snap:
+            self.user.restore(snap["user"])
+        self._user_out = []
         self._join_out = []
 
     def book_depth(self, depth: int | None = None, with_trade: bool = True):
@@ -545,10 +587,12 @@ class OrderedWorker:
 @dataclass
 class OrderedResult:
     """≙ OrderedEventProcessorResult: .ordered ≙ output(),
-    .status ≙ processingStatuses()."""
+    .status ≙ processingStatuses(); .user is the user-state result stream
+    (≙ produceResult output) when OrderedConfig.state_factory is set."""
 
     ordered: "ray.data.Dataset"
     status: "ray.data.Dataset"
+    user: "ray.data.Dataset | None" = None
 
 
 class OrderedProcessor:
@@ -709,7 +753,28 @@ class OrderedProcessor:
         return OrderedResult(
             ordered=ray.data.from_arrow_refs(emitted),
             status=ray.data.from_arrow_refs(status),
+            user=(
+                self.user_output()
+                if self.cfg.state_factory is not None
+                else None
+            ),
         )
+
+    def user_output(self) -> "ray.data.Dataset":
+        """User-state result rows accumulated since the last take, as a
+        Dataset over per-partition refs (≙ the produceResult PCollection).
+        A cheap bool probe per actor skips empty partitions so only refs —
+        never the tables — cross to the driver. (Streaming runs write the
+        'user' sink directly from the actors instead; this is the batch
+        facade.)"""
+        has = ray.get([w.has_user_output.remote() for w in self.workers])
+        refs = [
+            w.take_user_output.remote()
+            for w, h in zip(self.workers, has) if h
+        ]
+        if not refs:
+            return ray.data.from_items([])
+        return ray.data.from_arrow_refs(refs)
 
     def final_status(self, status_ts) -> "ray.data.Dataset":
         """Current consolidated per-key status (one row per key ever seen) —

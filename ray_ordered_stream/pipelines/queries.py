@@ -3965,17 +3965,96 @@ def _emb_project_sql() -> str:
 
 SQL_EMB_PROJECT = _emb_project_sql()
 
+def q_ordered_user_digest(sf_dir: str):
+    """The generic MutableState extension hook (userstate.py ≙ the
+    reference's documented recipe, docs/pipeline-design.md:27-56) driven
+    end-to-end: a user-pluggable chained per-key md5 state rides the ordered
+    actor pool over the shuffled-arrival transcript stream. The digest chain
+    d_k = md5(d_{k-1} + '|' + text_k) makes the output order-dependent, so
+    value equality with the recursive SQL oracle proves mutate ran exactly
+    once per event, in sequence order — the reference's MutableState
+    guarantee (OrderBookMutableState.java:27-72)."""
+    from ..ordered import ordered_process
+    from ..state import OrderedConfig
+    from ..userstate import ChainedDigestState
+    from .transcripts import derive_transcripts, with_shuffled_arrival
+
+    stream = with_shuffled_arrival(derive_transcripts(_read(sf_dir, "events")))
+    res = ordered_process(
+        stream,
+        OrderedConfig(state_factory=ChainedDigestState),
+        num_partitions=4,
+    )
+    return res.user
+
+
+SQL_ORDERED_USER_DIGEST = """
+WITH RECURSIVE turns AS (
+  SELECT cast(user_id AS varchar) AS conv_id,
+         cast(row_number() OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) - 1 AS int) AS turn_idx,
+         props AS text
+  FROM events
+), chain AS (
+  SELECT conv_id, turn_idx, md5('|' || text) AS digest
+  FROM turns WHERE turn_idx = 0
+  UNION ALL
+  SELECT t.conv_id, t.turn_idx, md5(c.digest || '|' || t.text)
+  FROM turns t JOIN chain c
+    ON t.conv_id = c.conv_id AND t.turn_idx = c.turn_idx + 1
+)
+SELECT conv_id, turn_idx, digest FROM chain
+"""
+
+
+def q_ordered_user_stats(sf_dir: str):
+    """Second user-state shape: a VECTORIZED pluggable state (numpy
+    group-reductions per batch, userstate.RunningStatsState) producing
+    per-row running count/sum/max — one produceResult row per mutate."""
+    from ..ordered import ordered_process
+    from ..state import OrderedConfig
+    from ..userstate import RunningStatsState
+    from .transcripts import derive_transcripts, with_shuffled_arrival
+
+    stream = with_shuffled_arrival(derive_transcripts(_read(sf_dir, "events")))
+    res = ordered_process(
+        stream,
+        OrderedConfig(state_factory=lambda: RunningStatsState(
+            value_col="turn_idx"
+        )),
+        num_partitions=4,
+    )
+    return res.user
+
+
+SQL_ORDERED_USER_STATS = """
+WITH turns AS (
+  SELECT cast(user_id AS varchar) AS conv_id,
+         cast(row_number() OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) - 1 AS int) AS turn_idx
+  FROM events
+)
+SELECT conv_id, turn_idx,
+       row_number() OVER w AS run_count,
+       cast(sum(turn_idx) OVER w AS double) AS run_sum,
+       cast(max(turn_idx) OVER w AS double) AS run_max
+FROM turns
+WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+"""
+
 
 # Registry order = driver verification priority. The correctness driver
-# evaluates a bounded window (~50 queries) from the front, so queries are
-# ordered: (1) never driver-checked, (2) stale (last green in round 1,
-# before heavy churn), (3) new this round, (4) green in round 2,
-# (5) the formerly rows-only LSH trio (fully SQL-oracled since late
-# round 4; their planted variants above remain additional gates) last.
+# evaluates a bounded window (~50 queries) from the front. Round-5
+# rotation: the 50 rows NOT driver-gated in round 4 come first (so the
+# union of r4+r5 windows covers all 100 rows), led by bpe_merges (the
+# only row never driver-verified) and the two round-5 user-state-hook
+# queries; the 50 rows green in CORRECTNESS_r04 follow.
 QUERIES = {
-    # -- (1) never driver-checked before round 3 -------------------------
-    "doc_simhash_planted": (q_doc_simhash_planted, SQL_DOC_SIMHASH_PLANTED),
-    "emb_near_dups_planted": (q_emb_near_dups_planted, SQL_EMB_NEAR_DUPS_PLANTED),
+    # -- (1) never driver-gated + new in round 5 --------------------------
+    "bpe_merges": (q_bpe_merges, SQL_BPE_MERGES),
+    "ordered_user_digest": (q_ordered_user_digest, SQL_ORDERED_USER_DIGEST),
+    "ordered_user_stats": (q_ordered_user_stats, SQL_ORDERED_USER_STATS),
+    # -- (2) last driver-gated in round 3 or earlier ----------------------
     "doc_exact_dedup_keep": (q_doc_exact_dedup_keep, SQL_DOC_EXACT_DEDUP_KEEP),
     "doc_dedup_clusters": (q_doc_dedup_clusters, SQL_DOC_DEDUP_CLUSTERS),
     "doc_repetition": (q_doc_repetition, SQL_DOC_REPETITION),
@@ -3983,7 +4062,6 @@ QUERIES = {
     "doc_cluster_dedup": (q_doc_cluster_dedup, SQL_DOC_CLUSTER_DEDUP),
     "media_decode": (q_media_decode, SQL_MEDIA_DECODE),
     "media_frames": (q_media_frames, SQL_MEDIA_FRAMES),
-    # -- (2) stale: green in r1, untouched by the driver since ------------
     "knn_bruteforce": (q_knn_bruteforce, SQL_KNN_BRUTEFORCE),
     "knn_ivf": (q_knn_ivf, SQL_KNN_IVF),
     "embedding_label_stats": (q_embedding_label_stats, SQL_EMBEDDING_LABEL_STATS),
@@ -3997,7 +4075,6 @@ QUERIES = {
     "doc_stats_by_source": (q_doc_stats_by_source, SQL_DOC_STATS_BY_SOURCE),
     "user_daily_activity": (q_user_daily_activity, SQL_USER_DAILY_ACTIVITY),
     "conv_stats": (q_conv_stats, SQL_CONV_STATS),
-    # -- (3) new in round 3 -------------------------------------------------
     "media_decode_real": (q_media_decode_real, SQL_MEDIA_DECODE_REAL),
     "media_audio_real": (q_media_audio_real, SQL_MEDIA_AUDIO_REAL),
     "cep_abandoned": (q_cep_abandoned, SQL_CEP_ABANDONED),
@@ -4020,13 +4097,12 @@ QUERIES = {
     "doc_classifier_distill": (q_doc_classifier_distill, SQL_DOC_CLASSIFIER_DISTILL),
     "region_customer_stats": (q_region_customer_stats, SQL_REGION_CUSTOMER_STATS),
     "events_profile": (q_events_profile, SQL_EVENTS_PROFILE),
-    "bpe_merges": (q_bpe_merges, SQL_BPE_MERGES),
     "stream_topk": (q_stream_topk, SQL_STREAM_TOPK),
-    # -- (4) green in round 2 ---------------------------------------------
     "conv_render": (q_conv_render, SQL_CONV_RENDER),
     "conv_examples": (q_conv_examples, SQL_CONV_EXAMPLES),
     "emb_cohesion": (q_emb_cohesion, SQL_EMB_COHESION),
     "emb_project": (q_emb_project, SQL_EMB_PROJECT),
+    # -- (3) driver-gated green in round 4 --------------------------------
     "doc_quality_filter": (q_doc_quality_filter, SQL_DOC_QUALITY_FILTER),
     "doc_curriculum": (q_doc_curriculum, SQL_DOC_CURRICULUM),
     "corpus_chunking": (q_corpus_chunking, SQL_CORPUS_CHUNKING),
@@ -4074,68 +4150,9 @@ QUERIES = {
     "stream_dedup": (q_stream_dedup, SQL_STREAM_DEDUP),
     "stream_neardup": (q_stream_neardup, SQL_STREAM_NEARDUP),
     "doc_near_dups_planted": (q_doc_near_dups_planted, SQL_DOC_NEAR_DUPS_PLANTED),
-    # -- (5) formerly rows-only LSH trio, SQL-oracled since late round 4 --
     "doc_near_dups": (q_doc_near_dups, SQL_DOC_NEAR_DUPS),
     "doc_simhash": (q_doc_simhash, SQL_DOC_SIMHASH),
     "doc_simhash_pairs": (q_doc_simhash_pairs, SQL_DOC_SIMHASH_PAIRS),
-}
-
-
-# Round-4 driver-window rotation: the driver gates ~50 queries per round
-# (head of this dict). Put every query NOT gated in round 3 first so
-# CORRECTNESS_r4 ∪ CORRECTNESS_r3 covers the whole registry (VERDICT r3
-# next-step #4); the round-3-gated tail rotates back in next round.
-_R4_WINDOW_FIRST = [
-    "doc_quality_filter",
-    "doc_curriculum",
-    "corpus_chunking",
-    "doc_pack_sequences",
-    "doc_chunks",
-    "doc_jaccard_pairs",
-    "doc_pack",
-    "doc_tfidf_top",
-    "order_book_depth",
-    "ordered_replay",
-    "ordered_final_status",
-    "windows_tumbling",
-    "windows_sliding",
-    "windows_session",
-    "ordered_stream_replay",
-    "ordered_queue_replay",
-    "stream_sessions",
-    "stream_latency_quantiles",
-    "join_user_assistant",
-    "asof_event_order",
-    "interval_follow_purchases",
-    "cep_funnel",
-    "sketch_certify",
-    "heavy_hitters_certify",
-    "top_orders_per_cust",
-    "corpus_curation",
-    "corpus_curation2",
-    "events_quantiles_by_type",
-    "doc_exact_dedup",
-    "doc_token_count",
-    "doc_quality",
-    "doc_lang_id",
-    "doc_fingerprint",
-    "customers_without_urgent",
-    "parts_in_lineitems",
-    "doc_pii_scrub",
-    "doc_hash_sample",
-    "doc_stratified_sample",
-    "doc_vocab_top",
-    "doc_shuffle",
-    "corpus_mix",
-    "doc_bigrams_top",
-    "stream_dedup",
-    "stream_neardup",
-    "doc_near_dups_planted",
-    "doc_near_dups",
-    "doc_simhash",
-    "doc_simhash_pairs",
-]
-QUERIES = {
-    **{n: QUERIES[n] for n in _R4_WINDOW_FIRST},
-    **{n: v for n, v in QUERIES.items() if n not in _R4_WINDOW_FIRST},
+    "doc_simhash_planted": (q_doc_simhash_planted, SQL_DOC_SIMHASH_PLANTED),
+    "emb_near_dups_planted": (q_emb_near_dups_planted, SQL_EMB_NEAR_DUPS_PLANTED),
 }

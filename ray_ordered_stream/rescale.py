@@ -359,6 +359,21 @@ def _migrate_snapshots(
         for q in range(new_P):
             new[q]["book"] = {"books": books[q], "last": lasts[q]}
 
+    # user state (userstate.py contract: snapshot() is a JSON-safe map
+    # keyed by the ordering-key value, so each key's entry re-routes with
+    # the same hash as the counters — the generic MutableState analogue of
+    # the per-operator migrations above)
+    if any("user" in s for s in snaps):
+        uitems = [
+            (k, v) for s in snaps if "user" in s
+            for k, v in s["user"].items()
+        ]
+        uparts: list[dict] = [dict() for _ in range(new_P)]
+        for (k, v), q in zip(uitems, route([i[0] for i in uitems])):
+            uparts[q][k] = v
+        for q in range(new_P):
+            new[q]["user"] = uparts[q]
+
     return new
 
 

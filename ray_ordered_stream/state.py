@@ -48,6 +48,20 @@ class OrderedConfig:
     initial_seq: int = 0          # ≙ EventExaminer.isInitialEvent (ours: turn_idx==0)
     last_col: str = "role"        # ≙ EventExaminer.isLastEvent
     last_value: str = "end"       #   (ours: role == "end" sentinel turn)
+    # ≙ EventExaminer.isLastEvent as an arbitrary USER predicate
+    # (OrderBookEventExaminer.java:46-49): a callable
+    # ``(emitted: pa.Table) -> bool array of len(emitted)`` evaluated
+    # vectorized over each emitted batch. Overrides last_col/last_value
+    # when set. See userstate.py for the full extension recipe.
+    last_fn: object = None
+    # ≙ the MutableState extension hook (docs/pipeline-design.md:27-40):
+    # a zero-arg callable returning a fresh userstate.UserState per
+    # partition actor. Its update() sees every emitted row exactly once in
+    # per-key sequence order; its output rows flow to the 'user' sink
+    # (streaming) / OrderedResult.user (batch); its snapshot()/restore()
+    # ride the checkpoint + rescale protocols. The built-ins below
+    # (with_digest, with_book) remain as zero-config conveniences.
+    state_factory: object = None
     status_every_event: bool = False   # ≙ produceStatusUpdatesOnEveryEvent()
     # ≙ withStatusUpdateFrequency(Duration): emit per-key status rows only
     # every k-th process() call (1 = every call/epoch). At 10^12-turn scale
@@ -361,13 +375,13 @@ class OrderedPartitionState:
         emitted = emitted.append_column("emit_seq", pa.array(emit_seq_col, pa.int64()))
 
         # 6. last-event handling (≙ EventExaminer.isLastEvent -> state cleanup,
-        #    OrderBookEventExaminer.java:46-49)
-        if len(emit_rows) and cfg.last_col in emitted.column_names:
-            is_last = pc.equal(emitted[cfg.last_col], cfg.last_value).to_numpy(
-                zero_copy_only=False
-            )
-            for c in np.unique(emit_codes[is_last]):
-                self.counters[key_values[c]].last_event = True
+        #    OrderBookEventExaminer.java:46-49); cfg.last_fn generalizes the
+        #    built-in column-equality predicate to arbitrary user logic
+        if len(emit_rows):
+            is_last = last_event_mask(emitted, cfg)
+            if is_last is not None:
+                for c in np.unique(emit_codes[is_last]):
+                    self.counters[key_values[c]].last_event = True
 
         # 7. optional demo order-dependent state (≙ OrderBookBuilder running
         #    aggregate, business-model/.../OrderBookBuilder.java:39-87): a
@@ -517,6 +531,26 @@ def _ts_us(status_ts) -> int | None:
     """Event-time micros of a status timestamp (None if not timestamp-like)."""
     v = getattr(status_ts, "value", None)
     return None if v is None else int(v) // 1000  # pd.Timestamp.value is ns
+
+
+def last_event_mask(emitted: pa.Table, cfg: OrderedConfig) -> np.ndarray | None:
+    """Vectorized EventExaminer.isLastEvent over an emitted batch: the user
+    predicate ``cfg.last_fn`` when set, else the built-in
+    ``last_col == last_value`` equality. None when neither applies."""
+    if cfg.last_fn is not None:
+        m = np.asarray(cfg.last_fn(emitted))
+        if m.dtype != bool or m.shape != (emitted.num_rows,):
+            raise ValueError(
+                "last_fn must return a bool array of len(emitted); got "
+                f"dtype={m.dtype} shape={m.shape} for {emitted.num_rows} rows"
+            )
+        return m
+    if cfg.last_col in emitted.column_names:
+        eq = pc.fill_null(
+            pc.equal(emitted[cfg.last_col], cfg.last_value), False
+        )
+        return eq.to_numpy(zero_copy_only=False).astype(bool)
+    return None
 
 
 def _empty_status() -> pa.Table:
