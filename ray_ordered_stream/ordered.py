@@ -85,6 +85,28 @@ def _read_and_split(
 
 
 @ray.remote
+def _read_and_split_parts(
+    key: str, P: int, parts: tuple, overrides, range_bounds, paths: list[str]
+):
+    """Locality-aware fused read+split (OrderedConfig.locality_split): this
+    task is node-affinity-scheduled onto the node hosting the state actors
+    for ``parts``, decodes the file group locally, and materializes ONLY
+    those partitions' shards — so exchange shards never cross raylets. The
+    trade is N_nodes redundant decodes of each file group against zero
+    cross-node object transfer; sound when the input is node-local anyway
+    (shared FS / page cache / object storage read per node) and transfer
+    dominates decode."""
+    import pyarrow.parquet as pq
+
+    pa.set_cpu_count(1)
+    pa.set_io_thread_count(1)
+    tbls = [pq.read_table(p) for p in paths]
+    tbl = pa.concat_tables(tbls, promote_options="none") if len(tbls) > 1 else tbls[0]
+    sel = split_table(tbl, key, P, overrides, range_bounds, only=list(parts))
+    return sel[0] if len(sel) == 1 else tuple(sel)
+
+
+@ray.remote
 class OrderedWorker:
     """One partition of the sharded state store (≙ Beam keyed state owned by
     one worker, docs/pipeline-design.md:13-17). Serial execution per actor
@@ -580,6 +602,9 @@ class OrderedWorker:
     def set_partition_id(self, p: int):
         self._partition_id = p
 
+    def get_node_id(self) -> str:
+        return ray.get_runtime_context().get_node_id()
+
     def ping(self):
         return True
 
@@ -616,6 +641,18 @@ class OrderedProcessor:
         ]
         self._emitted_refs: list[ray.ObjectRef] = []
         self._status_refs: list[ray.ObjectRef] = []
+        self._node_parts_cache: dict[str, list[int]] | None = None
+
+    def _node_parts(self) -> dict[str, list[int]]:
+        """node_id -> partition ids whose state actor lives there (cached;
+        the pool is fixed for this processor's lifetime)."""
+        if self._node_parts_cache is None:
+            nodes = ray.get([w.get_node_id.remote() for w in self.workers])
+            parts: dict[str, list[int]] = {}
+            for p, nd in enumerate(nodes):
+                parts.setdefault(nd, []).append(p)
+            self._node_parts_cache = parts
+        return self._node_parts_cache
 
     # -- streaming feed ----------------------------------------------------
 
@@ -649,6 +686,31 @@ class OrderedProcessor:
                 ]
                 # num_returns=1 returns the list itself; unwrap via a task
                 per_group = [[_unwrap_single.remote(g[0])] for g in per_group]
+            elif self.cfg.locality_split and len(self._node_parts()) > 1:
+                from ray.util.scheduling_strategies import (
+                    NodeAffinitySchedulingStrategy,
+                )
+
+                node_parts = self._node_parts()
+                per_group = []
+                for g in groups:
+                    refs: list = [None] * self.P
+                    for nd, parts in node_parts.items():
+                        strat = NodeAffinitySchedulingStrategy(
+                            node_id=nd, soft=True
+                        )
+                        r = _read_and_split_parts.options(
+                            num_returns=len(parts), scheduling_strategy=strat
+                        ).remote(
+                            key, self.P, tuple(parts), self.overrides,
+                            self.range_bounds, g,
+                        )
+                        if len(parts) == 1:
+                            refs[parts[0]] = r
+                        else:
+                            for p, rr in zip(parts, r):
+                                refs[p] = rr
+                    per_group.append(refs)
             else:
                 per_group = [
                     _read_and_split.options(num_returns=self.P).remote(

@@ -140,6 +140,14 @@ class OrderedConfig:
     # SPREAD the state actors across nodes (multi-node clusters; with
     # num_cpus=0 Ray would otherwise pack them all onto one node).
     spread_actors: bool = False
+    # Locality-aware exchange (multi-node): run one fused read+split task
+    # per NODE per file group, node-affinity-scheduled next to the state
+    # actors it feeds, materializing only that node's partitions — shards
+    # never cross raylets. Costs one redundant decode of each file group per
+    # node; wins when cross-node object transfer dominates decode (e.g.
+    # node-local page cache / per-node object-storage reads). No-op on a
+    # single node or when the input is pre-materialized blocks.
+    locality_split: bool = False
     # rows of synthetic data each actor drains twice at __init__ to pre-fault
     # allocator arenas / bind kernels (see OrderedWorker._warmup); bench sets
     # 65536, small values keep test-suite actor creation cheap
@@ -230,18 +238,261 @@ class OrderedPartitionState:
                 # an empty batch is a drain request (max_emit_per_round
                 # overflow); fall through so the buffered run is processed
                 return self._process_vec(batch, status_ts)
-            emitted, statuses = [], []
-            for i in range(batch.num_rows):
-                e, s = self._process_vec(batch.slice(i, 1), status_ts)
-                emitted.append(e)
-                statuses.append(s)
-            return (
-                pa.concat_tables(emitted) if emitted else self._empty_emitted(batch),
-                pa.concat_tables(statuses) if statuses else _empty_status(),
-            )
+            if cfg.max_emit_per_round:
+                # The per-round output cap applies per *event-call* in this
+                # mode (each event may drain at most max_emit rows, overflow
+                # carries to the next event's call) — trajectory math can't
+                # replay that, so keep the legacy per-row loop for the combo.
+                # Conformance-only: O(rows × buffer); never the default path.
+                emitted, statuses = [], []
+                for i in range(batch.num_rows):
+                    e, s = self._process_vec(batch.slice(i, 1), status_ts)
+                    emitted.append(e)
+                    statuses.append(s)
+                return (
+                    pa.concat_tables(emitted) if emitted else self._empty_emitted(batch),
+                    pa.concat_tables(statuses) if statuses else _empty_status(),
+                )
+            return self._process_every_event(batch, status_ts)
         return self._process_vec(batch, status_ts)
 
-    def _process_vec(self, batch: pa.Table, status_ts) -> tuple[pa.Table, pa.Table]:
+    def _process_every_event(self, batch: pa.Table, status_ts) -> tuple[pa.Table, pa.Table]:
+        """Per-event status mode (≙ produceStatusUpdatesOnEveryEvent(),
+        OrderBookProcessingPipeline.java:111) without the per-row loop.
+
+        The state mutation is exactly one vectorized ``_process_vec`` call
+        (same emitted rows, buffer, and counters as feeding the rows one at a
+        time — the drain is order-deterministic). The per-event status
+        *trajectory* is then reconstructed rank-based from the pre-call state:
+        for each key, sort the union U of (buffered seqs, join time -1) and
+        (valid batch seqs, join time = per-key arrival rank) by seq; with
+        ``M = running max of join time over U's contiguous-from-start run``,
+        the drained-prefix length after the key's rank-r arrival is
+        ``searchsorted(M, r, 'right')`` — every counter and buffered bound
+        falls out of that prefix plus cumulative received/duplicate sums.
+        One buffer combine + one lexsort total, vs the legacy loop's
+        O(rows × buffer) re-sort per event."""
+        import heapq
+
+        cfg = self.cfg
+        if ARRIVAL in batch.column_names and batch.num_rows > 1:
+            arr = batch[ARRIVAL].to_numpy(zero_copy_only=False)
+            if (arr[1:] < arr[:-1]).any():
+                batch = batch.sort_by(ARRIVAL)
+        self._load_buffer()
+        pre_buffer = self.buffer  # immutable pa.Table (or None), pre-mutation
+
+        kd = pc.dictionary_encode(
+            batch[cfg.key].combine_chunks()
+            if isinstance(batch[cfg.key], pa.ChunkedArray)
+            else batch[cfg.key]
+        )
+        if isinstance(kd, pa.ChunkedArray):
+            kd = kd.combine_chunks()
+        bcodes = np.asarray(kd.indices).astype(np.int64)
+        kvals = kd.dictionary.to_pylist()
+        bseq = batch[cfg.seq].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = batch.num_rows
+
+        # pre-call counters per batch key code
+        pre = []
+        for kv in kvals:
+            kc = self.counters.get(kv)
+            pre.append(
+                (0, 0, 0, None, False)
+                if kc is None
+                else (kc.received, kc.duplicates, kc.results, kc.next_seq, kc.last_event)
+            )
+
+        # pre-call buffered seqs per batch key (buffer is sorted by key, seq)
+        buf_seqs: dict[int, np.ndarray] = {}
+        if pre_buffer is not None and pre_buffer.num_rows:
+            code_of = {kv: c for c, kv in enumerate(kvals)}
+            benc = pc.dictionary_encode(pre_buffer[cfg.key]).combine_chunks()
+            bkc = benc.indices.to_numpy(zero_copy_only=False)
+            bks = pre_buffer[cfg.seq].to_numpy(zero_copy_only=False).astype(np.int64)
+            starts = np.flatnonzero(np.r_[True, bkc[1:] != bkc[:-1]])
+            ends = np.r_[starts[1:], len(bkc)]
+            for kv, s, e in zip(
+                benc.dictionary.take(pa.array(bkc[starts])).to_pylist(), starts, ends
+            ):
+                c = code_of.get(kv)
+                if c is not None:
+                    buf_seqs[c] = bks[s:e]
+
+        # mutate for real; this method owns call-count/thinning/status
+        emitted, _ = self._process_vec(batch, status_ts, _external_status=True)
+
+        # last-event rows of the emitted set, as (code -> emitted seqs)
+        le_seqs: dict[int, list[int]] = {}
+        if emitted.num_rows:
+            le_mask = last_event_mask(emitted, cfg)
+            if le_mask is not None and le_mask.any():
+                code_of = {kv: c for c, kv in enumerate(kvals)}
+                eks = emitted[cfg.key].to_pylist()
+                ess = emitted[cfg.seq].to_numpy(zero_copy_only=False)
+                for i in np.flatnonzero(le_mask):
+                    le_seqs.setdefault(code_of[eks[i]], []).append(int(ess[i]))
+
+        # -- per-key trajectory reconstruction (vectorized within key) ------
+        recv_g = np.empty(n, np.int64)
+        dup_g = np.empty(n, np.int64)
+        res_g = np.empty(n, np.int64)
+        buf_g = np.empty(n, np.int64)
+        lastp_g = np.zeros(n, np.int64)
+        lastp_ok = np.zeros(n, bool)
+        earli_g = np.zeros(n, np.int64)
+        earli_ok = np.zeros(n, bool)
+        late_g = np.zeros(n, np.int64)
+        late_ok = np.zeros(n, bool)
+        lastev_g = np.zeros(n, bool)
+
+        order_k = np.lexsort((np.arange(n), bcodes))
+        ck = bcodes[order_k]
+        gstarts = np.flatnonzero(np.r_[True, ck[1:] != ck[:-1]])
+        gends = np.r_[gstarts[1:], n]
+        for gs, ge in zip(gstarts, gends):
+            rows = order_k[gs:ge]  # ascending global idx = arrival order
+            c = int(ck[gs])
+            m = len(rows)
+            seqs = bseq[rows]
+            p_recv, p_dup, p_res, p_next, p_last = pre[c]
+            start = p_next if p_next is not None else cfg.initial_seq
+            bs = buf_seqs.get(c, np.empty(0, np.int64))
+            B = len(bs)
+
+            # duplicate-at-arrival flags: already processed, in buffer, or a
+            # repeat of an earlier arrival in this batch
+            dup = seqs < start
+            if B:
+                dup |= np.isin(seqs, bs)
+            o = np.lexsort((np.arange(m), seqs))
+            rep = np.r_[False, seqs[o][1:] == seqs[o][:-1]]
+            rep_u = np.empty(m, bool)
+            rep_u[o] = rep
+            dup |= rep_u
+            valid = ~dup
+
+            # union U = buffered ∪ valid arrivals, sorted by (distinct) seq
+            vranks = np.flatnonzero(valid)
+            useq = np.concatenate([bs, seqs[vranks]])
+            utime = np.concatenate([np.full(B, -1, np.int64), vranks])
+            uo = np.argsort(useq, kind="stable")
+            useq, utime = useq[uo], utime[uo]
+            u = len(useq)
+            contig = useq == (start + np.arange(u))
+            jstar = u if contig.all() else int(np.argmin(contig))
+            M = np.maximum.accumulate(utime[:jstar]) if jstar else utime[:0]
+
+            ranks = np.arange(m)
+            p = np.searchsorted(M, ranks, side="right")
+            joined = B + np.cumsum(valid)
+
+            recv_g[rows] = p_recv + ranks + 1
+            dup_g[rows] = p_dup + np.cumsum(dup)
+            res_g[rows] = p_res + p
+            buf_g[rows] = joined - p
+            lastp_g[rows] = start + p - 1
+            lastp_ok[rows] = (p > 0) | (p_next is not None)
+
+            # buffered bounds per rank. pos_of maps concat index -> U position
+            pos_of = np.empty(u, np.int64)
+            pos_of[uo] = np.arange(u)
+            ins_pos = np.full(m, -1, np.int64)
+            if len(vranks):
+                ins_pos[vranks] = pos_of[B:]
+            maxbuf = int(pos_of[:B].max()) if B else -1
+            runmax = np.maximum(np.maximum.accumulate(ins_pos), maxbuf)
+            lv = runmax >= p
+            late_ok[rows] = lv
+            if u:
+                late_g[rows] = useq[np.clip(runmax, 0, u - 1)]
+            # earliest = min(first buffered-pre-call pos >= p, heap-swept
+            # min over not-yet-drained batch insert positions)
+            if B:
+                bufpos = np.sort(pos_of[:B])
+                eb = np.searchsorted(bufpos, p, side="left")
+                first_buf = np.where(eb < B, bufpos[np.clip(eb, 0, B - 1)], u)
+            else:
+                first_buf = np.full(m, u, np.int64)
+            h: list[int] = []
+            earliest_pos = np.full(m, u, np.int64)
+            for r in range(m):
+                if ins_pos[r] >= 0:
+                    heapq.heappush(h, int(ins_pos[r]))
+                while h and h[0] < p[r]:
+                    heapq.heappop(h)
+                earliest_pos[r] = min(h[0] if h else u, int(first_buf[r]))
+            ev = earliest_pos < u
+            earli_ok[rows] = ev
+            if u:
+                earli_g[rows] = useq[np.clip(earliest_pos, 0, u - 1)]
+
+            # last-event flag flips at the rank whose drain emitted it
+            if p_last:
+                lastev_g[rows] = True
+            elif c in le_seqs:
+                drs = []
+                for s in le_seqs[c]:
+                    j = int(np.searchsorted(useq, s))
+                    drs.append(int(np.searchsorted(p, j + 1, side="left")))
+                dr = min(drs)
+                if dr < m:
+                    lastev_g[rows[dr:]] = True
+
+        # -- call-count / thinning accounting (legacy per-row semantics) ----
+        cc0 = self._call_count
+        self._call_count += n
+        emit_flags = np.ones(n, bool)
+        if cfg.status_every_epochs > 1:
+            emit_flags &= (cc0 + np.arange(1, n + 1)) % cfg.status_every_epochs == 0
+        ts_us = _ts_us(status_ts)
+        if cfg.status_interval_s > 0 and ts_us is not None:
+            if (
+                self._last_status_us is not None
+                and ts_us - self._last_status_us < cfg.status_interval_s * 1e6
+            ):
+                emit_flags[:] = False
+            else:
+                # all rows share status_ts: the first eligible row emits and
+                # resets the interval clock; the rest fall inside it
+                idx = np.flatnonzero(emit_flags)
+                emit_flags[:] = False
+                if len(idx):
+                    emit_flags[idx[0]] = True
+            if emit_flags.any():
+                self._last_status_us = ts_us
+
+        sel = np.flatnonzero(emit_flags)
+        if not len(sel):
+            return emitted, _empty_status()
+        keys_arr = pc.take(kd.dictionary, pa.array(bcodes[sel]))
+        status = pa.table(
+            {
+                KEY: keys_arr,
+                "status_ts": pa.array([status_ts] * len(sel), pa.timestamp("us")),
+                "received_count": pa.array(recv_g[sel], pa.int64()),
+                "buffered_count": pa.array(buf_g[sel], pa.int64()),
+                "last_processed_sequence": pa.array(
+                    lastp_g[sel], pa.int64(), mask=~lastp_ok[sel]
+                ),
+                "earliest_buffered_sequence": pa.array(
+                    earli_g[sel], pa.int64(), mask=~earli_ok[sel]
+                ),
+                "latest_buffered_sequence": pa.array(
+                    late_g[sel], pa.int64(), mask=~late_ok[sel]
+                ),
+                "duplicate_count": pa.array(dup_g[sel], pa.int64()),
+                "result_count": pa.array(res_g[sel], pa.int64()),
+                "last_event_received": pa.array(lastev_g[sel], pa.bool_()),
+            },
+            schema=STATUS_SCHEMA,
+        )
+        return emitted, status
+
+    def _process_vec(
+        self, batch: pa.Table, status_ts, _external_status: bool = False
+    ) -> tuple[pa.Table, pa.Table]:
         cfg = self.cfg
         if ARRIVAL in batch.column_names and batch.num_rows > 1:
             arr = batch[ARRIVAL].to_numpy(zero_copy_only=False)
@@ -396,6 +647,11 @@ class OrderedPartitionState:
 
         # 9. status rows for touched keys (thinned by status_every_epochs)
         self.dirty |= touched
+        if _external_status:
+            # caller (_process_every_event) owns call-count accounting,
+            # thinning, and the per-event status table
+            self._maybe_offload_buffer()
+            return emitted, _empty_status()
         self._call_count += 1
         suppress = cfg.status_every_epochs > 1 and bool(
             self._call_count % cfg.status_every_epochs

@@ -186,3 +186,42 @@ def test_null_key_rows_quarantined_to_dlq():
     dlq_rows = sum(d.num_rows for d in dlq if d is not None)
     assert dlq_rows == 2
     proc.shutdown()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_locality_split_matches_oracle(tmp_path, monkeypatch):
+    # locality_split routes each node's partitions through a node-affine
+    # _read_and_split_parts task. One local node can't host two raylets, so
+    # stub the affinity strategy to DEFAULT and fake a 2-node partition map —
+    # this exercises the full data path (parts pruning, per-node task fan-out,
+    # shard-ref reassembly) minus the placement hint itself.
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray
+    import ray.util.scheduling_strategies as rss
+
+    from ray_ordered_stream.fixtures import gen_transcripts
+
+    monkeypatch.setattr(
+        rss, "NodeAffinitySchedulingStrategy", lambda node_id, soft: "DEFAULT"
+    )
+    t = gen_transcripts(n_convs=40, min_turns=3, max_turns=30, lateness=8,
+                        dup_rate=0.1)
+    files = []
+    for i, lo in enumerate(range(0, t.num_rows, 211)):
+        p = str(tmp_path / f"f{i:03d}.parquet")
+        pq.write_table(t.slice(lo, 211), p)
+        files.append(p)
+    proc = OrderedProcessor(
+        OrderedConfig(locality_split=True, warmup_rows=256), num_partitions=4
+    )
+    nd = list(proc._node_parts())[0]
+    proc._node_parts_cache = {nd: [0, 2], "other-node": [3, 1]}
+    e_refs, _ = proc.feed_epoch(files, TS)
+    em = pa.concat_tables(ray.get(e_refs))
+    got = sorted_df(em)
+    exp = oracle_ordered(t)
+    pd.testing.assert_frame_equal(
+        got[[KEY, SEQ, "text", "emit_seq"]], exp[[KEY, SEQ, "text", "emit_seq"]]
+    )
+    proc.shutdown()

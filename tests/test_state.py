@@ -317,3 +317,71 @@ def test_status_interval_time_based():
     snap = st.snapshot()
     st2 = OrderedPartitionState.restore(OrderedConfig(status_interval_s=10.0), snap)
     assert st2._last_status_us == st._last_status_us
+
+
+def _simulate_per_row(t, cfg_kwargs, epochs):
+    """Reference trajectory: feed rows ONE per process() call (normal status
+    mode emits exactly one status row per touched key per call, which for
+    single-row calls is the per-event-status definition — the legacy loop
+    did literally this)."""
+    st = OrderedPartitionState(OrderedConfig(**cfg_kwargs))
+    emitted, statuses = [], []
+    for lo, hi in epochs:
+        for i in range(lo, hi):
+            e, s = st.process(t.slice(i, 1), TS)
+            emitted.append(e)
+            statuses.append(s)
+    return st, pa.concat_tables(emitted), pa.concat_tables(statuses)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_every_event_matches_per_row_simulation(seed):
+    # Differential oracle for the vectorized conformance mode: the per-event
+    # status TRAJECTORY (all 10 fields, row for row) must equal feeding the
+    # same rows one per call, across multi-key input with lateness, dups,
+    # end sentinels, and a multi-epoch split.
+    t = gen_transcripts(
+        n_convs=6, min_turns=3, max_turns=25, seed=seed,
+        lateness=12, dup_rate=0.15, end_sentinel=bool(seed % 2),
+    )
+    n = t.num_rows
+    cuts = [0, n // 3, n // 3 + 7, n]
+    epochs = list(zip(cuts[:-1], cuts[1:]))
+
+    st_v = OrderedPartitionState(OrderedConfig(status_every_event=True, with_digest=True))
+    em_v, ss_v = [], []
+    for lo, hi in epochs:
+        e, s = st_v.process(t.slice(lo, hi - lo), TS)
+        em_v.append(e)
+        ss_v.append(s)
+    em_v = pa.concat_tables(em_v)
+    ss_v = pa.concat_tables(ss_v).to_pandas()
+
+    st_r, em_r, ss_r = _simulate_per_row(t, dict(with_digest=True), epochs)
+    ss_r = ss_r.to_pandas()
+
+    pd.testing.assert_frame_equal(ss_v.reset_index(drop=True), ss_r.reset_index(drop=True))
+    df_v = em_v.to_pandas().sort_values([KEY, SEQ]).reset_index(drop=True)
+    df_r = em_r.to_pandas().sort_values([KEY, SEQ]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(df_v, df_r)
+    # final state parity too
+    assert {k: (c.received, c.duplicates, c.results, c.next_seq, c.last_event, c.digest)
+            for k, c in st_v.counters.items()} == \
+           {k: (c.received, c.duplicates, c.results, c.next_seq, c.last_event, c.digest)
+            for k, c in st_r.counters.items()}
+
+
+def test_every_event_thinning_matches_per_row():
+    # status_every_epochs counts CALLS; in per-event mode each row is a call.
+    t = tiny_fixture("t_multi")
+    cfg = dict(status_every_event=True, status_every_epochs=3)
+    st_v = OrderedPartitionState(OrderedConfig(**cfg))
+    _, s_v = st_v.process(t.slice(0, 20), TS)
+    st_r, _, s_r = _simulate_per_row(
+        t, dict(status_every_epochs=3), [(0, 20)]
+    )
+    pd.testing.assert_frame_equal(
+        s_v.to_pandas().reset_index(drop=True),
+        s_r.to_pandas().reset_index(drop=True),
+    )
+    assert st_v._call_count == st_r._call_count == 20
