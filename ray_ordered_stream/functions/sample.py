@@ -23,11 +23,9 @@ skew instead; these are task-mandated training-pipeline extensions.)
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
-import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def hash_fraction_threshold(fraction: float) -> str:
@@ -40,23 +38,34 @@ def hash_fraction_threshold(fraction: float) -> str:
 
 
 class _HashSampler:
-    """Keep rows whose md5(id) 8-hex prefix falls under the fraction
-    threshold. md5 is per-row by necessity (digest cost dominates the loop,
-    same trade as Fingerprinter) and is the one hash both we and the DuckDB
-    oracle can compute identically."""
+    """Keep rows whose md5(salt + id) 8-hex prefix falls under the fraction
+    threshold, through the repo's shared vectorized md5 kernel
+    (stream_dedup._fingerprints — DuckDB C++ md5 / hashlib buffer slices).
+    The 8-hex-prefix string compare is done numerically: for equal-length
+    hex, string order == numeric order, so ``hexdigest()[:8] < thr`` is
+    exactly ``(hi >> 32) < int(thr, 16)``. NULL ids never pass (matching
+    the SQL mirror, where ``md5(NULL || ...)`` is NULL)."""
 
     def __init__(self, id_col: str, threshold: str, salt: str = ""):
         self.id_col = id_col
-        self.threshold = threshold
+        self.thr_num = np.uint64(int(threshold, 16))
         self.salt = salt
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        salt = self.salt
-        ids = batch[self.id_col].astype(str)
-        pref = ids.map(
-            lambda s: hashlib.md5((salt + s).encode()).hexdigest()[:8]
-        )
-        return batch[(pref < self.threshold).to_numpy()]
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from ..stream_dedup import _fingerprints
+
+        ids = t[self.id_col]
+        if not pa.types.is_string(ids.type):
+            ids = pc.cast(ids, pa.string())
+        if self.salt:
+            ids = pc.binary_join_element_wise(pa.scalar(self.salt), ids, "")
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        hi, _ = _fingerprints(ids)
+        keep = (hi >> np.uint64(32)) < self.thr_num
+        if ids.null_count:
+            keep &= np.asarray(ids.is_valid())
+        return t.filter(pa.array(keep))
 
 
 def hash_sample(ds, fraction: float, id_col: str, salt: str = ""):
@@ -67,7 +76,7 @@ def hash_sample(ds, fraction: float, id_col: str, salt: str = ""):
     the same id space (SQL mirror: ``md5('<salt>' || cast(id AS varchar))``)."""
     thr = hash_fraction_threshold(fraction)
     return ds.map_batches(
-        _HashSampler(id_col, thr, salt), batch_format="pandas"
+        _HashSampler(id_col, thr, salt), batch_format="pyarrow"
     )
 
 
@@ -89,16 +98,12 @@ def stratified_sample(
     from .topk import grouped_topk
 
     def add_rank_key(t: pa.Table) -> pa.Table:
-        texts = t[text_col].to_pandas()
-        fold = np.fromiter(
-            (
-                int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big")
-                for s in texts
-            ),
-            dtype=np.uint64,
-            count=len(texts),
-        )
-        return t.append_column("_rk", pa.array(fold, pa.uint64()))
+        from ..stream_dedup import _fingerprints
+
+        # fold = first 8 digest bytes big-endian == the hi half of the
+        # shared vectorized kernel's (hi, lo) pair — no per-row hashing
+        hi, _ = _fingerprints(t[text_col])
+        return t.append_column("_rk", pa.array(hi, pa.uint64()))
 
     keyed = ds.map_batches(add_rank_key, batch_format="pyarrow")
     picked = grouped_topk(
@@ -157,19 +162,28 @@ def shuffle_rank(ds, id_col: str, seed: int = 0, num_partitions: int | None = No
     P = max(2, num_partitions or default_partitions())  # num_returns=2 floor
 
     def add_hash(t: pa.Table) -> pa.Table:
-        ids = t[id_col].to_pandas().astype(str)
-        hexes = np.empty(len(ids), dtype=object)
-        pref = np.empty(len(ids), dtype=np.int64)
-        for i, s in enumerate(ids):
-            d = hashlib.md5(f"{seed}:{s}".encode())
-            h = d.hexdigest()
-            hexes[i] = h
-            pref[i] = int(h[:4], 16)
+        from ..stream_dedup import _fingerprints
+
+        # (hi, lo) uint64 pairs via the shared vectorized md5 kernel: the
+        # full digest's hex-string ascending order == (hi, lo) numeric
+        # ascending order (big-endian halves), and int(hex[:4], 16) ==
+        # hi >> 48 — so ordering and bucketing are bit-identical to the
+        # old hex columns at half the shuffled bytes.
+        ids = t[id_col]
+        if not pa.types.is_string(ids.type):
+            ids = pc.cast(ids, pa.string())
+        salted = pc.binary_join_element_wise(pa.scalar(f"{seed}:"), ids, "")
+        if isinstance(salted, pa.ChunkedArray):
+            salted = salted.combine_chunks()
+        hi, lo = _fingerprints(salted)
         return pa.table(
             {
                 id_col: t[id_col],
-                "_h": pa.array(hexes, pa.string()),
-                "_hp": pa.array(pref, pa.int64()),
+                "_h1": pa.array(hi, pa.uint64()),
+                "_h2": pa.array(lo, pa.uint64()),
+                "_hp": pa.array(
+                    (hi >> np.uint64(48)).astype(np.int64), pa.int64()
+                ),
             }
         )
 
@@ -204,7 +218,9 @@ def shuffle_rank(ds, id_col: str, seed: int = 0, num_partitions: int | None = No
             if len(real) > 1
             else real[0]
         )
-        tbl = tbl.sort_by([("_h", "ascending"), (id_col, "ascending")])
+        tbl = tbl.sort_by(
+            [("_h1", "ascending"), ("_h2", "ascending"), (id_col, "ascending")]
+        )
         return tbl, tbl.num_rows
 
     @ray.remote

@@ -419,6 +419,30 @@ def test_shuffle_rank_string_ids(ray_session):
     assert out["doc_id"].tolist() == exp
 
 
+def test_hash_sample_salted_and_null_ids(ray_session):
+    import hashlib
+
+    import ray.data as rd
+
+    from ray_ordered_stream.functions.sample import hash_sample
+
+    # salted draw matches the serial oracle; NULL ids never pass (SQL
+    # semantics: md5(NULL || id) is NULL, so the WHERE drops the row)
+    ids = [str(i) for i in range(500)]
+    t = pa.table({"doc_id": pa.array(ids + [None], pa.string())})
+    got = set(
+        hash_sample(rd.from_arrow(t), 0.5, "doc_id", salt="s:")
+        .to_pandas()["doc_id"]
+    )
+    exp = {
+        s
+        for s in ids
+        if hashlib.md5(("s:" + s).encode()).hexdigest()[:8] < "80000000"
+    }
+    assert got == exp
+    assert None not in got
+
+
 def test_vocab_bigrams(ray_session):
     import collections
     import re
