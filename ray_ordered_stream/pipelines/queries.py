@@ -1311,20 +1311,20 @@ def q_stream_neardup(sf_dir: str):
     # corpus contains real near-dups (doc_near_dups finds them), which the
     # stream would correctly drop but SQL cannot predict — hex strings make
     # band collisions possible only for exact copies, so keep == originals
-    ids = raw["doc_id"].to_pylist()
-    import hashlib as _hl
-
     # hash text AND id together: natural exact-dup texts would otherwise
     # share the 32-hex prefix and differ only in the id tail — genuinely
     # near-dup derived strings the stream would (correctly) drop but the
     # SQL cannot predict (bit at sf0.1, which has 8 natural dup texts)
-    derived = pa.array(
-        [
-            _hl.md5(f"{t or ''}:{i}".encode()).hexdigest()
-            for i, t in zip(ids, raw["text"].to_pylist())
-        ],
-        pa.string(),
+    from ..stream_dedup import md5_hex
+
+    joined = pc.binary_join_element_wise(
+        pc.coalesce(raw["text"], ""),
+        pc.cast(raw["doc_id"], pa.string()),
+        ":",
     )
+    if isinstance(joined, pa.ChunkedArray):
+        joined = joined.combine_chunks()
+    derived = md5_hex(joined)
     docs = pa.table({"doc_id": raw["doc_id"], "text": derived})
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     base = Path(f"/tmp/ros_stream_neardup_{tag}")
