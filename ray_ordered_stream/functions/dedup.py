@@ -752,11 +752,18 @@ class SimHasher:
     pass over ALL tokens of the batch, then 64 bit-plane bincounts per
     document — no per-token (or per-document) Python."""
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        sims = self.simhash_batch(pa.array(batch["text"], pa.string()))
-        batch["simhash"] = sims.astype("int64")  # reinterpret for Arrow
-        batch["simhash_bucket"] = (sims >> np.uint64(48)).astype("int64")
-        return batch
+    def __call__(self, t: pa.Table) -> pa.Table:
+        col = t["text"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        sims = self.simhash_batch(col)
+        t = t.append_column(
+            "simhash", pa.array(sims.astype(np.int64), pa.int64())
+        )  # reinterpret for Arrow
+        return t.append_column(
+            "simhash_bucket",
+            pa.array((sims >> np.uint64(48)).astype(np.int64), pa.int64()),
+        )
 
     @staticmethod
     def simhash_batch(texts: pa.Array) -> np.ndarray:
@@ -799,7 +806,7 @@ class SimHasher:
 def simhash(ds):
     from ..exchange import ensure_min_blocks
 
-    return ensure_min_blocks(ds).map_batches(SimHasher(), batch_format="pandas")
+    return ensure_min_blocks(ds).map_batches(SimHasher(), batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

@@ -37,7 +37,7 @@ class TokenCounter:
     per batch (WORD_RE itself is used only by QualityScorer's counts;
     tokenization here is the Arrow RE2 split below)."""
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+    def __call__(self, t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
         # One vectorized Arrow tokenization feeds BOTH columns (word counts
@@ -45,29 +45,35 @@ class TokenCounter:
         # chars beyond the first). RE2 \W matches the DuckDB oracle's \w+
         # semantics; a second tokenizer (e.g. pandas' unicode-aware \w+)
         # would disagree with it — and with itself — on non-ASCII text.
-        arr = pa.array(batch["text"].astype(str), pa.string())
+        # pyarrow batch format: the text column is a zero-copy object-store
+        # view, never converted to pandas. NULL text counts as 0 tokens.
+        arr = pc.coalesce(t["text"], "")
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
         words = pc.utf8_split_whitespace(
             pc.replace_substring_regex(arr, r"\W+", " ")
         )
         if isinstance(words, pa.ChunkedArray):
             words = words.combine_chunks()
+        n = t.num_rows
         counts = pc.list_value_length(words).fill_null(0).to_numpy(
             zero_copy_only=False
         ).astype(np.int64)
         flat = words.flatten()
         wl = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
-        doc_of = np.repeat(np.arange(len(batch)), counts)
+        doc_of = np.repeat(np.arange(n), counts)
         nz = wl > 0  # split emits empty strings at edges
-        toks = np.bincount(doc_of[nz], minlength=len(batch)).astype(np.int64)
+        toks = np.bincount(doc_of[nz], minlength=n).astype(np.int64)
         extra_per_word = np.maximum(0, (wl[nz] - 1) // 4)
-        extra = np.bincount(doc_of[nz], weights=extra_per_word, minlength=len(batch))
-        batch["n_tokens"] = toks
-        batch["n_subwords_est"] = (toks + extra).astype("int64")
-        return batch
+        extra = np.bincount(doc_of[nz], weights=extra_per_word, minlength=n)
+        t = t.append_column("n_tokens", pa.array(toks, pa.int64()))
+        return t.append_column(
+            "n_subwords_est", pa.array((toks + extra).astype(np.int64), pa.int64())
+        )
 
 
 def token_count(ds):
-    return ds.map_batches(TokenCounter(), batch_format="pandas")
+    return ds.map_batches(TokenCounter(), batch_format="pyarrow")
 
 
 class QualityScorer:
