@@ -20,6 +20,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from .embed import _matrix  # zero-copy (n, dim) reshape of list<float>
+
 _M61 = (1 << 61) - 1
 
 
@@ -835,15 +837,22 @@ def embedding_near_dups(
         def __init__(self):
             self.planes = None
 
-        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-            v = np.stack(b[vec_col].to_numpy()).astype(np.float64)
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if not t.num_rows:
+                return pa.table(
+                    {id_col: t[id_col], vec_col: t[vec_col],
+                     "bucket": pa.array([], pa.int64())}
+                )
+            v = _matrix(t[vec_col])  # zero-copy reshape, no pandas objects
             if self.planes is None:
                 rng = np.random.default_rng(seed)
                 self.planes = rng.standard_normal((v.shape[1], n_planes))
             signs = (v @ self.planes) > 0
             bucket = (signs * (1 << np.arange(n_planes))).sum(axis=1)
-            return pd.DataFrame(
-                {id_col: b[id_col], vec_col: b[vec_col], "bucket": bucket.astype("int64")}
+            # explicit projection: only (id, vec, bucket) enter the exchange
+            return pa.table(
+                {id_col: t[id_col], vec_col: t[vec_col],
+                 "bucket": pa.array(bucket.astype(np.int64), pa.int64())}
             )
 
     import ray
@@ -867,7 +876,7 @@ def embedding_near_dups(
         )
         bkt = tbl["bucket"].to_numpy(zero_copy_only=False).astype(np.int64)
         ids = tbl[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        vecs = np.stack(tbl[vec_col].to_pandas().to_numpy()).astype(np.float64)
+        vecs = _matrix(tbl[vec_col])
         order = np.lexsort((ids, bkt))
         bkt, ids, vecs = bkt[order], ids[order], vecs[order]
         n = len(ids)
@@ -910,7 +919,7 @@ def embedding_near_dups(
 
     from ..exchange import ensure_min_blocks
 
-    bucketed = ensure_min_blocks(ds).map_batches(Bucketer(), batch_format="pandas")
+    bucketed = ensure_min_blocks(ds).map_batches(Bucketer(), batch_format="pyarrow")
     refs = list(bucketed.to_arrow_refs())
     P = max(2, min(num_partitions, len(refs) * 2))
     per_group = shard_refs(refs, "bucket", P, by_int=True)
@@ -1099,7 +1108,7 @@ def semantic_dedup(
                         "cluster": pa.array([], pa.int64()),
                     }
                 )
-            v = np.stack(t[vec_col].to_pandas().to_numpy()).astype(np.float64)
+            v = _matrix(t[vec_col])
             c = self.c
             d = (
                 (v * v).sum(axis=1)[:, None]
@@ -1133,7 +1142,7 @@ def semantic_dedup(
         )
         cl = tbl["cluster"].to_numpy(zero_copy_only=False).astype(np.int64)
         ids = tbl[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        vecs = np.stack(tbl[vec_col].to_pandas().to_numpy()).astype(np.float64)
+        vecs = _matrix(tbl[vec_col])
         order = np.lexsort((ids, cl))
         cl, ids, vecs = cl[order], ids[order], vecs[order]
         nrm = np.linalg.norm(vecs, axis=1, keepdims=True)
@@ -1204,7 +1213,7 @@ def embedding_band_hashes(
         raise ValueError("planes_per_band must be <= 62 (bit-packed int64)")
     from .sketch import _splitmix64
 
-    v = np.stack(vecs.to_pandas().to_numpy()).astype(np.float64)
+    v = _matrix(vecs)
     n, d = v.shape
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((d, bands * planes_per_band))

@@ -18,8 +18,13 @@ import pandas as pd
 import pyarrow as pa
 
 
-def _to_matrix(col) -> np.ndarray:
-    return np.stack(col.to_numpy(zero_copy_only=False)).astype(np.float64)
+def _vec_matrix(col) -> np.ndarray:
+    """(n, dim) float64 matrix from an Arrow list<float> column — the
+    zero-copy flat-buffer reshape from functions.embed, shared by every
+    ANN kernel here (no pandas object arrays in the hot path)."""
+    from .embed import _matrix
+
+    return _matrix(col)
 
 
 def knn_bruteforce(
@@ -43,21 +48,36 @@ def knn_bruteforce(
     qn = qn / np.linalg.norm(qn, axis=1, keepdims=True)
     q_ref = ray.put((qn, np.asarray(query_ids)))
 
-    def partial_topk(b: pd.DataFrame) -> pd.DataFrame:
+    _empty = pa.table(
+        {"query_id": pa.array([], pa.int64()),
+         "neighbor_id": pa.array([], pa.int64()),
+         "cosine": pa.array([], pa.float64())}
+    )
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return _empty
         q, qids = ray.get(q_ref)
-        v = np.stack(b[vec_col].to_numpy()).astype(np.float64)
+        v = _vec_matrix(t[vec_col])
         v = v / np.linalg.norm(v, axis=1, keepdims=True)
         sim = q @ v.T  # (nq, nb)
-        ids = b[id_col].to_numpy()
-        out = []
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         kk = min(k + (1 if exclude_self else 0), sim.shape[1])
-        for qi in range(sim.shape[0]):
-            part = np.argpartition(-sim[qi], kk - 1)[:kk]
-            for j in part:
-                out.append((int(qids[qi]), int(ids[j]), float(sim[qi, j])))
-        return pd.DataFrame(out, columns=["query_id", "neighbor_id", "cosine"])
+        # one vectorized argpartition across all queries — no Python rows
+        part = np.argpartition(-sim, kk - 1, axis=1)[:, :kk]  # (nq, kk)
+        return pa.table(
+            {
+                "query_id": pa.array(
+                    np.repeat(np.asarray(qids, dtype=np.int64), kk), pa.int64()
+                ),
+                "neighbor_id": pa.array(ids[part.ravel()], pa.int64()),
+                "cosine": pa.array(
+                    np.take_along_axis(sim, part, axis=1).ravel(), pa.float64()
+                ),
+            }
+        )
 
-    partials = ds.map_batches(partial_topk, batch_format="pandas").to_pandas()
+    partials = ds.map_batches(partial_topk, batch_format="pyarrow").to_pandas()
     if exclude_self:
         partials = partials[partials["query_id"] != partials["neighbor_id"]]
     # deterministic final top-k: (cosine desc, neighbor_id asc)
@@ -220,7 +240,7 @@ def build_ivf_index(
             col = col.storage
         if pa.types.is_fixed_size_list(col.type):
             col = col.cast(pa.list_(col.type.value_type))
-        v = np.stack(col.to_numpy(zero_copy_only=False)).astype(np.float64)
+        v = _vec_matrix(col)
         d = (
             (v * v).sum(axis=1)[:, None]
             - 2.0 * (v @ c.T)
@@ -312,13 +332,21 @@ def knn_ivf_index(
             ["query_id", "neighbor_id", "rank"]
         ]
 
-    def partial(b: pd.DataFrame) -> pd.DataFrame:
+    _empty = pa.table(
+        {"query_id": pa.array([], pa.int64()),
+         "neighbor_id": pa.array([], pa.int64()),
+         "cosine": pa.array([], pa.float64())}
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return _empty
         q, qids, pr = ray.get(ref)
-        v = np.stack(b[vec_col].to_numpy()).astype(np.float64)
+        v = _vec_matrix(t[vec_col])
         vn = v / np.linalg.norm(v, axis=1, keepdims=True)
-        lids = b["lid"].to_numpy()
-        ids = b[id_col].to_numpy()
-        out = []
+        lids = t["lid"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        out_q, out_n, out_c = [], [], []
         for qi in range(len(q)):
             m = np.isin(lids, pr[qi])
             if not m.any():
@@ -327,16 +355,23 @@ def knn_ivf_index(
             sub_ids = ids[m]
             kk = min(k + (1 if exclude_self else 0), len(sub_ids))
             part = np.argpartition(-sim, kk - 1)[:kk]
-            for j in part:
-                out.append((int(qids[qi]), int(sub_ids[j]), float(sim[j])))
-        if not out:
-            return empty
-        return pd.DataFrame(out, columns=["query_id", "neighbor_id", "cosine"])
+            out_q.append(np.full(kk, qids[qi], dtype=np.int64))
+            out_n.append(sub_ids[part])
+            out_c.append(sim[part])
+        if not out_q:
+            return _empty
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                "neighbor_id": pa.array(np.concatenate(out_n), pa.int64()),
+                "cosine": pa.array(np.concatenate(out_c), pa.float64()),
+            }
+        )
 
     ds = ray.data.read_parquet(
         _dir_files(dirs), columns=[id_col, vec_col, "lid"]
     )
-    partials = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    partials = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
     if exclude_self:
         partials = partials[partials["query_id"] != partials["neighbor_id"]]
     partials = partials.sort_values(
@@ -376,14 +411,27 @@ def knn_ivf(
     probe = np.argsort(qd, axis=1)[:, :n_probe]  # (nq, n_probe)
     ref = ray.put((qn, np.asarray(query_ids), centroids, probe))
 
-    def partial(b: pd.DataFrame) -> pd.DataFrame:
+    _empty = pa.table(
+        {"query_id": pa.array([], pa.int64()),
+         "neighbor_id": pa.array([], pa.int64()),
+         "cosine": pa.array([], pa.float64())}
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return _empty
         q, qids, cent, pr = ray.get(ref)
-        v = np.stack(b[vec_col].to_numpy()).astype(np.float64)
-        d = ((v[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        v = _vec_matrix(t[vec_col])
+        # |v|^2 - 2 v.c + |c|^2 via one matmul (no nb×K×dim temporary)
+        d = (
+            (v * v).sum(axis=1)[:, None]
+            - 2.0 * (v @ cent.T)
+            + (cent * cent).sum(axis=1)[None, :]
+        )
         lists = d.argmin(axis=1)
         vn = v / np.linalg.norm(v, axis=1, keepdims=True)
-        ids = b[id_col].to_numpy()
-        out = []
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        out_q, out_n, out_c = [], [], []
         for qi in range(len(q)):
             m = np.isin(lists, pr[qi])
             if not m.any():
@@ -392,11 +440,20 @@ def knn_ivf(
             sub_ids = ids[m]
             kk = min(k + (1 if exclude_self else 0), len(sub_ids))
             part = np.argpartition(-sim, kk - 1)[:kk]
-            for j in part:
-                out.append((int(qids[qi]), int(sub_ids[j]), float(sim[j])))
-        return pd.DataFrame(out, columns=["query_id", "neighbor_id", "cosine"])
+            out_q.append(np.full(kk, qids[qi], dtype=np.int64))
+            out_n.append(sub_ids[part])
+            out_c.append(sim[part])
+        if not out_q:
+            return _empty
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                "neighbor_id": pa.array(np.concatenate(out_n), pa.int64()),
+                "cosine": pa.array(np.concatenate(out_c), pa.float64()),
+            }
+        )
 
-    partials = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    partials = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
     if exclude_self:
         partials = partials[partials["query_id"] != partials["neighbor_id"]]
     partials = partials.sort_values(
