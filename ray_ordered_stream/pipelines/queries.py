@@ -1860,7 +1860,9 @@ def q_embedding_label_stats(sf_dir: str):
     ds = _read(sf_dir, "embeddings", ["embedding", "label"])
 
     def elem_sum(t: pa.Table) -> pa.Table:
-        v = np.stack(t["embedding"].to_pandas().to_numpy()).astype(np.float64)
+        from ..functions.embed import _matrix
+
+        v = _matrix(t["embedding"])
         return pa.table(
             {"label": t["label"], "elem_sum": pa.array(v.sum(axis=1), pa.float64())}
         )
