@@ -26,21 +26,34 @@ import ray
 
 
 def _matrix(col) -> np.ndarray:
-    """list<float> column -> (n, dim) float64 matrix, zero-copy reshape
-    when the list widths are uniform (the common case)."""
+    """Vector column -> (n, dim) float64 matrix, zero-copy reshape when the
+    list widths are uniform (the common case; already-float64 values come
+    back as a read-only VIEW of the Arrow buffer — no caller mutates in
+    place). Normalizes every embedding shape a caller can hold here —
+    chunked, Ray tensor-extension, fixed_size_list, sliced, empty — so call
+    sites never carry their own guards."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
-    if not hasattr(col, "offsets"):  # e.g. Ray's ArrowTensorArray
-        return np.asarray(col.to_numpy(zero_copy_only=False)).astype(np.float64)
+    if isinstance(col, pa.ExtensionArray):  # e.g. Ray's ArrowTensorArray
+        col = col.storage
+    if pa.types.is_fixed_size_list(col.type):
+        # cheap cast: builds only the offsets vector, values buffer shared
+        col = col.cast(pa.list_(col.type.value_type))
+    if len(col) == 0:
+        return np.zeros((0, 0), dtype=np.float64)
+    if not hasattr(col, "offsets"):
+        return np.asarray(col.to_numpy(zero_copy_only=False)).astype(
+            np.float64, copy=False
+        )
     offsets = np.asarray(col.offsets)
     widths = np.diff(offsets)
-    if len(widths) and (widths == widths[0]).all():
+    if (widths == widths[0]).all():
         flat = np.asarray(col.values)
         lo = offsets[0]
         return (
             flat[lo : lo + widths[0] * len(widths)]
             .reshape(len(widths), widths[0])
-            .astype(np.float64)
+            .astype(np.float64, copy=False)
         )
     return np.stack([np.asarray(v) for v in col.to_pylist()]).astype(np.float64)
 

@@ -172,6 +172,11 @@ def shuffle_rank(ds, id_col: str, seed: int = 0, num_partitions: int | None = No
         ids = t[id_col]
         if not pa.types.is_string(ids.type):
             ids = pc.cast(ids, pa.string())
+        # NULL ids coalesce to "" BEFORE salting so their rank key stays
+        # seed-dependent ("changing seed gives an independent permutation"
+        # must hold for every row; a post-salt null would hash identically
+        # across seeds)
+        ids = pc.coalesce(ids, "")
         salted = pc.binary_join_element_wise(pa.scalar(f"{seed}:"), ids, "")
         if isinstance(salted, pa.ChunkedArray):
             salted = salted.combine_chunks()

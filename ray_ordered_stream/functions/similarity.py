@@ -17,14 +17,14 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from .embed import _matrix as _vec_matrix  # zero-copy (n, dim) reshape
 
-def _vec_matrix(col) -> np.ndarray:
-    """(n, dim) float64 matrix from an Arrow list<float> column — the
-    zero-copy flat-buffer reshape from functions.embed, shared by every
-    ANN kernel here (no pandas object arrays in the hot path)."""
-    from .embed import _matrix
-
-    return _matrix(col)
+# per-batch top-k partial schema, shared by every kernel below
+_EMPTY_PARTIAL = pa.table(
+    {"query_id": pa.array([], pa.int64()),
+     "neighbor_id": pa.array([], pa.int64()),
+     "cosine": pa.array([], pa.float64())}
+)
 
 
 def knn_bruteforce(
@@ -48,15 +48,9 @@ def knn_bruteforce(
     qn = qn / np.linalg.norm(qn, axis=1, keepdims=True)
     q_ref = ray.put((qn, np.asarray(query_ids)))
 
-    _empty = pa.table(
-        {"query_id": pa.array([], pa.int64()),
-         "neighbor_id": pa.array([], pa.int64()),
-         "cosine": pa.array([], pa.float64())}
-    )
-
     def partial_topk(t: pa.Table) -> pa.Table:
         if not t.num_rows:
-            return _empty
+            return _EMPTY_PARTIAL
         q, qids = ray.get(q_ref)
         v = _vec_matrix(t[vec_col])
         v = v / np.linalg.norm(v, axis=1, keepdims=True)
@@ -332,15 +326,9 @@ def knn_ivf_index(
             ["query_id", "neighbor_id", "rank"]
         ]
 
-    _empty = pa.table(
-        {"query_id": pa.array([], pa.int64()),
-         "neighbor_id": pa.array([], pa.int64()),
-         "cosine": pa.array([], pa.float64())}
-    )
-
     def partial(t: pa.Table) -> pa.Table:
         if not t.num_rows:
-            return _empty
+            return _EMPTY_PARTIAL
         q, qids, pr = ray.get(ref)
         v = _vec_matrix(t[vec_col])
         vn = v / np.linalg.norm(v, axis=1, keepdims=True)
@@ -359,7 +347,7 @@ def knn_ivf_index(
             out_n.append(sub_ids[part])
             out_c.append(sim[part])
         if not out_q:
-            return _empty
+            return _EMPTY_PARTIAL
         return pa.table(
             {
                 "query_id": pa.array(np.concatenate(out_q), pa.int64()),
@@ -411,15 +399,9 @@ def knn_ivf(
     probe = np.argsort(qd, axis=1)[:, :n_probe]  # (nq, n_probe)
     ref = ray.put((qn, np.asarray(query_ids), centroids, probe))
 
-    _empty = pa.table(
-        {"query_id": pa.array([], pa.int64()),
-         "neighbor_id": pa.array([], pa.int64()),
-         "cosine": pa.array([], pa.float64())}
-    )
-
     def partial(t: pa.Table) -> pa.Table:
         if not t.num_rows:
-            return _empty
+            return _EMPTY_PARTIAL
         q, qids, cent, pr = ray.get(ref)
         v = _vec_matrix(t[vec_col])
         # |v|^2 - 2 v.c + |c|^2 via one matmul (no nb×K×dim temporary)
@@ -444,7 +426,7 @@ def knn_ivf(
             out_n.append(sub_ids[part])
             out_c.append(sim[part])
         if not out_q:
-            return _empty
+            return _EMPTY_PARTIAL
         return pa.table(
             {
                 "query_id": pa.array(np.concatenate(out_q), pa.int64()),

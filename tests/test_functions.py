@@ -915,3 +915,53 @@ def test_normalize_text_unicode_and_ws(ray_session):
     ]
     assert out == exp
     assert out[1] == "café de flore"
+
+
+def test_matrix_handles_every_embedding_shape(ray_session):
+    """_matrix must normalize chunked / fixed_size_list / sliced / empty /
+    tensor-extension vector columns itself — call sites carry no guards
+    (r5 review: knn_bruteforce crashed on a fixed_size_list column)."""
+    from ray_ordered_stream.functions.embed import _matrix
+
+    base = np.arange(12, dtype=np.float64).reshape(4, 3)
+    lst = pa.array(list(base), pa.list_(pa.float64()))
+    fsl = pa.FixedSizeListArray.from_arrays(
+        pa.array(base.ravel(), pa.float64()), 3
+    )
+    chunked = pa.chunked_array([lst.slice(0, 2), lst.slice(2)])
+    for col in [lst, fsl, chunked, lst.slice(1, 2), fsl.slice(1, 2)]:
+        got = _matrix(col)
+        n = len(col)
+        exp = base[1 : 1 + n] if n == 2 and col.offset else base[:n]
+        np.testing.assert_array_equal(got, exp)
+        assert got.dtype == np.float64
+    # empty: every layout returns (0, 0) instead of raising
+    assert _matrix(lst.slice(0, 0)).shape == (0, 0)
+    assert _matrix(fsl.slice(0, 0)).shape == (0, 0)
+    assert _matrix(pa.chunked_array([], pa.list_(pa.float64()))).shape == (0, 0)
+
+
+def test_knn_bruteforce_fixed_size_list(ray_session):
+    """End-to-end: the embedding column arrives as fixed_size_list (Ray's
+    tensor-ish layout) — must match the plain-list result."""
+    import ray.data as rd
+
+    from ray_ordered_stream.functions.similarity import knn_bruteforce
+
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((50, 8))
+    q = vecs[:3]
+    t_list = pa.table(
+        {"vec_id": pa.array(range(50), pa.int64()),
+         "embedding": pa.array(list(vecs), pa.list_(pa.float64()))}
+    )
+    t_fsl = pa.table(
+        {"vec_id": pa.array(range(50), pa.int64()),
+         "embedding": pa.FixedSizeListArray.from_arrays(
+             pa.array(vecs.ravel(), pa.float64()), 8)}
+    )
+    a = knn_bruteforce(rd.from_arrow(t_list), q, np.arange(3), k=4)
+    b = knn_bruteforce(rd.from_arrow(t_fsl), q, np.arange(3), k=4)
+    pd.testing.assert_frame_equal(
+        a.reset_index(drop=True), b.reset_index(drop=True)
+    )
