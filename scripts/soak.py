@@ -35,9 +35,10 @@ ray.init(address="local", num_cpus={cpus}, include_dashboard=False,
          logging_level="ERROR")
 from ray_ordered_stream.epochs import run_stream_continuous
 from ray_ordered_stream.state import OrderedConfig
+from ray_ordered_stream.userstate import ChainedDigestState
 cfg = OrderedConfig(window_size_s=60.0, session_gap_s=10.0, stream_join=True,
                     pattern=("user", "assistant"), state_ttl_s={ttl},
-                    warmup_rows=0)
+                    warmup_rows=0{userstate})
 res = run_stream_continuous({land!r}, {out!r}, cfg, num_partitions=4,
                             files_per_epoch=4, poll_interval_s=0.2,
                             idle_timeout_s=60.0, resume=True,
@@ -118,6 +119,12 @@ def main() -> int:
                          "the SIGKILL then also exercises lease expiry -> "
                          "redelivery while output stays exactly-once")
     ap.add_argument("--lease-s", type=float, default=20.0)
+    ap.add_argument("--user-state", action="store_true",
+                    help="run the pluggable MutableState hook "
+                         "(ChainedDigestState) through the soak and verify "
+                         "every emitted digest against a serial chain "
+                         "replay — an order + exactly-once proof for the "
+                         "user-state path under kills")
     args = ap.parse_args()
 
     root = Path(args.root)
@@ -188,8 +195,13 @@ def main() -> int:
         "\n                            autoscale_min_partitions=2"
         if args.autoscale else ""
     )
+    userstate = (
+        ",\n                    state_factory=ChainedDigestState"
+        if args.user_state else ""
+    )
     code = CONSUMER.format(repo=REPO, cpus=args.cpus, ttl=args.ttl,
-                           land=str(land), out=str(out), autoscale=autoscale)
+                           land=str(land), out=str(out), autoscale=autoscale,
+                           userstate=userstate)
 
     def start_consumer():
         return subprocess.Popen(
@@ -252,6 +264,34 @@ def main() -> int:
     ).df()
     content_ok = got.equals(exp)
 
+    user_ok = None
+    if args.user_state:
+        # order + exactly-once proof for the user-state hook: every row of
+        # the user sink must carry EXACTLY the digest a serial chain replay
+        # of the deduplicated landed input produces — any dropped, doubled,
+        # or out-of-order turn anywhere (incl. across the kills) changes
+        # every subsequent digest of that key
+        import hashlib
+
+        udf = con.execute(
+            f"""SELECT conv_id, turn_idx, digest
+                FROM read_parquet('{out}/user/epoch=*/*.parquet')
+                ORDER BY conv_id, turn_idx"""
+        ).df()
+        chain, prev_key, d = [], None, ""
+        for k, _t, x in exp.itertuples(index=False):
+            if k != prev_key:
+                prev_key, d = k, ""
+            d = hashlib.md5(f"{d}|{x}".encode()).hexdigest()
+            chain.append(d)
+        user_ok = bool(
+            len(udf) == len(exp)
+            and (udf["conv_id"].to_numpy() == exp["conv_id"].to_numpy()).all()
+            and (udf["turn_idx"].to_numpy() == exp["turn_idx"].to_numpy()).all()
+            and (udf["digest"].to_numpy() == np.array(chain, dtype=object)).all()
+        )
+        content_ok = content_ok and user_ok
+
     probes = [json.loads(l) for l in
               (out / "state_probe.jsonl").read_text().splitlines()]
     rss = [json.loads(l) for l in
@@ -274,6 +314,8 @@ def main() -> int:
         "window_keys_last": key_series[-1] if key_series else 0,
         "probes": len(probes),
     }
+    if user_ok is not None:
+        summary["user_digest_chain_ok"] = user_ok
     if queue is not None:
         qc = queue.counts()
         summary["source"] = "queue"

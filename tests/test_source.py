@@ -305,3 +305,32 @@ def test_pump_resume_retires_historical_acks(tmp_path):
     assert p2._pending_ack == set()   # historical id retired, not stuck
     c = q.counts()
     assert c == {"available": 0, "leased": 0, "acked": 1}
+
+
+def test_publish_collision_is_loud_but_retry_is_idempotent(tmp_path):
+    """ADVICE r4: a racing publisher that computes the same positional id
+    must raise (the message would otherwise be silently lost while
+    publish() still returned its id); a producer RETRY of the same
+    (id, file) pair stays a benign no-op."""
+    import pytest
+
+    a = tmp_path / "a.parquet"
+    b = tmp_path / "b.parquet"
+    a.write_text("x")
+    b.write_text("y")
+    q = FileLeaseQueue(str(tmp_path / "q"))
+    ids = q.publish([str(a)])
+
+    # same seq + same file pointer == idempotent retry, same id returned
+    retry = FileLeaseQueue(str(tmp_path / "q"))
+    retry._next_seq = lambda: 0
+    assert retry.publish([str(a)]) == ids
+    assert q.counts()["available"] == 1
+
+    # same seq + DIFFERENT file == racing publisher; loud error, original
+    # message untouched
+    racer = FileLeaseQueue(str(tmp_path / "q"))
+    racer._next_seq = lambda: 0
+    with pytest.raises(RuntimeError, match="collision"):
+        racer.publish([str(b)])
+    assert q.counts() == {"available": 1, "leased": 0, "acked": 0}
