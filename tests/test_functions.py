@@ -965,3 +965,19 @@ def test_knn_bruteforce_fixed_size_list(ray_session):
     pd.testing.assert_frame_equal(
         a.reset_index(drop=True), b.reset_index(drop=True)
     )
+
+
+def test_token_count_null_and_empty_text(ray_session):
+    """NULL text counts 0 tokens (SQL-oracle NULL semantics; the old pandas
+    path coerced NaN to the 1-token string 'nan')."""
+    import ray.data as rd
+
+    from ray_ordered_stream.functions.textstats import token_count
+
+    t = pa.table(
+        {"doc_id": pa.array([0, 1, 2], pa.int64()),
+         "text": pa.array(["two words", None, ""], pa.string())}
+    )
+    out = token_count(rd.from_arrow(t)).to_pandas().set_index("doc_id")
+    assert out["n_tokens"].tolist() == [2, 0, 0]
+    assert out["n_subwords_est"].tolist() == [3, 0, 0]
