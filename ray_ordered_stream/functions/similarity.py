@@ -445,3 +445,147 @@ def knn_ivf(
     top = partials.groupby("query_id").head(k).reset_index(drop=True)
     top["rank"] = top.groupby("query_id").cumcount() + 1
     return top[["query_id", "neighbor_id", "rank"]]
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed ANN (random hyperplanes; the other classic scale path next to
+# IVF — data-independent, so there is NO training pass at all)
+# ---------------------------------------------------------------------------
+
+
+def lsh_planes(
+    dim: int, n_tables: int = 12, n_bits: int = 8, seed: int = 7
+) -> np.ndarray:
+    """Seeded random hyperplanes for ``n_tables`` sign-LSH tables of
+    ``n_bits`` bits each: (n_tables, n_bits, dim) float64. Data-independent
+    (Charikar sign-LSH), so index-side and query-side codes agree by seed
+    alone — nothing is trained, nothing is broadcast but this array."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_tables, n_bits, dim))
+
+
+def lsh_codes(v: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """(n, dim) vectors -> (n, n_tables) int64 bucket codes: one fused
+    matmul against all tables' hyperplanes, sign bits packed little-endian.
+    Cosine-LSH collision law: P[bit agrees] = 1 - angle/pi."""
+    L, b, dim = planes.shape
+    proj = v @ planes.reshape(L * b, dim).T  # (n, L*b), one matmul
+    bits = (proj > 0).reshape(len(v), L, b)
+    w = (1 << np.arange(b, dtype=np.int64))
+    return (bits * w).sum(axis=2)
+
+
+def _probe_codes(qcodes: np.ndarray, n_bits: int, multiprobe: int = 1):
+    """Per-query probe sets: each query's own bucket per table plus every
+    bucket within Hamming distance ``multiprobe`` (flip-1 by default) —
+    (nq, n_tables, 1 + n_bits) for multiprobe=1. Multiprobe trades a few
+    extra bucket reads for far fewer tables at equal recall (Lv et al.,
+    VLDB'07, public multi-probe LSH)."""
+    nq, L = qcodes.shape
+    probes = [qcodes[:, :, None]]
+    if multiprobe >= 1:
+        flips = qcodes[:, :, None] ^ (1 << np.arange(n_bits, dtype=np.int64))
+        probes.append(flips)
+    if multiprobe >= 2:
+        pairs = [
+            (1 << i) | (1 << j)
+            for i in range(n_bits)
+            for j in range(i + 1, n_bits)
+        ]
+        probes.append(qcodes[:, :, None] ^ np.asarray(pairs, dtype=np.int64))
+    return np.concatenate(probes, axis=2)
+
+
+def knn_lsh(
+    ds,
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    k: int = 5,
+    n_tables: int = 12,
+    n_bits: int = 8,
+    multiprobe: int = 1,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+):
+    """LSH-bucketed approximate top-k cosine neighbors (scan form).
+
+    Per batch: one fused code matmul (``n_tables * n_bits`` dot products per
+    row), then the exact cosine matmul runs only over the CANDIDATES — rows
+    sharing a probed bucket with a query in at least one table. Candidate
+    selection is a vectorized sorted-membership test over all queries'
+    probe sets at once; nothing but (query_id, neighbor_id, cosine)
+    partial-top-k rows leaves a batch.
+
+    Scale notes: the code matmul pays for itself once the query batch is
+    larger than ``n_tables * n_bits`` columns (production ANN serving; for
+    a handful of queries ``knn_bruteforce`` is cheaper) — and at warehouse
+    scale the same ``bucket = code`` assignment becomes the hive partition
+    key, making the probe an I/O prune exactly like ``build_ivf_index``.
+    Unlike IVF there is no training pass and no centroid drift: codes are
+    reproducible from (dim, n_tables, n_bits, seed) forever, so index-side
+    codes computed years apart still collide correctly."""
+    import ray
+
+    qn = queries.astype(np.float64)
+    qn = qn / np.linalg.norm(qn, axis=1, keepdims=True)
+    planes = lsh_planes(queries.shape[1], n_tables, n_bits, seed)
+    probe = _probe_codes(lsh_codes(qn, planes), n_bits, multiprobe)
+    # per-table sorted probe-code pool over ALL queries (tiny): membership
+    # of a row in ANY query's probe set is one searchsorted per table
+    pool = [np.unique(probe[:, l, :]) for l in range(probe.shape[1])]
+    ref = ray.put((qn, np.asarray(query_ids), planes, probe, pool))
+
+    def partial(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return _EMPTY_PARTIAL
+        q, qids, pl, pr, po = ray.get(ref)
+        v = _vec_matrix(t[vec_col])
+        codes = lsh_codes(v, pl)  # (n, L)
+        cand = np.zeros(len(v), bool)
+        for l in range(codes.shape[1]):
+            j = np.searchsorted(po[l], codes[:, l])
+            j = np.clip(j, 0, len(po[l]) - 1)
+            cand |= po[l][j] == codes[:, l]
+        if not cand.any():
+            return _EMPTY_PARTIAL
+        sel = np.flatnonzero(cand)
+        vn = v[sel] / np.linalg.norm(v[sel], axis=1, keepdims=True)
+        ccodes = codes[sel]
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)[sel]
+        out_q, out_n, out_c = [], [], []
+        for qi in range(len(q)):
+            # candidate rows FOR THIS query: probe-set hit in >= 1 table
+            m = np.zeros(len(sel), bool)
+            for l in range(ccodes.shape[1]):
+                m |= np.isin(ccodes[:, l], pr[qi, l, :])
+            if not m.any():
+                continue
+            sim = q[qi] @ vn[m].T
+            sub_ids = ids[m]
+            kk = min(k + (1 if exclude_self else 0), len(sub_ids))
+            part = np.argpartition(-sim, kk - 1)[:kk]
+            out_q.append(np.full(kk, qids[qi], dtype=np.int64))
+            out_n.append(sub_ids[part])
+            out_c.append(sim[part])
+        if not out_q:
+            return _EMPTY_PARTIAL
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                "neighbor_id": pa.array(np.concatenate(out_n), pa.int64()),
+                "cosine": pa.array(np.concatenate(out_c), pa.float64()),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if exclude_self:
+        partials = partials[partials["query_id"] != partials["neighbor_id"]]
+    partials = partials.sort_values(
+        ["query_id", "cosine", "neighbor_id"], ascending=[True, False, True],
+        kind="stable",
+    )
+    top = partials.groupby("query_id").head(k).reset_index(drop=True)
+    top["rank"] = top.groupby("query_id").cumcount() + 1
+    return top[["query_id", "neighbor_id", "rank"]]

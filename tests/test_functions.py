@@ -116,6 +116,57 @@ def test_knn_ivf_recall(embeddings):
     assert recall >= 0.6
 
 
+def test_knn_lsh_recall_and_pruning(embeddings):
+    from ray_ordered_stream.functions.similarity import (
+        knn_bruteforce,
+        knn_lsh,
+        lsh_codes,
+        lsh_planes,
+    )
+
+    v, ds = embeddings
+    q = v[:5].astype(np.float64)
+    exact = knn_bruteforce(ds, q, np.arange(5), k=5)
+    approx = knn_lsh(ds, q, np.arange(5), k=5)
+    e = exact.groupby("query_id")["neighbor_id"].apply(set)
+    a = approx.groupby("query_id")["neighbor_id"].apply(set)
+    recall = np.mean([len(e[i] & a.get(i, set())) / 5 for i in range(5)])
+    assert recall >= 0.6
+    # determinism: seeded planes -> identical result on a second run
+    again = knn_lsh(ds, q, np.arange(5), k=5)
+    pd.testing.assert_frame_equal(
+        approx.reset_index(drop=True), again.reset_index(drop=True)
+    )
+    # every returned neighbor must be a genuine bucket-collision candidate
+    planes = lsh_planes(v.shape[1])
+    vn = v.astype(np.float64)
+    vn = vn / np.linalg.norm(vn, axis=1, keepdims=True)
+    codes = lsh_codes(vn, planes)
+    qc = codes[:5]
+    for _, r in approx.iterrows():
+        cq, cn = qc[int(r["query_id"])], codes[int(r["neighbor_id"])]
+        # flip-1 multiprobe: some table within Hamming distance 1
+        assert any(
+            bin(int(cq[l]) ^ int(cn[l])).count("1") <= 1
+            for l in range(codes.shape[1])
+        )
+
+
+def test_lsh_codes_collision_law():
+    """Identical vectors collide in every table; a vector and its negation
+    collide in none (sign-LSH P[bit agrees] = 1 - angle/pi)."""
+    from ray_ordered_stream.functions.similarity import lsh_codes, lsh_planes
+
+    rng = np.random.default_rng(0)
+    v = rng.standard_normal((4, 16))
+    planes = lsh_planes(16, n_tables=6, n_bits=8, seed=1)
+    c1 = lsh_codes(v, planes)
+    c2 = lsh_codes(v.copy(), planes)
+    assert (c1 == c2).all()
+    cneg = lsh_codes(-v, planes)
+    assert (c1 != cneg).all()
+
+
 def test_embedding_near_dups(embeddings):
     from ray_ordered_stream.functions.dedup import embedding_near_dups
 
