@@ -36,7 +36,12 @@ def _group_hash(df: pd.DataFrame, keys: list[str]) -> np.ndarray:
     h = np.full(len(df), np.uint64(0xCBF29CE484222325))
     with np.errstate(over="ignore"):
         for k in keys:
-            col = pa.array(df[k].astype(str), pa.string())
+            # NULLs must hash identically whatever dtype the block carried
+            # them in (object None -> "None", float NaN -> "nan"): route
+            # every null through one sentinel so the null group never
+            # splits across partitions.
+            s = df[k].astype(str).where(~df[k].isna(), "\x00null")
+            col = pa.array(s, pa.string())
             h = (h ^ hash_string_array(col)) * np.uint64(0x100000001B3)
     return h
 
@@ -185,6 +190,10 @@ def exchange_groupby(
             partial(empty_in).drop(columns=["_gk"]), keys, aggs
         )
         return ray.data.from_pandas(out)
+    if P == 1:
+        # num_returns=1 would make Ray hand back a bare ref (not a list),
+        # and a single partition needs no routing anyway: merge directly.
+        return ray.data.from_arrow_refs([reduce.remote(fallback, *refs)])
     groups = [
         list(g)
         for g in np.array_split(
@@ -196,3 +205,142 @@ def exchange_groupby(
     return ray.data.from_arrow_refs(
         [reduce.remote(fallback, *[sg[p] for sg in split_groups]) for p in range(P)]
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-dimensional aggregation: GROUPING SETS / ROLLUP / CUBE
+# ---------------------------------------------------------------------------
+
+
+def rollup_sets(keys: list[str]) -> list[list[str]]:
+    """SQL ``ROLLUP(k1..kn)``: the n+1 prefixes, finest first."""
+    return [list(keys[:i]) for i in range(len(keys), -1, -1)]
+
+
+def cube_sets(keys: list[str]) -> list[list[str]]:
+    """SQL ``CUBE(k1..kn)``: all 2^n subsets, finest first (subset order
+    follows the grouping-id bit pattern ascending)."""
+    n = len(keys)
+    out = []
+    for gid in range(1 << n):
+        out.append([k for i, k in enumerate(keys) if not (gid >> (n - 1 - i)) & 1])
+    return out
+
+
+def grouping_sets(
+    ds,
+    keys: list[str],
+    sets: list[list[str]],
+    aggs: dict[str, tuple[str | None, str]],
+    num_partitions: int | None = None,
+    grouping_id_col: str = "grouping_id",
+):
+    """GROUPING SETS over the shared exchange (SQL ROLLUP/CUBE semantics,
+    cf. Gray et al., "Data Cube", ICDE'96).
+
+    ``keys`` fixes the grouping-id bit order (leftmost key = most
+    significant bit, matching DuckDB's ``GROUPING_ID``); each entry of
+    ``sets`` is a subset of ``keys``. Output: every key column (NULL where
+    rolled up), ``grouping_id`` int64, one column per agg alias.
+
+    Scale plan: the INPUT is aggregated exactly once — one partial pass +
+    one exchange at the finest granularity (the union key), with ``mean``
+    carried as (sum, count) so it stays re-aggregable. Every coarser set
+    then re-aggregates the BASE result (group-cardinality rows, not input
+    rows), so n grouping sets cost one full-data exchange plus n tiny
+    ones — the classic cube optimization — and the per-set pieces stream
+    through ``Dataset.union`` without materializing."""
+    import functools
+
+    import ray.data
+
+    keys = list(keys)
+    for s in sets:
+        if not set(s) <= set(keys):
+            raise ValueError(f"grouping set {s!r} not a subset of {keys!r}")
+    for alias, (_c, op) in aggs.items():
+        if op not in _OPS:
+            raise ValueError(f"unsupported op {op!r} for {alias!r}")
+
+    # Stage 1: one exchange at the union key, re-aggregable aliases.
+    base_aggs: dict[str, tuple[str | None, str]] = {}
+    for alias, (col, op) in aggs.items():
+        if op == "mean":
+            base_aggs[f"__s_{alias}"] = (col, "sum")
+            base_aggs[f"__c_{alias}"] = (col, "count")
+        else:
+            base_aggs[alias] = (col, op)
+    # Key types come from the INPUT schema: a base-result block whose key
+    # column is all-NULL round-trips through pandas as float64, so the
+    # base dataset's own unified schema may not even resolve. finalize
+    # casts every block back to the input key type (all-NULL casts are
+    # lossless), which also makes the cross-set union schema-stable.
+    in_sch = ds.schema()
+    raw = dict(zip(in_sch.names, in_sch.types))
+
+    def _pa_type(t) -> pa.DataType:
+        if isinstance(t, pa.DataType):
+            return t
+        try:  # numpy dtype from a PandasBlockSchema
+            return pa.from_numpy_dtype(t)
+        except (pa.ArrowNotImplementedError, TypeError):
+            return pa.string()  # object dtype: strings in this engine
+
+    key_types = {k: _pa_type(raw[k]) for k in keys}
+
+    base = exchange_groupby(ds, keys, base_aggs, num_partitions)
+
+    def stage2_aggs() -> dict[str, tuple[str | None, str]]:
+        out: dict[str, tuple[str | None, str]] = {}
+        for alias, (_col, op) in aggs.items():
+            if op == "mean":
+                out[f"__s_{alias}"] = (f"__s_{alias}", "sum")
+                out[f"__c_{alias}"] = (f"__c_{alias}", "sum")
+            elif op in ("sum", "count"):
+                out[alias] = (alias, "sum")
+            else:  # min / max re-aggregate with themselves
+                out[alias] = (alias, op)
+        return out
+
+    def finalize(s: list[str], gid: int):
+        def fn(t: pa.Table) -> pa.Table:
+            cols: dict[str, pa.Array] = {}
+            n = t.num_rows
+            for k in keys:
+                if k in s:
+                    cols[k] = t[k].cast(key_types[k])
+                else:
+                    cols[k] = pa.nulls(n, key_types[k])
+            cols[grouping_id_col] = pa.array([gid] * n, pa.int64())
+            import pyarrow.compute as pc
+
+            for alias, (_col, op) in aggs.items():
+                if op == "mean":
+                    cols[alias] = pc.divide(
+                        pc.cast(t[f"__s_{alias}"], pa.float64()),
+                        pc.cast(t[f"__c_{alias}"], pa.float64()),
+                    )
+                else:
+                    cols[alias] = t[alias]
+            return pa.table(cols)
+
+        return fn
+
+    pieces = []
+    for s in sets:
+        gid = sum(
+            1 << (len(keys) - 1 - i) for i, k in enumerate(keys) if k not in s
+        )
+        if s == keys:
+            piece = base
+        elif s:
+            piece = exchange_groupby(base, list(s), stage2_aggs(), num_partitions)
+        else:
+            # Grand total: constant key, single partition, key dropped.
+            tmp = base.map_batches(
+                lambda df: df.assign(__all=np.int64(0)), batch_format="pandas"
+            )
+            piece = exchange_groupby(tmp, ["__all"], stage2_aggs(), 1)
+            piece = piece.drop_columns(["__all"])
+        pieces.append(piece.map_batches(finalize(list(s), gid), batch_format="pyarrow"))
+    return functools.reduce(lambda a, b: a.union(b), pieces)

@@ -2009,6 +2009,74 @@ SQL_TOP_ORDERS = (
 )
 
 
+def q_orders_rollup(sf_dir: str):
+    """Multi-dimensional aggregation (agg.grouping_sets): SQL
+    ROLLUP(status, priority) — the input is aggregated ONCE at the finest
+    grain through the shared exchange, every coarser level re-aggregates
+    that group-cardinality base (mean carried as sum+count so the
+    re-aggregation is exact), pieces stream through Dataset.union."""
+    from ..agg import grouping_sets, rollup_sets
+
+    keys = ["o_orderstatus", "o_orderpriority"]
+    out = grouping_sets(
+        _read(sf_dir, "orders", keys + ["o_totalprice"]),
+        keys,
+        rollup_sets(keys),
+        {
+            "n_orders": (None, "count"),
+            "total_price": ("o_totalprice", "sum"),
+            "avg_price": ("o_totalprice", "mean"),
+            "max_price": ("o_totalprice", "max"),
+        },
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.set_column(
+            t.column_names.index("total_price"),
+            "total_price",
+            pc.round(t["total_price"], 0),
+        )
+        return t.set_column(
+            t.column_names.index("avg_price"),
+            "avg_price",
+            pc.round(t["avg_price"], 4),
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_ORDERS_ROLLUP = """
+SELECT o_orderstatus, o_orderpriority,
+       GROUPING_ID(o_orderstatus, o_orderpriority)::BIGINT AS grouping_id,
+       count(*)::BIGINT AS n_orders,
+       round(sum(o_totalprice), 0) AS total_price,
+       round(avg(o_totalprice), 4) AS avg_price,
+       max(o_totalprice) AS max_price
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+def q_docs_cube(sf_dir: str):
+    """CUBE(lang, source) over documents via agg.grouping_sets — all four
+    grouping sets from one full-data exchange plus three tiny ones."""
+    from ..agg import cube_sets, grouping_sets
+
+    keys = ["lang", "source"]
+    return grouping_sets(
+        _read(sf_dir, "documents", keys + ["n_chars"]),
+        keys,
+        cube_sets(keys),
+        {"n_docs": (None, "count"), "chars": ("n_chars", "sum")},
+    )
+
+
+SQL_DOCS_CUBE = """
+SELECT lang, source, GROUPING_ID(lang, source)::BIGINT AS grouping_id,
+       count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS chars
+FROM documents GROUP BY CUBE (lang, source)
+"""
+
+
 def q_segment_order_stats(sf_dir: str):
     """Broadcast join: small customer dim shipped once via ray.put, looked up
     per batch (no shuffle); then grouped aggregation."""
@@ -4100,6 +4168,8 @@ QUERIES = {
     "bpe_merges": (q_bpe_merges, SQL_BPE_MERGES),
     "ordered_user_digest": (q_ordered_user_digest, SQL_ORDERED_USER_DIGEST),
     "ordered_user_stats": (q_ordered_user_stats, SQL_ORDERED_USER_STATS),
+    "orders_rollup": (q_orders_rollup, SQL_ORDERS_ROLLUP),
+    "docs_cube": (q_docs_cube, SQL_DOCS_CUBE),
     # -- (2) last driver-gated in round 3 or earlier ----------------------
     "doc_exact_dedup_keep": (q_doc_exact_dedup_keep, SQL_DOC_EXACT_DEDUP_KEEP),
     "doc_dedup_clusters": (q_doc_dedup_clusters, SQL_DOC_DEDUP_CLUSTERS),

@@ -123,3 +123,69 @@ def test_exchange_groupby_zero_block_input_keeps_agg_schema():
     blocks = [ray.get(r) for r in out.to_arrow_refs()]
     assert all(sorted(t.schema.names) == ["k", "n", "s"] for t in blocks)
     assert sum(t.num_rows for t in blocks) == 0
+
+def test_rollup_and_cube_set_enumeration():
+    from ray_ordered_stream.agg import cube_sets, rollup_sets
+
+    assert rollup_sets(["a", "b"]) == [["a", "b"], ["a"], []]
+    assert cube_sets(["a", "b"]) == [["a", "b"], ["a"], ["b"], []]
+
+
+def test_grouping_sets_matches_pandas_rollup():
+    from ray_ordered_stream.agg import grouping_sets, rollup_sets
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame(
+        {
+            "k1": rng.choice(["a", "b", None], size=400),
+            "k2": rng.choice(["x", "y"], size=400),
+            "v": rng.normal(size=400),
+        }
+    )
+    keys = ["k1", "k2"]
+    got = (
+        grouping_sets(
+            ray.data.from_pandas(df).repartition(5),
+            keys,
+            rollup_sets(keys),
+            {"n": (None, "count"), "s": ("v", "sum"), "m": ("v", "mean")},
+        )
+        .to_pandas()
+        .sort_values(["grouping_id", "k1", "k2"], na_position="first")
+        .reset_index(drop=True)
+    )
+    pieces = []
+    for gid, ks in [(0, ["k1", "k2"]), (1, ["k1"]), (3, [])]:
+        if ks:
+            p = df.groupby(ks, dropna=False, as_index=False).agg(
+                n=("v", "size"), s=("v", "sum"), m=("v", "mean")
+            )
+        else:
+            p = pd.DataFrame(
+                {"n": [len(df)], "s": [df["v"].sum()], "m": [df["v"].mean()]}
+            )
+        for k in keys:
+            if k not in ks:
+                p[k] = None
+        p["grouping_id"] = gid
+        pieces.append(p)
+    exp = (
+        pd.concat(pieces, ignore_index=True)[got.columns]
+        .sort_values(["grouping_id", "k1", "k2"], na_position="first")
+        .reset_index(drop=True)
+    )
+    # a data-NULL key at gid=0 is distinct from a rolled-up NULL at gid>0
+    assert (got["grouping_id"] == 0).sum() == df.groupby(
+        keys, dropna=False
+    ).ngroups
+    pd.testing.assert_frame_equal(got, exp, check_exact=False, rtol=1e-12)
+
+
+def test_grouping_sets_rejects_bad_set():
+    import pytest
+
+    from ray_ordered_stream.agg import grouping_sets
+
+    ds = ray.data.from_pandas(pd.DataFrame({"k": ["a"], "v": [1.0]}))
+    with pytest.raises(ValueError):
+        grouping_sets(ds, ["k"], [["nope"]], {"n": (None, "count")})
