@@ -145,8 +145,11 @@ def exchange_groupby(
                 return fallback
             tbl = template.slice(0, 0)
         else:
+            # "default" promotion: identical to "none" except a null-typed
+            # column (an all-NaN object frame somewhere upstream) unifies
+            # losslessly with its real type instead of failing the concat.
             tbl = (
-                pa.concat_tables(real, promote_options="none")
+                pa.concat_tables(real, promote_options="default")
                 if len(real) > 1
                 else real[0]
             )
@@ -166,7 +169,7 @@ def exchange_groupby(
             e = base.slice(0, 0) if base is not None else pa.table({})
             return [e] * P
         tbl = (
-            pa.concat_tables(real, promote_options="none")
+            pa.concat_tables(real, promote_options="default")
             if len(real) > 1
             else real[0]
         )
@@ -290,6 +293,19 @@ def grouping_sets(
 
     base = exchange_groupby(ds, keys, base_aggs, num_partitions)
 
+    # Normalize key dtypes on every base block BEFORE the stage-2
+    # exchanges: an all-NULL key block comes back float64 and would make
+    # the stage-2 partial concat reject mixed string/double schemas.
+    def _norm_keys(t: pa.Table) -> pa.Table:
+        for k in keys:
+            if t.schema.field(k).type != key_types[k]:
+                t = t.set_column(
+                    t.column_names.index(k), k, t[k].cast(key_types[k])
+                )
+        return t
+
+    base = base.map_batches(_norm_keys, batch_format="pyarrow")
+
     def stage2_aggs() -> dict[str, tuple[str | None, str]]:
         out: dict[str, tuple[str | None, str]] = {}
         for alias, (_col, op) in aggs.items():
@@ -344,3 +360,143 @@ def grouping_sets(
             piece = piece.drop_columns(["__all"])
         pieces.append(piece.map_batches(finalize(list(s), gid), batch_format="pyarrow"))
     return functools.reduce(lambda a, b: a.union(b), pieces)
+
+
+# ---------------------------------------------------------------------------
+# Pivot (long -> wide) and unpivot (wide -> long)
+# ---------------------------------------------------------------------------
+
+
+def pivot_wider(
+    ds,
+    index: list[str] | str,
+    pivot_col: str,
+    aggs: dict[str, tuple[str | None, str]],
+    values: list | None = None,
+    num_partitions: int | None = None,
+):
+    """Pivot: one output row per ``index`` group, one column per
+    (pivot value x agg alias), named ``{value}_{alias}`` — SQL conditional
+    aggregation (``agg(col) FILTER (WHERE pivot = value)``).
+
+    Scale plan: the input is aggregated ONCE at (index, pivot) grain via
+    the shared exchange; each fully-merged cell then appears exactly once,
+    so the wide reshape is a per-batch column scatter and the second
+    exchange (at index grain, group-cardinality rows) merges singleton
+    cells with ``min`` — which is identity on one value and NULL on none,
+    matching FILTER-aggregate semantics without special-casing. ``count``
+    cells merge with ``sum`` and backfill 0 (SQL count is never NULL);
+    ``mean`` carries (sum, count) and divides at the end.
+
+    ``values``: pass the pivot domain explicitly to skip the discovery
+    pass (the right call at warehouse scale when the domain is known);
+    ``None`` discovers it from the aggregated base (pivot-column-only
+    scan of group-cardinality rows, never the raw input)."""
+    import pyarrow.compute as pc
+
+    index = [index] if isinstance(index, str) else list(index)
+
+    base_aggs: dict[str, tuple[str | None, str]] = {}
+    for alias, (col, op) in aggs.items():
+        if op not in _OPS:
+            raise ValueError(f"unsupported op {op!r} for {alias!r}")
+        if op == "mean":
+            base_aggs[f"__s_{alias}"] = (col, "sum")
+            base_aggs[f"__c_{alias}"] = (col, "count")
+        else:
+            base_aggs[alias] = (col, op)
+    base = exchange_groupby(ds, index + [pivot_col], base_aggs, num_partitions)
+
+    if values is None:
+        vals = sorted(
+            base.map_batches(
+                lambda df: df[[pivot_col]].drop_duplicates(),
+                batch_format="pandas",
+            )
+            .to_pandas()[pivot_col]
+            .dropna()
+            .unique()
+            .tolist()
+        )
+    else:
+        vals = list(values)
+
+    def widen(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[index].copy()
+        for v in vals:
+            m = df[pivot_col] == v
+            # .astype(float64) everywhere: Series.where keeps int64 when the
+            # mask is all-True, so without it a single-value block would emit
+            # int cells while its siblings emit float — schema-unstable blocks.
+            for alias, (_c, op) in aggs.items():
+                if op == "mean":
+                    out[f"__s_{v}_{alias}"] = (
+                        df[f"__s_{alias}"].where(m).astype("float64")
+                    )
+                    out[f"__c_{v}_{alias}"] = (
+                        df[f"__c_{alias}"].where(m).astype("float64")
+                    )
+                else:
+                    out[f"{v}_{alias}"] = df[alias].where(m).astype("float64")
+        return out
+
+    wide = base.map_batches(widen, batch_format="pandas")
+
+    out_aggs: dict[str, tuple[str | None, str]] = {}
+    for v in vals:
+        for alias, (_c, op) in aggs.items():
+            if op == "mean":
+                out_aggs[f"__s_{v}_{alias}"] = (f"__s_{v}_{alias}", "sum")
+                out_aggs[f"__c_{v}_{alias}"] = (f"__c_{v}_{alias}", "sum")
+            elif op == "count":
+                out_aggs[f"{v}_{alias}"] = (f"{v}_{alias}", "sum")
+            else:  # sum/min/max: the cell is a singleton -> min == identity,
+                # and min over an empty cell is NULL (FILTER semantics)
+                out_aggs[f"{v}_{alias}"] = (f"{v}_{alias}", "min")
+    out = exchange_groupby(wide, index, out_aggs, num_partitions)
+
+    def finish(t: pa.Table) -> pa.Table:
+        cols: dict[str, pa.ChunkedArray | pa.Array] = {k: t[k] for k in index}
+        for v in vals:
+            for alias, (_c, op) in aggs.items():
+                name = f"{v}_{alias}"
+                if op == "mean":
+                    cols[name] = pc.divide(
+                        pc.cast(t[f"__s_{v}_{alias}"], pa.float64()),
+                        pc.cast(t[f"__c_{v}_{alias}"], pa.float64()),
+                    )
+                elif op == "count":
+                    cols[name] = pc.cast(
+                        pc.coalesce(t[name], pa.scalar(0.0)), pa.int64()
+                    )
+                else:
+                    cols[name] = t[name]
+        return pa.table(cols)
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def unpivot(
+    ds,
+    index: list[str] | str,
+    value_cols: list[str],
+    var_name: str = "variable",
+    value_name: str = "value",
+):
+    """Unpivot (wide -> long, SQL UNPIVOT / pandas melt): pure per-batch
+    reshape, no shuffle — every value column becomes ``len(batch)`` rows
+    of (index..., variable, value). Values are cast to a common float64
+    (SQL UNPIVOT requires a shared supertype too)."""
+    index = [index] if isinstance(index, str) else list(index)
+
+    def melt(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.melt(
+            id_vars=index,
+            value_vars=value_cols,
+            var_name=var_name,
+            value_name=value_name,
+        )
+        out[value_name] = out[value_name].astype("float64")
+        return out
+
+    return ds.map_batches(melt, batch_format="pandas")

@@ -2077,6 +2077,85 @@ FROM documents GROUP BY CUBE (lang, source)
 """
 
 
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_events_pivot(sf_dir: str):
+    """Pivot (agg.pivot_wider): per-user wide table, one column per
+    (event_type x agg) — SQL conditional aggregation. The explicit
+    ``values=`` domain skips the discovery pass (the 100-TB call when the
+    domain is known); empty cells are NULL for sum/max/mean and 0 for
+    count, exactly FILTER-aggregate semantics."""
+    from ..agg import pivot_wider
+
+    out = pivot_wider(
+        _read(sf_dir, "events", ["user_id", "event_type", "value"]),
+        "user_id",
+        "event_type",
+        {
+            "n": (None, "count"),
+            "sv": ("value", "sum"),
+            "mx": ("value", "max"),
+        },
+        values=_EVENT_TYPES,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        # av = round(sum, 2) / n on BOTH sides: a plain round(avg, k)
+        # ties at the k-th decimal for 2-decimal inputs (mean of n such
+        # values is often exactly x.5e-k and the two summation orders
+        # land on opposite sides); dividing the already-identical rounded
+        # sum is bit-deterministic.
+        for ty in _EVENT_TYPES:
+            sv = pc.round(t[f"{ty}_sv"], 2)
+            t = t.set_column(t.column_names.index(f"{ty}_sv"), f"{ty}_sv", sv)
+            av = pc.divide(
+                sv, pc.cast(pc.if_else(
+                    pc.equal(t[f"{ty}_n"], 0), pa.scalar(None, pa.int64()),
+                    t[f"{ty}_n"],
+                ), pa.float64()),
+            )
+            t = t.append_column(f"{ty}_av", av)
+        return t
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_EVENTS_PIVOT = "SELECT user_id, " + ", ".join(
+    f"count(*) FILTER (WHERE event_type='{t}')::BIGINT AS \"{t}_n\", "
+    f"round(sum(value) FILTER (WHERE event_type='{t}'), 2) AS \"{t}_sv\", "
+    f"max(value) FILTER (WHERE event_type='{t}') AS \"{t}_mx\", "
+    f"round(sum(value) FILTER (WHERE event_type='{t}'), 2)"
+    f" / (count(*) FILTER (WHERE event_type='{t}'))::DOUBLE AS \"{t}_av\""
+    for t in _EVENT_TYPES
+) + " FROM events GROUP BY user_id"
+
+
+def q_doc_lang_unpivot(sf_dir: str):
+    """Composition: grouped aggregate -> unpivot (agg.unpivot, SQL
+    UNPIVOT): per-lang doc stats reshaped long — the melt is a pure
+    per-batch reshape, no shuffle after the aggregate's single exchange."""
+    from ..agg import exchange_groupby, unpivot
+
+    per_lang = exchange_groupby(
+        _read(sf_dir, "documents", ["lang", "n_chars"]),
+        "lang",
+        {"n_docs": (None, "count"), "total_chars": ("n_chars", "sum")},
+    )
+    return unpivot(per_lang, "lang", ["n_docs", "total_chars"], "metric", "value")
+
+
+SQL_DOC_LANG_UNPIVOT = """
+WITH per_lang AS (
+  SELECT lang, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS total_chars
+  FROM documents GROUP BY lang
+)
+SELECT lang, 'n_docs' AS metric, n_docs::DOUBLE AS value FROM per_lang
+UNION ALL
+SELECT lang, 'total_chars' AS metric, total_chars::DOUBLE AS value FROM per_lang
+"""
+
+
 def q_segment_order_stats(sf_dir: str):
     """Broadcast join: small customer dim shipped once via ray.put, looked up
     per batch (no shuffle); then grouped aggregation."""
@@ -4170,6 +4249,8 @@ QUERIES = {
     "ordered_user_stats": (q_ordered_user_stats, SQL_ORDERED_USER_STATS),
     "orders_rollup": (q_orders_rollup, SQL_ORDERS_ROLLUP),
     "docs_cube": (q_docs_cube, SQL_DOCS_CUBE),
+    "events_pivot": (q_events_pivot, SQL_EVENTS_PIVOT),
+    "doc_lang_unpivot": (q_doc_lang_unpivot, SQL_DOC_LANG_UNPIVOT),
     # -- (2) last driver-gated in round 3 or earlier ----------------------
     "doc_exact_dedup_keep": (q_doc_exact_dedup_keep, SQL_DOC_EXACT_DEDUP_KEEP),
     "doc_dedup_clusters": (q_doc_dedup_clusters, SQL_DOC_DEDUP_CLUSTERS),

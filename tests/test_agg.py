@@ -189,3 +189,84 @@ def test_grouping_sets_rejects_bad_set():
     ds = ray.data.from_pandas(pd.DataFrame({"k": ["a"], "v": [1.0]}))
     with pytest.raises(ValueError):
         grouping_sets(ds, ["k"], [["nope"]], {"n": (None, "count")})
+
+
+def test_pivot_wider_matches_pandas_with_empty_cells():
+    from ray_ordered_stream.agg import pivot_wider
+
+    rng = np.random.default_rng(7)
+    # sparse: many (k, cat) cells empty -> exercises NULL/0 fill semantics
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 40, size=120).astype("int64"),
+            "cat": rng.choice(["a", "b", "c"], size=120),
+            "v": rng.normal(size=120),
+        }
+    )
+    got = (
+        pivot_wider(
+            ray.data.from_pandas(df).repartition(5),
+            "k",
+            "cat",
+            {"n": (None, "count"), "s": ("v", "sum"), "m": ("v", "mean")},
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    piv = df.pivot_table(
+        index="k",
+        columns="cat",
+        values="v",
+        aggfunc=["count", "sum", "mean"],
+        dropna=False,
+    )
+    for cat in ["a", "b", "c"]:
+        n = piv[("count", cat)].reindex(got["k"]).fillna(0).astype("int64")
+        assert got[f"{cat}_n"].tolist() == n.tolist()
+        s = piv[("sum", cat)].reindex(got["k"])
+        np.testing.assert_allclose(
+            got[f"{cat}_s"].to_numpy(), s.to_numpy(), rtol=1e-12, equal_nan=True
+        )
+        m = piv[("mean", cat)].reindex(got["k"])
+        np.testing.assert_allclose(
+            got[f"{cat}_m"].to_numpy(), m.to_numpy(), rtol=1e-12, equal_nan=True
+        )
+    # discovery pass found the full domain
+    assert sorted(c for c in got.columns if c != "k") == sorted(
+        f"{cat}_{a}" for cat in ["a", "b", "c"] for a in ["n", "s", "m"]
+    )
+
+
+def test_pivot_wider_explicit_values_and_unpivot_roundtrip():
+    from ray_ordered_stream.agg import pivot_wider, unpivot
+
+    df = pd.DataFrame(
+        {"k": [1, 1, 2], "cat": ["x", "y", "x"], "v": [1.0, 2.0, 3.0]}
+    )
+    wide = (
+        pivot_wider(
+            ray.data.from_pandas(df),
+            "k",
+            "cat",
+            {"s": ("v", "sum")},
+            values=["x", "y", "z"],  # z never occurs -> all-NULL column
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert wide["z_s"].isna().all()
+    assert wide.loc[wide["k"] == 2, "y_s"].isna().all()
+    long = (
+        unpivot(
+            ray.data.from_pandas(wide), "k", ["x_s", "y_s", "z_s"],
+            "cat", "s",
+        )
+        .to_pandas()
+        .sort_values(["k", "cat"])
+        .reset_index(drop=True)
+    )
+    assert len(long) == 6
+    back = long.dropna(subset=["s"])
+    assert back["s"].tolist() == [1.0, 2.0, 3.0]
