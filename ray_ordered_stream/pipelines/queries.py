@@ -2156,6 +2156,75 @@ SELECT lang, 'total_chars' AS metric, total_chars::DOUBLE AS value FROM per_lang
 """
 
 
+def q_orders_distinct_cust_prio(sf_dir: str):
+    """SELECT DISTINCT via setops.distinct: each block reduces to its
+    distinct rows first (Arrow group_by combiner), one row-hash exchange,
+    exact per-partition dedup — shuffled bytes bounded by distinct rows,
+    not input rows."""
+    from ..functions.setops import distinct
+
+    return distinct(_read(sf_dir, "orders", ["o_custkey", "o_orderpriority"]))
+
+
+SQL_ORDERS_DISTINCT_CUST_PRIO = (
+    "SELECT DISTINCT o_custkey, o_orderpriority FROM orders"
+)
+
+
+def q_cust_urgent_and_low(sf_dir: str):
+    """SQL INTERSECT via setops.intersect_distinct: customers with both an
+    URGENT and a LOW order. Both sides pre-reduce to distinct keys per
+    block, co-partition through one exchange, finish with an exact
+    NULL-equal membership pass (SQL set semantics)."""
+    from ..functions.setops import intersect_distinct
+
+    o = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+
+    def pick(prio):
+        def f(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.equal(t["o_orderpriority"], prio))
+            return t.select(["o_custkey"]).rename_columns(["custkey"])
+
+        return f
+
+    a = o.map_batches(pick("1-URGENT"), batch_format="pyarrow")
+    b = o.map_batches(pick("5-LOW"), batch_format="pyarrow")
+    return intersect_distinct(a, b)
+
+
+SQL_CUST_URGENT_AND_LOW = """
+SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+INTERSECT
+SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '5-LOW'
+"""
+
+
+def q_cust_negbal_with_orders(sf_dir: str):
+    """SQL EXCEPT via setops.except_distinct: custkeys that placed orders
+    minus customers in good standing (acctbal >= 0) — i.e. ordering
+    customers with a negative balance."""
+    from ..functions.setops import except_distinct
+
+    a = _read(sf_dir, "orders", ["o_custkey"]).map_batches(
+        lambda t: t.rename_columns(["custkey"]), batch_format="pyarrow"
+    )
+    c = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+
+    def goodstanding(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t["c_acctbal"], 0.0))
+        return t.select(["c_custkey"]).rename_columns(["custkey"])
+
+    b = c.map_batches(goodstanding, batch_format="pyarrow")
+    return except_distinct(a, b)
+
+
+SQL_CUST_NEGBAL_WITH_ORDERS = """
+SELECT o_custkey AS custkey FROM orders
+EXCEPT
+SELECT c_custkey AS custkey FROM customer WHERE c_acctbal >= 0
+"""
+
+
 def q_segment_order_stats(sf_dir: str):
     """Broadcast join: small customer dim shipped once via ray.put, looked up
     per batch (no shuffle); then grouped aggregation."""
@@ -4251,6 +4320,13 @@ QUERIES = {
     "docs_cube": (q_docs_cube, SQL_DOCS_CUBE),
     "events_pivot": (q_events_pivot, SQL_EVENTS_PIVOT),
     "doc_lang_unpivot": (q_doc_lang_unpivot, SQL_DOC_LANG_UNPIVOT),
+    "orders_distinct_cust_prio": (
+        q_orders_distinct_cust_prio, SQL_ORDERS_DISTINCT_CUST_PRIO,
+    ),
+    "cust_urgent_and_low": (q_cust_urgent_and_low, SQL_CUST_URGENT_AND_LOW),
+    "cust_negbal_with_orders": (
+        q_cust_negbal_with_orders, SQL_CUST_NEGBAL_WITH_ORDERS,
+    ),
     # -- (2) last driver-gated in round 3 or earlier ----------------------
     "doc_exact_dedup_keep": (q_doc_exact_dedup_keep, SQL_DOC_EXACT_DEDUP_KEEP),
     "doc_dedup_clusters": (q_doc_dedup_clusters, SQL_DOC_DEDUP_CLUSTERS),
