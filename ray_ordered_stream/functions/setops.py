@@ -157,6 +157,29 @@ def distinct(ds, cols: list[str] | None = None, num_partitions: int | None = Non
     return _run("distinct", ds, None, cols, num_partitions)
 
 
+def union_distinct(a, b, cols: list[str] | None = None,
+                   num_partitions: int | None = None):
+    """SQL UNION: distinct rows of ``a`` and ``b`` together. Ray Data's
+    ``union`` chains the block lists lazily (no data movement), so this
+    is exactly one exchange — the same cost as ``distinct`` over the
+    concatenated input."""
+    sch = a.schema()
+    cols = list(cols) if cols is not None else list(sch.names)
+    bsch = b.schema()
+    missing = [c for c in cols if bsch is not None and c not in bsch.names]
+    if missing:
+        raise ValueError(
+            f"right side lacks set-op columns {missing}; rename first"
+        )
+    return _run(
+        "distinct",
+        a.select_columns(cols).union(b.select_columns(cols)),
+        None,
+        cols,
+        num_partitions,
+    )
+
+
 def intersect_distinct(a, b, cols: list[str] | None = None,
                        num_partitions: int | None = None):
     """SQL INTERSECT: distinct rows of ``a`` also present in ``b``.

@@ -2199,6 +2199,33 @@ SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '5-LOW'
 """
 
 
+def q_cust_urgent_or_low(sf_dir: str):
+    """SQL UNION via setops.union_distinct: customers with an URGENT or a
+    LOW order. Ray Data ``union`` chains block lists lazily, so the whole
+    op is one exchange — the same cost as DISTINCT over both inputs."""
+    from ..functions.setops import union_distinct
+
+    o = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+
+    def pick(prio):
+        def f(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.equal(t["o_orderpriority"], prio))
+            return t.select(["o_custkey"]).rename_columns(["custkey"])
+
+        return f
+
+    a = o.map_batches(pick("1-URGENT"), batch_format="pyarrow")
+    b = o.map_batches(pick("5-LOW"), batch_format="pyarrow")
+    return union_distinct(a, b)
+
+
+SQL_CUST_URGENT_OR_LOW = """
+SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+UNION
+SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '5-LOW'
+"""
+
+
 def q_cust_negbal_with_orders(sf_dir: str):
     """SQL EXCEPT via setops.except_distinct: custkeys that placed orders
     minus customers in good standing (acctbal >= 0) — i.e. ordering
@@ -4324,6 +4351,7 @@ QUERIES = {
         q_orders_distinct_cust_prio, SQL_ORDERS_DISTINCT_CUST_PRIO,
     ),
     "cust_urgent_and_low": (q_cust_urgent_and_low, SQL_CUST_URGENT_AND_LOW),
+    "cust_urgent_or_low": (q_cust_urgent_or_low, SQL_CUST_URGENT_OR_LOW),
     "cust_negbal_with_orders": (
         q_cust_negbal_with_orders, SQL_CUST_NEGBAL_WITH_ORDERS,
     ),

@@ -11,6 +11,7 @@ from ray_ordered_stream.functions.setops import (
     distinct,
     except_distinct,
     intersect_distinct,
+    union_distinct,
 )
 
 
@@ -73,6 +74,24 @@ def test_intersect_and_except_match_pandas_null_equality():
     assert len(exp_i) > 0 and len(exp_e) > 0  # both branches exercised
     pd.testing.assert_frame_equal(_canon(got_i), _canon(exp_i))
     pd.testing.assert_frame_equal(_canon(got_e), _canon(exp_e))
+
+
+def test_union_distinct_matches_pandas():
+    rng = np.random.default_rng(15)
+    a, b = _frame(rng), _frame(rng, n=250)
+    got = union_distinct(_mk(a), _mk(b, parts=3)).to_pandas()
+    exp = pd.concat([a, b]).drop_duplicates(["k", "g", "x"])
+    pd.testing.assert_frame_equal(_canon(got), _canon(exp))
+
+
+def test_union_distinct_subset_and_mismatch():
+    rng = np.random.default_rng(16)
+    a, b = _frame(rng, n=100), _frame(rng, n=80)
+    got = union_distinct(_mk(a), _mk(b), cols=["k", "g"]).to_pandas()
+    exp = pd.concat([a, b])[["k", "g"]].drop_duplicates()
+    pd.testing.assert_frame_equal(_canon(got), _canon(exp))
+    with pytest.raises(ValueError, match="rename"):
+        union_distinct(_mk(a), _mk(pd.DataFrame({"zz": [1]}), parts=1))
 
 
 def test_except_empty_right_is_distinct():
