@@ -347,9 +347,18 @@ def hash_join(
     bloom_prefilter: bool = False,
     bloom_bits: int = 1 << 23,
 ):
-    """Distributed hash equi-join: ``inner``, ``left``, ``semi`` (left rows
-    with a match, right columns not emitted) or ``anti`` (left rows with NO
-    match).
+    """Distributed hash equi-join: ``inner``, ``left``, ``right``,
+    ``outer`` (full outer), ``semi`` (left rows with a match, right columns
+    not emitted) or ``anti`` (left rows with NO match).
+
+    Output blocks ARE the hash partitions: every row of a join key lands in
+    exactly one output block, so a following per-key aggregate can run as a
+    plain per-block ``map_batches`` with NO second exchange (see
+    queries.q_cust_orders_full_outer). Two pandas-semantics caveats, both
+    matching the existing inner/left behavior: NULL join keys match each
+    other (SQL joins drop them — filter NULL keys first for SQL parity),
+    and integer columns that gain missing values through an outer merge
+    come back float64.
 
     Scale shape: ONE co-partitioning hash exchange per side
     (exchange.shard_refs), then a vectorized per-partition join — pandas
@@ -368,8 +377,10 @@ def hash_join(
 
     from .exchange import shard_refs
 
-    if how not in ("inner", "left", "semi", "anti"):
-        raise ValueError(f"how must be inner|left|semi|anti, got {how!r}")
+    if how not in ("inner", "left", "right", "outer", "semi", "anti"):
+        raise ValueError(
+            f"how must be inner|left|right|outer|semi|anti, got {how!r}"
+        )
     rk = right_key or key
 
     if how in ("semi", "anti"):
@@ -396,7 +407,7 @@ def hash_join(
     def join_part(n_left: int, *shards: pa.Table) -> pa.Table:
         lt = _concat_tbl(shards[:n_left])
         rt = _concat_tbl(shards[n_left:])
-        if lt is None:
+        if lt is None and not (how in ("right", "outer") and rt is not None):
             return pa.table({})
         if how in ("semi", "anti"):
             # pure Arrow: schema survives even when every row filters out
@@ -411,18 +422,25 @@ def hash_join(
             if how == "anti":
                 mask = pc.invert(mask)
             return lt.filter(mask)
-        ldf = lt.to_pandas()
-        rdf = rt.to_pandas() if rt is not None else pd.DataFrame(
-            {rk: pd.Series([], dtype=ldf[key].dtype)}
-        )
-        if rk != key:
+        rdf = rt.to_pandas() if rt is not None else None
+        if rdf is not None and rk != key:
             rdf = rdf.rename(columns={rk: key})
+        ldf = (
+            lt.to_pandas()
+            if lt is not None
+            else pd.DataFrame({key: pd.Series([], dtype=rdf[key].dtype)})
+        )
+        if rdf is None:
+            rdf = pd.DataFrame({key: pd.Series([], dtype=ldf[key].dtype)})
         m = ldf.merge(rdf, on=key, how=how, suffixes=("", suffix))
         out = pa.Table.from_pandas(m.reset_index(drop=True), preserve_index=False)
         # empty object columns come back as null type; restore from the
         # shard schemas so downstream schema unification stays exact
         want = {}
-        for sch in ([lt.schema] + ([rt.schema] if rt is not None else [])):
+        for sch in (
+            ([lt.schema] if lt is not None else [])
+            + ([rt.schema] if rt is not None else [])
+        ):
             for f in sch:
                 want.setdefault(f.name, f.type)
         for i, f in enumerate(out.schema):

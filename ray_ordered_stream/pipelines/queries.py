@@ -2252,6 +2252,90 @@ SELECT c_custkey AS custkey FROM customer WHERE c_acctbal >= 0
 """
 
 
+def q_cust_orders_full_outer(sf_dir: str):
+    """FULL OUTER hash join with both orphan classes present (negative-
+    balance customers with no urgent order; urgent orders from customers
+    in good standing), then a per-key aggregate that reuses the join's
+    hash partitioning: every custkey lives in exactly one join output
+    block, so the groupby is a plain per-block map_batches — zero extra
+    shuffle."""
+    from ..join import hash_join
+
+    c = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+
+    def negbal(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(t["c_acctbal"], 0.0))
+        return t.rename_columns(["custkey", "acctbal"])
+
+    o = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority", "o_totalprice"])
+
+    def urgent(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["o_orderpriority"], "1-URGENT"))
+        # exact integer cents: float dollar sums can land on a .5 tie and
+        # round differently between pyarrow (half-to-even) and DuckDB
+        # (half-away) — int64 cents sum identically on both sides
+        cents = pc.cast(
+            pc.round(pc.multiply(t["o_totalprice"], 100.0), 0), pa.int64()
+        )
+        return pa.table({"custkey": t["o_custkey"], "cents": cents})
+
+    j = hash_join(
+        o.map_batches(urgent, batch_format="pyarrow"),
+        c.map_batches(negbal, batch_format="pyarrow"),
+        "custkey",
+        how="outer",
+        by_int=True,
+    )
+
+    out_schema = pa.schema(
+        [
+            ("custkey", pa.int64()),
+            ("has_cust", pa.int64()),
+            ("n_urgent", pa.int64()),
+            ("urgent_cents", pa.int64()),
+        ]
+    )
+
+    def agg(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return out_schema.empty_table()
+        g = t.group_by(["custkey"]).aggregate(
+            [("acctbal", "count"), ("cents", "count"), ("cents", "sum")]
+        )
+        return pa.table(
+            {
+                "custkey": pc.cast(g["custkey"], pa.int64()),
+                "has_cust": pc.cast(
+                    pc.greater(g["acctbal_count"], 0), pa.int64()
+                ),
+                "n_urgent": pc.cast(g["cents_count"], pa.int64()),
+                "urgent_cents": pc.cast(
+                    pc.coalesce(g["cents_sum"], pa.scalar(0)), pa.int64()
+                ),
+            }
+        )
+
+    return j.map_batches(agg, batch_format="pyarrow")
+
+
+SQL_CUST_ORDERS_FULL_OUTER = """
+WITH a AS (
+  SELECT o_custkey AS custkey,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders WHERE o_orderpriority = '1-URGENT'),
+b AS (
+  SELECT c_custkey AS custkey, c_acctbal AS acctbal
+  FROM customer WHERE c_acctbal < 0),
+j AS (
+  SELECT coalesce(a.custkey, b.custkey) AS custkey, b.acctbal, a.cents
+  FROM a FULL OUTER JOIN b ON a.custkey = b.custkey)
+SELECT custkey, (count(acctbal) > 0)::BIGINT AS has_cust,
+       count(cents)::BIGINT AS n_urgent,
+       coalesce(sum(cents), 0)::BIGINT AS urgent_cents
+FROM j GROUP BY custkey
+"""
+
+
 def q_segment_order_stats(sf_dir: str):
     """Broadcast join: small customer dim shipped once via ray.put, looked up
     per batch (no shuffle); then grouped aggregation."""
@@ -4354,6 +4438,9 @@ QUERIES = {
     "cust_urgent_or_low": (q_cust_urgent_or_low, SQL_CUST_URGENT_OR_LOW),
     "cust_negbal_with_orders": (
         q_cust_negbal_with_orders, SQL_CUST_NEGBAL_WITH_ORDERS,
+    ),
+    "cust_orders_full_outer": (
+        q_cust_orders_full_outer, SQL_CUST_ORDERS_FULL_OUTER,
     ),
     # -- (2) last driver-gated in round 3 or earlier ----------------------
     "doc_exact_dedup_keep": (q_doc_exact_dedup_keep, SQL_DOC_EXACT_DEDUP_KEEP),

@@ -276,6 +276,26 @@ def test_hash_join_all_modes(ray_session):
     got = hash_join(sl, sr, "k", how="inner").to_pandas()
     assert got[["k", "lv", "rv"]].values.tolist() == [["y", 2, 9]]
 
+    # right join keeps unmatched right rows (k=6); outer keeps both sides
+    rj = hash_join(
+        lds, rds, "k", how="right", right_key="rk", by_int=True
+    ).to_pandas()
+    assert sorted(rj["rv"]) == [20, 21, 40, 60]
+    assert rj.loc[rj["rv"] == 60, "lv"].isna().all()
+    oj = hash_join(
+        lds, rds, "k", how="outer", right_key="rk", by_int=True
+    ).to_pandas()
+    exp_o = left.merge(right.rename(columns={"rk": "k"}), on="k", how="outer")
+    assert len(oj) == len(exp_o)
+    assert sorted(oj["k"].astype("int64")) == sorted(exp_o["k"].astype("int64"))
+
+    # outer against an empty right side degrades to the left rows
+    oj_empty = hash_join(
+        lds, rd.from_pandas(right.iloc[0:0]), "k", how="outer",
+        right_key="rk", by_int=True,
+    ).to_pandas()
+    assert sorted(oj_empty["lv"]) == ["a", "b", "c", "d", "e", "f"]
+
 
 def test_hash_join_property_vs_pandas(ray_session):
     """Randomized equivalence: every join mode matches the pandas oracle on
@@ -300,11 +320,13 @@ def test_hash_join_property_vs_pandas(ray_session):
 
         lds = rd.from_pandas(left).repartition(4)
         rds = rd.from_pandas(right).repartition(3)
-        for how in ("inner", "semi", "anti"):
+        for how in ("inner", "left", "right", "outer", "semi", "anti"):
             got = hash_join(lds, rds, "k", how=how, by_int=True).to_pandas()
-            if how == "inner":
-                exp = left.merge(right, on="k", how="inner")
+            if how in ("inner", "left", "right", "outer"):
+                exp = left.merge(right, on="k", how=how)
                 key = ["k", "lv", "rv"]
+                got = got.fillna({"lv": -1, "rv": -1})
+                exp = exp.fillna({"lv": -1, "rv": -1})
             elif how == "semi":
                 exp = left[left["k"].isin(right["k"])]
                 key = ["k", "lv"]
