@@ -2684,18 +2684,22 @@ _SQL_DERIVED_DOCS = (
 
 def _derived_docs(sf_dir: str):
     """documents with per-doc INDEPENDENT 32-hex texts (md5(text:id)) —
-    the planted-oracle base. Mirrored by _SQL_DERIVED_DOCS."""
-    import hashlib as _hl
+    the planted-oracle base. Mirrored by _SQL_DERIVED_DOCS. Routed through
+    the shared vectorized md5 kernel (stream_dedup.md5_hex) on zero-copy
+    Arrow batches — this derivation feeds four planted queries and was
+    their dominant cost as a per-row Python loop."""
+    from ..stream_dedup import md5_hex
 
-    def derive(b: pd.DataFrame) -> pd.DataFrame:
-        b["text"] = [
-            _hl.md5(f"{t}:{i}".encode()).hexdigest()
-            for i, t in zip(b["doc_id"], b["text"])
-        ]
-        return b
+    def derive(t: pa.Table) -> pa.Table:
+        s = pc.binary_join_element_wise(
+            pc.cast(t["text"], pa.string()),
+            pc.cast(t["doc_id"], pa.string()),
+            ":",
+        )
+        return pa.table({"doc_id": t["doc_id"], "text": md5_hex(s)})
 
     return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
-        derive, batch_format="pandas"
+        derive, batch_format="pyarrow"
     )
 
 
