@@ -4,13 +4,22 @@ training-data pipeline (e.g. bootstrap labels from an integer quality rule,
 then learn a smooth scorer to rank the rest of the corpus).
 
 Full-batch gradient descent, deliberately: the gradient is a SUM of
-per-row terms, so each iteration is one wave of per-block partials
-((X^T r, loss, n) — feature-dim floats per block, independent of row
-count) folded on the driver, exactly the ``train_centroids_distributed``
-ref-loop shape. No SGD batch ordering means the result is independent of
-partitioning up to float summation order — pinned by a serial-conformance
-test. Blocks are materialized ONCE and every iteration is plain tasks
-over the same refs (no pipeline re-execution).
+per-row terms, so each iteration is one wave of per-worker partials
+((X^T r, loss, n) — feature-dim floats per worker, independent of row
+count) folded on the driver. No SGD batch ordering means the result is
+independent of partitioning up to float summation order — pinned by a
+serial-conformance test.
+
+The iteration loop runs against PLASMA-CACHED SHARDS: a one-time task
+wave coalesces the materialized blocks into per-shard standardized
+numpy matrices in the object store (d float64 per row — the selected
+numeric columns only, never the text), then every GD round is one tiny
+task per shard whose matrix argument is a zero-copy plasma read (numpy
+float64 is plasma-zero-copy, and Ray schedules each round's task onto
+the node that already holds its shard). That keeps the 50-plus
+synchronization rounds off repeated Arrow→numpy decodes and avoids
+actor-process spawn entirely; only O(iters × shards × d) floats cross
+the wire after the one-time shard build.
 
 Feature standardization (optional, on by default) runs as one extra
 partial pass (sum, sumsq, n) and is folded into the returned weights so
@@ -42,11 +51,13 @@ def train_logreg(
     lr: float = 0.5,
     l2: float = 1e-4,
     standardize: bool = True,
+    concurrency: int | None = None,
 ):
     """Fit logistic regression distributedly. Returns
     ``(weights, bias, history)`` with weights/bias in RAW feature space
     (standardization folded in) and ``history`` the per-iteration mean
-    log-loss."""
+    log-loss. ``concurrency`` caps the shard count of the cached
+    gradient shards (default: min(#blocks, 8))."""
     import ray
 
     refs = [
@@ -54,52 +65,67 @@ def train_logreg(
         for r in ds.select_columns(feature_cols + [label_col]).to_arrow_refs()
     ]
     d = len(feature_cols)
+    n_shards = max(1, min(len(refs), concurrency or 8))
+
+    @ray.remote(num_returns=3)
+    def _build(shard_refs, fcols, lcol):
+        """Coalesce one shard's blocks into plasma: (X, y, moments)."""
+        xs, ys = [], []
+        for t in ray.get(list(shard_refs)):
+            if t.num_rows:
+                x, y = _xy(t, fcols, lcol)
+                xs.append(x)
+                ys.append(y)
+        x = np.concatenate(xs) if xs else np.zeros((0, len(fcols)))
+        y = np.concatenate(ys) if ys else np.zeros(0)
+        return x, y, (x.sum(axis=0), (x * x).sum(axis=0), len(y))
 
     @ray.remote
-    def moments(t: pa.Table):
-        if not t.num_rows:
-            return np.zeros(d), np.zeros(d), 0
-        x, _ = _xy(t, feature_cols, label_col)
-        return x.sum(axis=0), (x * x).sum(axis=0), len(x)
-
-    if standardize:
-        parts = ray.get([moments.remote(r) for r in refs])
-        s1 = sum(p[0] for p in parts)
-        s2 = sum(p[1] for p in parts)
-        n = sum(p[2] for p in parts)
-        if n == 0:
-            raise ValueError("empty dataset")
-        mu = s1 / n
-        var = np.maximum(s2 / n - mu * mu, 1e-12)
-        sd = np.sqrt(var)
-    else:
-        mu = np.zeros(d)
-        sd = np.ones(d)
+    def _standardize(x, m, s):
+        return (x - m) / s
 
     @ray.remote
-    def grad(wb: np.ndarray, m: np.ndarray, s: np.ndarray, t: pa.Table):
-        """(d(w), d(b), summed log-loss, n) of this block under (w, b)."""
-        if not t.num_rows:
-            return np.zeros(d), 0.0, 0.0, 0
-        x, y = _xy(t, feature_cols, label_col)
-        xs = (x - m) / s
-        z = xs @ wb[:-1] + wb[-1]
+    def _grad(wb: np.ndarray, x, y):
+        """(d(w), d(b), summed log-loss, n) of this shard under (w, b)."""
+        if not len(y):
+            return np.zeros(len(wb) - 1), 0.0, 0.0, 0
+        z = x @ wb[:-1] + wb[-1]
         p = 1.0 / (1.0 + np.exp(-z))
         r = p - y
         eps = 1e-12
         loss = -(y * np.log(p + eps) + (1 - y) * np.log(1 - p + eps)).sum()
-        return xs.T @ r, float(r.sum()), float(loss), len(y)
+        return x.T @ r, float(r.sum()), float(loss), len(y)
+
+    built = [
+        _build.remote(refs[i::n_shards], feature_cols, label_col)
+        for i in range(n_shards)
+    ]
+    xrefs = [b[0] for b in built]
+    yrefs = [b[1] for b in built]
+    parts = ray.get([b[2] for b in built])
+    n = sum(p[2] for p in parts)
+    if n == 0:
+        raise ValueError("empty dataset")
+    if standardize:
+        mu = sum(p[0] for p in parts) / n
+        var = np.maximum(sum(p[1] for p in parts) / n - mu * mu, 1e-12)
+        sd = np.sqrt(var)
+        # one extra plasma copy per shard; the raw-X refs drop right after
+        xrefs = [_standardize.remote(x, mu, sd) for x in xrefs]
+    else:
+        mu = np.zeros(d)
+        sd = np.ones(d)
 
     wb = np.zeros(d + 1)
     history = []
     for _ in range(int(iters)):
-        wbr = ray.put(wb)
-        parts = ray.get([grad.remote(wbr, mu, sd, r) for r in refs])
+        parts = ray.get(
+            [_grad.remote(wb, x, y) for x, y in zip(xrefs, yrefs)]
+        )
         gw = sum(p[0] for p in parts)
         gb = sum(p[1] for p in parts)
         loss = sum(p[2] for p in parts)
-        n = sum(p[3] for p in parts)
-        history.append(loss / max(n, 1))
+        history.append(loss / n)
         wb[:-1] -= lr * (gw / n + l2 * wb[:-1])
         wb[-1] -= lr * (gb / n)
 
