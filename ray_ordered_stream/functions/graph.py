@@ -15,17 +15,23 @@ large-star/small-star pointer-doubling variant would cut that to
 O(log d), which this corpus shape does not need.
 
 Scale design (100 TB):
-- Edges are hash-partitioned by ``src`` ONCE into per-partition actors and
-  never move again; each round only (node, label) messages cross the wire,
-  and only for FRONTIER nodes (label changed last round) — traffic decays
+- Edges are hash-partitioned by ``src`` ONCE into per-partition plasma
+  objects and never move again; each round is a BSP superstep of plain
+  tasks (receive the previous round's messages, then send from the new
+  frontier). Only (node, label) messages cross the wire, and only for
+  FRONTIER nodes (label changed last round) — traffic decays
   geometrically as components settle.
+- Per-partition mutable state (labels, frontier) is threaded between
+  rounds as small plasma objects (8 B + 1 B per node); the immutable edge
+  CSR stays put, and Ray's locality-aware scheduling runs each round's
+  task on the node that already holds its partition. Tasks (not actors)
+  keep the per-call cost at warm-worker dispatch — no actor process
+  spawn, which otherwise dominates small runs.
 - Both directions of every pair are materialized before the split, so a
   node's full neighbourhood (and its own label row) live in the one
   partition chosen by its id hash; message routing reuses the same hash.
 - All per-round work is numpy over sorted arrays (searchsorted /
   reduceat); no Python per node or per edge.
-- The state actors hold ``num_cpus=0`` like the ordered engine's partition
-  store so they can never deadlock the task CPUs that feed them.
 """
 
 from __future__ import annotations
@@ -43,57 +49,45 @@ def _empty_cc() -> pa.Table:
     )
 
 
-@ray.remote(num_cpus=0)
-class _CCPartition:
-    """One partition of the node/edge state for min-label propagation."""
+@ray.remote(num_returns=2)
+def _cc_load(*shards: pa.Table):
+    """Coalesce one partition's edge shards into an immutable CSR in
+    plasma. Returns ``(csr, n_nodes)``; ``csr`` = (nodes sorted unique,
+    edge-range starts, dst sorted by src)."""
+    real = [t for t in shards if t.num_rows]
+    if not real:
+        return (
+            np.empty(0, np.int64),
+            np.empty(1, np.int64),
+            np.empty(0, np.int64),
+        ), 0
+    tbl = (
+        pa.concat_tables(real, promote_options="none")
+        if len(real) > 1
+        else real[0]
+    )
+    src = tbl["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+    dst = tbl["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(src, kind="stable")
+    src, dst = src[order], dst[order]
+    nodes, first = np.unique(src, return_index=True)
+    starts = np.append(first, len(src)).astype(np.int64)
+    return (nodes, starts, dst), len(nodes)
 
-    def __init__(self, part_id: int, num_partitions: int):
-        self.p = part_id
-        self.P = num_partitions
-        self.nodes = np.empty(0, dtype=np.int64)   # sorted unique node ids
-        self.labels = np.empty(0, dtype=np.int64)
-        self.starts = np.empty(1, dtype=np.int64)  # edge-range starts per node
-        self.dst = np.empty(0, dtype=np.int64)     # edges sorted by src
-        self.frontier = np.empty(0, dtype=bool)    # label changed since last send
 
-    def load_edges(self, *shards: pa.Table) -> int:
-        real = [t for t in shards if t.num_rows]
-        if real:
-            tbl = (
-                pa.concat_tables(real, promote_options="none")
-                if len(real) > 1
-                else real[0]
-            )
-            src = tbl["src"].to_numpy(zero_copy_only=False).astype(np.int64)
-            dst = tbl["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
-            order = np.argsort(src, kind="stable")
-            src, self.dst = src[order], dst[order]
-            self.nodes, first = np.unique(src, return_index=True)
-            self.starts = np.append(first, len(src)).astype(np.int64)
-        self.labels = self.nodes.copy()
-        self.frontier = np.ones(len(self.nodes), dtype=bool)
-        return len(self.nodes)
-
-    def messages(self) -> list[pa.Table]:
-        """(dst, label) for every edge of a frontier node, split by the dst
-        partition hash. Clears the frontier — receive() rebuilds it."""
-        if not self.frontier.any():
-            self.frontier[:] = False
-            return [_msg_empty()] * self.P
-        counts = np.diff(self.starts)
-        mask = np.repeat(self.frontier, counts)
-        dst = self.dst[mask]
-        lab = np.repeat(self.labels, counts)[mask]
-        self.frontier[:] = False
-        tbl = pa.table(
-            {"node": pa.array(dst, pa.int64()), "label": pa.array(lab, pa.int64())}
-        )
-        return split_compact(tbl, int_partition_codes(dst, self.P), self.P)
-
-    def receive(self, *msgs: pa.Table) -> int:
-        real = [t for t in msgs if t.num_rows]
-        if not real or not len(self.nodes):
-            return 0
+@ray.remote
+def _cc_step(P: int, csr, labels, frontier, *msgs: pa.Table):
+    """One BSP superstep of min-label propagation for one partition:
+    fold the previous round's incoming messages into the labels, then
+    emit (dst, label) messages from the NEW frontier, split by the dst
+    partition hash. Returns ``(labels', frontier', changed,
+    msg_to_0, ..., msg_to_P-1)`` — call with ``num_returns=P + 3``."""
+    nodes, starts, dst = csr
+    if labels is None:  # round 0: every node starts labeled with itself
+        labels, frontier = nodes, np.arange(len(nodes), dtype=np.int64)
+    changed = 0
+    real = [t for t in msgs if t.num_rows]
+    if real and len(nodes):
         tbl = (
             pa.concat_tables(real, promote_options="none")
             if len(real) > 1
@@ -109,21 +103,40 @@ class _CCPartition:
         first[0] = True
         first[1:] = node[1:] != node[:-1]
         node, lab = node[first], lab[first]
-        idx = np.searchsorted(self.nodes, node)
+        idx = np.searchsorted(nodes, node)
         # symmetric edges guarantee every message target is a local node
-        better = lab < self.labels[idx]
+        better = lab < labels[idx]
         if better.any():
-            self.labels[idx[better]] = lab[better]
-            self.frontier[idx[better]] = True
-        return int(better.sum())
+            labels = labels.copy()  # plasma inputs are read-only
+            labels[idx[better]] = lab[better]
+            frontier = idx[better]
+            changed = int(better.sum())
+        else:
+            frontier = np.empty(0, np.int64)
+    if not len(frontier):
+        return (labels, frontier, changed) + tuple([_msg_empty()] * P)
+    counts = np.diff(starts)
+    fmask = np.zeros(len(nodes), dtype=bool)
+    fmask[frontier] = True
+    mask = np.repeat(fmask, counts)
+    mdst = dst[mask]
+    mlab = np.repeat(labels, counts)[mask]
+    tbl = pa.table(
+        {"node": pa.array(mdst, pa.int64()), "label": pa.array(mlab, pa.int64())}
+    )
+    out = split_compact(tbl, int_partition_codes(mdst, P), P)
+    return (labels, frontier, changed) + tuple(out)
 
-    def result(self) -> pa.Table:
-        return pa.table(
-            {
-                "node": pa.array(self.nodes, pa.int64()),
-                "component": pa.array(self.labels, pa.int64()),
-            }
-        )
+
+@ray.remote
+def _cc_result(csr, labels) -> pa.Table:
+    nodes = csr[0]
+    return pa.table(
+        {
+            "node": pa.array(nodes, pa.int64()),
+            "component": pa.array(labels, pa.int64()),
+        }
+    )
 
 
 def _msg_empty() -> pa.Table:
@@ -161,32 +174,29 @@ def connected_components(
     edges = pairs.map_batches(sym, batch_format="pyarrow")
     refs = list(edges.to_arrow_refs())
     P = num_partitions or default_partitions()
-    actors = [_CCPartition.remote(p, P) for p in range(P)]
     groups = shard_refs(refs, "src", P, by_int=True)
-    n_nodes = sum(
-        ray.get(
-            [
-                a.load_edges.remote(*[g[p] for g in groups])
-                for p, a in enumerate(actors)
-            ]
-        )
-    )
+    built = [_cc_load.remote(*[g[p] for g in groups]) for p in range(P)]
+    csr = [b[0] for b in built]
+    n_nodes = sum(ray.get([b[1] for b in built]))
     if n_nodes == 0:
-        for a in actors:
-            ray.kill(a)
         return ray.data.from_arrow([_empty_cc()])
 
+    # round 0 initializes labels/frontier inside the step tasks
+    labels: list = [None] * P
+    frontier: list = [None] * P
+    msgs: list = [[_msg_empty()] * P] * P  # msgs[src][dst_partition]
     for it in range(max_iters):
-        msg_lists = [a.messages.options(num_returns=P).remote() for a in actors]
-        changed = sum(
-            ray.get(
-                [
-                    actors[p].receive.remote(*[m[p] for m in msg_lists])
-                    for p in range(P)
-                ]
+        outs = [
+            _cc_step.options(num_returns=P + 3).remote(
+                P, csr[p], labels[p], frontier[p], *[m[p] for m in msgs]
             )
-        )
-        if changed == 0:
+            for p in range(P)
+        ]
+        labels = [o[0] for o in outs]
+        frontier = [o[1] for o in outs]
+        msgs = [o[3:] for o in outs]
+        changed = sum(ray.get([o[2] for o in outs]))
+        if it > 0 and changed == 0:
             break
     else:
         raise RuntimeError(
@@ -194,10 +204,8 @@ def connected_components(
             "(graph diameter exceeds the cap; raise max_iters)"
         )
 
-    out = ray.get([a.result.remote() for a in actors])
-    for a in actors:
-        ray.kill(a)
-    return ray.data.from_arrow(out)
+    out = [_cc_result.remote(csr[p], labels[p]) for p in range(P)]
+    return ray.data.from_arrow_refs(out)
 
 
 def cluster_dedup(
