@@ -26,6 +26,17 @@ import ray
 from .exchange import default_partitions, int_partition_codes, split_compact
 
 _OPS = ("sum", "count", "min", "max", "mean")
+# Moment-based statistics: carried through the exchange as raw power sums
+# (n, Σx, Σx², and Σy, Σy², Σxy for the two-column ops) and finalized with
+# the textbook formulas AFTER the merge — power sums re-aggregate exactly,
+# so the result is partition-invariant whenever the sums are (integer-valued
+# inputs make them bit-exact; see the oracle notes in pipelines/queries.py).
+# Two-column ops take col = (x_col, y_col).
+_MOMENT_OPS = (
+    "var_pop", "var_samp", "stddev_pop", "stddev_samp",
+    "covar_pop", "covar_samp", "corr",
+)
+_TWO_COL = ("covar_pop", "covar_samp", "corr")
 
 
 def _group_hash(df: pd.DataFrame, keys: list[str]) -> np.ndarray:
@@ -47,6 +58,18 @@ def _group_hash(df: pd.DataFrame, keys: list[str]) -> np.ndarray:
 
 
 def _partial(df: pd.DataFrame, keys, specs) -> pd.DataFrame:
+    df = df
+    tmp_cols: dict[str, pd.Series] = {}
+    for alias, (col, op) in specs.items():
+        if op in _MOMENT_OPS:
+            x = col[0] if op in _TWO_COL else col
+            tmp_cols[f"_xx_{alias}"] = df[x] * df[x]
+            if op in _TWO_COL:
+                y = col[1]
+                tmp_cols[f"_yy_{alias}"] = df[y] * df[y]
+                tmp_cols[f"_xy_{alias}"] = df[x] * df[y]
+    if tmp_cols:
+        df = df.assign(**tmp_cols)
     g = df.groupby(keys, sort=False, dropna=False)
     out = {}
     for alias, (col, op) in specs.items():
@@ -61,6 +84,16 @@ def _partial(df: pd.DataFrame, keys, specs) -> pd.DataFrame:
             out[f"_m_{alias}"] = g[col].min()
         elif op == "max":
             out[f"_x_{alias}"] = g[col].max()
+        elif op in _MOMENT_OPS:
+            x = col[0] if op in _TWO_COL else col
+            out[f"_c_{alias}"] = g[x].count()
+            out[f"_s_{alias}"] = g[x].sum()
+            out[f"_q_{alias}"] = g[f"_xx_{alias}"].sum()
+            if op in _TWO_COL:
+                y = col[1]
+                out[f"_t_{alias}"] = g[y].sum()
+                out[f"_u_{alias}"] = g[f"_yy_{alias}"].sum()
+                out[f"_v_{alias}"] = g[f"_xy_{alias}"].sum()
     return pd.DataFrame(out).reset_index()
 
 
@@ -78,6 +111,33 @@ def _merge(df: pd.DataFrame, keys, specs) -> pd.DataFrame:
             out[alias] = g[f"_m_{alias}"].min()
         elif op == "max":
             out[alias] = g[f"_x_{alias}"].max()
+        elif op in _MOMENT_OPS:
+            n = g[f"_c_{alias}"].sum().astype("float64")
+            sx = g[f"_s_{alias}"].sum().astype("float64")
+            sxx = g[f"_q_{alias}"].sum().astype("float64")
+            # the explicit computational formulas, evaluated in one fixed
+            # operation order so an oracle spelling the same arithmetic
+            # reproduces the result bit-for-bit when the sums are exact
+            if op in ("var_pop", "stddev_pop"):
+                v = (sxx - sx * sx / n) / n
+                out[alias] = np.sqrt(v) if op == "stddev_pop" else v
+            elif op in ("var_samp", "stddev_samp"):
+                v = ((sxx - sx * sx / n) / (n - 1)).where(n > 1)
+                out[alias] = np.sqrt(v) if op == "stddev_samp" else v
+            else:
+                sy = g[f"_t_{alias}"].sum().astype("float64")
+                syy = g[f"_u_{alias}"].sum().astype("float64")
+                sxy = g[f"_v_{alias}"].sum().astype("float64")
+                cov = (sxy - sx * sy / n) / n
+                if op == "covar_pop":
+                    out[alias] = cov
+                elif op == "covar_samp":
+                    out[alias] = ((sxy - sx * sy / n) / (n - 1)).where(n > 1)
+                else:  # corr
+                    denom = np.sqrt((sxx - sx * sx / n) / n) * np.sqrt(
+                        (syy - sy * sy / n) / n
+                    )
+                    out[alias] = (cov / denom).where(denom > 0)
     return pd.DataFrame(out).reset_index()
 
 
@@ -97,9 +157,11 @@ def exchange_groupby(
     import ray.data
 
     keys = [keys] if isinstance(keys, str) else list(keys)
-    for alias, (_c, op) in aggs.items():
-        if op not in _OPS:
+    for alias, (c, op) in aggs.items():
+        if op not in _OPS and op not in _MOMENT_OPS:
             raise ValueError(f"unsupported op {op!r} for {alias!r}")
+        if op in _TWO_COL and (not isinstance(c, (tuple, list)) or len(c) != 2):
+            raise ValueError(f"{op} needs col=(x_col, y_col) for {alias!r}")
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         if not len(df):
@@ -187,7 +249,12 @@ def exchange_groupby(
         if base is not None:
             empty_in = base.empty_table().to_pandas()
         else:
-            cols = list(keys) + [c for (c, _op) in aggs.values() if c]
+            cols = list(keys)
+            for c, _op in aggs.values():
+                if isinstance(c, (tuple, list)):
+                    cols.extend(c)
+                elif c:
+                    cols.append(c)
             empty_in = pd.DataFrame({c: pd.Series([], dtype=object) for c in cols})
         out = _merge(
             partial(empty_in).drop(columns=["_gk"]), keys, aggs

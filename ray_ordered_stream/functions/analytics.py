@@ -23,7 +23,8 @@ import pyarrow as pa
 _FNS = (
     "row_number", "rank", "lag", "lead", "cumsum", "cummax", "cummin",
     "cumcount", "ntile", "percent_rank", "session_id", "first_value",
-    "last_value",
+    "last_value", "roll_sum", "roll_min", "roll_max", "roll_count",
+    "roll_mean",
 )
 
 
@@ -53,6 +54,15 @@ def window_functions(
                              session starts when col - previous col > gap
                              (gap in col's own units) — gap-based
                              sessionization as a window function
+      ("roll_sum", col, k) / ("roll_min", col, k) / ("roll_max", col, k)
+                             / ("roll_mean", col, k): sliding ROWS frame
+                             aggregate over the k-row window ending at the
+                             current row (SQL ROWS BETWEEN k-1 PRECEDING
+                             AND CURRENT ROW), clipped at the group start.
+                             roll_sum over int64 uses exact cumsum
+                             differences; roll_mean = roll_sum / frame size
+                             in float64.
+      ("roll_count", k)      rows in that same frame (int64)
 
     Output row order is unspecified (hash-partitioned), as everywhere
     else in the engine — consumers sort or aggregate.
@@ -82,12 +92,13 @@ def window_functions(
                     for alias, spec in specs.items():
                         fn = spec[0]
                         if fn in ("row_number", "rank", "cumcount", "ntile",
-                                  "session_id"):
+                                  "session_id", "roll_count"):
                             dt = "int64"
-                        elif fn == "percent_rank":
+                        elif fn in ("percent_rank", "roll_mean"):
                             dt = "float64"
                         elif fn in ("cumsum", "cummax", "cummin",
-                                    "first_value", "last_value"):
+                                    "first_value", "last_value", "roll_sum",
+                                    "roll_min", "roll_max"):
                             dt = base[spec[1]].dtype  # pandas keeps it
                         else:  # lag/lead: shift makes numeric -> float64
                             src = base[spec[1]].dtype
@@ -176,6 +187,39 @@ def window_functions(
                 # subtract the running total just before each group start
                 base = np.repeat(cs[firsts] - 1, sizes)
                 df[alias] = cs - base
+            elif fn == "roll_count":
+                k = int(spec[1])
+                start = np.maximum(first_of, np.arange(n) - k + 1)
+                df[alias] = (np.arange(n) - start + 1).astype(np.int64)
+            elif fn in ("roll_sum", "roll_mean"):
+                col, k = spec[1], int(spec[2])
+                idx = np.arange(n)
+                start = np.maximum(first_of, idx - k + 1)
+                v = df[col].to_numpy()
+                cs = np.cumsum(v)
+                prev = np.zeros_like(cs)
+                m = start > 0
+                prev[m] = cs[start[m] - 1]
+                s = cs - prev
+                if fn == "roll_mean":
+                    df[alias] = s.astype(np.float64) / (idx - start + 1)
+                else:
+                    df[alias] = s
+            elif fn in ("roll_min", "roll_max"):
+                col, k = spec[1], int(spec[2])
+                v = df[col].to_numpy()
+                out_v = v.copy()
+                idx = np.arange(n)
+                pick = np.minimum if fn == "roll_min" else np.maximum
+                for j in range(1, k):
+                    w = idx - j >= first_of  # j-back row is in-group
+                    w[:j] = False
+                    if not w.any():
+                        break
+                    cand = np.empty_like(v)
+                    cand[j:] = v[:-j]
+                    out_v[w] = pick(out_v[w], cand[w])
+                df[alias] = out_v
             elif fn == "percent_rank":
                 tie = np.zeros(n, dtype=bool)
                 tie[0] = True

@@ -208,6 +208,179 @@ def connected_components(
     return ray.data.from_arrow_refs(out)
 
 
+@ray.remote(num_returns=2)
+def _pr_load(*shards: pa.Table):
+    """Like ``_cc_load`` but DISTINCT on (src, dst): PageRank weights edges
+    by degree, so multi-edges (the same pair emitted twice upstream) must
+    collapse — mirroring the oracle's ``SELECT DISTINCT`` edge table. All
+    edges with one src hash to one partition, so per-partition dedup is
+    global dedup."""
+    real = [t for t in shards if t.num_rows]
+    if not real:
+        return (
+            np.empty(0, np.int64),
+            np.empty(1, np.int64),
+            np.empty(0, np.int64),
+        ), 0
+    tbl = (
+        pa.concat_tables(real, promote_options="none")
+        if len(real) > 1
+        else real[0]
+    )
+    src = tbl["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+    dst = tbl["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((dst, src))
+    src, dst = src[order], dst[order]
+    keep = np.empty(len(src), dtype=bool)
+    if len(src):
+        keep[0] = True
+        keep[1:] = (src[1:] != src[:-1]) | (dst[1:] != dst[:-1])
+        src, dst = src[keep], dst[keep]
+    nodes, first = np.unique(src, return_index=True)
+    starts = np.append(first, len(src)).astype(np.int64)
+    return (nodes, starts, dst), len(nodes)
+
+
+def _pr_msg_empty() -> pa.Table:
+    return pa.table(
+        {"node": pa.array([], pa.int64()), "contrib": pa.array([], pa.float64())}
+    )
+
+
+@ray.remote
+def _pr_step(P: int, csr, ranks, damping: float, emit: bool, *msgs: pa.Table):
+    """One PageRank superstep for one partition: fold the previous round's
+    incoming contributions into ``rank = (1 - d) + d * Σ contrib`` (skipped
+    on round 0, where ranks initialize to 1.0), then — unless this is the
+    final fold — emit this round's outgoing ``rank / deg`` contributions,
+    pre-combined per destination node BEFORE the split (the combiner: what
+    crosses the wire is one (node, contrib) row per unique neighbour, not
+    one per edge). Returns ``(ranks', msg_to_0, ..., msg_to_P-1)`` — call
+    with ``num_returns = P + 1`` when emitting."""
+    nodes, starts, dst = csr
+    if ranks is None:
+        ranks = np.ones(len(nodes), dtype=np.float64)
+    else:
+        real = [t for t in msgs if t.num_rows]
+        sums = np.zeros(len(nodes), dtype=np.float64)
+        if real and len(nodes):
+            tbl = (
+                pa.concat_tables(real, promote_options="none")
+                if len(real) > 1
+                else real[0]
+            )
+            node = tbl["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+            con = tbl["contrib"].to_numpy(zero_copy_only=False)
+            order = np.argsort(node, kind="stable")
+            node, con = node[order], con[order]
+            first = np.empty(len(node), dtype=bool)
+            first[0] = True
+            first[1:] = node[1:] != node[:-1]
+            idx = np.searchsorted(nodes, node[first])
+            sums[idx] = np.add.reduceat(con, np.flatnonzero(first))
+        ranks = (1.0 - damping) + damping * sums
+    if not emit:
+        return ranks
+    counts = np.diff(starts)
+    per_edge = np.repeat(ranks / np.maximum(counts, 1), counts)
+    # local combine per destination before routing
+    order = np.argsort(dst, kind="stable")
+    sdst, scon = dst[order], per_edge[order]
+    first = np.empty(len(sdst), dtype=bool)
+    if len(sdst):
+        first[0] = True
+        first[1:] = sdst[1:] != sdst[:-1]
+        udst = sdst[first]
+        usum = np.add.reduceat(scon, np.flatnonzero(first))
+    else:
+        udst = np.empty(0, np.int64)
+        usum = np.empty(0, np.float64)
+    tbl = pa.table(
+        {
+            "node": pa.array(udst, pa.int64()),
+            "contrib": pa.array(usum, pa.float64()),
+        }
+    )
+    out = split_compact(tbl, int_partition_codes(udst, P), P)
+    return (ranks,) + tuple(out)
+
+
+@ray.remote
+def _pr_result(csr, ranks) -> pa.Table:
+    return pa.table(
+        {
+            "node": pa.array(csr[0], pa.int64()),
+            "rank": pa.array(ranks, pa.float64()),
+        }
+    )
+
+
+def pagerank(
+    pairs,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    iters: int = 3,
+    damping: float = 0.85,
+    num_partitions: int | None = None,
+):
+    """PageRank over an undirected pair Dataset (both directions
+    materialized, so every node's in- and out-neighbourhoods coincide) in
+    the classic unnormalized form ``r' = (1-d) + d·Σ r/deg`` (Page et al.
+    1999), run for a FIXED ``iters`` supersteps from ``r0 = 1`` — a
+    deterministic spec an oracle can replay by unrolling the iterations.
+
+    Scale design mirrors ``connected_components``: edges hash-partition by
+    src ONCE into immutable plasma CSRs; each superstep is a wave of plain
+    tasks; only per-round (node, contrib) messages move, and a per-partition
+    combiner collapses them to one row per unique destination before the
+    exchange. Returns a Dataset of (node, rank) for every node in any pair.
+    """
+    import ray.data
+
+    def sym(t: pa.Table) -> pa.Table:
+        a = t[id_a].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t[id_b].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([a, b]), pa.int64()),
+                "dst": pa.array(np.concatenate([b, a]), pa.int64()),
+            }
+        )
+
+    edges = pairs.map_batches(sym, batch_format="pyarrow")
+    refs = list(edges.to_arrow_refs())
+    P = num_partitions or default_partitions()
+    groups = shard_refs(refs, "src", P, by_int=True)
+    built = [_pr_load.remote(*[g[p] for g in groups]) for p in range(P)]
+    csr = [b[0] for b in built]
+    n_nodes = sum(ray.get([b[1] for b in built]))
+    if n_nodes == 0:
+        return ray.data.from_arrow(
+            [pa.table({"node": pa.array([], pa.int64()),
+                       "rank": pa.array([], pa.float64())})]
+        )
+
+    ranks: list = [None] * P
+    msgs: list = [[_pr_msg_empty()] * P] * P
+    for rnd in range(iters + 1):
+        emit = rnd < iters
+        outs = [
+            _pr_step.options(num_returns=(P + 1) if emit else 1).remote(
+                P, csr[p], ranks[p], damping, emit, *[m[p] for m in msgs]
+            )
+            for p in range(P)
+        ]
+        if emit:
+            ranks = [o[0] for o in outs]
+            msgs = [o[1:] for o in outs]
+        else:  # final fold: num_returns=1, the ref IS the rank array
+            ranks = list(outs)
+
+    return ray.data.from_arrow_refs(
+        [_pr_result.remote(csr[p], ranks[p]) for p in range(P)]
+    )
+
+
 def cluster_dedup(
     ds,
     pairs,

@@ -4420,6 +4420,256 @@ WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
 """
 
 
+def q_lineitem_var_stats(sf_dir: str):
+    """Moment-based grouped statistics (agg.py var/covar/corr): carried
+    through the one-exchange grouped aggregation as raw power sums
+    (n, Σx, Σx², Σy, Σy², Σxy) and finalized with the textbook formulas.
+    Both stat columns are integer-valued (l_quantity, l_linenumber), so
+    every power sum is bit-exact in float64 and the finalization — spelled
+    in the SAME operation order in the SQL mirror — reproduces DuckDB's
+    answer bit-for-bit."""
+    from ..agg import exchange_groupby
+
+    li = _read(
+        sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_linenumber"]
+    )
+    return exchange_groupby(
+        li,
+        "l_returnflag",
+        {
+            "n": (None, "count"),
+            "var_qty": ("l_quantity", "var_pop"),
+            "vs_qty": ("l_quantity", "var_samp"),
+            "sd_qty": ("l_quantity", "stddev_samp"),
+            "cov_ql": (("l_quantity", "l_linenumber"), "covar_pop"),
+            "corr_ql": (("l_quantity", "l_linenumber"), "corr"),
+        },
+    )
+
+
+SQL_LINEITEM_VAR_STATS = """
+WITH s AS (
+  SELECT l_returnflag,
+         count(*)::BIGINT AS n,
+         sum(l_quantity) AS sx,
+         sum(l_quantity * l_quantity) AS sxx,
+         sum(l_linenumber::DOUBLE) AS sy,
+         sum(l_linenumber::DOUBLE * l_linenumber::DOUBLE) AS syy,
+         sum(l_quantity * l_linenumber::DOUBLE) AS sxy
+  FROM lineitem GROUP BY l_returnflag)
+SELECT l_returnflag, n,
+  (sxx - sx * sx / n) / n AS var_qty,
+  (sxx - sx * sx / n) / (n - 1) AS vs_qty,
+  sqrt((sxx - sx * sx / n) / (n - 1)) AS sd_qty,
+  (sxy - sx * sy / n) / n AS cov_ql,
+  ((sxy - sx * sy / n) / n)
+    / (sqrt((sxx - sx * sx / n) / n) * sqrt((syy - sy * sy / n) / n))
+    AS corr_ql
+FROM s
+"""
+
+
+def q_events_rolling(sf_dir: str):
+    """Sliding ROWS-frame window aggregates (functions/analytics.py
+    roll_*): per-user moving sum/min/max/count/mean over the 4-row frame
+    ending at the current row, in (ts, event_id) order — the same one
+    exchange + per-partition lexsort as every window function; roll_sum is
+    exact cumsum differences over the int64 floor(value)."""
+    from ..functions.analytics import window_functions
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        f = pc.cast(pc.floor(t["value"]), pa.int64())
+        return t.append_column("fv", f)
+
+    out = window_functions(
+        ev.map_batches(derive, batch_format="pyarrow"),
+        part_key="user_id",
+        order_by=["ts", "event_id"],
+        specs={
+            "rsum4": ("roll_sum", "fv", 4),
+            "rmin4": ("roll_min", "fv", 4),
+            "rmax4": ("roll_max", "fv", 4),
+            "rcnt4": ("roll_count", 4),
+            "ravg4": ("roll_mean", "fv", 4),
+        },
+        by_int=True,
+    )
+    return out.select_columns(
+        ["event_id", "user_id", "rsum4", "rmin4", "rmax4", "rcnt4", "ravg4"]
+    )
+
+
+SQL_EVENTS_ROLLING = """
+SELECT event_id, user_id,
+       (sum(fv) OVER w)::BIGINT AS rsum4,
+       (min(fv) OVER w)::BIGINT AS rmin4,
+       (max(fv) OVER w)::BIGINT AS rmax4,
+       (count(*) OVER w)::BIGINT AS rcnt4,
+       (sum(fv) OVER w)::DOUBLE / (count(*) OVER w) AS ravg4
+FROM (SELECT event_id, user_id, ts,
+             cast(floor(value) AS BIGINT) AS fv FROM events)
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_doc_edit_pairs(sf_dir: str):
+    """Byte-Levenshtein scoring of adjacent-id candidate pairs
+    (functions/editdist.py): Myers' bit-parallel kernel vectorized across
+    pairs, texts joined back per side on the shared id-hash exchange.
+    Distances are byte edits over the 64-CHAR-truncated texts — exactly
+    DuckDB's byte-based levenshtein() over substr(text, 1, 64) (the corpus
+    is ASCII, the documented kernel precondition)."""
+    import ray.data as _rd
+
+    from ..functions.editdist import edit_distance_pairs
+
+    refs = list(
+        _read(sf_dir, "documents", ["doc_id", "text"]).to_arrow_refs()
+    )
+
+    def adjacent(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"]
+        return pa.table({"id_a": ids, "id_b": pc.add(ids, 1)})
+
+    pairs = (
+        _rd.from_arrow_refs(refs)
+        .select_columns(["doc_id"])
+        .map_batches(adjacent, batch_format="pyarrow")
+    )
+    return edit_distance_pairs(
+        _rd.from_arrow_refs(refs), pairs, max_chars=64
+    )
+
+
+SQL_DOC_EDIT_PAIRS = """
+WITH t AS (SELECT doc_id, substr(text, 1, 64) AS s FROM documents)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  levenshtein(a.s, b.s)::BIGINT AS edit_distance,
+  round(1.0 - levenshtein(a.s, b.s)::DOUBLE
+              / greatest(strlen(a.s), strlen(b.s), 1), 6) AS norm_sim
+FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
+"""
+
+
+def q_part_pagerank(sf_dir: str):
+    """Distributed PageRank (functions/graph.py pagerank) over the
+    bipartite order–part graph (distinct lineitem (l_orderkey, l_partkey)
+    pairs, nodes integer-encoded as 2·orderkey / 2·partkey+1): 3 fixed
+    supersteps of r' = 0.15 + 0.85·Σ r/deg from r0 = 1 over plasma-cached
+    CSR partitions — only per-round (node, contrib) messages move, combined
+    per destination before the exchange. Top 50 nodes by rounded rank
+    (node-id tie-break), which the oracle replays by unrolling the three
+    iterations."""
+    from ..functions.graph import pagerank
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def enc(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "id_a": pc.multiply(t["l_orderkey"], 2),
+                "id_b": pc.add(pc.multiply(t["l_partkey"], 2), 1),
+            }
+        )
+
+    pr = pagerank(
+        li.map_batches(enc, batch_format="pyarrow"), iters=3, damping=0.85
+    )
+
+    def rnd(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"node": df["node"], "pr": np.round(df["rank"], 6)}
+        )
+
+    return (
+        pr.map_batches(rnd, batch_format="pandas")
+        .sort(["pr", "node"], descending=[True, False])
+        .limit(50)
+    )
+
+
+SQL_PART_PAGERANK = """
+WITH base AS (
+  SELECT DISTINCT l_orderkey * 2 AS src, l_partkey * 2 + 1 AS dst
+  FROM lineitem),
+edges AS (
+  SELECT src, dst FROM base
+  UNION ALL SELECT dst AS src, src AS dst FROM base),
+deg AS (SELECT src AS node, count(*) AS d FROM edges GROUP BY src),
+r1 AS (
+  SELECT e.dst AS node, 0.15 + 0.85 * sum(1.0 / g.d) AS r
+  FROM edges e JOIN deg g ON g.node = e.src GROUP BY e.dst),
+r2 AS (
+  SELECT e.dst AS node, 0.15 + 0.85 * sum(r1.r / g.d) AS r
+  FROM edges e JOIN deg g ON g.node = e.src JOIN r1 ON r1.node = e.src
+  GROUP BY e.dst),
+r3 AS (
+  SELECT e.dst AS node, 0.15 + 0.85 * sum(r2.r / g.d) AS r
+  FROM edges e JOIN deg g ON g.node = e.src JOIN r2 ON r2.node = e.src
+  GROUP BY e.dst)
+SELECT node, round(r, 6) AS pr FROM r3
+ORDER BY round(r, 6) DESC, node LIMIT 50
+"""
+
+
+def q_events_value_mode(sf_dir: str):
+    """Exact grouped MODE, composed from two existing operators: one
+    exchange_groupby at (event_type, value) grain counts every distinct
+    value (group-cardinality rows shuffle, never input rows), then the
+    window-function row_number over (count DESC, value ASC) picks the
+    deterministic SQL-mirrorable winner per group."""
+    from ..agg import exchange_groupby
+    from ..functions.analytics import window_functions
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "fv": pc.cast(pc.floor(t["value"]), pa.int64()),
+            }
+        )
+
+    base = exchange_groupby(
+        ev.map_batches(derive, batch_format="pyarrow"),
+        ["event_type", "fv"],
+        {"cnt": (None, "count")},
+    )
+    base = base.map_batches(
+        lambda df: df.assign(_neg=-df["cnt"]), batch_format="pandas"
+    )
+    w = window_functions(
+        base, "event_type", ["_neg", "fv"], {"rn": ("row_number",)}
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[df["rn"] == 1]
+        return pd.DataFrame(
+            {
+                "event_type": out["event_type"],
+                "mode_value": out["fv"].astype("int64"),
+                "cnt": out["cnt"].astype("int64"),
+            }
+        )
+
+    return w.map_batches(finish, batch_format="pandas")
+
+
+SQL_EVENTS_VALUE_MODE = """
+WITH c AS (
+  SELECT event_type, cast(floor(value) AS BIGINT) AS fv,
+         count(*)::BIGINT AS cnt
+  FROM events GROUP BY 1, 2)
+SELECT event_type, fv AS mode_value, cnt FROM c
+QUALIFY row_number() OVER (
+  PARTITION BY event_type ORDER BY cnt DESC, fv) = 1
+"""
+
+
 # Registry order = driver verification priority. The correctness driver
 # evaluates a bounded window (~50 queries) from the front. Round-5
 # rotation: the 50 rows NOT driver-gated in round 4 come first (so the
@@ -4446,6 +4696,11 @@ QUERIES = {
     "cust_orders_full_outer": (
         q_cust_orders_full_outer, SQL_CUST_ORDERS_FULL_OUTER,
     ),
+    "lineitem_var_stats": (q_lineitem_var_stats, SQL_LINEITEM_VAR_STATS),
+    "events_rolling": (q_events_rolling, SQL_EVENTS_ROLLING),
+    "doc_edit_pairs": (q_doc_edit_pairs, SQL_DOC_EDIT_PAIRS),
+    "part_pagerank": (q_part_pagerank, SQL_PART_PAGERANK),
+    "events_value_mode": (q_events_value_mode, SQL_EVENTS_VALUE_MODE),
     # -- (2) last driver-gated in round 3 or earlier ----------------------
     "doc_exact_dedup_keep": (q_doc_exact_dedup_keep, SQL_DOC_EXACT_DEDUP_KEEP),
     "doc_dedup_clusters": (q_doc_dedup_clusters, SQL_DOC_DEDUP_CLUSTERS),

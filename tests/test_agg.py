@@ -270,3 +270,99 @@ def test_pivot_wider_explicit_values_and_unpivot_roundtrip():
     assert len(long) == 6
     back = long.dropna(subset=["s"])
     assert back["s"].tolist() == [1.0, 2.0, 3.0]
+
+
+def test_moment_aggs_match_pandas(ray_session):
+    """var/stddev (pop+samp), covar, corr via power-sum partials."""
+    from ray_ordered_stream.agg import exchange_groupby
+
+    rng = np.random.default_rng(9)
+    df = pd.DataFrame(
+        {
+            "g": rng.integers(0, 5, 800),
+            "x": rng.integers(0, 50, 800).astype("float64"),
+            "y": rng.integers(0, 9, 800).astype("float64"),
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(7)
+    got = (
+        exchange_groupby(
+            ds,
+            "g",
+            {
+                "vp": ("x", "var_pop"),
+                "vs": ("x", "var_samp"),
+                "sp": ("x", "stddev_pop"),
+                "ss": ("x", "stddev_samp"),
+                "cvp": (("x", "y"), "covar_pop"),
+                "cvs": (("x", "y"), "covar_samp"),
+                "cr": (("x", "y"), "corr"),
+            },
+            num_partitions=3,
+        )
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    g = df.groupby("g")
+    exp = pd.DataFrame(
+        {
+            "vp": g["x"].var(ddof=0),
+            "vs": g["x"].var(ddof=1),
+            "sp": g["x"].std(ddof=0),
+            "ss": g["x"].std(ddof=1),
+            "cvp": g.apply(
+                lambda d: np.cov(d.x, d.y, ddof=0)[0, 1], include_groups=False
+            ),
+            "cvs": g.apply(
+                lambda d: np.cov(d.x, d.y, ddof=1)[0, 1], include_groups=False
+            ),
+            "cr": g.apply(
+                lambda d: np.corrcoef(d.x, d.y)[0, 1], include_groups=False
+            ),
+        }
+    ).reset_index()
+    m = got.merge(exp, on="g", suffixes=("", "_e"))
+    assert len(m) == df["g"].nunique()
+    for c in ["vp", "vs", "sp", "ss", "cvp", "cvs", "cr"]:
+        assert np.allclose(m[c], m[f"{c}_e"], atol=1e-9), c
+
+
+def test_moment_aggs_degenerate_groups(ray_session):
+    """n == 1 groups: samp variants are NULL, pop variants 0; corr NULL
+    when either side is constant."""
+    from ray_ordered_stream.agg import exchange_groupby
+
+    df = pd.DataFrame(
+        {
+            "g": ["a", "b", "b", "c", "c"],
+            "x": [3.0, 1.0, 5.0, 2.0, 2.0],
+            "y": [1.0, 1.0, 2.0, 3.0, 9.0],
+        }
+    )
+    got = (
+        exchange_groupby(
+            ray.data.from_pandas(df),
+            "g",
+            {
+                "vp": ("x", "var_pop"),
+                "vs": ("x", "var_samp"),
+                "cr": (("x", "y"), "corr"),
+            },
+            num_partitions=2,
+        )
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    assert got.loc[0, "vp"] == 0.0 and pd.isna(got.loc[0, "vs"])
+    assert np.isclose(got.loc[1, "vp"], 4.0) and np.isclose(got.loc[1, "vs"], 8.0)
+    assert np.isclose(got.loc[1, "cr"], 1.0)
+    assert pd.isna(got.loc[2, "cr"])  # x constant in group c
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        exchange_groupby(
+            ray.data.from_pandas(df), "g", {"cr": ("x", "corr")}
+        )

@@ -269,3 +269,48 @@ def test_first_last_value_window_fns(ray_session):
     )
     assert out["fv"].tolist() == [10.0, 10.0, 10.0, 5.0, 5.0, 5.0]
     assert out["lv"].tolist() == [30.0, 30.0, 30.0, 7.0, 7.0, 7.0]
+
+
+def test_rolling_frame_functions_match_pandas(ray_session):
+    import ray.data as rd
+
+    from ray_ordered_stream.functions.analytics import window_functions
+
+    rng = np.random.default_rng(13)
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 15, 1500),
+            "o": rng.permutation(1500),
+            "v": rng.integers(-50, 100, 1500),
+        }
+    )
+    ds = rd.from_pandas(df).repartition(6)
+    for k in (1, 4, 7):
+        got = (
+            window_functions(
+                ds,
+                "k",
+                ["o"],
+                {
+                    "rs": ("roll_sum", "v", k),
+                    "rm": ("roll_mean", "v", k),
+                    "rlo": ("roll_min", "v", k),
+                    "rhi": ("roll_max", "v", k),
+                    "rc": ("roll_count", k),
+                },
+                by_int=True,
+            )
+            .to_pandas()
+            .sort_values(["k", "o"])
+            .reset_index(drop=True)
+        )
+        s = df.sort_values(["k", "o"]).reset_index(drop=True)
+        r = s.groupby("k")["v"].rolling(k, min_periods=1)
+        assert (got["rs"].values == r.sum().reset_index(drop=True).values).all()
+        assert np.allclose(got["rm"].values, r.mean().reset_index(drop=True).values)
+        assert (got["rlo"].values == r.min().reset_index(drop=True).values).all()
+        assert (got["rhi"].values == r.max().reset_index(drop=True).values).all()
+        assert (got["rc"].values == r.count().reset_index(drop=True).values).all()
+        # roll_sum over int64 stays int64 (exact cumsum differences)
+        assert got["rs"].dtype == np.int64
+        assert got["rc"].dtype == np.int64

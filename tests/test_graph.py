@@ -103,3 +103,80 @@ def test_cluster_dedup_keeps_min_per_cluster(ray_session):
     pd.testing.assert_frame_equal(
         kept, docs[docs.doc_id.isin(kept.doc_id)].reset_index(drop=True)
     )
+
+
+# ---------------------------------------------------------------------------
+# PageRank
+# ---------------------------------------------------------------------------
+
+
+def _serial_pagerank(pairs, iters=3, damping=0.85):
+    """Serial replay of the fixed-iteration spec over DISTINCT symmetric
+    edges."""
+    import collections
+
+    e = set()
+    for a, b in pairs:
+        e.add((int(a), int(b)))
+        e.add((int(b), int(a)))
+    adj = collections.defaultdict(list)
+    for s, d in e:
+        adj[s].append(d)
+    nodes = sorted(adj)
+    r = {n: 1.0 for n in nodes}
+    for _ in range(iters):
+        inc = collections.defaultdict(float)
+        for s in nodes:
+            c = r[s] / len(adj[s])
+            for d in adj[s]:
+                inc[d] += c
+        r = {n: (1.0 - damping) + damping * inc[n] for n in nodes}
+    return r
+
+
+def test_pagerank_matches_serial(ray_session):
+    from ray_ordered_stream.functions.graph import pagerank
+
+    rng = np.random.default_rng(7)
+    a = rng.integers(0, 40, 300)
+    b = rng.integers(40, 70, 300)
+    ds = ray.data.from_pandas(pd.DataFrame({"id_a": a, "id_b": b})).repartition(5)
+    for P in (2, 4):
+        out = (
+            pagerank(ds, iters=3, num_partitions=P)
+            .to_pandas()
+            .sort_values("node")
+            .reset_index(drop=True)
+        )
+        exp = _serial_pagerank(zip(a.tolist(), b.tolist()), iters=3)
+        assert list(out["node"]) == sorted(exp)
+        got = out["rank"].to_numpy()
+        want = np.array([exp[n] for n in sorted(exp)])
+        assert np.allclose(got, want, atol=1e-9)
+
+
+def test_pagerank_dedupes_multi_edges(ray_session):
+    from ray_ordered_stream.functions.graph import pagerank
+
+    # the same pair three times must weigh like once (DISTINCT edges)
+    df = pd.DataFrame({"id_a": [1, 1, 1, 2], "id_b": [2, 2, 2, 3]})
+    out = (
+        pagerank(ray.data.from_pandas(df), iters=3, num_partitions=2)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    exp = _serial_pagerank([(1, 2), (2, 3)], iters=3)
+    assert np.allclose(out["rank"].to_numpy(), [exp[1], exp[2], exp[3]])
+
+
+def test_pagerank_empty(ray_session):
+    from ray_ordered_stream.functions.graph import pagerank
+
+    empty = ray.data.from_pandas(
+        pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                      "id_b": pd.Series([], dtype="int64")})
+    )
+    out = pagerank(empty, num_partitions=2)
+    assert out.schema().names == ["node", "rank"]
+    assert out.count() == 0
