@@ -277,6 +277,77 @@ def exchange_groupby(
     )
 
 
+def grouped_string_agg(
+    ds,
+    key: str,
+    val_col: str,
+    order_by: list[str] | str,
+    sep: str = ",",
+    alias: str = "agg",
+    count_alias: str | None = None,
+    by_int: bool = False,
+    num_partitions: int | None = None,
+):
+    """SQL ``string_agg(val, sep ORDER BY ...)`` per group: one hash
+    exchange on ``key``, then each partition lexsorts its rows once and
+    builds every group's joined string with an offset-built Arrow ListArray
+    + ``binary_join`` — no per-group Python (the same shape as
+    render.render_conversations, generalized). Output: one row per group
+    with ``key``, ``alias`` (the joined string) and optionally
+    ``count_alias`` (group size). NULL values stringify as SQL would skip
+    them — pass a pre-filtered input if NULLs are possible."""
+    import ray.data
+    import pyarrow.compute as pc
+
+    from .exchange import default_partitions, shard_refs
+
+    order_by = [order_by] if isinstance(order_by, str) else list(order_by)
+    P = max(2, num_partitions or default_partitions())
+
+    @ray.remote
+    def part(*shards: pa.Table) -> pa.Table:
+        real = [t for t in shards if t.num_rows]
+        if not real:
+            cols = {
+                key: pa.array([], pa.string()),
+                alias: pa.array([], pa.string()),
+            }
+            if count_alias:
+                cols[count_alias] = pa.array([], pa.int64())
+            return pa.table(cols)
+        tbl = (
+            pa.concat_tables(real, promote_options="none")
+            if len(real) > 1
+            else real[0]
+        )
+        df = tbl.to_pandas()
+        keys_np = [df[c].to_numpy() for c in reversed(order_by)]
+        codes = pd.factorize(df[key], use_na_sentinel=False)[0]
+        order = np.lexsort([*keys_np, codes])
+        df = df.iloc[order].reset_index(drop=True)
+        codes = codes[order]
+        n = len(df)
+        boundary = np.empty(n, dtype=bool)
+        boundary[0] = True
+        boundary[1:] = codes[1:] != codes[:-1]
+        firsts = np.flatnonzero(boundary)
+        offsets = np.append(firsts, n).astype(np.int32)
+        vals = pa.array(df[val_col].astype(str), pa.string())
+        lists = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), vals)
+        joined = pc.binary_join(lists, sep)
+        cols = {
+            key: pa.Array.from_pandas(df[key].iloc[firsts]),
+            alias: joined,
+        }
+        if count_alias:
+            cols[count_alias] = pa.array(np.diff(offsets).astype(np.int64))
+        return pa.table(cols)
+
+    groups = shard_refs(list(ds.to_arrow_refs()), key, P, by_int=by_int)
+    out = [part.remote(*[g[p] for g in groups]) for p in range(P)]
+    return ray.data.from_arrow_refs(out)
+
+
 # ---------------------------------------------------------------------------
 # Multi-dimensional aggregation: GROUPING SETS / ROLLUP / CUBE
 # ---------------------------------------------------------------------------

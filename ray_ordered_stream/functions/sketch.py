@@ -205,6 +205,123 @@ def distributed_quantiles(
     return out
 
 
+def exact_percentiles(
+    ds,
+    col: str,
+    qs: list[float],
+    candidates_per_block: int = 128,
+) -> dict[float, float | None]:
+    """EXACT interpolated percentiles (SQL ``percentile_cont``) without a
+    global sort: three streaming passes.
+
+    (1) candidate pass and (2) counting pass are ``distributed_quantiles``'s
+    machinery — evenly-spaced per-block candidates, then exact global ranks
+    for every candidate via per-block searchsorted. (3) For each needed
+    order statistic (the floor/ceil ranks of ``h = (n-1)·q``), the bracket
+    between the two candidates enclosing that rank is collected exactly —
+    at most ~n/candidates_per_block values per bracket cross the wire, NOT
+    the column — and the order statistic is read off the sorted bracket.
+    Linear interpolation between the two statistics finishes percentile_cont
+    semantics. NaNs/NULLs drop (SQL ignores them)."""
+    import ray
+
+    proj = ds.select_columns([col])
+
+    def cand(t: pa.Table) -> pa.Table:
+        v = np.sort(t[col].to_numpy(zero_copy_only=False).astype(np.float64))
+        v = v[~np.isnan(v)]
+        if not len(v):
+            return pa.table({"c": pa.array([], pa.float64())})
+        k = min(candidates_per_block, len(v))
+        pos = ((np.arange(k) + 1) * len(v)) // k - 1
+        return pa.table({"c": pa.array(v[pos])})
+
+    cdf = proj.map_batches(cand, batch_format="pyarrow").to_pandas()
+    cands = np.unique(cdf["c"].to_numpy()) if "c" in cdf.columns else np.zeros(0)
+    if not len(cands):
+        return {q: None for q in qs}
+    cands_ref = ray.put(cands)
+
+    def count_le(t: pa.Table) -> pa.Table:
+        cs = ray.get(cands_ref)
+        v = np.sort(t[col].to_numpy(zero_copy_only=False).astype(np.float64))
+        v = v[~np.isnan(v)]
+        le = np.searchsorted(v, cs, side="right").astype(np.int64)
+        return pa.table(
+            {
+                "le": pa.array([le], pa.list_(pa.int64(), len(cs))),
+                "n": pa.array([len(v)], pa.int64()),
+            }
+        )
+
+    parts = proj.map_batches(count_le, batch_format="pyarrow").take_all()
+    ranks = np.zeros(len(cands), dtype=np.int64)
+    n = 0
+    for row in parts:
+        ranks += np.asarray(row["le"], dtype=np.int64)
+        n += int(row["n"])
+    if n == 0:
+        return {q: None for q in qs}
+
+    # order statistics needed (1-based ranks) across all qs
+    need: set[int] = set()
+    hs: dict[float, float] = {}
+    for q in qs:
+        h = (n - 1) * float(q)
+        hs[q] = h
+        need.add(int(np.floor(h)) + 1)
+        need.add(min(int(np.floor(h)) + 2, n))
+    # bracket (lo, hi] per needed rank from the candidate rank table; the
+    # SMALLEST candidate with rank >= r is an upper bound, its predecessor
+    # a strict lower bound
+    brackets: dict[int, tuple[float | None, float]] = {}
+    for r in sorted(need):
+        i = int(np.searchsorted(ranks, r, side="left"))
+        i = min(i, len(cands) - 1)
+        lo = cands[i - 1] if i > 0 else None
+        brackets[r] = (None if lo is None else float(lo), float(cands[i]))
+    # one filtered collect for the union of brackets
+    lo_arr = np.array(
+        [(-np.inf if lo is None else lo) for lo, _hi in brackets.values()]
+    )
+    hi_arr = np.array([hi for _lo, hi in brackets.values()])
+    bounds_ref = ray.put((lo_arr, hi_arr))
+
+    def gather(t: pa.Table) -> pa.Table:
+        los, his = ray.get(bounds_ref)
+        v = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v[~np.isnan(v)]
+        keep = np.zeros(len(v), dtype=bool)
+        for lo, hi in zip(los, his):
+            keep |= (v > lo) & (v <= hi)
+        return pa.table({"v": pa.array(v[keep])})
+
+    got = proj.map_batches(gather, batch_format="pyarrow").to_pandas()
+    vals = np.sort(got["v"].to_numpy()) if "v" in got.columns else np.zeros(0)
+
+    def kth(r: int) -> float:
+        lo, hi = brackets[r]
+        lo_rank = 0 if lo is None else int(
+            ranks[int(np.searchsorted(cands, lo))]
+        )
+        inb = vals[
+            ((vals > (-np.inf if lo is None else lo)) & (vals <= hi))
+        ]
+        return float(np.sort(inb)[r - lo_rank - 1])
+
+    out: dict[float, float | None] = {}
+    for q in qs:
+        h = hs[q]
+        f = int(np.floor(h))
+        v0 = kth(f + 1)
+        if h == f or f + 2 > n:
+            out[q] = v0
+        else:
+            v1 = kth(f + 2)
+            out[q] = v0 + (h - f) * (v1 - v0)
+    return out
+
+
 def grouped_quantiles(
     ds,
     col: str,

@@ -4670,6 +4670,99 @@ QUALIFY row_number() OVER (
 """
 
 
+def q_user_event_path(sf_dir: str):
+    """Ordered grouped string aggregation (agg.grouped_string_agg): each
+    user's event-type sequence in (ts, event_id) order joined into one
+    path string — one hash exchange, per-partition lexsort + offset-built
+    Arrow ListArray + binary_join, no per-group Python. The classic
+    clickstream/funnel-path feature."""
+    from ..agg import grouped_string_agg
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    return grouped_string_agg(
+        ev,
+        key="user_id",
+        val_col="event_type",
+        order_by=["ts", "event_id"],
+        sep=">",
+        alias="path",
+        count_alias="n_events",
+        by_int=True,
+    )
+
+
+SQL_USER_EVENT_PATH = """
+SELECT user_id,
+       string_agg(event_type, '>' ORDER BY ts, event_id) AS path,
+       count(*)::BIGINT AS n_events
+FROM events GROUP BY user_id
+"""
+
+
+def q_events_percentile_cont(sf_dir: str):
+    """Exact interpolated percentiles (SQL percentile_cont) without a
+    global sort (functions/sketch.exact_percentiles): candidate +
+    exact-rank counting passes bracket each needed order statistic, a
+    third pass collects ONLY the bracketed values (~n/128 rows), and
+    linear interpolation finishes. The whole column never leaves the
+    workers."""
+    from ..functions.sketch import exact_percentiles
+
+    ev = _read(sf_dir, "events", ["value"])
+    qs = [0.25, 0.5, 0.75, 0.9]
+    got = exact_percentiles(ev, "value", qs)
+    return pd.DataFrame(
+        {
+            "q": qs,
+            "pcont": [round(got[q], 6) for q in qs],
+        }
+    )
+
+
+SQL_EVENTS_PERCENTILE_CONT = """
+SELECT 0.25 AS q,
+       round(percentile_cont(0.25) WITHIN GROUP (ORDER BY value), 6) AS pcont
+FROM events
+UNION ALL SELECT 0.5,
+       round(percentile_cont(0.5) WITHIN GROUP (ORDER BY value), 6)
+FROM events
+UNION ALL SELECT 0.75,
+       round(percentile_cont(0.75) WITHIN GROUP (ORDER BY value), 6)
+FROM events
+UNION ALL SELECT 0.9,
+       round(percentile_cont(0.9) WITHIN GROUP (ORDER BY value), 6)
+FROM events
+"""
+
+
+def q_orders_priority_cust_distinct(sf_dir: str):
+    """Exact grouped COUNT(DISTINCT): two chained exchange_groupby passes —
+    the first collapses to (priority, custkey) grain (so only distinct
+    combinations shuffle the second time), the second counts them and sums
+    the order counts back. No driver-side sets, no global sort."""
+    from ..agg import exchange_groupby
+
+    orders = _read(sf_dir, "orders", ["o_orderpriority", "o_custkey"])
+    grain = exchange_groupby(
+        orders,
+        ["o_orderpriority", "o_custkey"],
+        {"cnt": (None, "count")},
+    )
+    return exchange_groupby(
+        grain,
+        ["o_orderpriority"],
+        {"distinct_cust": (None, "count"), "n_orders": ("cnt", "sum")},
+    )
+
+
+SQL_ORDERS_PRIORITY_CUST_DISTINCT = """
+SELECT o_orderpriority,
+       count(DISTINCT o_custkey)::BIGINT AS distinct_cust,
+       count(*)::BIGINT AS n_orders
+FROM orders GROUP BY o_orderpriority
+"""
+
+
 # Registry order = driver verification priority. The correctness driver
 # evaluates a bounded window (~50 queries) from the front. Round-5
 # rotation: the 50 rows NOT driver-gated in round 4 come first (so the
@@ -4701,6 +4794,13 @@ QUERIES = {
     "doc_edit_pairs": (q_doc_edit_pairs, SQL_DOC_EDIT_PAIRS),
     "part_pagerank": (q_part_pagerank, SQL_PART_PAGERANK),
     "events_value_mode": (q_events_value_mode, SQL_EVENTS_VALUE_MODE),
+    "user_event_path": (q_user_event_path, SQL_USER_EVENT_PATH),
+    "events_percentile_cont": (
+        q_events_percentile_cont, SQL_EVENTS_PERCENTILE_CONT,
+    ),
+    "orders_priority_cust_distinct": (
+        q_orders_priority_cust_distinct, SQL_ORDERS_PRIORITY_CUST_DISTINCT,
+    ),
     # -- (2) last driver-gated in round 3 or earlier ----------------------
     "doc_exact_dedup_keep": (q_doc_exact_dedup_keep, SQL_DOC_EXACT_DEDUP_KEEP),
     "doc_dedup_clusters": (q_doc_dedup_clusters, SQL_DOC_DEDUP_CLUSTERS),

@@ -366,3 +366,35 @@ def test_moment_aggs_degenerate_groups(ray_session):
         exchange_groupby(
             ray.data.from_pandas(df), "g", {"cr": ("x", "corr")}
         )
+
+
+def test_grouped_string_agg_matches_pandas(ray_session):
+    from ray_ordered_stream.agg import grouped_string_agg
+
+    rng = np.random.default_rng(17)
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 12, 600),
+            "o": rng.permutation(600),
+            "v": rng.choice(["a", "b", "c", "dd"], 600),
+        }
+    )
+    got = (
+        grouped_string_agg(
+            ray.data.from_pandas(df).repartition(5),
+            key="k", val_col="v", order_by=["o"], sep="|",
+            alias="s", count_alias="n", by_int=True, num_partitions=3,
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    exp = (
+        df.sort_values(["k", "o"])
+        .groupby("k")
+        .agg(s=("v", lambda x: "|".join(x)), n=("v", "size"))
+        .reset_index()
+    )
+    assert (got["k"].values == exp["k"].values).all()
+    assert (got["s"].values == exp["s"].values).all()
+    assert (got["n"].values == exp["n"].values).all()

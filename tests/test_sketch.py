@@ -295,3 +295,32 @@ def test_profile_dataset_skips_unhashable_columns(ray_session):
     assert e is None or e != e  # null
     b = prof.loc["blob", "approx_distinct"]
     assert b is None or b != b
+
+
+def test_exact_percentiles_match_numpy(ray_session):
+    import ray.data as rd
+
+    from ray_ordered_stream.functions.sketch import exact_percentiles
+
+    rng = np.random.default_rng(21)
+    for n, cpb in [(10_000, 128), (777, 16), (5, 128), (1, 128)]:
+        v = np.round(rng.normal(100, 25, n), 3)
+        ds = rd.from_pandas(pd.DataFrame({"x": v})).repartition(5)
+        qs = [0.0, 0.1, 0.25, 0.5, 0.9, 1.0]
+        got = exact_percentiles(ds, "x", qs, candidates_per_block=cpb)
+        exp = np.quantile(v, qs, method="linear")
+        for q, e in zip(qs, exp):
+            assert abs(got[q] - e) < 1e-9, (n, cpb, q, got[q], e)
+
+
+def test_exact_percentiles_nulls_and_empty(ray_session):
+    import ray.data as rd
+
+    from ray_ordered_stream.functions.sketch import exact_percentiles
+
+    df = pd.DataFrame({"x": [np.nan, 1.0, np.nan, 3.0, 2.0]})
+    got = exact_percentiles(rd.from_pandas(df), "x", [0.5])
+    assert got[0.5] == 2.0  # NaNs ignored like SQL NULLs
+    empty = pd.DataFrame({"x": pd.Series([], dtype="float64")})
+    got = exact_percentiles(rd.from_pandas(empty), "x", [0.5])
+    assert got[0.5] is None
