@@ -295,7 +295,10 @@ def grouped_string_agg(
     render.render_conversations, generalized). Output: one row per group
     with ``key``, ``alias`` (the joined string) and optionally
     ``count_alias`` (group size). NULL values stringify as SQL would skip
-    them — pass a pre-filtered input if NULLs are possible."""
+    them — pass a pre-filtered input if NULLs are possible. Per-partition
+    output strings use 32-bit offsets (one Arrow chunk): size partitions so
+    a partition's total joined bytes stay under 2 GiB — the usual Arrow
+    chunk bound, met by raising ``num_partitions``."""
     import ray.data
     import pyarrow.compute as pc
 
@@ -308,8 +311,17 @@ def grouped_string_agg(
     def part(*shards: pa.Table) -> pa.Table:
         real = [t for t in shards if t.num_rows]
         if not real:
+            # borrow the key dtype from any columned sibling shard so every
+            # partition emits the SAME schema (an int64 key must not come
+            # back string-typed from an empty partition)
+            template = next((t for t in shards if t.column_names), None)
+            key_type = (
+                template.schema.field(key).type
+                if template is not None
+                else pa.string()
+            )
             cols = {
-                key: pa.array([], pa.string()),
+                key: pa.array([], key_type),
                 alias: pa.array([], pa.string()),
             }
             if count_alias:

@@ -80,6 +80,51 @@ def hash_sample(ds, fraction: float, id_col: str, salt: str = ""):
     )
 
 
+def weighted_hash_sample(
+    ds,
+    id_col: str,
+    weight_col: str,
+    rate: float,
+    scale: float,
+    salt: str = "",
+):
+    """Deterministic WEIGHTED Bernoulli sample: row kept with probability
+    ``min(1, rate * weight / scale)``, decided by the md5(salt + id) hash —
+    stateless, shuffle-free, stable under re-runs and re-partitioning (the
+    importance-sampling step of corpus mixing: long/high-quality documents
+    kept at higher rates).
+
+    Exact SQL-mirrorable arithmetic: the per-row threshold is
+    ``min(floor(min(1.0, rate * weight / scale) * 2^32), 2^32 - 1)``
+    computed in float64 in that operation order, compared against the hash's
+    top-32-bit value — DuckDB replays it as
+    ``substr(md5(...), 1, 8) < printf('%08x', cast(... as ubigint))``.
+    NULL ids never pass (md5(NULL) is NULL in SQL)."""
+    if rate < 0 or scale <= 0:
+        raise ValueError("rate must be >= 0 and scale > 0")
+
+    def f(t: pa.Table) -> pa.Table:
+        from ..stream_dedup import _fingerprints
+
+        ids = t[id_col]
+        if not pa.types.is_string(ids.type):
+            ids = pc.cast(ids, pa.string())
+        if salt:
+            ids = pc.binary_join_element_wise(pa.scalar(salt), ids, "")
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        hi, _ = _fingerprints(ids)
+        w = t[weight_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        p = np.minimum(1.0, rate * w / scale)
+        thr = np.minimum(np.floor(p * 4294967296.0), 4294967295.0)
+        keep = (hi >> np.uint64(32)).astype(np.float64) < thr
+        if ids.null_count:
+            keep &= np.asarray(ids.is_valid())
+        return t.filter(pa.array(keep))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def stratified_sample(
     ds,
     stratum: str,

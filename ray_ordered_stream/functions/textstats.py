@@ -644,3 +644,61 @@ def extract_json_int(
         return t.append_column(out_col, v)
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def zipf_fit(ds, num_partitions: int | None = None) -> pd.DataFrame:
+    """Zipf's-law fit of the corpus vocabulary: least-squares slope and
+    intercept of ln(frequency) against ln(rank) — the standard corpus
+    health check (natural text sits near slope -1; synthetic or templated
+    corpora drift).
+
+    Scale shape: the corpus tokenizes ONCE through vocab_counts (per-batch
+    partial counts, one vocabulary-sized exchange); ranking (count DESC,
+    token ASC) runs through the shared window-function machinery on a
+    constant key (the vocabulary is exchange-output-sized, not
+    corpus-sized); the regression reduces per-block power-sum partials.
+    Returns a one-row DataFrame (v_size, slope, intercept) — the caller
+    rounds; the SQL mirror spells the same closed-form arithmetic."""
+    import ray.data  # noqa: F401
+
+    from .analytics import window_functions
+
+    vocab = vocab_counts(ds)
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["_k"] = np.int64(0)
+        out["_negn"] = -out["n"].astype("int64")
+        return out
+
+    ranked = window_functions(
+        vocab.map_batches(keyed, batch_format="pandas"),
+        part_key="_k",
+        order_by=["_negn", "token"],
+        specs={"rnk": ("row_number",)},
+        by_int=True,
+        num_partitions=num_partitions,
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        x = np.log(df["rnk"].to_numpy(np.float64))
+        y = np.log(df["n"].to_numpy(np.float64))
+        return pd.DataFrame(
+            {
+                "cnt": [np.int64(len(df))],
+                "sx": [x.sum()],
+                "sy": [y.sum()],
+                "sxx": [(x * x).sum()],
+                "sxy": [(x * y).sum()],
+            }
+        )
+
+    parts = ranked.map_batches(partial, batch_format="pandas").to_pandas()
+    cnt = float(parts["cnt"].sum())
+    sx, sy = float(parts["sx"].sum()), float(parts["sy"].sum())
+    sxx, sxy = float(parts["sxx"].sum()), float(parts["sxy"].sum())
+    slope = (cnt * sxy - sx * sy) / (cnt * sxx - sx * sx)
+    intercept = (sy - slope * sx) / cnt
+    return pd.DataFrame(
+        {"v_size": [np.int64(cnt)], "slope": [slope], "intercept": [intercept]}
+    )

@@ -4763,12 +4763,75 @@ FROM orders GROUP BY o_orderpriority
 """
 
 
+def q_doc_weighted_sample(sf_dir: str):
+    """Deterministic weighted Bernoulli sampling (functions/sample.
+    weighted_hash_sample): keep probability min(1, 0.3·n_chars/600) decided
+    by the md5(id) hash — the importance-sampling step of corpus mixing,
+    stateless and shuffle-free. The oracle replays the exact float
+    arithmetic and compares the same 8-hex md5 prefix against a per-row
+    printf('%08x') threshold."""
+    from ..functions.sample import weighted_hash_sample
+
+    docs = _read(sf_dir, "documents", ["doc_id", "n_chars", "source"])
+    return weighted_hash_sample(
+        docs, id_col="doc_id", weight_col="n_chars", rate=0.3, scale=600.0
+    )
+
+
+SQL_DOC_WEIGHTED_SAMPLE = """
+SELECT doc_id, n_chars, source FROM documents
+WHERE substr(md5(cast(doc_id AS varchar)), 1, 8)
+      < printf('%08x', cast(least(
+          floor(least(1.0, 0.3 * n_chars / 600.0) * 4294967296.0),
+          4294967295.0) AS BIGINT))
+"""
+
+
+def q_doc_zipf(sf_dir: str):
+    """Zipf's-law corpus fit (functions/textstats.zipf_fit): ln(freq) ~
+    ln(rank) least squares over the vocabulary — corpus tokenized once
+    (partial counts, vocabulary-sized exchange), ranked through the shared
+    window machinery, regression reduced from per-block power sums. The
+    oracle spells the identical closed-form arithmetic over the same
+    row_number ranking."""
+    from ..functions.textstats import zipf_fit
+
+    out = zipf_fit(_read(sf_dir, "documents", ["text"]))
+    out["slope"] = np.round(out["slope"], 6)
+    out["intercept"] = np.round(out["intercept"], 6)
+    return out
+
+
+SQL_DOC_ZIPF = r"""
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(lower(text), '\w+')) AS token
+  FROM documents),
+v AS (SELECT token, count(*)::BIGINT AS n FROM toks GROUP BY token),
+r AS (
+  SELECT ln(row_number() OVER (ORDER BY n DESC, token)) AS x, ln(n) AS y
+  FROM v),
+s AS (
+  SELECT count(*)::BIGINT AS cnt, sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(x * y) AS sxy
+  FROM r)
+SELECT cnt AS v_size,
+  round((cnt * sxy - sx * sy) / (cnt * sxx - sx * sx), 6) AS slope,
+  round((sy - ((cnt * sxy - sx * sy) / (cnt * sxx - sx * sx)) * sx) / cnt, 6)
+    AS intercept
+FROM s
+"""
+
+
 # Registry order = driver verification priority. The correctness driver
 # evaluates a bounded window (~50 queries) from the front. Round-5
-# rotation: the 50 rows NOT driver-gated in round 4 come first (so the
-# union of r4+r5 windows covers all 100 rows), led by bpe_merges (the
-# only row never driver-verified) and the two round-5 user-state-hook
-# queries; the 50 rows green in CORRECTNESS_r04 follow.
+# rotation: every row never driver-gated comes first — bpe_merges (the
+# only pre-r5 never-verified row), the round-5 user-state-hook pair, and
+# all round-5 operator additions (rollup/cube/pivot/set-ops/outer-join,
+# moment stats, rolling frames, edit-distance, PageRank, mode,
+# string_agg, percentile_cont, count-distinct, knn_lsh) — followed by the
+# rows last driver-gated in round 3, then the rows green in
+# CORRECTNESS_r04. Rows past the window are covered by the committed
+# full-registry local gates (reports/gate_r5*_full_sf0.01.txt).
 QUERIES = {
     # -- (1) never driver-gated + new in round 5 --------------------------
     "bpe_merges": (q_bpe_merges, SQL_BPE_MERGES),
@@ -4801,6 +4864,9 @@ QUERIES = {
     "orders_priority_cust_distinct": (
         q_orders_priority_cust_distinct, SQL_ORDERS_PRIORITY_CUST_DISTINCT,
     ),
+    "knn_lsh": (q_knn_lsh, SQL_KNN_LSH),
+    "doc_weighted_sample": (q_doc_weighted_sample, SQL_DOC_WEIGHTED_SAMPLE),
+    "doc_zipf": (q_doc_zipf, SQL_DOC_ZIPF),
     # -- (2) last driver-gated in round 3 or earlier ----------------------
     "doc_exact_dedup_keep": (q_doc_exact_dedup_keep, SQL_DOC_EXACT_DEDUP_KEEP),
     "doc_dedup_clusters": (q_doc_dedup_clusters, SQL_DOC_DEDUP_CLUSTERS),
@@ -4811,7 +4877,6 @@ QUERIES = {
     "media_frames": (q_media_frames, SQL_MEDIA_FRAMES),
     "knn_bruteforce": (q_knn_bruteforce, SQL_KNN_BRUTEFORCE),
     "knn_ivf": (q_knn_ivf, SQL_KNN_IVF),
-    "knn_lsh": (q_knn_lsh, SQL_KNN_LSH),
     "embedding_label_stats": (q_embedding_label_stats, SQL_EMBEDDING_LABEL_STATS),
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "top_orders": (q_top_orders, SQL_TOP_ORDERS),

@@ -398,3 +398,18 @@ def test_grouped_string_agg_matches_pandas(ray_session):
     assert (got["k"].values == exp["k"].values).all()
     assert (got["s"].values == exp["s"].values).all()
     assert (got["n"].values == exp["n"].values).all()
+
+
+def test_grouped_string_agg_empty_partitions_keep_key_dtype(ray_session):
+    from ray_ordered_stream.agg import grouped_string_agg
+
+    # one int key, many partitions: empty partitions must emit the SAME
+    # schema (int64 key), not a string-typed placeholder
+    df = pd.DataFrame({"k": [7, 7, 7], "o": [2, 0, 1], "v": ["b", "a", "c"]})
+    out = grouped_string_agg(
+        ray.data.from_pandas(df), key="k", val_col="v", order_by=["o"],
+        sep="", alias="s", by_int=True, num_partitions=8,
+    ).to_pandas()
+    assert len(out) == 1
+    assert out["s"].iloc[0] == "acb"  # (o=0,'a'), (o=1,'c'), (o=2,'b')
+    assert out["k"].dtype == np.int64

@@ -1032,3 +1032,97 @@ def test_token_count_null_and_empty_text(ray_session):
     out = token_count(rd.from_arrow(t)).to_pandas().set_index("doc_id")
     assert out["n_tokens"].tolist() == [2, 0, 0]
     assert out["n_subwords_est"].tolist() == [3, 0, 0]
+
+
+def test_weighted_hash_sample(ray_session):
+    import hashlib
+
+    import ray.data as rd
+
+    from ray_ordered_stream.functions.sample import weighted_hash_sample
+
+    rng = np.random.default_rng(23)
+    n = 2000
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "w": rng.integers(1, 2000, n).astype(np.int64),
+        }
+    )
+    rate, scale = 0.4, 800.0
+
+    def serial_keep(i, w):
+        h = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+        p = min(1.0, rate * w / scale)
+        thr = min(np.floor(p * 4294967296.0), 4294967295.0)
+        return h < thr
+
+    exp_ids = [
+        int(i) for i, w in zip(df["doc_id"], df["w"]) if serial_keep(i, w)
+    ]
+    for P in (1, 6):
+        got = (
+            weighted_hash_sample(
+                rd.from_pandas(df).repartition(P),
+                id_col="doc_id", weight_col="w", rate=rate, scale=scale,
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+        )
+        assert got["doc_id"].tolist() == exp_ids  # partition-invariant
+    # weight 0 never kept; huge weight ~always kept (p == 1 keeps all but
+    # the top hash value, which is absent among 2000 uniform draws)
+    edge = pd.DataFrame(
+        {"doc_id": np.arange(200, dtype=np.int64),
+         "w": np.array([0] * 100 + [10**9] * 100, dtype=np.int64)}
+    )
+    got = weighted_hash_sample(
+        rd.from_pandas(edge), "doc_id", "w", rate, scale
+    ).to_pandas()
+    assert (got["w"] > 0).all() and len(got) == 100
+    # NULL ids never pass
+    nulls = pd.DataFrame(
+        {"doc_id": pd.array([1, None, 3], dtype="Int64"),
+         "w": np.array([10**9] * 3, dtype=np.int64)}
+    )
+    got = weighted_hash_sample(
+        rd.from_pandas(nulls), "doc_id", "w", rate, scale
+    ).to_pandas()
+    assert got["doc_id"].notna().all()
+
+
+def test_zipf_fit_matches_serial(ray_session):
+    import re as _re
+
+    import ray.data as rd
+
+    from ray_ordered_stream.functions.textstats import zipf_fit
+
+    rng = np.random.default_rng(31)
+    # zipf-ish corpus: token t_k drawn with prob ~ 1/(k+1)
+    vocab = [f"tok{k}" for k in range(60)]
+    probs = 1.0 / np.arange(1, 61)
+    probs /= probs.sum()
+    texts = [
+        " ".join(rng.choice(vocab, size=50, p=probs)) for _ in range(80)
+    ]
+    ds = rd.from_pandas(pd.DataFrame({"text": texts})).repartition(5)
+    out = zipf_fit(ds)
+    # serial oracle: same tokenization (\w+ on lower), same ranking, same
+    # closed-form least squares
+    from collections import Counter
+
+    c = Counter()
+    for t in texts:
+        c.update(_re.findall(r"\w+", t.lower()))
+    items = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))
+    x = np.log(np.arange(1, len(items) + 1, dtype=np.float64))
+    y = np.log(np.array([n for _t, n in items], dtype=np.float64))
+    cnt = float(len(items))
+    sx, sy, sxx, sxy = x.sum(), y.sum(), (x * x).sum(), (x * y).sum()
+    slope = (cnt * sxy - sx * sy) / (cnt * sxx - sx * sx)
+    intercept = (sy - slope * sx) / cnt
+    assert int(out["v_size"].iloc[0]) == len(items)
+    assert abs(out["slope"].iloc[0] - slope) < 1e-9
+    assert abs(out["intercept"].iloc[0] - intercept) < 1e-9
+    assert -1.6 < slope < -0.4  # zipf-ish corpus fits a negative power law
