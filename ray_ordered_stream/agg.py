@@ -37,6 +37,15 @@ _MOMENT_OPS = (
     "covar_pop", "covar_samp", "corr",
 )
 _TWO_COL = ("covar_pop", "covar_samp", "corr")
+# Positional aggregates (SQL max_by/min_by): col = (value_col, order_col);
+# returns value_col at the extreme of order_col. Deterministic tie-break:
+# among rows sharing the extreme order value, the MINIMUM value wins (and
+# NULL order values lose to any non-NULL) — so the result is
+# partition-invariant and an oracle can replay it with
+# row_number() OVER (ORDER BY o DESC NULLS LAST, v ASC). The per-block
+# champion rule (lexicographic extreme over (order, value)) is associative,
+# so block champions merge to the global champion through the exchange.
+_ARG_OPS = ("arg_max", "arg_min")
 
 
 def _group_hash(df: pd.DataFrame, keys: list[str]) -> np.ndarray:
@@ -57,6 +66,26 @@ def _group_hash(df: pd.DataFrame, keys: list[str]) -> np.ndarray:
     return h
 
 
+def _arg_pick(
+    df: pd.DataFrame, keys, alias: str, op: str, vcol: str, ocol: str
+) -> pd.DataFrame:
+    """One row per group: the (order, value) champion under the arg-op
+    rule. Works identically on raw rows (partial) and on merged champion
+    rows (merge) because the rule is associative."""
+    cols = list(dict.fromkeys(keys + [vcol, ocol]))
+    sub = df[cols].sort_values(
+        [ocol] + ([vcol] if vcol != ocol else []),
+        ascending=[op == "arg_min"] + ([True] if vcol != ocol else []),
+        kind="stable",
+        na_position="last",
+    )
+    sub = sub.groupby(keys, sort=False, dropna=False).head(1)
+    out = sub[keys].copy()
+    out[f"_a_{alias}"] = sub[vcol].values
+    out[f"_o_{alias}"] = sub[ocol].values
+    return out
+
+
 def _partial(df: pd.DataFrame, keys, specs) -> pd.DataFrame:
     df = df
     tmp_cols: dict[str, pd.Series] = {}
@@ -70,9 +99,16 @@ def _partial(df: pd.DataFrame, keys, specs) -> pd.DataFrame:
                 tmp_cols[f"_xy_{alias}"] = df[x] * df[y]
     if tmp_cols:
         df = df.assign(**tmp_cols)
+    arg_frames = [
+        _arg_pick(df, keys, alias, op, col[0], col[1])
+        for alias, (col, op) in specs.items()
+        if op in _ARG_OPS
+    ]
     g = df.groupby(keys, sort=False, dropna=False)
     out = {}
     for alias, (col, op) in specs.items():
+        if op in _ARG_OPS:
+            continue
         if op == "count":
             out[f"_c_{alias}"] = g.size()
         elif op == "mean":
@@ -94,13 +130,26 @@ def _partial(df: pd.DataFrame, keys, specs) -> pd.DataFrame:
                 out[f"_t_{alias}"] = g[y].sum()
                 out[f"_u_{alias}"] = g[f"_yy_{alias}"].sum()
                 out[f"_v_{alias}"] = g[f"_xy_{alias}"].sum()
-    return pd.DataFrame(out).reset_index()
+    base = pd.DataFrame(out).reset_index() if out else None
+    for af in arg_frames:
+        base = af if base is None else base.merge(af, on=keys, how="inner")
+    return base
 
 
 def _merge(df: pd.DataFrame, keys, specs) -> pd.DataFrame:
+    arg_frames = []
+    for alias, (_col, op) in specs.items():
+        if op in _ARG_OPS:
+            af = _arg_pick(df, keys, alias, op, f"_a_{alias}", f"_o_{alias}")
+            af = af.drop(columns=[f"_o_{alias}"]).rename(
+                columns={f"_a_{alias}": alias}
+            )
+            arg_frames.append(af)
     g = df.groupby(keys, sort=False, dropna=False)
     out = {}
     for alias, (_col, op) in specs.items():
+        if op in _ARG_OPS:
+            continue
         if op == "count":
             out[alias] = g[f"_c_{alias}"].sum()
         elif op == "sum":
@@ -138,7 +187,11 @@ def _merge(df: pd.DataFrame, keys, specs) -> pd.DataFrame:
                         (syy - sy * sy / n) / n
                     )
                     out[alias] = (cov / denom).where(denom > 0)
-    return pd.DataFrame(out).reset_index()
+    base = pd.DataFrame(out).reset_index() if out else None
+    for af in arg_frames:
+        base = af if base is None else base.merge(af, on=keys, how="inner")
+    # keys first, then aliases in spec order, however the merges interleaved
+    return base[keys + list(specs)]
 
 
 def exchange_groupby(
@@ -158,10 +211,14 @@ def exchange_groupby(
 
     keys = [keys] if isinstance(keys, str) else list(keys)
     for alias, (c, op) in aggs.items():
-        if op not in _OPS and op not in _MOMENT_OPS:
+        if op not in _OPS and op not in _MOMENT_OPS and op not in _ARG_OPS:
             raise ValueError(f"unsupported op {op!r} for {alias!r}")
         if op in _TWO_COL and (not isinstance(c, (tuple, list)) or len(c) != 2):
             raise ValueError(f"{op} needs col=(x_col, y_col) for {alias!r}")
+        if op in _ARG_OPS and (not isinstance(c, (tuple, list)) or len(c) != 2):
+            raise ValueError(
+                f"{op} needs col=(value_col, order_col) for {alias!r}"
+            )
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         if not len(df):
@@ -187,7 +244,13 @@ def exchange_groupby(
                 **{k: pd.Series([], dtype=object) for k in keys},
                 **{
                     a: pd.Series(
-                        [], dtype="int64" if op == "count" else "float64"
+                        [],
+                        dtype="int64"
+                        if op == "count"
+                        # arg value dtype is unknowable on empty input:
+                        # null-typed, unifies losslessly if a sibling
+                        # shard carries the real type
+                        else (object if op in _ARG_OPS else "float64"),
                     )
                     for a, (_c, op) in aggs.items()
                 },

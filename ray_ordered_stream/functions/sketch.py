@@ -797,3 +797,88 @@ def grouped_approx_distinct(
         return pd_.DataFrame({group_col: df[group_col], "approx": out})
 
     return folded.map_batches(estimate, batch_format="pandas")
+
+
+def equal_width_histogram(
+    ds,
+    col: str,
+    nbins: int,
+    lo: float | None = None,
+    hi: float | None = None,
+    num_partitions: int | None = None,
+):
+    """Equal-width histogram of a numeric column: ``nbins`` buckets over
+    ``[lo, hi]`` (bounds default to the exact global min/max, found with a
+    first O(P)-partial pass). Returns a Dataset of the NON-EMPTY buckets
+    (SQL GROUP BY semantics) with columns ``bin`` (0-based), ``lo_edge``,
+    ``hi_edge``, ``n``.
+
+    The bucket rule is spelled so an oracle reproduces it bit-for-bit in
+    IEEE double arithmetic:
+
+        bin     = max(0, min(nbins-1, floor((v - lo) * nbins / (hi - lo))))
+        lo_edge = lo + bin * (hi - lo) / nbins          (hi_edge: bin+1)
+
+    i.e. the top edge closes the last bucket (v == hi lands in bin
+    nbins-1), values outside [lo, hi] clamp into the end buckets, and
+    NULL/NaN rows drop. Degenerate hi == lo puts everything in bin 0.
+
+    Scale shape: two streaming passes over the column projection — a
+    per-block (min, max) partial (driver folds P pairs), then per-block
+    bucket bincount partials through one bin-keyed exchange_groupby (at
+    most nbins rows per block ship; the column never concentrates)."""
+    import ray
+
+    from ..agg import exchange_groupby
+
+    proj = ds.select_columns([col])
+
+    if lo is None or hi is None:
+        @ray.remote
+        def mm(t: pa.Table):
+            v = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+            v = v[~np.isnan(v)]
+            if not len(v):
+                return None
+            return float(v.min()), float(v.max())
+
+        pairs = [p for p in ray.get(
+            [mm.remote(b) for b in proj.to_arrow_refs()]
+        ) if p is not None]
+        if not pairs:
+            return ray.data.from_items([]).limit(0)
+        lo = min(p[0] for p in pairs) if lo is None else lo
+        hi = max(p[1] for p in pairs) if hi is None else hi
+    lo, hi = float(lo), float(hi)
+
+    import ray.data
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        v = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v[~np.isnan(v)]
+        if hi > lo:
+            b = np.floor((v - lo) * np.float64(nbins) / (hi - lo))
+            b = np.minimum(np.float64(nbins - 1), b)
+            b = np.maximum(np.float64(0.0), b).astype(np.int64)
+        else:
+            b = np.zeros(len(v), dtype=np.int64)
+        vals, cnt = np.unique(b, return_counts=True)
+        return pa.table({
+            "bin": pa.array(vals, pa.int64()),
+            "n": pa.array(cnt.astype(np.int64), pa.int64()),
+        })
+
+    parts = proj.map_batches(bucketize, batch_format="pyarrow")
+    agg = exchange_groupby(
+        parts, "bin", {"n": ("n", "sum")}, num_partitions=num_partitions
+    )
+
+    def edges(t: pa.Table) -> pa.Table:
+        b = t["bin"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return t.append_column(
+            "lo_edge", pa.array(lo + b * (hi - lo) / np.float64(nbins))
+        ).append_column(
+            "hi_edge", pa.array(lo + (b + 1.0) * (hi - lo) / np.float64(nbins))
+        )
+
+    return agg.map_batches(edges, batch_format="pyarrow")

@@ -702,3 +702,94 @@ def zipf_fit(ds, num_partitions: int | None = None) -> pd.DataFrame:
     return pd.DataFrame(
         {"v_size": [np.int64(cnt)], "slope": [slope], "intercept": [intercept]}
     )
+
+
+def pmi_collocations(
+    ds,
+    top_k: int = 50,
+    min_count: int = 5,
+    num_partitions: int | None = None,
+):
+    """Top collocations (within-document word bigrams) by pointwise mutual
+    information, kept in the LOG-FREE ratio form
+
+        pmi_ratio = c_xy * N / (c_x * c_y)
+
+    (monotone in PMI = ln(pmi_ratio)) so the score is one IEEE division of
+    exactly-counted integers and an oracle reproduces it bit-for-bit — no
+    libm ln() in the compare path. ``N`` is the total bigram count;
+    ``min_count`` floors c_xy (rare pairs produce unstable PMI).
+
+    Scale shape: the corpus tokenizes twice through vocab_counts (unigram
+    and bigram (gram, n) partials, two vocabulary-sized exchanges); the
+    bigram table joins its two component words to their unigram counts via
+    the token-keyed distributed hash_join (co-partitioned, safe for
+    billion-gram vocabularies); the final (ratio DESC, token ASC) top-k
+    prunes per block before one single-task head. Returns columns
+    (token, n, c1, c2, pmi_ratio)."""
+    import pyarrow.compute as pc
+
+    from ..join import hash_join
+
+    # both count tables are consumed twice (scalar N + join / two joins):
+    # pin the vocabulary-sized results instead of re-tokenizing the corpus
+    uni = vocab_counts(ds, ngram=1).materialize()
+    bi = vocab_counts(ds, ngram=2).materialize()
+
+    n_total = int(bi.sum("n") or 0)
+    if n_total == 0:
+        import ray.data
+
+        # Arrow-backed empty table: Ray strips the schema from empty
+        # PANDAS blocks, not Arrow ones
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "token": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                    "c1": pa.array([], pa.int64()),
+                    "c2": pa.array([], pa.int64()),
+                    "pmi_ratio": pa.array([], pa.float64()),
+                }
+            )
+        )
+
+    def split_words(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t["n"], min_count))
+        parts = pc.split_pattern(t["token"], " ")
+        return t.append_column(
+            "w1", pc.list_element(parts, 0)
+        ).append_column("w2", pc.list_element(parts, 1))
+
+    cand = bi.map_batches(split_words, batch_format="pyarrow")
+    j1 = hash_join(
+        cand, uni, key="w1", right_key="token", right_cols=["n"],
+        suffix="_w1", num_partitions=num_partitions,
+    )
+    j2 = hash_join(
+        j1, uni, key="w2", right_key="token", right_cols=["n"],
+        suffix="_w2", num_partitions=num_partitions,
+    )
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        cxy = df["n"].to_numpy(np.float64)
+        c1 = df["n_w1"].to_numpy(np.float64)
+        c2 = df["n_w2"].to_numpy(np.float64)
+        out = pd.DataFrame({
+            "token": df["token"],
+            "n": df["n"].astype("int64"),
+            "c1": df["n_w1"].astype("int64"),
+            "c2": df["n_w2"].astype("int64"),
+            "pmi_ratio": (cxy * np.float64(n_total)) / (c1 * c2),
+        })
+        return out.sort_values(
+            ["pmi_ratio", "token"], ascending=[False, True], kind="stable"
+        ).head(top_k)
+
+    scored = j2.map_batches(score, batch_format="pandas")
+    return scored.repartition(1).map_batches(
+        lambda df: df.sort_values(
+            ["pmi_ratio", "token"], ascending=[False, True], kind="stable"
+        ).head(top_k),
+        batch_format="pandas",
+    )

@@ -4832,6 +4832,290 @@ FROM s
 # rows last driver-gated in round 3, then the rows green in
 # CORRECTNESS_r04. Rows past the window are covered by the committed
 # full-registry local gates (reports/gate_r5*_full_sf0.01.txt).
+def q_cust_latest_order(sf_dir: str):
+    """Grouped positional aggregates (agg arg_max/arg_min, SQL
+    max_by/min_by): per customer, the orderkey of the most recent and the
+    earliest order, carried through the ONE grouped exchange as per-block
+    (order, value) champions — the champion rule (lexicographic extreme
+    over (o_orderdate, o_orderkey), NULL order values lose) is associative,
+    so block champions merge exactly and the oracle replays it with
+    row_number windows."""
+    from ..agg import exchange_groupby
+
+    orders = _read(
+        sf_dir, "orders", ["o_custkey", "o_orderkey", "o_orderdate"]
+    )
+    return exchange_groupby(
+        orders,
+        "o_custkey",
+        {
+            "latest_order": (("o_orderkey", "o_orderdate"), "arg_max"),
+            "first_order": (("o_orderkey", "o_orderdate"), "arg_min"),
+            "n_orders": (None, "count"),
+        },
+    )
+
+
+SQL_CUST_LATEST_ORDER = """
+WITH r AS (
+  SELECT o_custkey, o_orderkey,
+         row_number() OVER (PARTITION BY o_custkey
+            ORDER BY o_orderdate DESC NULLS LAST, o_orderkey ASC) AS rmax,
+         row_number() OVER (PARTITION BY o_custkey
+            ORDER BY o_orderdate ASC NULLS LAST, o_orderkey ASC) AS rmin
+  FROM orders)
+SELECT o_custkey,
+       max(CASE WHEN rmax = 1 THEN o_orderkey END)::BIGINT AS latest_order,
+       max(CASE WHEN rmin = 1 THEN o_orderkey END)::BIGINT AS first_order,
+       count(*)::BIGINT AS n_orders
+FROM r GROUP BY o_custkey
+"""
+
+
+def q_events_value_histogram(sf_dir: str):
+    """Equal-width histogram (functions/sketch.equal_width_histogram):
+    bounds from an O(P) per-block (min, max) partial pass, then per-block
+    bucket bincounts through one bin-keyed exchange — at most nbins rows
+    per block ship. The bucket and edge arithmetic is spelled identically
+    in the oracle, so the doubles hash bit-for-bit."""
+    from ..functions.sketch import equal_width_histogram
+
+    ev = _read(sf_dir, "events", ["value"])
+    return equal_width_histogram(ev, "value", nbins=20)
+
+
+SQL_EVENTS_VALUE_HISTOGRAM = """
+WITH mm AS (SELECT min(value) AS lo, max(value) AS hi FROM events),
+b AS (SELECT GREATEST(0, LEAST(19,
+         CAST(floor((value - lo) * 20 / (hi - lo)) AS BIGINT))) AS bin,
+         lo, hi
+      FROM events, mm WHERE value IS NOT NULL)
+SELECT bin, count(*)::BIGINT AS n,
+       lo + bin * (hi - lo) / 20 AS lo_edge,
+       lo + (bin + 1) * (hi - lo) / 20 AS hi_edge
+FROM b GROUP BY bin, lo, hi
+"""
+
+
+def q_doc_pmi_top(sf_dir: str):
+    """Top-50 collocations by pointwise mutual information
+    (functions/textstats.pmi_collocations), scored in the log-free ratio
+    form c_xy*N/(c_x*c_y) — one IEEE division of exactly-counted integers,
+    so no libm ln() sits in the compare path. Unigram and bigram counts are
+    vocabulary-sized exchanges; the component-word joins are the
+    distributed token-keyed hash_join."""
+    from ..functions.textstats import pmi_collocations
+
+    return pmi_collocations(
+        _read(sf_dir, "documents", ["text"]), top_k=50, min_count=5
+    )
+
+
+SQL_DOC_PMI_TOP = r"""
+WITH t AS (SELECT regexp_extract_all(lower(text), '\w+') AS a FROM documents),
+g0 AS (SELECT a[i] AS w1, a[i+1] AS w2
+       FROM t, unnest(generate_series(1, len(a)-1)) AS s(i)),
+g AS (SELECT w1 || ' ' || w2 AS token, w1, w2, count(*)::BIGINT AS n
+      FROM g0 GROUP BY 1, 2, 3),
+u AS (SELECT tok AS w, count(*)::BIGINT AS c
+      FROM (SELECT unnest(a) AS tok FROM t) GROUP BY 1),
+nt AS (SELECT sum(n)::BIGINT AS total FROM g)
+SELECT g.token, g.n, u1.c AS c1, u2.c AS c2,
+       (g.n::DOUBLE * total::DOUBLE) / (u1.c::DOUBLE * u2.c::DOUBLE)
+         AS pmi_ratio
+FROM g
+CROSS JOIN nt
+JOIN u u1 ON g.w1 = u1.w
+JOIN u u2 ON g.w2 = u2.w
+WHERE g.n >= 5
+ORDER BY pmi_ratio DESC, g.token LIMIT 50
+"""
+
+
+def q_doc_lang_source_chi2(sf_dir: str):
+    """Chi-square contingency table (lang x source independence test):
+    exact cell counts via one (lang, source)-keyed exchange, then the
+    margins / expected / per-cell contribution finish on the
+    cells-cardinality result (tiny by definition of categorical columns —
+    never the corpus). Per-cell arithmetic is independent and spelled
+    identically in the oracle: e = (rt*ct)::DOUBLE/N, contrib =
+    (o-e)*(o-e)/e — no cross-cell float summation order anywhere."""
+    from ..agg import exchange_groupby
+
+    docs = _read(sf_dir, "documents", ["lang", "source"])
+    cells = exchange_groupby(
+        docs, ["lang", "source"], {"observed": (None, "count")}
+    ).to_pandas()
+    rt = cells.groupby("lang")["observed"].transform("sum").to_numpy(np.int64)
+    ct = (
+        cells.groupby("source")["observed"].transform("sum")
+        .to_numpy(np.int64)
+    )
+    n = np.int64(cells["observed"].sum())
+    o = cells["observed"].to_numpy(np.int64)
+    e = (rt * ct).astype(np.float64) / np.float64(n)
+    d = o.astype(np.float64) - e
+    cells["expected"] = e
+    cells["contrib"] = d * d / e
+    cells["observed"] = cells["observed"].astype("int64")
+    return cells
+
+
+SQL_DOC_LANG_SOURCE_CHI2 = """
+WITH c AS (SELECT lang, source, count(*)::BIGINT AS o
+           FROM documents GROUP BY 1, 2),
+m AS (SELECT lang, source, o,
+             sum(o) OVER (PARTITION BY lang)::BIGINT AS rt,
+             sum(o) OVER (PARTITION BY source)::BIGINT AS ct,
+             sum(o) OVER ()::BIGINT AS n
+      FROM c)
+SELECT lang, source, o AS observed,
+       (rt * ct)::DOUBLE / n AS expected,
+       (o - (rt * ct)::DOUBLE / n) * (o - (rt * ct)::DOUBLE / n)
+         / ((rt * ct)::DOUBLE / n) AS contrib
+FROM m
+"""
+
+
+def q_shipping_priority(sf_dir: str):
+    """TPC-H Q3-shaped composed pipeline (semi-join + distributed
+    hash_join + one-exchange grouped sum + pruned global top-k): revenue
+    of BUILDING-segment orders placed before the cutoff with lineitems
+    shipped after it. Money stays exact: revenue rides as int64
+    cents*percent (round(price*100) * (100 - round(discount*100))), so
+    the top-10 order and the hash are deterministic — the oracle spells
+    the identical integer arithmetic."""
+    import pyarrow.compute as pc
+
+    from ..agg import exchange_groupby
+    from ..join import hash_join
+
+    cutoff = np.datetime64("1998-01-01", "us")
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+
+    def building(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.equal(t["c_mktsegment"], "BUILDING")
+        ).select(["c_custkey"])
+
+    orders = _read(
+        sf_dir, "orders",
+        ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+    )
+
+    def before(t: pa.Table) -> pa.Table:
+        # sf dirs carry dates as timestamp[us] or date32 depending on the
+        # writer: cast the cutoff to the column's own type
+        cut = pa.scalar(cutoff, pa.timestamp("us")).cast(t["o_orderdate"].type)
+        return t.filter(pc.less(t["o_orderdate"], cut))
+
+    li = _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def rev(t: pa.Table) -> pa.Table:
+        cut = pa.scalar(cutoff, pa.timestamp("us")).cast(t["l_shipdate"].type)
+        t = t.filter(pc.greater(t["l_shipdate"], cut))
+        ep = np.rint(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        dc = np.rint(
+            t["l_discount"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "rev_cc": pa.array(ep * (100 - dc), pa.int64()),
+            }
+        )
+
+    o_bld = hash_join(
+        orders.map_batches(before, batch_format="pyarrow"),
+        cust.map_batches(building, batch_format="pyarrow"),
+        key="o_custkey",
+        right_key="c_custkey",
+        how="semi",
+        by_int=True,
+    )
+    j = hash_join(
+        li.map_batches(rev, batch_format="pyarrow"),
+        o_bld,
+        key="l_orderkey",
+        right_key="o_orderkey",
+        right_cols=["o_orderdate", "o_orderpriority"],
+        by_int=True,
+    )
+    agg = exchange_groupby(
+        j,
+        ["l_orderkey", "o_orderdate", "o_orderpriority"],
+        {"revenue_cc": ("rev_cc", "sum")},
+    )
+
+    def head(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(
+            ["revenue_cc", "l_orderkey"], ascending=[False, True],
+            kind="stable",
+        ).head(10)
+
+    return (
+        agg.map_batches(head, batch_format="pandas")
+        .repartition(1)
+        .map_batches(head, batch_format="pandas")
+    )
+
+
+SQL_SHIPPING_PRIORITY = """
+SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
+       sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))::BIGINT
+         AS revenue_cc
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_custkey IN (
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+  AND l.l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY 1, 2, 3
+ORDER BY revenue_cc DESC, l.l_orderkey LIMIT 10
+"""
+
+
+def q_events_value_mad(sf_dir: str):
+    """Robust scale statistics: exact interpolated median + median
+    absolute deviation, composed from TWO exact_percentiles passes (the
+    candidate/bracket machinery — the column never concentrates) with the
+    deviation column derived per block against the broadcast median.
+    Rounded to 6dp like the percentile_cont row (libm interpolation)."""
+    from ..functions.sketch import exact_percentiles
+
+    ev = _read(sf_dir, "events", ["value"])
+    med = exact_percentiles(ev, "value", [0.5])[0.5]
+
+    def dev(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({"dev": pa.array(np.abs(v - med))})
+
+    mad = exact_percentiles(
+        ev.map_batches(dev, batch_format="pyarrow"), "dev", [0.5]
+    )[0.5]
+    return pd.DataFrame(
+        {"median": [round(med, 6)], "mad": [round(mad, 6)]}
+    )
+
+
+SQL_EVENTS_VALUE_MAD = """
+WITH m AS (SELECT percentile_cont(0.5) WITHIN GROUP (ORDER BY value) AS med
+           FROM events)
+SELECT round(med, 6) AS median,
+       round((SELECT percentile_cont(0.5)
+                WITHIN GROUP (ORDER BY abs(value - m.med)) FROM events), 6)
+         AS mad
+FROM m
+"""
+
+
 QUERIES = {
     # -- (1) never driver-gated + new in round 5 --------------------------
     "bpe_merges": (q_bpe_merges, SQL_BPE_MERGES),
@@ -4867,6 +5151,16 @@ QUERIES = {
     "knn_lsh": (q_knn_lsh, SQL_KNN_LSH),
     "doc_weighted_sample": (q_doc_weighted_sample, SQL_DOC_WEIGHTED_SAMPLE),
     "doc_zipf": (q_doc_zipf, SQL_DOC_ZIPF),
+    "cust_latest_order": (q_cust_latest_order, SQL_CUST_LATEST_ORDER),
+    "events_value_histogram": (
+        q_events_value_histogram, SQL_EVENTS_VALUE_HISTOGRAM,
+    ),
+    "doc_pmi_top": (q_doc_pmi_top, SQL_DOC_PMI_TOP),
+    "doc_lang_source_chi2": (
+        q_doc_lang_source_chi2, SQL_DOC_LANG_SOURCE_CHI2,
+    ),
+    "shipping_priority": (q_shipping_priority, SQL_SHIPPING_PRIORITY),
+    "events_value_mad": (q_events_value_mad, SQL_EVENTS_VALUE_MAD),
     # -- (2) last driver-gated in round 3 or earlier ----------------------
     "doc_exact_dedup_keep": (q_doc_exact_dedup_keep, SQL_DOC_EXACT_DEDUP_KEEP),
     "doc_dedup_clusters": (q_doc_dedup_clusters, SQL_DOC_DEDUP_CLUSTERS),

@@ -413,3 +413,88 @@ def test_grouped_string_agg_empty_partitions_keep_key_dtype(ray_session):
     assert len(out) == 1
     assert out["s"].iloc[0] == "acb"  # (o=0,'a'), (o=1,'c'), (o=2,'b')
     assert out["k"].dtype == np.int64
+
+
+def test_arg_max_min_match_pandas(ray_session):
+    """max_by/min_by through the exchange: NULL order values lose, ties
+    break to the minimum value, champions merge associatively across
+    partitions."""
+    from ray_ordered_stream.agg import exchange_groupby
+
+    rng = np.random.default_rng(11)
+    n = 4000
+    df = pd.DataFrame(
+        {
+            "g": rng.integers(0, 23, n),
+            "v": rng.integers(0, 400, n),
+            # coarse order column -> plenty of within-group ties
+            "o": rng.integers(0, 12, n).astype("float64"),
+        }
+    )
+    df.loc[rng.choice(n, 300, replace=False), "o"] = np.nan
+
+    got = (
+        exchange_groupby(
+            ray.data.from_pandas(df).repartition(9),
+            "g",
+            {
+                "amax": (("v", "o"), "arg_max"),
+                "amin": (("v", "o"), "arg_min"),
+                "n": (None, "count"),
+            },
+        )
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+
+    def champ(g: pd.DataFrame, asc: bool) -> int:
+        s = g.sort_values(
+            ["o", "v"], ascending=[asc, True], na_position="last"
+        )
+        return int(s["v"].iloc[0])
+
+    want = (
+        df.groupby("g")
+        .apply(
+            lambda g: pd.Series(
+                {
+                    "amax": champ(g, False),
+                    "amin": champ(g, True),
+                    "n": len(g),
+                }
+            ),
+            include_groups=False,
+        )
+        .reset_index()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    for c in ("amax", "amin", "n"):
+        assert (got[c].astype("int64") == want[c].astype("int64")).all(), c
+
+
+def test_arg_max_string_value_and_all_null_order(ray_session):
+    """String-valued arg aggregates survive the Arrow exchange; a group
+    whose order column is ALL NULL still emits its min-value row (SQL
+    row_number over ORDER BY o DESC NULLS LAST, v ASC)."""
+    from ray_ordered_stream.agg import exchange_groupby
+
+    df = pd.DataFrame(
+        {
+            "g": [1, 1, 1, 2, 2],
+            "v": ["b", "a", "c", "zz", "aa"],
+            "o": [5.0, 5.0, np.nan, np.nan, np.nan],
+        }
+    )
+    got = (
+        exchange_groupby(
+            ray.data.from_pandas(df).repartition(3),
+            "g",
+            {"best": (("v", "o"), "arg_max")},
+        )
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    assert list(got["best"]) == ["a", "aa"]

@@ -6,6 +6,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pytest
+import ray
 
 
 @pytest.fixture(scope="module")
@@ -1126,3 +1127,60 @@ def test_zipf_fit_matches_serial(ray_session):
     assert abs(out["slope"].iloc[0] - slope) < 1e-9
     assert abs(out["intercept"].iloc[0] - intercept) < 1e-9
     assert -1.6 < slope < -0.4  # zipf-ish corpus fits a negative power law
+
+
+def test_pmi_collocations_matches_serial(ray_session):
+    """Ratio-form PMI over within-document bigrams == a serial Counter
+    replay (same tokenizer, same min-count floor, same tie order)."""
+    import re
+    from collections import Counter
+
+    from ray_ordered_stream.functions.textstats import pmi_collocations
+
+    rng = np.random.default_rng(5)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+    texts = [
+        " ".join(rng.choice(vocab, rng.integers(3, 40)))
+        for _ in range(120)
+    ] + ["", "???", None]
+    ds = ray.data.from_pandas(pd.DataFrame({"text": texts})).repartition(5)
+    got = pmi_collocations(ds, top_k=15, min_count=3).to_pandas()
+
+    uni: Counter = Counter()
+    bi: Counter = Counter()
+    for t in texts:
+        toks = re.findall(r"\w+", (t or "").lower())
+        uni.update(toks)
+        bi.update(" ".join(p) for p in zip(toks, toks[1:]))
+    n_total = sum(bi.values())
+    rows = []
+    for tok, n in bi.items():
+        if n < 3:
+            continue
+        w1, w2 = tok.split(" ")
+        rows.append(
+            (tok, n, uni[w1], uni[w2],
+             (float(n) * float(n_total)) / (float(uni[w1]) * float(uni[w2])))
+        )
+    rows.sort(key=lambda r: (-r[4], r[0]))
+    want = rows[:15]
+    assert len(got) == len(want)
+    for i, (tok, n, c1, c2, ratio) in enumerate(want):
+        assert got["token"].iloc[i] == tok
+        assert int(got["n"].iloc[i]) == n
+        assert int(got["c1"].iloc[i]) == c1
+        assert int(got["c2"].iloc[i]) == c2
+        assert got["pmi_ratio"].iloc[i] == ratio
+
+
+def test_pmi_collocations_empty_corpus(ray_session):
+    from ray_ordered_stream.functions.textstats import pmi_collocations
+
+    ds = ray.data.from_pandas(pd.DataFrame({"text": ["", None, "x"]}))
+    got = pmi_collocations(ds, top_k=5, min_count=1)
+    assert got.count() == 0
+    # Ray's to_pandas() drops columns from fully-empty datasets; the
+    # DATASET schema is the stable surface
+    assert [f for f in got.schema().names] == [
+        "token", "n", "c1", "c2", "pmi_ratio",
+    ]

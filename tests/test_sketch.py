@@ -4,6 +4,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pytest
+import ray
 
 from ray_ordered_stream.functions.sketch import (
     HLL,
@@ -324,3 +325,54 @@ def test_exact_percentiles_nulls_and_empty(ray_session):
     empty = pd.DataFrame({"x": pd.Series([], dtype="float64")})
     got = exact_percentiles(rd.from_pandas(empty), "x", [0.5])
     assert got[0.5] is None
+
+
+def test_equal_width_histogram_matches_numpy(ray_session):
+    from ray_ordered_stream.functions.sketch import equal_width_histogram
+
+    rng = np.random.default_rng(3)
+    v = rng.uniform(-5.0, 17.0, 5000)
+    v[rng.choice(5000, 100, replace=False)] = np.nan
+    df = pd.DataFrame({"x": v})
+    got = (
+        equal_width_histogram(
+            ray.data.from_pandas(df).repartition(6), "x", nbins=13
+        )
+        .to_pandas()
+        .sort_values("bin")
+        .reset_index(drop=True)
+    )
+    w = v[~np.isnan(v)]
+    lo, hi = w.min(), w.max()
+    b = np.floor((w - lo) * np.float64(13) / (hi - lo))
+    b = np.maximum(0.0, np.minimum(12.0, b)).astype(np.int64)
+    vals, cnt = np.unique(b, return_counts=True)
+    assert list(got["bin"]) == list(vals)
+    assert list(got["n"]) == list(cnt)
+    assert int(got["n"].sum()) == len(w)
+    # edges replay the documented closed form
+    assert np.allclose(
+        got["lo_edge"], lo + got["bin"].to_numpy(np.float64) * (hi - lo) / 13
+    )
+
+
+def test_equal_width_histogram_degenerate_and_fixed_bounds(ray_session):
+    from ray_ordered_stream.functions.sketch import equal_width_histogram
+
+    # constant column: everything lands in bin 0
+    one = ray.data.from_pandas(pd.DataFrame({"x": [4.0] * 10}))
+    got = equal_width_histogram(one, "x", nbins=8).to_pandas()
+    assert list(got["bin"]) == [0] and list(got["n"]) == [10]
+
+    # explicit bounds clamp outliers into the end buckets
+    df = pd.DataFrame({"x": [-100.0, 0.1, 0.9, 100.0]})
+    got = (
+        equal_width_histogram(
+            ray.data.from_pandas(df), "x", nbins=2, lo=0.0, hi=1.0
+        )
+        .to_pandas()
+        .sort_values("bin")
+        .reset_index(drop=True)
+    )
+    assert list(got["bin"]) == [0, 1]
+    assert list(got["n"]) == [2, 2]
