@@ -222,3 +222,86 @@ def random_projection(
         Project, batch_format="pyarrow", concurrency=2,
         fn_constructor_args=(ref,),
     )
+
+
+def gram_matrix_int(ds, vec_col: str = "embedding", scale: int = 1000,
+                    num_partitions: int | None = None):
+    """Distributed EXACT gram matrix over integer-quantized embeddings —
+    the scale path to PCA/whitening (the d x d gram is all PCA needs; the
+    corpus never concentrates).
+
+    Each element quantizes as ``floor(x * scale)`` (int-valued, so every
+    per-block product and partial sum is exactly representable in float64:
+    |q| <= scale, products <= scale^2, a 10^5-row block sums to ~1e11 <<
+    2^53), each block reduces to ONE d x d matmul (BLAS — order-free
+    because the arithmetic is exact), and the d(d+1)/2 upper-triangle
+    (i, j, s) partials merge through one tiny exchange. int64 holds the
+    global sums up to ~10^12 rows at scale=1000 (s <= n * scale^2).
+
+    Returns a Dataset with columns (i, j, s): 0-based indices, i <= j."""
+    from ..agg import exchange_groupby
+
+    def part(t: pa.Table) -> pa.Table:
+        V = _matrix(t[vec_col])
+        if V.size == 0:
+            return pa.table({
+                "i": pa.array([], pa.int64()),
+                "j": pa.array([], pa.int64()),
+                "s": pa.array([], pa.int64()),
+            })
+        Q = np.floor(V * np.float64(scale))
+        G = (Q.T @ Q).astype(np.int64)
+        d = G.shape[0]
+        iu, ju = np.triu_indices(d)
+        return pa.table({
+            "i": pa.array(iu.astype(np.int64)),
+            "j": pa.array(ju.astype(np.int64)),
+            "s": pa.array(G[iu, ju]),
+        })
+
+    parts = ds.map_batches(part, batch_format="pyarrow")
+    return exchange_groupby(
+        parts, ["i", "j"], {"s": ("s", "sum")},
+        num_partitions=num_partitions,
+    )
+
+
+def int8_quantize_stats(ds, id_col: str = "vec_id",
+                        vec_col: str = "embedding"):
+    """Per-vector symmetric int8 quantization audit (the PQ/int8 ANN
+    compression step): ``scale = max|x| / 127``, ``code = floor(x / scale
+    + 0.5)`` (explicit half-up floor — deterministic in IEEE doubles on
+    every engine, unlike round()'s half-even vs half-away split). Emits
+    (id, scale, code_sum, n_sat): the exact-integer code sum anchors the
+    hash, n_sat counts saturated codes (|code| = 127). Zero vectors get
+    scale 0 and all-zero codes. Pure per-block map — no shuffle."""
+
+    def part(t: pa.Table) -> pa.Table:
+        V = _matrix(t[vec_col])
+        ids = t[id_col]
+        if V.size == 0:
+            return pa.table({
+                id_col: ids,
+                "scale": pa.array(
+                    np.zeros(t.num_rows, dtype=np.float64)
+                ),
+                "code_sum": pa.array(
+                    np.zeros(t.num_rows, dtype=np.int64)
+                ),
+                "n_sat": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+            })
+        amax = np.abs(V).max(axis=1)
+        sc = amax / np.float64(127.0)
+        safe = np.where(sc > 0, sc, 1.0)
+        codes = np.floor(V / safe[:, None] + 0.5)
+        codes[sc == 0] = 0.0
+        return pa.table({
+            id_col: ids,
+            "scale": pa.array(sc),
+            "code_sum": pa.array(codes.sum(axis=1).astype(np.int64)),
+            "n_sat": pa.array(
+                (np.abs(codes) == 127.0).sum(axis=1).astype(np.int64)
+            ),
+        })
+
+    return ds.map_batches(part, batch_format="pyarrow")

@@ -5105,6 +5105,65 @@ def q_events_value_mad(sf_dir: str):
     )
 
 
+def q_emb_gram(sf_dir: str):
+    """Distributed exact gram matrix over integer-quantized embeddings
+    (functions/embed.gram_matrix_int — the PCA/whitening scale path): one
+    d x d BLAS matmul per block (exact, because floor(x*1000) products are
+    integer-valued in float64), d(d+1)/2 upper-triangle partials through
+    one tiny exchange. The oracle replays the quantization + self-join in
+    list SQL."""
+    from ..functions.embed import gram_matrix_int
+
+    return gram_matrix_int(
+        _read(sf_dir, "embeddings", ["embedding"]), "embedding", scale=1000
+    )
+
+
+SQL_EMB_GRAM = """
+WITH q AS (SELECT vec_id,
+        list_transform(embedding,
+          x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+      FROM embeddings),
+u AS (SELECT vec_id, i, qv[i] AS x
+      FROM q, unnest(generate_series(1, len(qv))) AS s(i))
+SELECT (a.i - 1)::BIGINT AS i, (b.i - 1)::BIGINT AS j,
+       sum(a.x * b.x)::BIGINT AS s
+FROM u a JOIN u b ON a.vec_id = b.vec_id AND a.i <= b.i
+GROUP BY 1, 2
+"""
+
+
+def q_emb_quantize(sf_dir: str):
+    """Per-vector symmetric int8 quantization audit
+    (functions/embed.int8_quantize_stats): scale = max|x|/127, half-up
+    floor codes (engine-agnostic IEEE determinism — no round()), exact
+    integer code sums anchor the hash. Pure per-block map, no shuffle."""
+    from ..functions.embed import int8_quantize_stats
+
+    return int8_quantize_stats(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    )
+
+
+SQL_EMB_QUANTIZE = """
+WITH s AS (SELECT vec_id,
+        list_max(list_transform(embedding,
+          x -> abs(CAST(x AS DOUBLE)))) / 127 AS scale,
+        embedding AS e
+      FROM embeddings)
+SELECT vec_id, scale,
+  (CASE WHEN scale = 0 THEN 0 ELSE
+    list_sum(list_transform(e,
+      x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT)))
+  END)::BIGINT AS code_sum,
+  (CASE WHEN scale = 0 THEN 0 ELSE
+    len(list_filter(e,
+      x -> abs(floor(CAST(x AS DOUBLE) / scale + 0.5)) = 127))
+  END)::BIGINT AS n_sat
+FROM s
+"""
+
+
 SQL_EVENTS_VALUE_MAD = """
 WITH m AS (SELECT percentile_cont(0.5) WITHIN GROUP (ORDER BY value) AS med
            FROM events)
@@ -5161,6 +5220,8 @@ QUERIES = {
     ),
     "shipping_priority": (q_shipping_priority, SQL_SHIPPING_PRIORITY),
     "events_value_mad": (q_events_value_mad, SQL_EVENTS_VALUE_MAD),
+    "emb_gram": (q_emb_gram, SQL_EMB_GRAM),
+    "emb_quantize": (q_emb_quantize, SQL_EMB_QUANTIZE),
     # -- (2) last driver-gated in round 3 or earlier ----------------------
     "doc_exact_dedup_keep": (q_doc_exact_dedup_keep, SQL_DOC_EXACT_DEDUP_KEEP),
     "doc_dedup_clusters": (q_doc_dedup_clusters, SQL_DOC_DEDUP_CLUSTERS),

@@ -213,3 +213,63 @@ def test_global_rank_with_empty_blocks():
     np.testing.assert_array_equal(
         got["doc_id"].to_numpy(), df["doc_id"].to_numpy()[order]
     )
+
+
+def test_gram_matrix_int_matches_serial(ray_session):
+    """Block-partitioned exact gram == one serial quantized matmul."""
+    import ray
+
+    from ray_ordered_stream.functions.embed import gram_matrix_int
+
+    rng = np.random.default_rng(13)
+    V = rng.normal(0, 0.3, (400, 8)).astype(np.float32)
+    df = pd.DataFrame({"embedding": list(map(list, V))})
+    got = (
+        gram_matrix_int(
+            ray.data.from_pandas(df).repartition(7), "embedding", scale=1000
+        )
+        .to_pandas()
+        .sort_values(["i", "j"])
+        .reset_index(drop=True)
+    )
+    Q = np.floor(V.astype(np.float64) * 1000.0)
+    G = (Q.T @ Q).astype(np.int64)
+    iu, ju = np.triu_indices(8)
+    assert len(got) == len(iu)
+    assert (got["i"].to_numpy() == iu).all()
+    assert (got["j"].to_numpy() == ju).all()
+    assert (got["s"].to_numpy() == G[iu, ju]).all()
+
+
+def test_int8_quantize_stats_serial_and_zero_vector(ray_session):
+    import ray
+
+    from ray_ordered_stream.functions.embed import int8_quantize_stats
+
+    rng = np.random.default_rng(17)
+    V = rng.normal(0, 0.3, (50, 6)).astype(np.float32)
+    V[7] = 0.0  # zero vector -> scale 0, all-zero codes
+    df = pd.DataFrame(
+        {"vec_id": np.arange(50, dtype=np.int64),
+         "embedding": list(map(list, V))}
+    )
+    got = (
+        int8_quantize_stats(
+            ray.data.from_pandas(df).repartition(4), "vec_id", "embedding"
+        )
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    W = V.astype(np.float64)
+    amax = np.abs(W).max(axis=1)
+    sc = amax / 127.0
+    safe = np.where(sc > 0, sc, 1.0)
+    codes = np.floor(W / safe[:, None] + 0.5)
+    codes[sc == 0] = 0.0
+    assert (got["scale"].to_numpy() == sc).all()
+    assert (got["code_sum"].to_numpy() == codes.sum(1).astype(np.int64)).all()
+    assert np.abs(codes).max() <= 127  # half-up floor never overshoots
+    assert got.loc[7, "code_sum"] == 0 and got.loc[7, "scale"] == 0.0
+    # every vector's max-|x| element saturates (by construction of scale)
+    assert (got["n_sat"] >= 1).sum() == 49
