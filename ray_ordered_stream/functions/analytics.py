@@ -24,8 +24,11 @@ _FNS = (
     "row_number", "rank", "lag", "lead", "cumsum", "cummax", "cummin",
     "cumcount", "ntile", "percent_rank", "session_id", "first_value",
     "last_value", "roll_sum", "roll_min", "roll_max", "roll_count",
-    "roll_mean",
+    "roll_mean", "dense_rank", "cume_dist", "range_sum", "range_min",
+    "range_max", "range_count", "range_mean",
 )
+_RANGE_FNS = ("range_sum", "range_min", "range_max", "range_count",
+              "range_mean")
 
 
 def window_functions(
@@ -63,6 +66,22 @@ def window_functions(
                              differences; roll_mean = roll_sum / frame size
                              in float64.
       ("roll_count", k)      rows in that same frame (int64)
+      ("dense_rank",)        distinct order_by tuples seen so far (1-based)
+      ("cume_dist",)         SQL CUME_DIST: rows <= current peer group's
+                             last row, / group size (float64)
+      ("range_sum", col, d) / ("range_min", col, d) / ("range_max", col, d)
+                             / ("range_mean", col, d): SQL RANGE frame —
+                             aggregate of col over the group's rows whose
+                             ORDER-BY value lies in [cur - d, cur]
+                             (``RANGE BETWEEN d PRECEDING AND CURRENT
+                             ROW``, peers INCLUDED like SQL). The frame
+                             column is ``order_by[0]`` and must be a
+                             non-null datetime; ``d`` is anything
+                             ``pd.Timedelta`` accepts ("1h", Timedelta).
+                             Evaluated with pandas' C-level time rolling at
+                             each peer-run's LAST row, broadcast to peers.
+                             range_sum over int64 is exact below 2^53.
+      ("range_count", d)     rows in that same RANGE frame (int64)
 
     Output row order is unspecified (hash-partitioned), as everywhere
     else in the engine — consumers sort or aggregate.
@@ -76,6 +95,15 @@ def window_functions(
     for alias, spec in specs.items():
         if spec[0] not in _FNS:
             raise ValueError(f"unsupported window fn {spec[0]!r} for {alias!r}")
+        if (
+            spec[0] in _RANGE_FNS
+            and spec[0] != "range_count"
+            and spec[1] == order_by[0]
+        ):
+            raise ValueError(
+                f"{spec[0]} cannot aggregate the frame column "
+                f"{order_by[0]!r} (pandas excludes the rolling `on` column)"
+            )
 
     # the shared exchange needs >= 2 output partitions (num_returns=1
     # would return the shard list itself); P=1 still computes correctly
@@ -92,10 +120,20 @@ def window_functions(
                     for alias, spec in specs.items():
                         fn = spec[0]
                         if fn in ("row_number", "rank", "cumcount", "ntile",
-                                  "session_id", "roll_count"):
+                                  "session_id", "roll_count", "dense_rank",
+                                  "range_count"):
                             dt = "int64"
-                        elif fn in ("percent_rank", "roll_mean"):
+                        elif fn in ("percent_rank", "roll_mean", "cume_dist",
+                                    "range_mean"):
                             dt = "float64"
+                        elif fn in ("range_sum", "range_min", "range_max"):
+                            dt = (
+                                "int64"
+                                if np.issubdtype(
+                                    base[spec[1]].dtype, np.integer
+                                )
+                                else "float64"
+                            )
                         elif fn in ("cumsum", "cummax", "cummin",
                                     "first_value", "last_value", "roll_sum",
                                     "roll_min", "roll_max"):
@@ -220,6 +258,71 @@ def window_functions(
                     cand[j:] = v[:-j]
                     out_v[w] = pick(out_v[w], cand[w])
                 df[alias] = out_v
+            elif fn == "dense_rank":
+                tie = np.zeros(n, dtype=bool)
+                tie[0] = True
+                tie[1:] = boundary[1:]
+                for c in order_by:
+                    v = df[c].to_numpy()
+                    tie[1:] |= v[1:] != v[:-1]
+                cum = np.cumsum(tie)
+                base = np.repeat(cum[firsts] - 1, sizes)
+                df[alias] = (cum - base).astype(np.int64)
+            elif fn == "cume_dist":
+                tie = np.zeros(n, dtype=bool)
+                tie[0] = True
+                tie[1:] = boundary[1:]
+                for c in order_by:
+                    v = df[c].to_numpy()
+                    tie[1:] |= v[1:] != v[:-1]
+                run_starts = np.flatnonzero(tie)
+                run_lens = np.diff(np.append(run_starts, n))
+                run_last = np.repeat(run_starts + run_lens - 1, run_lens)
+                df[alias] = (run_last - first_of + 1).astype(
+                    np.float64
+                ) / size_of.astype(np.float64)
+            elif fn in _RANGE_FNS:
+                tcol = order_by[0]
+                if fn == "range_count":
+                    col, d = None, spec[1]
+                else:
+                    col, d = spec[1], spec[2]
+                delta = pd.Timedelta(d)
+                # SQL peers: rows sharing the FRAME column value see the
+                # frame of the peer run's LAST row
+                tv = df[tcol].to_numpy()
+                tie = np.zeros(n, dtype=bool)
+                tie[0] = True
+                tie[1:] = boundary[1:] | (tv[1:] != tv[:-1])
+                run_starts = np.flatnonzero(tie)
+                run_lens = np.diff(np.append(run_starts, n))
+                run_last = np.repeat(run_starts + run_lens - 1, run_lens)
+                cols = [tcol] if col is None or col == tcol else [tcol, col]
+                sub = df[cols].copy()
+                if fn == "range_count":
+                    # the `on` column is excluded from rolling aggregation:
+                    # count over a ones column instead
+                    sub["_ones"] = np.int64(1)
+                roll = sub.groupby(gid, sort=False).rolling(
+                    window=delta, on=tcol, closed="both"
+                )
+                if fn == "range_count":
+                    out = roll["_ones"].count().to_numpy()[run_last]
+                    df[alias] = out.astype(np.int64)
+                elif fn == "range_mean":
+                    # sum/count division (NOT pandas' online rolling mean)
+                    # so the double matches an oracle's avg = sum/count
+                    s = roll[col].sum().to_numpy()[run_last]
+                    c = roll[col].count().to_numpy()[run_last]
+                    df[alias] = s / c
+                else:
+                    out = getattr(roll[col], fn[len("range_"):])()
+                    out = out.to_numpy()[run_last]
+                    df[alias] = (
+                        out.astype(np.int64)
+                        if np.issubdtype(df[col].dtype, np.integer)
+                        else out
+                    )
             elif fn == "percent_rank":
                 tie = np.zeros(n, dtype=bool)
                 tie[0] = True

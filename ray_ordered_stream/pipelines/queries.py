@@ -5164,6 +5164,65 @@ FROM s
 """
 
 
+def q_events_range_windows(sf_dir: str):
+    """SQL RANGE-frame window aggregates + dense_rank/cume_dist
+    (functions/analytics.window_functions range_* specs): per user, the
+    1-hour trailing time window over event value — evaluated with pandas'
+    C-level time rolling at each timestamp-peer-run's last row and
+    broadcast to peers (SQL RANGE CURRENT ROW includes peers), after ONE
+    user-keyed exchange. Money exact as int64 cents; range_mean is the
+    sum/count division so the double matches avg() bit-for-bit."""
+    import pyarrow.compute as pc
+
+    from ..functions.analytics import window_functions
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False)
+        return t.drop_columns(["value"]).append_column(
+            "cc", pa.array(np.rint(v * 100.0).astype(np.int64))
+        )
+
+    out = window_functions(
+        ev.map_batches(cents, batch_format="pyarrow"),
+        "user_id",
+        ["ts"],
+        {
+            "rs_cc": ("range_sum", "cc", "1h"),
+            "rmin_cc": ("range_min", "cc", "1h"),
+            "rmax_cc": ("range_max", "cc", "1h"),
+            "rc": ("range_count", "1h"),
+            "rm_cc": ("range_mean", "cc", "1h"),
+            "dr": ("dense_rank",),
+            "cd": ("cume_dist",),
+        },
+        by_int=True,
+    )
+    return out.select_columns(
+        ["event_id", "rs_cc", "rmin_cc", "rmax_cc", "rc", "rm_cc",
+         "dr", "cd"]
+    )
+
+
+SQL_EVENTS_RANGE_WINDOWS = """
+WITH t AS (SELECT event_id, user_id, ts,
+                  CAST(round(value * 100) AS BIGINT) AS cc FROM events)
+SELECT event_id,
+  (sum(cc) OVER w)::BIGINT AS rs_cc,
+  (min(cc) OVER w)::BIGINT AS rmin_cc,
+  (max(cc) OVER w)::BIGINT AS rmax_cc,
+  (count(*) OVER w)::BIGINT AS rc,
+  avg(cc) OVER w AS rm_cc,
+  (dense_rank() OVER o)::BIGINT AS dr,
+  cume_dist() OVER o AS cd
+FROM t
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW),
+  o AS (PARTITION BY user_id ORDER BY ts)
+"""
+
+
 SQL_EVENTS_VALUE_MAD = """
 WITH m AS (SELECT percentile_cont(0.5) WITHIN GROUP (ORDER BY value) AS med
            FROM events)
@@ -5222,6 +5281,9 @@ QUERIES = {
     "events_value_mad": (q_events_value_mad, SQL_EVENTS_VALUE_MAD),
     "emb_gram": (q_emb_gram, SQL_EMB_GRAM),
     "emb_quantize": (q_emb_quantize, SQL_EMB_QUANTIZE),
+    "events_range_windows": (
+        q_events_range_windows, SQL_EVENTS_RANGE_WINDOWS,
+    ),
     # -- (2) last driver-gated in round 3 or earlier ----------------------
     "doc_exact_dedup_keep": (q_doc_exact_dedup_keep, SQL_DOC_EXACT_DEDUP_KEEP),
     "doc_dedup_clusters": (q_doc_dedup_clusters, SQL_DOC_DEDUP_CLUSTERS),

@@ -314,3 +314,115 @@ def test_rolling_frame_functions_match_pandas(ray_session):
         # roll_sum over int64 stays int64 (exact cumsum differences)
         assert got["rs"].dtype == np.int64
         assert got["rc"].dtype == np.int64
+
+
+def test_dense_rank_cume_dist_vs_duckdb(ray_session):
+    import duckdb
+    import ray
+
+    from ray_ordered_stream.functions.analytics import window_functions
+
+    df = _input()
+    got = (
+        window_functions(
+            ray.data.from_pandas(df).repartition(5),
+            "k",
+            ["o", "id"],
+            {"dr": ("dense_rank",), "cd": ("cume_dist",)},
+            by_int=True,
+        )
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.sql(
+        """
+        SELECT id,
+          dense_rank() OVER (PARTITION BY k ORDER BY o, id) AS dr,
+          cume_dist() OVER (PARTITION BY k ORDER BY o, id) AS cd
+        FROM t ORDER BY id
+        """
+    ).df()
+    assert (got["dr"].to_numpy() == want["dr"].to_numpy()).all()
+    assert (got["cd"].to_numpy() == want["cd"].to_numpy()).all()
+
+
+def test_range_frame_vs_duckdb(ray_session):
+    """RANGE BETWEEN INTERVAL PRECEDING AND CURRENT ROW, peers included —
+    duplicate timestamps inside groups exercise the peer broadcast."""
+    import duckdb
+    import ray
+
+    from ray_ordered_stream.functions.analytics import window_functions
+
+    rng = np.random.default_rng(8)
+    n = 600
+    base = pd.Timestamp("2025-01-01")
+    df = pd.DataFrame(
+        {
+            "id": np.arange(n, dtype=np.int64),
+            "k": rng.integers(0, 6, n).astype(np.int64),
+            # coarse minutes -> many exact-duplicate (k, ts) peers
+            "ts": base
+            + pd.to_timedelta(rng.integers(0, 300, n) * 60, unit="s"),
+            "c": rng.integers(-50, 900, n).astype(np.int64),
+        }
+    )
+    got = (
+        window_functions(
+            ray.data.from_pandas(df).repartition(7),
+            "k",
+            ["ts"],
+            {
+                "rs": ("range_sum", "c", "1h"),
+                "rmin": ("range_min", "c", "1h"),
+                "rmax": ("range_max", "c", "1h"),
+                "rc": ("range_count", "1h"),
+                "rm": ("range_mean", "c", "1h"),
+            },
+            by_int=True,
+        )
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.sql(
+        """
+        SELECT id,
+          sum(c)   OVER w AS rs,
+          min(c)   OVER w AS rmin,
+          max(c)   OVER w AS rmax,
+          count(*) OVER w AS rc,
+          avg(c)   OVER w AS rm
+        FROM t
+        WINDOW w AS (PARTITION BY k ORDER BY ts
+          RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        ORDER BY id
+        """
+    ).df()
+    for c in ("rs", "rmin", "rmax", "rc"):
+        assert (
+            got[c].to_numpy(np.int64) == want[c].to_numpy(np.int64)
+        ).all(), c
+    assert np.allclose(got["rm"].to_numpy(), want["rm"].to_numpy(),
+                       rtol=0, atol=0), "rm"
+
+
+def test_range_frame_rejects_frame_column_aggregate(ray_session):
+    import pytest
+    import ray
+
+    from ray_ordered_stream.functions.analytics import window_functions
+
+    df = pd.DataFrame(
+        {"k": [1], "ts": [pd.Timestamp("2025-01-01")]}
+    )
+    with pytest.raises(ValueError, match="frame column"):
+        window_functions(
+            ray.data.from_pandas(df), "k", ["ts"],
+            {"x": ("range_sum", "ts", "1h")},
+        )
