@@ -720,23 +720,83 @@ def pmi_collocations(
     libm ln() in the compare path. ``N`` is the total bigram count;
     ``min_count`` floors c_xy (rare pairs produce unstable PMI).
 
-    Scale shape: the corpus tokenizes twice through vocab_counts (unigram
-    and bigram (gram, n) partials, two vocabulary-sized exchanges); the
-    bigram table joins its two component words to their unigram counts via
-    the token-keyed distributed hash_join (co-partitioned, safe for
-    billion-gram vocabularies); the final (ratio DESC, token ASC) top-k
-    prunes per block before one single-task head. Returns columns
+    Scale shape: the corpus tokenizes ONCE (a combined partial emits
+    unigram and bigram (ng, gram, n) counts — one vocabulary-sized
+    exchange, pinned for its three consumers); the bigram table joins its
+    two component words to their unigram counts via the token-keyed
+    distributed hash_join (co-partitioned, safe for billion-gram
+    vocabularies); the final (ratio DESC, token ASC) top-k prunes per
+    block before one single-task head. Returns columns
     (token, n, c1, c2, pmi_ratio)."""
     import pyarrow.compute as pc
 
     from ..join import hash_join
 
-    # both count tables are consumed twice (scalar N + join / two joins):
-    # pin the vocabulary-sized results instead of re-tokenizing the corpus
-    uni = vocab_counts(ds, ngram=1).materialize()
-    bi = vocab_counts(ds, ngram=2).materialize()
+    from ..agg import exchange_groupby
 
-    n_total = int(bi.sum("n") or 0)
+    # ONE tokenization pass emits unigram AND bigram partials tagged by
+    # ``ng`` (the corpus is the expensive read — the counts are
+    # vocabulary-sized); one (ng, token)-keyed exchange, pinned because
+    # three consumers (scalar N + two join sides) read it
+    class _Both(_VocabPartial):
+        def __init__(self):
+            super().__init__(1)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            uni_t = _VocabPartial.__call__(self, t)
+            self.n = 2
+            try:
+                bi_t = _VocabPartial.__call__(self, t)
+            finally:
+                self.n = 1
+            return pa.table(
+                {
+                    "ng": pa.array(
+                        np.concatenate(
+                            [
+                                np.ones(uni_t.num_rows, np.int64),
+                                np.full(bi_t.num_rows, 2, np.int64),
+                            ]
+                        )
+                    ),
+                    "token": pa.concat_arrays(
+                        [
+                            uni_t["token"].combine_chunks(),
+                            bi_t["token"].combine_chunks(),
+                        ]
+                    ),
+                    "n": pa.concat_arrays(
+                        [
+                            uni_t["n"].combine_chunks(),
+                            bi_t["n"].combine_chunks(),
+                        ]
+                    ),
+                }
+            )
+
+    counts = exchange_groupby(
+        ds.map_batches(_Both(), batch_format="pyarrow"),
+        ["ng", "token"],
+        {"n": ("n", "sum")},
+        num_partitions=num_partitions,
+    ).materialize()
+
+    def _only(ng: int):
+        def f(t: pa.Table) -> pa.Table:
+            return t.filter(pc.equal(t["ng"], ng)).drop_columns(["ng"])
+
+        return f
+
+    uni = counts.map_batches(_only(1), batch_format="pyarrow")
+    bi = counts.map_batches(_only(2), batch_format="pyarrow")
+
+    def _bi_total(t: pa.Table) -> pa.Table:
+        s = pc.sum(t.filter(pc.equal(t["ng"], 2))["n"]).as_py() or 0
+        return pa.table({"s": pa.array([s], pa.int64())})
+
+    n_total = int(
+        counts.map_batches(_bi_total, batch_format="pyarrow").sum("s") or 0
+    )
     if n_total == 0:
         import ray.data
 
