@@ -21,6 +21,7 @@ O(blocks) partial rows:
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -882,3 +883,69 @@ def equal_width_histogram(
         )
 
     return agg.map_batches(edges, batch_format="pyarrow")
+
+
+def grouped_percentile_cont(
+    ds,
+    key: str,
+    col: str,
+    qs: dict[str, float],
+    by_int: bool = False,
+    num_partitions: int | None = None,
+):
+    """EXACT grouped interpolated percentiles (SQL ``percentile_cont ...
+    WITHIN GROUP`` per key): ONE key-hash exchange co-locates each group,
+    then pandas' C-level ``groupby(...).quantile(interpolation="linear")``
+    evaluates every requested quantile per partition. NULLs drop per SQL;
+    all-NULL groups emit NULL.
+
+    Partitioning assumption (documented like the other keyed exacts): a
+    single group's column values must fit one partition's heap — the right
+    tool for modest-cardinality keys (types, languages, buckets). For
+    billion-row single groups use the certified sketch path
+    (``grouped_quantile_sketch``) or the global ``exact_percentiles``
+    bracket machinery instead.
+
+    ``qs``: alias -> quantile in [0, 1]. Returns key + one column per
+    alias (float64)."""
+    import ray
+    import ray.data
+
+    from ..exchange import default_partitions, shard_refs
+
+    P = max(2, num_partitions or default_partitions())
+    qlist = list(qs.values())
+    aliases = list(qs.keys())
+
+    @ray.remote
+    def part(*shards: pa.Table) -> pa.Table:
+        real = [t for t in shards if t.num_rows]
+        if not real:
+            for t in shards:
+                if t.column_names:
+                    base = t.slice(0, 0).to_pandas()[[key]]
+                    for a in aliases:
+                        base[a] = pd.Series([], dtype="float64")
+                    return pa.Table.from_pandas(base, preserve_index=False)
+            return pa.table({})
+        tbl = (
+            pa.concat_tables(real, promote_options="none")
+            if len(real) > 1
+            else real[0]
+        )
+        df = tbl.to_pandas()
+        # unstack orders columns by the q VALUE (and collapses
+        # duplicates): look each alias's q up explicitly
+        qv = (
+            df.groupby(key, sort=False, dropna=False)[col]
+            .quantile(sorted(set(qlist)), interpolation="linear")
+            .unstack()
+        )
+        r = pd.DataFrame({a: qv[q] for a, q in qs.items()})
+        r.index.name = key
+        out = r.reset_index()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    groups = shard_refs(list(ds.to_arrow_refs()), key, P, by_int=by_int)
+    refs = [part.remote(*[g[p] for g in groups]) for p in range(P)]
+    return ray.data.from_arrow_refs(refs)

@@ -5223,6 +5223,35 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts
 """
 
 
+def q_events_type_percentiles(sf_dir: str):
+    """EXACT grouped interpolated percentiles
+    (functions/sketch.grouped_percentile_cont): one event_type-keyed
+    exchange co-locates each group, pandas' C-level grouped quantile
+    finishes — the exact companion to the certified-sketch
+    events_quantiles_by_type row (which remains the path for billion-row
+    single groups). Rounded 6dp like the global percentile_cont row."""
+    from ..functions.sketch import grouped_percentile_cont
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+    out = grouped_percentile_cont(
+        ev, "event_type", "value",
+        {"p25": 0.25, "p50": 0.5, "p75": 0.75, "p90": 0.9},
+    ).to_pandas()
+    for c in ("p25", "p50", "p75", "p90"):
+        out[c] = np.round(out[c], 6)
+    return out
+
+
+SQL_EVENTS_TYPE_PERCENTILES = """
+SELECT event_type,
+  round(percentile_cont(0.25) WITHIN GROUP (ORDER BY value), 6) AS p25,
+  round(percentile_cont(0.5)  WITHIN GROUP (ORDER BY value), 6) AS p50,
+  round(percentile_cont(0.75) WITHIN GROUP (ORDER BY value), 6) AS p75,
+  round(percentile_cont(0.9)  WITHIN GROUP (ORDER BY value), 6) AS p90
+FROM events GROUP BY event_type
+"""
+
+
 SQL_EVENTS_VALUE_MAD = """
 WITH m AS (SELECT percentile_cont(0.5) WITHIN GROUP (ORDER BY value) AS med
            FROM events)
@@ -5283,6 +5312,9 @@ QUERIES = {
     "emb_quantize": (q_emb_quantize, SQL_EMB_QUANTIZE),
     "events_range_windows": (
         q_events_range_windows, SQL_EVENTS_RANGE_WINDOWS,
+    ),
+    "events_type_percentiles": (
+        q_events_type_percentiles, SQL_EVENTS_TYPE_PERCENTILES,
     ),
     # -- (2) last driver-gated in round 3 or earlier ----------------------
     "doc_exact_dedup_keep": (q_doc_exact_dedup_keep, SQL_DOC_EXACT_DEDUP_KEEP),

@@ -376,3 +376,36 @@ def test_equal_width_histogram_degenerate_and_fixed_bounds(ray_session):
     )
     assert list(got["bin"]) == [0, 1]
     assert list(got["n"]) == [2, 2]
+
+
+def test_grouped_percentile_cont_matches_pandas(ray_session):
+    from ray_ordered_stream.functions.sketch import grouped_percentile_cont
+
+    rng = np.random.default_rng(21)
+    n = 3000
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 9, n),
+            "v": rng.normal(0, 10, n),
+        }
+    )
+    df.loc[rng.choice(n, 150, replace=False), "v"] = np.nan
+    df.loc[df["k"] == 7, "v"] = np.nan  # an all-NULL group
+    got = (
+        grouped_percentile_cont(
+            ray.data.from_pandas(df).repartition(6),
+            "k", "v", {"p90": 0.9, "p10": 0.1, "p50": 0.5},
+            by_int=True,
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert list(got.columns) == ["k", "p90", "p10", "p50"]
+    want = df.groupby("k")["v"].quantile([0.1, 0.5, 0.9]).unstack()
+    for a, q in (("p90", 0.9), ("p10", 0.1), ("p50", 0.5)):
+        g = got[a].to_numpy()
+        w = want[q].to_numpy()
+        both_nan = np.isnan(g) & np.isnan(w)
+        assert (both_nan | (g == w)).all(), a
+    assert np.isnan(got.loc[got["k"] == 7, "p50"]).all()
