@@ -342,3 +342,73 @@ def window_functions(
     groups = shard_refs(list(ds.to_arrow_refs()), part_key, P, by_int=by_int)
     out = [part.remote(*[grp[p] for grp in groups]) for p in range(P)]
     return ray.data.from_arrow_refs(out)
+
+
+def grouped_entropy(
+    ds,
+    key: str,
+    cat: str,
+    round_to: int = 6,
+    by_int: bool = False,
+    num_partitions: int | None = None,
+):
+    """Shannon entropy of the ``cat`` distribution per ``key`` (label /
+    source diversity — a standard curation audit). Two-exchange shape:
+    an exact (key, cat)-grain count (the combiner: only distinct
+    combinations shuffle), then a key-hash exchange co-locates each
+    key's category rows for one vectorized per-partition finish
+    ``H = -sum(p * ln(p))``, terms summed in (key, cat) order.
+
+    Entropy is rounded to ``round_to`` dp (libm ln + a tiny
+    order-dependent tail, same convention as the zipf/percentile rows);
+    the integer columns are exact. Returns (key, n_events, n_cats,
+    entropy)."""
+    import ray
+    import ray.data
+
+    from ..agg import exchange_groupby
+    from ..exchange import default_partitions, shard_refs
+
+    counts = exchange_groupby(
+        ds, [key, cat], {"_cnt": (None, "count")},
+        num_partitions=num_partitions,
+    )
+    P = max(2, num_partitions or default_partitions())
+
+    @ray.remote
+    def part(*shards: pa.Table) -> pa.Table:
+        real = [t for t in shards if t.num_rows]
+        if not real:
+            for t in shards:
+                if t.column_names:
+                    base = t.slice(0, 0).to_pandas()[[key]]
+                    base["n_events"] = pd.Series([], dtype="int64")
+                    base["n_cats"] = pd.Series([], dtype="int64")
+                    base["entropy"] = pd.Series([], dtype="float64")
+                    return pa.Table.from_pandas(base, preserve_index=False)
+            return pa.table({})
+        tbl = (
+            pa.concat_tables(real, promote_options="none")
+            if len(real) > 1
+            else real[0]
+        )
+        df = tbl.to_pandas().sort_values([key, cat], kind="stable")
+        g = df.groupby(key, sort=False, dropna=False)
+        n = g["_cnt"].transform("sum").to_numpy(np.float64)
+        p = df["_cnt"].to_numpy(np.float64) / n
+        df = df.assign(_t=p * np.log(p))
+        out = pd.DataFrame(
+            {
+                "n_events": g["_cnt"].sum().astype("int64"),
+                "n_cats": g.size().astype("int64"),
+                "entropy": np.round(
+                    -df.groupby(key, sort=False, dropna=False)["_t"].sum(),
+                    round_to,
+                ),
+            }
+        ).reset_index()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    groups = shard_refs(list(counts.to_arrow_refs()), key, P, by_int=by_int)
+    refs = [part.remote(*[g[p] for g in groups]) for p in range(P)]
+    return ray.data.from_arrow_refs(refs)

@@ -5252,6 +5252,75 @@ FROM events GROUP BY event_type
 """
 
 
+def q_user_event_entropy(sf_dir: str):
+    """Per-user Shannon entropy of the event-type distribution
+    (functions/analytics.grouped_entropy): exact (user, type)-grain count
+    combiner, then a user-keyed exchange and one vectorized per-partition
+    finish. Entropy rounded 6dp (libm ln convention shared with the
+    zipf/percentile rows); the count columns are exact."""
+    from ..functions.analytics import grouped_entropy
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+    return grouped_entropy(ev, "user_id", "event_type", by_int=True)
+
+
+SQL_USER_EVENT_ENTROPY = """
+WITH c AS (SELECT user_id, event_type, count(*)::BIGINT AS c
+           FROM events GROUP BY 1, 2),
+t AS (SELECT user_id, c,
+             sum(c) OVER (PARTITION BY user_id) AS n FROM c)
+SELECT user_id, max(n)::BIGINT AS n_events, count(*)::BIGINT AS n_cats,
+       round(-sum((c::DOUBLE / n) * ln(c::DOUBLE / n)), 6) AS entropy
+FROM t GROUP BY user_id
+"""
+
+
+def q_user_activity_gini(sf_dir: str):
+    """Activity-concentration Gini coefficient over per-user event counts,
+    EXACT at scale: per-user counts (one exchange), the distributed
+    sampled-bounds global rank (functions/rank.global_rank — no global
+    sort), then integer partials S = sum(rank * count) and T = sum(count)
+    fold on the driver. G = (2S - (n+1)T) / (nT) is one double division
+    of exact integers — bit-identical to the window-SQL oracle."""
+    import ray
+
+    from ..agg import exchange_groupby
+    from ..functions.rank import global_rank
+
+    ev = _read(sf_dir, "events", ["user_id"])
+    counts = exchange_groupby(ev, "user_id", {"c": (None, "count")})
+    ranked, n = global_rank(counts, "c", id_col="user_id")
+
+    @ray.remote
+    def part(t: pa.Table):
+        if not t.num_rows:
+            return 0, 0
+        rk = t["rank"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = t["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # 1-based rank in the S sum
+        return int(((rk + 1) * c).sum()), int(c.sum())
+
+    parts = ray.get([part.remote(b) for b in ranked.to_arrow_refs()])
+    s = sum(p[0] for p in parts)
+    t_tot = sum(p[1] for p in parts)
+    gini = float(2 * s - (n + 1) * t_tot) / float(n * t_tot)
+    return pd.DataFrame(
+        {"n_users": [np.int64(n)], "total_events": [np.int64(t_tot)],
+         "gini": [gini]}
+    )
+
+
+SQL_USER_ACTIVITY_GINI = """
+WITH c AS (SELECT user_id, count(*)::BIGINT AS c
+           FROM events GROUP BY user_id),
+r AS (SELECT c, row_number() OVER (ORDER BY c, user_id) AS rk FROM c)
+SELECT count(*)::BIGINT AS n_users, sum(c)::BIGINT AS total_events,
+       (2 * sum(rk * c) - (count(*) + 1) * sum(c))::DOUBLE
+         / (count(*) * sum(c)) AS gini
+FROM r
+"""
+
+
 SQL_EVENTS_VALUE_MAD = """
 WITH m AS (SELECT percentile_cont(0.5) WITHIN GROUP (ORDER BY value) AS med
            FROM events)
@@ -5316,6 +5385,8 @@ QUERIES = {
     "events_type_percentiles": (
         q_events_type_percentiles, SQL_EVENTS_TYPE_PERCENTILES,
     ),
+    "user_event_entropy": (q_user_event_entropy, SQL_USER_EVENT_ENTROPY),
+    "user_activity_gini": (q_user_activity_gini, SQL_USER_ACTIVITY_GINI),
     # -- (2) last driver-gated in round 3 or earlier ----------------------
     "doc_exact_dedup_keep": (q_doc_exact_dedup_keep, SQL_DOC_EXACT_DEDUP_KEEP),
     "doc_dedup_clusters": (q_doc_dedup_clusters, SQL_DOC_DEDUP_CLUSTERS),

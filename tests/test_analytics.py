@@ -426,3 +426,44 @@ def test_range_frame_rejects_frame_column_aggregate(ray_session):
             ray.data.from_pandas(df), "k", ["ts"],
             {"x": ("range_sum", "ts", "1h")},
         )
+
+
+def test_grouped_entropy_matches_serial(ray_session):
+    import math
+    from collections import Counter
+
+    import ray
+
+    from ray_ordered_stream.functions.analytics import grouped_entropy
+
+    rng = np.random.default_rng(23)
+    n = 2000
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 12, n).astype(np.int64),
+            "c": rng.choice(list("abcde"), n),
+        }
+    )
+    got = (
+        grouped_entropy(
+            ray.data.from_pandas(df).repartition(6), "k", "c", by_int=True
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    for _, row in got.iterrows():
+        sub = df[df["k"] == row["k"]]["c"]
+        cnt = Counter(sub)
+        assert row["n_events"] == len(sub)
+        assert row["n_cats"] == len(cnt)
+        h = -sum(
+            (v / len(sub)) * math.log(v / len(sub)) for v in cnt.values()
+        )
+        assert abs(row["entropy"] - h) < 2e-6
+    # single-category group -> entropy 0
+    one = pd.DataFrame({"k": [1, 1], "c": ["x", "x"]})
+    g1 = grouped_entropy(
+        ray.data.from_pandas(one), "k", "c", by_int=True
+    ).to_pandas()
+    assert g1["entropy"].iloc[0] == 0.0
