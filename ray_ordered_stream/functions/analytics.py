@@ -41,6 +41,10 @@ def window_functions(
 ):
     """Append window-function columns to ``ds``.
 
+    ``part_key`` may be one column or a list (composite ``PARTITION BY``):
+    a composite key routes the exchange on one derived u64 tuple hash and
+    factorizes the real tuple per partition — same single-exchange shape.
+
     ``specs``: alias -> (fn,) / (fn, col) / (fn, col, offset):
       ("row_number",)        1-based position in the group's order
       ("rank",)              competition rank over the order_by tuple
@@ -92,6 +96,7 @@ def window_functions(
     from ..exchange import default_partitions, shard_refs
 
     order_by = [order_by] if isinstance(order_by, str) else list(order_by)
+    pkeys = [part_key] if isinstance(part_key, str) else list(part_key)
     for alias, spec in specs.items():
         if spec[0] not in _FNS:
             raise ValueError(f"unsupported window fn {spec[0]!r} for {alias!r}")
@@ -117,6 +122,8 @@ def window_functions(
             for t in shards:
                 if t.column_names:
                     base = t.slice(0, 0).to_pandas()
+                    if "_wkey" in base.columns:
+                        base = base.drop(columns=["_wkey"])
                     for alias, spec in specs.items():
                         fn = spec[0]
                         if fn in ("row_number", "rank", "cumcount", "ntile",
@@ -154,10 +161,18 @@ def window_functions(
             else real[0]
         )
         df = tbl.to_pandas()
-        # one sort: order cols minor-to-major, partition key major
+        if "_wkey" in df.columns:
+            df = df.drop(columns=["_wkey"])
+        # one sort: order cols minor-to-major, partition key(s) major
         keys = [df[c].to_numpy() for c in reversed(order_by)]
-        gk = df[part_key]
-        codes = pd.factorize(gk, use_na_sentinel=False)[0]
+        if len(pkeys) == 1:
+            codes = pd.factorize(df[pkeys[0]], use_na_sentinel=False)[0]
+        else:
+            # composite partition key: one joint factorize over the tuple
+            codes = (
+                pd.MultiIndex.from_frame(df[pkeys])
+                .factorize(use_na_sentinel=False)[0]
+            )
         order = np.lexsort([*keys, codes])
         df = df.iloc[order].reset_index(drop=True)
         codes = codes[order]
@@ -339,7 +354,29 @@ def window_functions(
                 df[alias] = np.where(size_of > 1, rk / denom, 0.0)
         return pa.Table.from_pandas(df, preserve_index=False)
 
-    groups = shard_refs(list(ds.to_arrow_refs()), part_key, P, by_int=by_int)
+    if len(pkeys) == 1:
+        groups = shard_refs(
+            list(ds.to_arrow_refs()), pkeys[0], P, by_int=by_int
+        )
+    else:
+        # composite PARTITION BY: route on one derived u64 tuple hash (the
+        # shared exchange splits on a single column), recomputed nowhere
+        # else — part() drops it and factorizes the real key tuple
+        from ..agg import _group_hash
+
+        def add_wkey(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["_wkey"] = (
+                _group_hash(df, pkeys).view(np.int64)
+                if len(df)
+                else pd.Series([], dtype=np.int64)
+            )
+            return df
+
+        keyed = ds.map_batches(add_wkey, batch_format="pandas")
+        groups = shard_refs(
+            list(keyed.to_arrow_refs()), "_wkey", P, by_int=True
+        )
     out = [part.remote(*[grp[p] for grp in groups]) for p in range(P)]
     return ray.data.from_arrow_refs(out)
 

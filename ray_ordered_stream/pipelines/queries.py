@@ -5321,6 +5321,63 @@ FROM r
 """
 
 
+def q_events_user_type_running(sf_dir: str):
+    """Composite PARTITION BY (user_id, event_type) window functions:
+    window_functions routes the exchange on one derived u64 tuple hash
+    and factorizes the real tuple per partition (same single-exchange
+    shape as the single-key path). Running money exact as int64 cents;
+    lag NULLs coalesce to -1 like the events_window_fns row."""
+    import pyarrow.compute as pc
+
+    from ..functions.analytics import window_functions
+
+    ev = _read(
+        sf_dir, "events", ["event_id", "user_id", "event_type", "ts", "value"]
+    )
+
+    def cents(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False)
+        return t.drop_columns(["value"]).append_column(
+            "cc", pa.array(np.rint(v * 100.0).astype(np.int64))
+        )
+
+    out = window_functions(
+        ev.map_batches(cents, batch_format="pyarrow"),
+        ["user_id", "event_type"],
+        ["ts", "event_id"],
+        {
+            "rn": ("row_number",),
+            "run_cc": ("cumsum", "cc"),
+            "prev_cc": ("lag", "cc"),
+        },
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"],
+                "rn": df["rn"].astype("int64"),
+                "run_cc": df["run_cc"].astype("int64"),
+                "prev_cc": df["prev_cc"].fillna(-1).astype("int64"),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
+SQL_EVENTS_USER_TYPE_RUNNING = """
+WITH t AS (SELECT event_id, user_id, event_type, ts,
+                  CAST(round(value * 100) AS BIGINT) AS cc FROM events)
+SELECT event_id,
+  (row_number() OVER w)::BIGINT AS rn,
+  (sum(cc) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id
+     ROWS UNBOUNDED PRECEDING))::BIGINT AS run_cc,
+  coalesce(lag(cc) OVER w, -1)::BIGINT AS prev_cc
+FROM t
+WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+"""
+
+
 SQL_EVENTS_VALUE_MAD = """
 WITH m AS (SELECT percentile_cont(0.5) WITHIN GROUP (ORDER BY value) AS med
            FROM events)
@@ -5387,6 +5444,9 @@ QUERIES = {
     ),
     "user_event_entropy": (q_user_event_entropy, SQL_USER_EVENT_ENTROPY),
     "user_activity_gini": (q_user_activity_gini, SQL_USER_ACTIVITY_GINI),
+    "events_user_type_running": (
+        q_events_user_type_running, SQL_EVENTS_USER_TYPE_RUNNING,
+    ),
     # -- (2) last driver-gated in round 3 or earlier ----------------------
     "doc_exact_dedup_keep": (q_doc_exact_dedup_keep, SQL_DOC_EXACT_DEDUP_KEEP),
     "doc_dedup_clusters": (q_doc_dedup_clusters, SQL_DOC_DEDUP_CLUSTERS),

@@ -467,3 +467,54 @@ def test_grouped_entropy_matches_serial(ray_session):
         ray.data.from_pandas(one), "k", "c", by_int=True
     ).to_pandas()
     assert g1["entropy"].iloc[0] == 0.0
+
+
+def test_window_functions_composite_partition_key(ray_session):
+    import duckdb
+    import ray
+
+    from ray_ordered_stream.functions.analytics import window_functions
+
+    rng = np.random.default_rng(29)
+    n = 800
+    df = pd.DataFrame(
+        {
+            "id": np.arange(n, dtype=np.int64),
+            "a": rng.integers(0, 4, n).astype(np.int64),
+            "b": rng.choice(["x", "y", "z"], n),
+            "o": rng.integers(0, 30, n).astype(np.int64),
+            "v": rng.integers(0, 100, n).astype(np.int64),
+        }
+    )
+    got = (
+        window_functions(
+            ray.data.from_pandas(df).repartition(5),
+            ["a", "b"],
+            ["o", "id"],
+            {
+                "rn": ("row_number",),
+                "cs": ("cumsum", "v"),
+                "lg": ("lag", "v"),
+            },
+        )
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    assert "_wkey" not in got.columns
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.sql(
+        """
+        SELECT id,
+          row_number() OVER w AS rn,
+          sum(v) OVER (PARTITION BY a, b ORDER BY o, id
+            ROWS UNBOUNDED PRECEDING) AS cs,
+          lag(v) OVER w AS lg
+        FROM t WINDOW w AS (PARTITION BY a, b ORDER BY o, id) ORDER BY id
+        """
+    ).df()
+    assert (got["rn"].to_numpy() == want["rn"].to_numpy()).all()
+    assert (got["cs"].to_numpy(np.int64) == want["cs"].to_numpy(np.int64)).all()
+    gl, wl = got["lg"].to_numpy(np.float64), want["lg"].to_numpy(np.float64)
+    assert ((gl == wl) | (np.isnan(gl) & np.isnan(wl))).all()
