@@ -351,6 +351,15 @@ def hash_join(
     ``outer`` (full outer), ``semi`` (left rows with a match, right columns
     not emitted) or ``anti`` (left rows with NO match).
 
+    ``key`` / ``right_key`` may be lists of equal length (composite join
+    keys): the exchange then routes on one derived u64 tuple hash per side
+    and the per-partition join matches the REAL tuple — a hash collision
+    only co-locates rows, never joins them. The tuple hash goes through
+    each value's string form, so both sides' key columns must carry the
+    same dtypes (an int64-vs-float64 "5" would route to different
+    partitions). ``by_int`` / ``bloom_prefilter`` apply to single-column
+    keys only.
+
     Output blocks ARE the hash partitions: every row of a join key lands in
     exactly one output block, so a following per-key aggregate can run as a
     plain per-block ``map_batches`` with NO second exchange (see
@@ -381,16 +390,32 @@ def hash_join(
         raise ValueError(
             f"how must be inner|left|right|outer|semi|anti, got {how!r}"
         )
-    rk = right_key or key
+    # composite keys: key / right_key may be lists of equal length; the
+    # exchange then routes on ONE derived u64 tuple hash per side (the
+    # shared split takes a single column) and the per-partition join runs
+    # on the real tuple — collisions only co-locate, never match.
+    keys = [key] if isinstance(key, str) else list(key)
+    if right_key is None:
+        rks = list(keys)
+    elif isinstance(right_key, str):
+        rks = [right_key]
+    else:
+        rks = list(right_key)
+    if len(rks) != len(keys):
+        raise ValueError(
+            f"right_key arity {len(rks)} != key arity {len(keys)}"
+        )
+    multi = len(keys) > 1
+    key, rk = keys[0], rks[0]
 
     if how in ("semi", "anti"):
 
         def distinct_keys(t: pa.Table) -> pa.Table:
-            return t.select([rk]).group_by([rk]).aggregate([])
+            return t.select(rks).group_by(rks).aggregate([])
 
         right = right.map_batches(distinct_keys, batch_format="pyarrow")
     elif right_cols is not None:
-        right = right.select_columns(list(dict.fromkeys([rk, *right_cols])))
+        right = right.select_columns(list(dict.fromkeys([*rks, *right_cols])))
 
     def _concat_tbl(shards):
         withcols = [t for t in shards if t.num_rows or t.column_names]
@@ -407,32 +432,55 @@ def hash_join(
     def join_part(n_left: int, *shards: pa.Table) -> pa.Table:
         lt = _concat_tbl(shards[:n_left])
         rt = _concat_tbl(shards[n_left:])
+        if lt is not None and "_jk" in lt.column_names:
+            lt = lt.drop_columns(["_jk"])
+        if rt is not None and "_jk" in rt.column_names:
+            rt = rt.drop_columns(["_jk"])
         if lt is None and not (how in ("right", "outer") and rt is not None):
             return pa.table({})
         if how in ("semi", "anti"):
             # pure Arrow: schema survives even when every row filters out
             if rt is None or rt.num_rows == 0:
                 return lt if how == "anti" else lt.slice(0, 0)
-            vals = rt[rk]
-            if isinstance(vals, pa.ChunkedArray):
-                vals = vals.combine_chunks()
             import pyarrow.compute as pc
 
-            mask = pc.is_in(lt[key], value_set=vals)
+            if not multi:
+                vals = rt[rk]
+                if isinstance(vals, pa.ChunkedArray):
+                    vals = vals.combine_chunks()
+                mask = pc.is_in(lt[key], value_set=vals)
+            else:
+                # tuple membership: indicator merge against the distinct
+                # right tuples (exact — the routing hash never decides)
+                ldf = lt.select(keys).to_pandas()
+                # per-block distinct still leaves cross-block duplicate
+                # tuples in the concat: dedupe or the left merge fans out
+                rdf = (
+                    rt.to_pandas()
+                    .rename(columns=dict(zip(rks, keys)))
+                    .drop_duplicates()
+                )
+                rdf["_hit"] = True
+                mm = ldf.merge(rdf, on=keys, how="left")
+                mask = pa.array(mm["_hit"].notna().to_numpy())
             if how == "anti":
                 mask = pc.invert(mask)
             return lt.filter(mask)
         rdf = rt.to_pandas() if rt is not None else None
-        if rdf is not None and rk != key:
-            rdf = rdf.rename(columns={rk: key})
+        if rdf is not None and rks != keys:
+            rdf = rdf.rename(columns=dict(zip(rks, keys)))
         ldf = (
             lt.to_pandas()
             if lt is not None
-            else pd.DataFrame({key: pd.Series([], dtype=rdf[key].dtype)})
+            else pd.DataFrame(
+                {k: pd.Series([], dtype=rdf[k].dtype) for k in keys}
+            )
         )
         if rdf is None:
-            rdf = pd.DataFrame({key: pd.Series([], dtype=ldf[key].dtype)})
-        m = ldf.merge(rdf, on=key, how=how, suffixes=("", suffix))
+            rdf = pd.DataFrame(
+                {k: pd.Series([], dtype=ldf[k].dtype) for k in keys}
+            )
+        m = ldf.merge(rdf, on=keys, how=how, suffixes=("", suffix))
         out = pa.Table.from_pandas(m.reset_index(drop=True), preserve_index=False)
         # empty object columns come back as null type; restore from the
         # shard schemas so downstream schema unification stays exact
@@ -452,6 +500,44 @@ def hash_join(
         return out
 
     P = num_partitions or _default_P()
+
+    if multi:
+        if bloom_prefilter:
+            raise ValueError(
+                "bloom_prefilter supports single-column keys only"
+            )
+        from .agg import _group_hash
+
+        def _with_jk(cols):
+            def f(df: pd.DataFrame) -> pd.DataFrame:
+                df = df.copy()
+                df["_jk"] = (
+                    _group_hash(df, cols).view(np.int64)
+                    if len(df)
+                    else pd.Series([], dtype=np.int64)
+                )
+                return df
+
+            return f
+
+        left = left.map_batches(_with_jk(keys), batch_format="pandas")
+        right = right.map_batches(_with_jk(rks), batch_format="pandas")
+        l_groups = shard_refs(
+            list(left.to_arrow_refs()), "_jk", P, by_int=True
+        )
+        r_groups = shard_refs(
+            list(right.to_arrow_refs()), "_jk", P, by_int=True
+        )
+        out = [
+            join_part.remote(
+                len(l_groups),
+                *[g[p] for g in l_groups],
+                *[g[p] for g in r_groups],
+            )
+            for p in range(P)
+        ]
+        return ray.data.from_arrow_refs(out)
+
     r_refs = list(right.to_arrow_refs())
 
     if bloom_prefilter and how == "semi":

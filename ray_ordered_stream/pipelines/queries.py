@@ -5378,6 +5378,33 @@ WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
 """
 
 
+def q_doc_cell_join(sf_dir: str):
+    """Composite-key distributed hash_join (key=[lang, source]): the
+    (lang, source) cell-count table (one exchange) joins back onto every
+    document as a group-frequency feature — the exchange routes on one
+    derived u64 tuple hash per side, the per-partition merge matches the
+    real tuple."""
+    from ..agg import exchange_groupby
+    from ..join import hash_join
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang", "source"])
+    cells = exchange_groupby(
+        docs, ["lang", "source"], {"cell_n": (None, "count")}
+    )
+    out = hash_join(
+        docs, cells, key=["lang", "source"], right_cols=["cell_n"]
+    )
+    return out.select_columns(["doc_id", "lang", "source", "cell_n"])
+
+
+SQL_DOC_CELL_JOIN = """
+WITH c AS (SELECT lang, source, count(*)::BIGINT AS cell_n
+           FROM documents GROUP BY 1, 2)
+SELECT d.doc_id, d.lang, d.source, c.cell_n
+FROM documents d JOIN c ON d.lang = c.lang AND d.source = c.source
+"""
+
+
 SQL_EVENTS_VALUE_MAD = """
 WITH m AS (SELECT percentile_cont(0.5) WITHIN GROUP (ORDER BY value) AS med
            FROM events)
@@ -5447,6 +5474,7 @@ QUERIES = {
     "events_user_type_running": (
         q_events_user_type_running, SQL_EVENTS_USER_TYPE_RUNNING,
     ),
+    "doc_cell_join": (q_doc_cell_join, SQL_DOC_CELL_JOIN),
     # -- (2) last driver-gated in round 3 or earlier ----------------------
     "doc_exact_dedup_keep": (q_doc_exact_dedup_keep, SQL_DOC_EXACT_DEDUP_KEEP),
     "doc_dedup_clusters": (q_doc_dedup_clusters, SQL_DOC_DEDUP_CLUSTERS),

@@ -437,3 +437,80 @@ def test_broadcast_join_inner_left(ray_session):
     )
     assert len(lj) == 5
     assert pd.isna(lj.loc[4, "name"]) and lj.loc[4, "id"] == 5
+
+
+def test_hash_join_composite_keys_vs_duckdb(ray_session):
+    """Composite-key inner/left/semi/anti vs DuckDB on the same frames —
+    including a routing-critical check: tuples sharing one component must
+    still only match on the full tuple."""
+    import duckdb
+    import ray
+
+    from ray_ordered_stream.join import hash_join
+
+    rng = np.random.default_rng(31)
+    nl, nr = 700, 400
+    L = pd.DataFrame(
+        {
+            "a": rng.integers(0, 12, nl).astype(np.int64),
+            "b": rng.choice(["x", "y", "z"], nl),
+            "lv": np.arange(nl, dtype=np.int64),
+        }
+    )
+    R = pd.DataFrame(
+        {
+            "ra": rng.integers(0, 12, nr).astype(np.int64),
+            "rb": rng.choice(["x", "y", "z", "w"], nr),
+            "rv": np.arange(nr, dtype=np.int64) * 10,
+        }
+    )
+    con = duckdb.connect()
+    con.register("L", L)
+    con.register("R", R)
+    lds = ray.data.from_pandas(L).repartition(5)
+    rds = ray.data.from_pandas(R).repartition(4)
+
+    def canon(df, cols):
+        return (
+            df[cols]
+            .sort_values(cols, kind="stable")
+            .reset_index(drop=True)
+        )
+
+    # inner
+    got = hash_join(
+        lds, rds, key=["a", "b"], right_key=["ra", "rb"], right_cols=["rv"]
+    ).to_pandas()
+    want = con.sql(
+        "SELECT a, b, lv, rv FROM L JOIN R ON a = ra AND b = rb"
+    ).df()
+    cols = ["a", "b", "lv", "rv"]
+    assert canon(got, cols).equals(
+        canon(want, cols).astype({c: got[c].dtype for c in cols})
+    )
+
+    # semi / anti partition the left exactly
+    semi = hash_join(
+        lds, rds, key=["a", "b"], right_key=["ra", "rb"], how="semi"
+    ).to_pandas()
+    anti = hash_join(
+        lds, rds, key=["a", "b"], right_key=["ra", "rb"], how="anti"
+    ).to_pandas()
+    wsemi = con.sql(
+        "SELECT * FROM L WHERE EXISTS (SELECT 1 FROM R WHERE a=ra AND b=rb)"
+    ).df()
+    assert len(semi) == len(wsemi) and len(semi) + len(anti) == nl
+    assert set(map(tuple, semi[["a", "b", "lv"]].to_numpy())) == set(
+        map(tuple, wsemi[["a", "b", "lv"]].to_numpy())
+    )
+
+    # left join NULL fill
+    lgot = hash_join(
+        lds, rds, key=["a", "b"], right_key=["ra", "rb"],
+        right_cols=["rv"], how="left",
+    ).to_pandas()
+    wleft = con.sql(
+        "SELECT a, b, lv, rv FROM L LEFT JOIN R ON a = ra AND b = rb"
+    ).df()
+    assert len(lgot) == len(wleft)
+    assert int(lgot["rv"].isna().sum()) == int(wleft["rv"].isna().sum())
