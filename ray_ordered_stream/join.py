@@ -144,13 +144,30 @@ def asof_join(
     nothing materializes on the driver. ``right_tiebreak`` makes ties on
     (key, right_on) deterministic: the right side is deduped keep-last per
     (key, right_on) after a stable sort by (key, right_on, tiebreak).
+
+    ``key`` / ``right_key`` may be equal-length lists (composite ``by``):
+    the exchange then routes on one derived u64 tuple hash per side and
+    ``merge_asof`` matches the real tuple (same contract as hash_join;
+    ``by_int`` applies to single-column keys only).
     """
     import ray
     import ray.data
 
     from .exchange import shard_refs
 
-    rk = right_key or key
+    keys = [key] if isinstance(key, str) else list(key)
+    if right_key is None:
+        rks = list(keys)
+    elif isinstance(right_key, str):
+        rks = [right_key]
+    else:
+        rks = list(right_key)
+    if len(rks) != len(keys):
+        raise ValueError(
+            f"right_key arity {len(rks)} != key arity {len(keys)}"
+        )
+    multi = len(keys) > 1
+    key, rk = keys[0], rks[0]
     ro = right_on or on
 
     @ray.remote
@@ -159,14 +176,20 @@ def asof_join(
         rdf = _concat_df(shards[n_left:])
         if ldf is None or rdf is None:
             return pa.table({})
+        if "_jk" in ldf.columns:
+            ldf = ldf.drop(columns=["_jk"])
+        if "_jk" in rdf.columns:
+            rdf = rdf.drop(columns=["_jk"])
         if right_tiebreak is not None:
-            rdf = rdf.sort_values([rk, ro, right_tiebreak], kind="stable")
-            rdf = rdf.drop_duplicates([rk, ro], keep="last")
+            rdf = rdf.sort_values(
+                [*rks, ro, right_tiebreak], kind="stable"
+            )
+            rdf = rdf.drop_duplicates([*rks, ro], keep="last")
         keep = list(dict.fromkeys([ro, *(right_cols or rdf.columns)]))
-        rdf = rdf[[rk, *[c for c in keep if c != rk]]]
-        r_dtypes = {c: rdf[c].dtype for c in rdf.columns if c != rk}
-        if rk != key:
-            rdf = rdf.rename(columns={rk: key})
+        rdf = rdf[[*rks, *[c for c in keep if c not in rks]]]
+        r_dtypes = {c: rdf[c].dtype for c in rdf.columns if c not in rks}
+        if rks != keys:
+            rdf = rdf.rename(columns=dict(zip(rks, keys)))
         # explicit match indicator: inferring "matched" from some right value
         # column being non-null silently drops matches whose value IS null
         # (and breaks when the right side carries no extra column at all)
@@ -177,7 +200,9 @@ def asof_join(
         ldf = ldf.sort_values(on, kind="stable")
         rdf = rdf.sort_values(ro, kind="stable")
         m = pd.merge_asof(
-            ldf, rdf, left_on=on, right_on=ro, by=key, direction=direction,
+            ldf, rdf, left_on=on, right_on=ro,
+            by=keys if multi else key,
+            direction=direction,
             allow_exact_matches=True,
             suffixes=("", "_r"),
         )
@@ -190,8 +215,36 @@ def asof_join(
         return pa.Table.from_pandas(m.reset_index(drop=True), preserve_index=False)
 
     P = num_partitions or _default_P()
-    l_groups = shard_refs(list(left.to_arrow_refs()), key, P, by_int=by_int)
-    r_groups = shard_refs(list(right.to_arrow_refs()), rk, P, by_int=by_int)
+    if multi:
+        from .agg import _group_hash
+
+        def _with_jk(cols):
+            def f(df: pd.DataFrame) -> pd.DataFrame:
+                df = df.copy()
+                df["_jk"] = (
+                    _group_hash(df, cols).view(np.int64)
+                    if len(df)
+                    else pd.Series([], dtype=np.int64)
+                )
+                return df
+
+            return f
+
+        left = left.map_batches(_with_jk(keys), batch_format="pandas")
+        right = right.map_batches(_with_jk(rks), batch_format="pandas")
+        l_groups = shard_refs(
+            list(left.to_arrow_refs()), "_jk", P, by_int=True
+        )
+        r_groups = shard_refs(
+            list(right.to_arrow_refs()), "_jk", P, by_int=True
+        )
+    else:
+        l_groups = shard_refs(
+            list(left.to_arrow_refs()), key, P, by_int=by_int
+        )
+        r_groups = shard_refs(
+            list(right.to_arrow_refs()), rk, P, by_int=by_int
+        )
     out = [
         join_part.remote(
             len(l_groups), *[g[p] for g in l_groups], *[g[p] for g in r_groups]

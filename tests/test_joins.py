@@ -514,3 +514,58 @@ def test_hash_join_composite_keys_vs_duckdb(ray_session):
     ).df()
     assert len(lgot) == len(wleft)
     assert int(lgot["rv"].isna().sum()) == int(wleft["rv"].isna().sum())
+
+
+def test_asof_join_composite_keys_vs_duckdb(ray_session):
+    import duckdb
+    import ray
+
+    from ray_ordered_stream.join import asof_join
+
+    rng = np.random.default_rng(37)
+    nl, nr = 500, 300
+    L = pd.DataFrame(
+        {
+            "a": rng.integers(0, 6, nl).astype(np.int64),
+            "b": rng.choice(["x", "y"], nl),
+            "t": rng.integers(0, 1000, nl).astype(np.int64),
+            "lv": np.arange(nl, dtype=np.int64),
+        }
+    )
+    R = pd.DataFrame(
+        {
+            "a": rng.integers(0, 6, nr).astype(np.int64),
+            "b": rng.choice(["x", "y"], nr),
+            "rt": rng.integers(0, 1000, nr).astype(np.int64),
+            "rv": np.arange(nr, dtype=np.int64) * 7,
+        }
+    )
+    # deterministic: unique (a, b, rt) on the right
+    R = R.drop_duplicates(["a", "b", "rt"]).reset_index(drop=True)
+    got = (
+        asof_join(
+            ray.data.from_pandas(L).repartition(4),
+            ray.data.from_pandas(R).repartition(3),
+            key=["a", "b"],
+            on="t",
+            right_on="rt",
+            right_cols=["rv"],
+            direction="backward",
+        )
+        .to_pandas()
+        .sort_values(["lv"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("L", L)
+    con.register("R", R)
+    want = con.sql(
+        """
+        SELECT L.lv, R.rv FROM L
+        ASOF JOIN R ON L.a = R.a AND L.b = R.b AND L.t >= R.rt
+        ORDER BY L.lv
+        """
+    ).df()
+    assert len(got) == len(want)
+    assert (got["lv"].to_numpy() == want["lv"].to_numpy()).all()
+    assert (got["rv"].to_numpy(np.int64) == want["rv"].to_numpy(np.int64)).all()
