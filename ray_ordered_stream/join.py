@@ -685,3 +685,26 @@ def broadcast_join(
             )
 
     return left.map_batches(Probe(rref), batch_format="pandas")
+
+
+def packed_key(ds, cols: list[str], alias: str = "_key", sep: str = "\x1f"):
+    """Append a single string column packing a composite key tuple —
+    the documented bridge for the remaining single-key operators
+    (interval_join, grouped_topk, grouped_string_agg): NULL components
+    fold to one sentinel so a NULL tuple never splits across partitions,
+    components join on an unlikely separator (US control char by
+    default). hash_join / asof_join / window_functions / exchange_groupby
+    take key lists natively and don't need this."""
+
+    def pack(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        parts = [
+            df[c].astype(str).where(~df[c].isna(), "\x00null") for c in cols
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out + sep + p
+        df[alias] = out
+        return df
+
+    return ds.map_batches(pack, batch_format="pandas")

@@ -569,3 +569,43 @@ def test_asof_join_composite_keys_vs_duckdb(ray_session):
     assert len(got) == len(want)
     assert (got["lv"].to_numpy() == want["lv"].to_numpy()).all()
     assert (got["rv"].to_numpy(np.int64) == want["rv"].to_numpy(np.int64)).all()
+
+
+def test_packed_key_composite_bridge(ray_session):
+    """packed_key gives the remaining single-key operators a composite
+    key: grouped_topk over a packed (a, b) behaves like per-tuple top-k."""
+    import ray
+
+    from ray_ordered_stream.functions.topk import grouped_topk
+    from ray_ordered_stream.join import packed_key
+
+    rng = np.random.default_rng(41)
+    n = 400
+    df = pd.DataFrame(
+        {
+            "a": rng.integers(0, 3, n).astype(np.int64),
+            "b": rng.choice(["x", "y"], n),
+            "v": rng.integers(0, 1000, n).astype(np.int64),
+            "id": np.arange(n, dtype=np.int64),
+        }
+    )
+    ds = packed_key(
+        ray.data.from_pandas(df).repartition(4), ["a", "b"]
+    )
+    got = (
+        grouped_topk(ds, "_key", "v", k=2, tiebreak="id")
+        .to_pandas()
+        .sort_values(["a", "b", "v", "id"], ascending=[True, True, False, True])
+        .reset_index(drop=True)
+    )
+    # grouped_topk flips the tiebreak with the value when descending
+    want = (
+        df.sort_values(["v", "id"], ascending=[False, False])
+        .groupby(["a", "b"])
+        .head(2)
+        .sort_values(["a", "b", "v", "id"], ascending=[True, True, False, True])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    for c in ("a", "b", "v", "id"):
+        assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
