@@ -5405,6 +5405,140 @@ FROM documents d JOIN c ON d.lang = c.lang AND d.source = c.source
 """
 
 
+def q_part_vwap(sf_dir: str):
+    """Volume-weighted average price per part (the reference domain's
+    standard market metric) — one exchange of exact integer partials
+    (Σ price_cents·qty, Σ qty both < 2^53) and a final double division,
+    bit-identical to the oracle."""
+    import pyarrow.compute as pc
+
+    from ..agg import exchange_groupby
+
+    li = _read(
+        sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_quantity"]
+    )
+
+    def pq(t: pa.Table) -> pa.Table:
+        cc = np.rint(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        q = np.rint(
+            t["l_quantity"].to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "l_partkey": t["l_partkey"],
+                "pq_cc": pa.array(cc * q),
+                "q": pa.array(q),
+            }
+        )
+
+    agg = exchange_groupby(
+        li.map_batches(pq, batch_format="pyarrow"),
+        "l_partkey",
+        {"sum_pq_cc": ("pq_cc", "sum"), "sum_qty": ("q", "sum")},
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["vwap_cc"] = df["sum_pq_cc"].to_numpy(np.float64) / df[
+            "sum_qty"
+        ].to_numpy(np.float64)
+        return df
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+SQL_PART_VWAP = """
+SELECT l_partkey,
+  sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+      * CAST(round(l_quantity) AS BIGINT))::BIGINT AS sum_pq_cc,
+  sum(CAST(round(l_quantity) AS BIGINT))::BIGINT AS sum_qty,
+  sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+      * CAST(round(l_quantity) AS BIGINT))::DOUBLE
+    / sum(CAST(round(l_quantity) AS BIGINT)) AS vwap_cc
+FROM lineitem GROUP BY l_partkey
+"""
+
+
+def q_user_value_twap(sf_dir: str):
+    """Time-weighted average value per user (TWAP): each event's value
+    holds until the next event (lead(ts) - ts weights via the shared
+    window machinery; the last event of a user carries no weight), then
+    one exchange of exact integer partials (Σ cc·Δt_us, Σ Δt_us — int64
+    through pandas partials, never float) and a final double division. Users with a single event drop (no holding
+    interval) — the oracle filters identically."""
+    from ..agg import exchange_groupby
+    from ..functions.analytics import window_functions
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False)
+        return t.drop_columns(["value"]).append_column(
+            "cc", pa.array(np.rint(v * 100.0).astype(np.int64))
+        )
+
+    w = window_functions(
+        ev.map_batches(cents, batch_format="pyarrow"),
+        "user_id",
+        ["ts", "event_id"],
+        {"next_ts": ("lead", "ts")},
+        by_int=True,
+    )
+
+    def weights(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["next_ts"].notna()]
+        # exact microsecond weights (the ts resolution): Σ cc·dt_us stays
+        # int64-exact through the exchange (pandas int64 partials, no
+        # float sums anywhere); the one double division at the end
+        # converts identically on both engines
+        dt = (
+            df["next_ts"].to_numpy("datetime64[us]").astype(np.int64)
+            - df["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        )
+        cc = df["cc"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"],
+                "cdt": cc * dt,
+                "dt": dt,
+            }
+        )
+
+    agg = exchange_groupby(
+        w.map_batches(weights, batch_format="pandas"),
+        "user_id",
+        {"sum_cdt": ("cdt", "sum"), "sum_dt": ("dt", "sum")},
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["twap_cc"] = df["sum_cdt"].to_numpy(np.float64) / df[
+            "sum_dt"
+        ].to_numpy(np.float64)
+        return df
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+SQL_USER_VALUE_TWAP = """
+WITH t AS (SELECT user_id, ts,
+                  CAST(round(value * 100) AS BIGINT) AS cc,
+                  lead(ts) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS next_ts
+           FROM events),
+w AS (SELECT user_id, cc,
+             date_diff('microsecond', ts, next_ts)::BIGINT AS dt
+      FROM t WHERE next_ts IS NOT NULL)
+SELECT user_id,
+       sum(cc * dt)::BIGINT AS sum_cdt,
+       sum(dt)::BIGINT AS sum_dt,
+       sum(cc * dt)::DOUBLE / sum(dt) AS twap_cc
+FROM w GROUP BY user_id
+"""
+
+
 SQL_EVENTS_VALUE_MAD = """
 WITH m AS (SELECT percentile_cont(0.5) WITHIN GROUP (ORDER BY value) AS med
            FROM events)
@@ -5475,6 +5609,8 @@ QUERIES = {
         q_events_user_type_running, SQL_EVENTS_USER_TYPE_RUNNING,
     ),
     "doc_cell_join": (q_doc_cell_join, SQL_DOC_CELL_JOIN),
+    "part_vwap": (q_part_vwap, SQL_PART_VWAP),
+    "user_value_twap": (q_user_value_twap, SQL_USER_VALUE_TWAP),
     # -- (2) last driver-gated in round 3 or earlier ----------------------
     "doc_exact_dedup_keep": (q_doc_exact_dedup_keep, SQL_DOC_EXACT_DEDUP_KEEP),
     "doc_dedup_clusters": (q_doc_dedup_clusters, SQL_DOC_DEDUP_CLUSTERS),
