@@ -5539,6 +5539,58 @@ FROM w GROUP BY user_id
 """
 
 
+def q_events_trimmed_mean(sf_dir: str):
+    """Robust trimmed mean: exact percentile_cont thresholds (p5, p95 via
+    the candidate/bracket machinery) broadcast into one filtered pass of
+    exact integer partials (Σ cents, n) — the mean is a single double
+    division, bit-identical to the oracle filtering on the same
+    thresholds."""
+    import ray
+
+    from ..functions.sketch import exact_percentiles
+
+    ev = _read(sf_dir, "events", ["value"])
+    ps = exact_percentiles(ev, "value", [0.05, 0.95])
+    lo, hi = ps[0.05], ps[0.95]
+
+    @ray.remote
+    def part(t: pa.Table):
+        v = t["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v[~np.isnan(v)]
+        v = v[(v >= lo) & (v <= hi)]
+        cc = np.rint(v * 100.0).astype(np.int64)
+        return int(cc.sum()), len(cc)
+
+    parts = ray.get([part.remote(b) for b in ev.to_arrow_refs()])
+    s = sum(p[0] for p in parts)
+    n = sum(p[1] for p in parts)
+    return pd.DataFrame(
+        {
+            "n_kept": [np.int64(n)],
+            "sum_cc": [np.int64(s)],
+            "trimmed_mean_cc": [float(s) / float(n)],
+            "lo": [round(lo, 6)],
+            "hi": [round(hi, 6)],
+        }
+    )
+
+
+SQL_EVENTS_TRIMMED_MEAN = """
+WITH p AS (
+  SELECT percentile_cont(0.05) WITHIN GROUP (ORDER BY value) AS lo,
+         percentile_cont(0.95) WITHIN GROUP (ORDER BY value) AS hi
+  FROM events),
+f AS (SELECT CAST(round(value * 100) AS BIGINT) AS cc
+      FROM events, p WHERE value >= lo AND value <= hi)
+SELECT count(*)::BIGINT AS n_kept,
+       sum(cc)::BIGINT AS sum_cc,
+       sum(cc)::DOUBLE / count(*) AS trimmed_mean_cc,
+       (SELECT round(lo, 6) FROM p) AS lo,
+       (SELECT round(hi, 6) FROM p) AS hi
+FROM f
+"""
+
+
 SQL_EVENTS_VALUE_MAD = """
 WITH m AS (SELECT percentile_cont(0.5) WITHIN GROUP (ORDER BY value) AS med
            FROM events)
@@ -5611,6 +5663,7 @@ QUERIES = {
     "doc_cell_join": (q_doc_cell_join, SQL_DOC_CELL_JOIN),
     "part_vwap": (q_part_vwap, SQL_PART_VWAP),
     "user_value_twap": (q_user_value_twap, SQL_USER_VALUE_TWAP),
+    "events_trimmed_mean": (q_events_trimmed_mean, SQL_EVENTS_TRIMMED_MEAN),
     # -- (2) last driver-gated in round 3 or earlier ----------------------
     "doc_exact_dedup_keep": (q_doc_exact_dedup_keep, SQL_DOC_EXACT_DEDUP_KEEP),
     "doc_dedup_clusters": (q_doc_dedup_clusters, SQL_DOC_DEDUP_CLUSTERS),
