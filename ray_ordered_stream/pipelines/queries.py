@@ -5591,6 +5591,76 @@ FROM f
 """
 
 
+def q_events_ks_test(sf_dir: str):
+    """EXACT two-sample Kolmogorov-Smirnov statistic between the 'click'
+    and 'purchase' value distributions: per-block (cents, type) count
+    partials through one cents-keyed exchange, then the D statistic on
+    the distinct-value table (bounded by the 2dp value space, never the
+    row count) as a pure integer argmax — D = max|F1 - F2| compared via
+    cross-multiplication |f1*n2 - f2*n1|, one double division at the
+    end."""
+    import pyarrow.compute as pc
+
+    from ..agg import exchange_groupby
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+
+    def part(t: pa.Table) -> pa.Table:
+        m = pc.is_in(
+            t["event_type"],
+            value_set=pa.array(["click", "purchase"]),
+        )
+        t = t.filter(m)
+        cc = np.rint(
+            t["value"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        is_a = pc.equal(t["event_type"], "click").to_numpy(
+            zero_copy_only=False
+        )
+        out = pd.DataFrame({"cc": cc, "ca": is_a.astype(np.int64),
+                            "cb": (~is_a).astype(np.int64)})
+        g = out.groupby("cc", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    hist = exchange_groupby(
+        ev.map_batches(part, batch_format="pyarrow"),
+        "cc",
+        {"ca": ("ca", "sum"), "cb": ("cb", "sum")},
+    ).to_pandas().sort_values("cc")
+    f1 = hist["ca"].to_numpy(np.int64).cumsum()
+    f2 = hist["cb"].to_numpy(np.int64).cumsum()
+    n1, n2 = int(f1[-1]), int(f2[-1])
+    d_num = int(np.abs(f1 * n2 - f2 * n1).max())
+    d_den = n1 * n2
+    return pd.DataFrame(
+        {
+            "n1": [np.int64(n1)],
+            "n2": [np.int64(n2)],
+            "d_num": [np.int64(d_num)],
+            "ks_d": [float(d_num) / float(d_den)],
+        }
+    )
+
+
+SQL_EVENTS_KS_TEST = """
+WITH t AS (SELECT CAST(round(value * 100) AS BIGINT) AS cc, event_type
+           FROM events WHERE event_type IN ('click', 'purchase')),
+u AS (SELECT cc,
+             count(*) FILTER (WHERE event_type = 'click')::BIGINT AS ca,
+             count(*) FILTER (WHERE event_type = 'purchase')::BIGINT AS cb
+      FROM t GROUP BY cc),
+c AS (SELECT sum(ca) OVER (ORDER BY cc)::BIGINT AS f1,
+             sum(cb) OVER (ORDER BY cc)::BIGINT AS f2
+      FROM u),
+n AS (SELECT sum(ca)::BIGINT AS n1, sum(cb)::BIGINT AS n2 FROM u)
+SELECT n1, n2,
+       (SELECT max(abs(f1 * n2 - f2 * n1)) FROM c)::BIGINT AS d_num,
+       (SELECT max(abs(f1 * n2 - f2 * n1)) FROM c)::DOUBLE / (n1 * n2)
+         AS ks_d
+FROM n
+"""
+
+
 SQL_EVENTS_VALUE_MAD = """
 WITH m AS (SELECT percentile_cont(0.5) WITHIN GROUP (ORDER BY value) AS med
            FROM events)
@@ -5664,6 +5734,7 @@ QUERIES = {
     "part_vwap": (q_part_vwap, SQL_PART_VWAP),
     "user_value_twap": (q_user_value_twap, SQL_USER_VALUE_TWAP),
     "events_trimmed_mean": (q_events_trimmed_mean, SQL_EVENTS_TRIMMED_MEAN),
+    "events_ks_test": (q_events_ks_test, SQL_EVENTS_KS_TEST),
     # -- (2) last driver-gated in round 3 or earlier ----------------------
     "doc_exact_dedup_keep": (q_doc_exact_dedup_keep, SQL_DOC_EXACT_DEDUP_KEEP),
     "doc_dedup_clusters": (q_doc_dedup_clusters, SQL_DOC_DEDUP_CLUSTERS),
