@@ -5661,6 +5661,80 @@ FROM n
 """
 
 
+def q_events_mwu_test(sf_dir: str):
+    """EXACT Mann-Whitney U between the 'click' and 'purchase' value
+    distributions, from the same bounded cents-histogram exchange as the
+    KS row: with tie groups of total size c at cumulative offset f, every
+    member's average rank is f + (c+1)/2, so 2·R1 = Σ ca·(2f + c + 1) is
+    a PURE INTEGER — the rank sum carries as int64 (no float summation
+    order anywhere) and R1/U1 are single halvings at the end, exact in
+    doubles and bit-identical to the oracle."""
+    import pyarrow.compute as pc
+
+    from ..agg import exchange_groupby
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+
+    def part(t: pa.Table) -> pa.Table:
+        m = pc.is_in(
+            t["event_type"], value_set=pa.array(["click", "purchase"])
+        )
+        t = t.filter(m)
+        cc = np.rint(
+            t["value"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        is_a = pc.equal(t["event_type"], "click").to_numpy(
+            zero_copy_only=False
+        )
+        out = pd.DataFrame({"cc": cc, "ca": is_a.astype(np.int64),
+                            "cb": (~is_a).astype(np.int64)})
+        g = out.groupby("cc", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    hist = exchange_groupby(
+        ev.map_batches(part, batch_format="pyarrow"),
+        "cc",
+        {"ca": ("ca", "sum"), "cb": ("cb", "sum")},
+    ).to_pandas().sort_values("cc")
+    ca = hist["ca"].to_numpy(np.int64)
+    cb = hist["cb"].to_numpy(np.int64)
+    c = ca + cb
+    f = np.concatenate([[0], c.cumsum()[:-1]])  # ranks before this value
+    n1 = int(ca.sum())
+    r1_x2 = int((ca * (2 * f + c + 1)).sum())
+    u1_x2 = r1_x2 - n1 * (n1 + 1)
+    return pd.DataFrame(
+        {
+            "n1": [np.int64(n1)],
+            "n2": [np.int64(cb.sum())],
+            "r1": [r1_x2 / 2.0],
+            "u1": [u1_x2 / 2.0],
+        }
+    )
+
+
+SQL_EVENTS_MWU_TEST = """
+WITH t AS (SELECT CAST(round(value * 100) AS BIGINT) AS cc, event_type
+           FROM events WHERE event_type IN ('click', 'purchase')),
+u AS (SELECT cc,
+             count(*) FILTER (WHERE event_type = 'click')::BIGINT AS ca,
+             count(*) FILTER (WHERE event_type = 'purchase')::BIGINT AS cb
+      FROM t GROUP BY cc),
+r AS (SELECT ca,
+             (2 * (sum(ca + cb) OVER (ORDER BY cc) - (ca + cb))
+              + (ca + cb) + 1)::BIGINT AS rank_x2
+      FROM u),
+s AS (SELECT (SELECT sum(ca)::BIGINT FROM u) AS n1,
+             (SELECT sum(cb)::BIGINT FROM u) AS n2,
+             sum(ca * rank_x2)::BIGINT AS r1_x2
+      FROM r)
+SELECT n1, n2,
+       r1_x2 / 2.0 AS r1,
+       (r1_x2 - n1 * (n1 + 1)) / 2.0 AS u1
+FROM s
+"""
+
+
 SQL_EVENTS_VALUE_MAD = """
 WITH m AS (SELECT percentile_cont(0.5) WITHIN GROUP (ORDER BY value) AS med
            FROM events)
@@ -5735,6 +5809,7 @@ QUERIES = {
     "user_value_twap": (q_user_value_twap, SQL_USER_VALUE_TWAP),
     "events_trimmed_mean": (q_events_trimmed_mean, SQL_EVENTS_TRIMMED_MEAN),
     "events_ks_test": (q_events_ks_test, SQL_EVENTS_KS_TEST),
+    "events_mwu_test": (q_events_mwu_test, SQL_EVENTS_MWU_TEST),
     # -- (2) last driver-gated in round 3 or earlier ----------------------
     "doc_exact_dedup_keep": (q_doc_exact_dedup_keep, SQL_DOC_EXACT_DEDUP_KEEP),
     "doc_dedup_clusters": (q_doc_dedup_clusters, SQL_DOC_DEDUP_CLUSTERS),
