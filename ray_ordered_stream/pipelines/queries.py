@@ -5735,6 +5735,120 @@ FROM s
 """
 
 
+def q_orders_benford(sf_dir: str):
+    """Benford first-digit audit over order totals (a standard synthetic-
+    data / fraud data-quality probe): the leading digit extracts by pure
+    integer halving-loop division (max 10 vectorized passes, no libm
+    log10 whose power-of-10 edge could disagree), counts ride one tiny
+    digit-keyed exchange; expected Benford mass log10(1+1/d) rounds 6dp
+    (the shared libm convention)."""
+    from ..agg import exchange_groupby
+
+    orders = _read(sf_dir, "orders", ["o_totalprice"])
+
+    def digit(t: pa.Table) -> pa.Table:
+        cc = np.rint(
+            t["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        cc = cc[cc > 0]
+        while True:
+            m = cc >= 10
+            if not m.any():
+                break
+            cc[m] //= 10
+        vals, cnt = np.unique(cc, return_counts=True)
+        return pa.table(
+            {"digit": pa.array(vals), "n": pa.array(cnt.astype(np.int64))}
+        )
+
+    agg = exchange_groupby(
+        orders.map_batches(digit, batch_format="pyarrow"),
+        "digit",
+        {"n": ("n", "sum")},
+    ).to_pandas()
+    total = int(agg["n"].sum())
+    agg["obs_p"] = agg["n"].to_numpy(np.float64) / np.float64(total)
+    d = agg["digit"].to_numpy(np.float64)
+    agg["benford_p"] = np.round(np.log10(1.0 + 1.0 / d), 6)
+    agg["n"] = agg["n"].astype("int64")
+    return agg
+
+
+SQL_ORDERS_BENFORD = """
+WITH t AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cc
+           FROM orders
+           WHERE CAST(round(o_totalprice * 100) AS BIGINT) > 0),
+d AS (SELECT CAST(substr(cc::VARCHAR, 1, 1) AS BIGINT) AS digit FROM t),
+c AS (SELECT digit, count(*)::BIGINT AS n FROM d GROUP BY digit)
+SELECT digit, n,
+       n::DOUBLE / (SELECT sum(n) FROM c) AS obs_p,
+       round(log10(1.0 + 1.0 / digit), 6) AS benford_p
+FROM c
+"""
+
+
+def q_user_retention_cohorts(sf_dir: str):
+    """Cohort retention matrix (a core product-analytics shape, composed
+    from this session's operators): each user's cohort day is the
+    arg-min event date (one exchange), joined back onto the stream with
+    the int-keyed distributed hash_join, then one (cohort_day,
+    active_day)-keyed exchange counts DISTINCT active users per cell via
+    the two-pass distinct-grain trick. All integer days — exact."""
+    from ..agg import exchange_groupby
+    from ..join import hash_join
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def days(t: pa.Table) -> pa.Table:
+        d = (
+            t["ts"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[D]")
+            .astype(np.int64)
+        )
+        return pa.table({"user_id": t["user_id"], "day": pa.array(d)})
+
+    evd = ev.map_batches(days, batch_format="pyarrow")
+    first = exchange_groupby(
+        evd, "user_id", {"cohort_day": ("day", "min")}
+    )
+    joined = hash_join(
+        evd, first, key="user_id", right_cols=["cohort_day"], by_int=True
+    )
+    grain = exchange_groupby(
+        joined,
+        ["cohort_day", "day", "user_id"],
+        {"n": (None, "count")},
+    )
+    cells = exchange_groupby(
+        grain,
+        ["cohort_day", "day"],
+        {"active_users": (None, "count")},
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["days_since"] = (
+            df["day"].astype("int64") - df["cohort_day"].astype("int64")
+        )
+        return df[["cohort_day", "days_since", "active_users"]]
+
+    return cells.map_batches(finish, batch_format="pandas")
+
+
+SQL_USER_RETENTION_COHORTS = """
+WITH d AS (SELECT user_id,
+                  date_diff('day', DATE '1970-01-01', ts::DATE)::BIGINT
+                    AS day
+           FROM events),
+f AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY user_id)
+SELECT f.cohort_day,
+       (d.day - f.cohort_day)::BIGINT AS days_since,
+       count(DISTINCT d.user_id)::BIGINT AS active_users
+FROM d JOIN f ON d.user_id = f.user_id
+GROUP BY 1, 2
+"""
+
+
 SQL_EVENTS_VALUE_MAD = """
 WITH m AS (SELECT percentile_cont(0.5) WITHIN GROUP (ORDER BY value) AS med
            FROM events)
@@ -5810,6 +5924,10 @@ QUERIES = {
     "events_trimmed_mean": (q_events_trimmed_mean, SQL_EVENTS_TRIMMED_MEAN),
     "events_ks_test": (q_events_ks_test, SQL_EVENTS_KS_TEST),
     "events_mwu_test": (q_events_mwu_test, SQL_EVENTS_MWU_TEST),
+    "orders_benford": (q_orders_benford, SQL_ORDERS_BENFORD),
+    "user_retention_cohorts": (
+        q_user_retention_cohorts, SQL_USER_RETENTION_COHORTS,
+    ),
     # -- (2) last driver-gated in round 3 or earlier ----------------------
     "doc_exact_dedup_keep": (q_doc_exact_dedup_keep, SQL_DOC_EXACT_DEDUP_KEEP),
     "doc_dedup_clusters": (q_doc_dedup_clusters, SQL_DOC_DEDUP_CLUSTERS),
