@@ -5849,6 +5849,62 @@ GROUP BY 1, 2
 """
 
 
+def q_doc_readability(sf_dir: str):
+    """Flesch reading-ease per document — all-integer RE2 counts (words
+    \\w+, sentences [.!?]+ runs, syllables as [aeiouy]+ vowel groups;
+    ASCII-corpus precondition shared with QualityScorer) and a fixed-
+    order double formula, so the oracle running the SAME RE2 patterns
+    hashes bit-for-bit. Shuffle-free map."""
+    import pyarrow.compute as pc
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def score(t: pa.Table) -> pa.Table:
+        text = pc.utf8_lower(t["text"])
+        w = pc.cast(
+            pc.count_substring_regex(text, r"\w+"), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        s = pc.cast(
+            pc.count_substring_regex(text, r"[.!?]+"), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        y = pc.cast(
+            pc.count_substring_regex(text, r"[aeiouy]+"), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        wf = np.maximum(w, 1).astype(np.float64)
+        sf = np.maximum(s, 1).astype(np.float64)
+        flesch = (
+            206.835
+            - 1.015 * (wf / sf)
+            - 84.6 * (y.astype(np.float64) / wf)
+        )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_words": pa.array(w),
+                "n_sents": pa.array(s),
+                "n_syll": pa.array(y),
+                "flesch": pa.array(flesch),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow")
+
+
+SQL_DOC_READABILITY = r"""
+WITH c AS (
+  SELECT doc_id,
+    len(regexp_extract_all(lower(text), '\w+'))::BIGINT AS n_words,
+    len(regexp_extract_all(lower(text), '[.!?]+'))::BIGINT AS n_sents,
+    len(regexp_extract_all(lower(text), '[aeiouy]+'))::BIGINT AS n_syll
+  FROM documents)
+SELECT doc_id, n_words, n_sents, n_syll,
+  206.835
+    - 1.015 * (GREATEST(n_words, 1)::DOUBLE / GREATEST(n_sents, 1))
+    - 84.6 * (n_syll::DOUBLE / GREATEST(n_words, 1)) AS flesch
+FROM c
+"""
+
+
 SQL_EVENTS_VALUE_MAD = """
 WITH m AS (SELECT percentile_cont(0.5) WITHIN GROUP (ORDER BY value) AS med
            FROM events)
@@ -5925,6 +5981,7 @@ QUERIES = {
     "events_ks_test": (q_events_ks_test, SQL_EVENTS_KS_TEST),
     "events_mwu_test": (q_events_mwu_test, SQL_EVENTS_MWU_TEST),
     "orders_benford": (q_orders_benford, SQL_ORDERS_BENFORD),
+    "doc_readability": (q_doc_readability, SQL_DOC_READABILITY),
     "user_retention_cohorts": (
         q_user_retention_cohorts, SQL_USER_RETENTION_COHORTS,
     ),
