@@ -449,3 +449,99 @@ def grouped_entropy(
     groups = shard_refs(list(counts.to_arrow_refs()), key, P, by_int=by_int)
     refs = [part.remote(*[g[p] for g in groups]) for p in range(P)]
     return ray.data.from_arrow_refs(refs)
+
+
+def resample_fill_counts(
+    ds,
+    key: str,
+    ts_col: str,
+    unit_us: int = 3_600_000_000,
+    by_int: bool = False,
+    num_partitions: int | None = None,
+):
+    """Time-series gap filling: per key, one row for EVERY bucket between
+    that key's first and last event (``bucket = ts_us // unit_us``,
+    default hourly), with n = 0 where the stream was silent — the
+    row-GENERATING resample a dashboard/feature pipeline needs.
+
+    Scale shape: per-block (key, bucket) count partials collapse through
+    one exchange (the combiner bounds the shuffle at distinct
+    (key, bucket) pairs, never events); a key-hash exchange then
+    co-locates each key's buckets and the fill is one vectorized
+    repeat/arange construction + a C-level merge per partition. Output
+    rows are bounded by Σ per-key spans — the caller owns that bound
+    (a key active for years at second granularity generates years of
+    seconds). Returns (key, bucket, n) with bucket int64.
+    """
+    import ray
+    import ray.data
+
+    from ..agg import exchange_groupby
+    from ..exchange import default_partitions, shard_refs
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        ts = (
+            t[ts_col].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        out = pd.DataFrame(
+            {key: t[key].to_numpy(zero_copy_only=False),
+             "bucket": ts // unit_us}
+        )
+        g = out.groupby([key, "bucket"], sort=False).size().rename("n")
+        return pa.Table.from_pandas(g.reset_index(), preserve_index=False)
+
+    grain = exchange_groupby(
+        ds.map_batches(bucketize, batch_format="pyarrow"),
+        [key, "bucket"],
+        {"n": ("n", "sum")},
+        num_partitions=num_partitions,
+    )
+
+    P = max(2, num_partitions or default_partitions())
+
+    @ray.remote
+    def fill(*shards: pa.Table) -> pa.Table:
+        real = [t for t in shards if t.num_rows]
+        if not real:
+            for t in shards:
+                if t.column_names:
+                    base = t.slice(0, 0).to_pandas()
+                    return pa.Table.from_pandas(
+                        base, preserve_index=False
+                    )
+            return pa.table({})
+        tbl = (
+            pa.concat_tables(real, promote_options="none")
+            if len(real) > 1
+            else real[0]
+        )
+        df = tbl.to_pandas().sort_values([key, "bucket"], kind="stable")
+        k = df[key].to_numpy()
+        b = df["bucket"].to_numpy(np.int64)
+        n = len(df)
+        first = np.zeros(n, dtype=bool)
+        first[0] = True
+        first[1:] = k[1:] != k[:-1]
+        starts = np.flatnonzero(first)
+        ends = np.append(starts[1:], n) - 1
+        h0, h1 = b[starts], b[ends]
+        sizes = h1 - h0 + 1
+        total = int(sizes.sum())
+        offs = np.zeros(len(sizes), dtype=np.int64)
+        offs[1:] = np.cumsum(sizes)[:-1]
+        buckets = (
+            np.arange(total, dtype=np.int64)
+            - np.repeat(offs, sizes)
+            + np.repeat(h0, sizes)
+        )
+        keys_rep = np.repeat(k[starts], sizes)
+        filled = pd.DataFrame({key: keys_rep, "bucket": buckets})
+        out = filled.merge(df, on=[key, "bucket"], how="left")
+        out["n"] = out["n"].fillna(0).astype("int64")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    groups = shard_refs(list(grain.to_arrow_refs()), key, P, by_int=by_int)
+    refs = [fill.remote(*[g[p] for g in groups]) for p in range(P)]
+    return ray.data.from_arrow_refs(refs)

@@ -5905,6 +5905,40 @@ FROM c
 """
 
 
+def q_user_hourly_filled(sf_dir: str):
+    """Time-series gap filling (functions/analytics.resample_fill_counts):
+    per user, one row for EVERY hour between that user's first and last
+    event with n_events = 0 where the stream was silent — per-block
+    (user, hour) count partials through one exchange, then a user-keyed
+    exchange and a vectorized repeat/arange row-generation fill. All
+    integer — exact."""
+    from ..functions.analytics import resample_fill_counts
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+    out = resample_fill_counts(
+        ev, "user_id", "ts", unit_us=3_600_000_000, by_int=True
+    )
+
+    def rename(df: pd.DataFrame) -> pd.DataFrame:
+        return df.rename(columns={"bucket": "hour", "n": "n_events"})
+
+    return out.map_batches(rename, batch_format="pandas")
+
+
+SQL_USER_HOURLY_FILLED = """
+WITH b AS (SELECT user_id,
+                  date_diff('hour', TIMESTAMP '1970-01-01', ts)::BIGINT
+                    AS h
+           FROM events),
+c AS (SELECT user_id, h, count(*)::BIGINT AS n FROM b GROUP BY 1, 2),
+r AS (SELECT user_id, min(h) AS h0, max(h) AS h1 FROM c GROUP BY user_id),
+g AS (SELECT user_id, h0 + i AS h
+      FROM r, unnest(generate_series(0, h1 - h0)) AS s(i))
+SELECT g.user_id, g.h AS hour, COALESCE(c.n, 0)::BIGINT AS n_events
+FROM g LEFT JOIN c ON g.user_id = c.user_id AND g.h = c.h
+"""
+
+
 SQL_EVENTS_VALUE_MAD = """
 WITH m AS (SELECT percentile_cont(0.5) WITHIN GROUP (ORDER BY value) AS med
            FROM events)
@@ -5982,6 +6016,7 @@ QUERIES = {
     "events_mwu_test": (q_events_mwu_test, SQL_EVENTS_MWU_TEST),
     "orders_benford": (q_orders_benford, SQL_ORDERS_BENFORD),
     "doc_readability": (q_doc_readability, SQL_DOC_READABILITY),
+    "user_hourly_filled": (q_user_hourly_filled, SQL_USER_HOURLY_FILLED),
     "user_retention_cohorts": (
         q_user_retention_cohorts, SQL_USER_RETENTION_COHORTS,
     ),

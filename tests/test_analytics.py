@@ -518,3 +518,45 @@ def test_window_functions_composite_partition_key(ray_session):
     assert (got["cs"].to_numpy(np.int64) == want["cs"].to_numpy(np.int64)).all()
     gl, wl = got["lg"].to_numpy(np.float64), want["lg"].to_numpy(np.float64)
     assert ((gl == wl) | (np.isnan(gl) & np.isnan(wl))).all()
+
+
+def test_resample_fill_counts_matches_serial(ray_session):
+    import ray
+
+    from ray_ordered_stream.functions.analytics import resample_fill_counts
+
+    rng = np.random.default_rng(47)
+    n = 800
+    base = pd.Timestamp("2025-03-01")
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 9, n).astype(np.int64),
+            "ts": base
+            + pd.to_timedelta(rng.integers(0, 72, n), unit="h")
+            + pd.to_timedelta(rng.integers(0, 3600, n), unit="s"),
+        }
+    )
+    got = (
+        resample_fill_counts(
+            ray.data.from_pandas(df).repartition(5), "k", "ts", by_int=True
+        )
+        .to_pandas()
+        .sort_values(["k", "bucket"])
+        .reset_index(drop=True)
+    )
+    h = (df["ts"].astype("datetime64[us]").astype(np.int64)
+         // 3_600_000_000)
+    ser = pd.DataFrame({"k": df["k"], "h": h})
+    rows = []
+    for key, sub in ser.groupby("k"):
+        cnt = sub.groupby("h").size()
+        for b in range(int(sub["h"].min()), int(sub["h"].max()) + 1):
+            rows.append((key, b, int(cnt.get(b, 0))))
+    want = pd.DataFrame(rows, columns=["k", "bucket", "n"]).sort_values(
+        ["k", "bucket"]
+    ).reset_index(drop=True)
+    assert len(got) == len(want)
+    for c in ("k", "bucket", "n"):
+        assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+    # gaps exist and carry zeros
+    assert (got["n"] == 0).any()
