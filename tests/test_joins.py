@@ -609,3 +609,58 @@ def test_packed_key_composite_bridge(ray_session):
     assert len(got) == len(want)
     for c in ("a", "b", "v", "id"):
         assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    nl=st.integers(1, 120),
+    nr=st.integers(0, 80),
+    nk=st.integers(1, 6),
+    seed=st.integers(0, 10_000),
+    how=st.sampled_from(["inner", "left", "semi", "anti"]),
+)
+def test_hash_join_composite_property_vs_pandas(
+    ray_session, nl, nr, nk, seed, how
+):
+    import ray
+
+    from ray_ordered_stream.join import hash_join
+
+    rng = np.random.default_rng(seed)
+    L = pd.DataFrame(
+        {
+            "a": rng.integers(0, nk, nl).astype(np.int64),
+            "b": rng.choice(["x", "y"], nl),
+            "lv": np.arange(nl, dtype=np.int64),
+        }
+    )
+    R = pd.DataFrame(
+        {
+            "a": rng.integers(0, nk, max(nr, 0)).astype(np.int64),
+            "b": rng.choice(["x", "y"], max(nr, 0)),
+            "rv": np.arange(max(nr, 0), dtype=np.int64),
+        }
+    )
+    got = hash_join(
+        ray.data.from_pandas(L).repartition(3),
+        ray.data.from_pandas(R).repartition(2),
+        key=["a", "b"],
+        how=how,
+        right_cols=["rv"] if how in ("inner", "left") else None,
+    ).to_pandas()
+    if how in ("inner", "left"):
+        want = L.merge(R, on=["a", "b"], how=how)
+        assert len(got) == len(want)
+        if len(want):  # Ray's to_pandas drops columns on empty results
+            assert sorted(got["lv"].tolist()) == sorted(want["lv"].tolist())
+    else:
+        hit = L.merge(
+            R[["a", "b"]].drop_duplicates(), on=["a", "b"], how="left",
+            indicator=True,
+        )["_merge"].eq("both").to_numpy()
+        want_n = int(hit.sum()) if how == "semi" else int((~hit).sum())
+        assert len(got) == want_n
