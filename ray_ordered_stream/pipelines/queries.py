@@ -5939,6 +5939,55 @@ FROM g LEFT JOIN c ON g.user_id = c.user_id AND g.h = c.h
 """
 
 
+def q_doc_lang_confusion(sf_dir: str):
+    """Language-ID confusion matrix (classifier audit): the LangId RE2
+    heuristic scores every document, then exact (actual, guessed) cell
+    counts ride one tiny exchange with per-cell precision denominators
+    from the same table — integer counts plus one double division per
+    cell."""
+    from ..agg import exchange_groupby
+    from ..functions.textstats import lang_id
+
+    docs = lang_id(_read(sf_dir, "documents", ["doc_id", "text", "lang"]))
+    cells = exchange_groupby(
+        docs, ["lang", "lang_guess"], {"n": (None, "count")}
+    ).to_pandas()
+    tot = cells.groupby("lang_guess")["n"].transform("sum").to_numpy(
+        np.int64
+    )
+    cells["guess_total"] = tot
+    cells["precision"] = cells["n"].to_numpy(np.float64) / tot.astype(
+        np.float64
+    )
+    cells["n"] = cells["n"].astype("int64")
+    cells["guess_total"] = cells["guess_total"].astype("int64")
+    return cells
+
+
+SQL_DOC_LANG_CONFUSION = r"""
+WITH c AS (
+  SELECT lang,
+    length(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|ich|ein|zu|den)\b')) AS de,
+    length(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|that|for|with|was)\b')) AS en,
+    length(regexp_extract_all(lower(text), '\b(el|la|los|las|y|de|que|en|un|una)\b')) AS es,
+    length(regexp_extract_all(lower(text), '\b(le|la|les|et|de|des|un|une|est|dans)\b')) AS fr
+  FROM documents),
+g AS (SELECT lang,
+  CASE WHEN greatest(de, en, es, fr) = 0 THEN 'und'
+       WHEN de >= en AND de >= es AND de >= fr THEN 'de'
+       WHEN en >= es AND en >= fr THEN 'en'
+       WHEN es >= fr THEN 'es'
+       ELSE 'fr' END AS lang_guess
+  FROM c),
+m AS (SELECT lang, lang_guess, count(*)::BIGINT AS n
+      FROM g GROUP BY 1, 2)
+SELECT lang, lang_guess, n,
+       sum(n) OVER (PARTITION BY lang_guess)::BIGINT AS guess_total,
+       n::DOUBLE / sum(n) OVER (PARTITION BY lang_guess) AS precision
+FROM m
+"""
+
+
 SQL_EVENTS_VALUE_MAD = """
 WITH m AS (SELECT percentile_cont(0.5) WITHIN GROUP (ORDER BY value) AS med
            FROM events)
@@ -6017,6 +6066,7 @@ QUERIES = {
     "orders_benford": (q_orders_benford, SQL_ORDERS_BENFORD),
     "doc_readability": (q_doc_readability, SQL_DOC_READABILITY),
     "user_hourly_filled": (q_user_hourly_filled, SQL_USER_HOURLY_FILLED),
+    "doc_lang_confusion": (q_doc_lang_confusion, SQL_DOC_LANG_CONFUSION),
     "user_retention_cohorts": (
         q_user_retention_cohorts, SQL_USER_RETENTION_COHORTS,
     ),
