@@ -5988,6 +5988,83 @@ FROM m
 """
 
 
+def q_lang_top_tokens(sf_dir: str):
+    """Per-language top-5 vocabulary: per-block (lang, token) count
+    partials (the corpus tokenizes once, only distinct combinations
+    shuffle), one exchange, then the shared window machinery ranks each
+    language's vocabulary by (n DESC, token ASC) — no global sort."""
+    import pyarrow.compute as pc
+
+    from ..agg import exchange_groupby
+    from ..functions.analytics import window_functions
+
+    docs = _read(sf_dir, "documents", ["lang", "text"])
+
+    def part(t: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(t["text"])
+        words = pc.utf8_split_whitespace(
+            pc.replace_substring_regex(low, r"\W+", " ")
+        )
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        counts = (
+            pc.list_value_length(words)
+            .fill_null(0)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        flat = words.flatten()
+        nz = pc.greater(pc.utf8_length(flat), 0).to_numpy(
+            zero_copy_only=False
+        )
+        langs = np.repeat(
+            t["lang"].to_numpy(zero_copy_only=False), counts
+        )[nz]
+        toks = flat.filter(pa.array(nz))
+        df = pd.DataFrame({"lang": langs, "token": toks.to_pandas()})
+        g = df.groupby(["lang", "token"], sort=False).size().rename("n")
+        return pa.Table.from_pandas(g.reset_index(), preserve_index=False)
+
+    counts = exchange_groupby(
+        docs.map_batches(part, batch_format="pyarrow"),
+        ["lang", "token"],
+        {"n": ("n", "sum")},
+    )
+
+    def negn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_negn"] = -df["n"].astype("int64")
+        return df
+
+    ranked = window_functions(
+        counts.map_batches(negn, batch_format="pandas"),
+        "lang",
+        ["_negn", "token"],
+        {"rnk": ("row_number",)},
+    )
+
+    def head(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["rnk"] <= 5]
+        return df[["lang", "token", "n", "rnk"]].astype(
+            {"n": "int64", "rnk": "int64"}
+        )
+
+    return ranked.map_batches(head, batch_format="pandas")
+
+
+SQL_LANG_TOP_TOKENS = r"""
+WITH t AS (SELECT lang, unnest(regexp_extract_all(lower(text), '\w+'))
+             AS token
+           FROM documents),
+c AS (SELECT lang, token, count(*)::BIGINT AS n FROM t GROUP BY 1, 2),
+r AS (SELECT lang, token, n,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY n DESC, token)::BIGINT AS rnk
+      FROM c)
+SELECT lang, token, n, rnk FROM r WHERE rnk <= 5
+"""
+
+
 SQL_EVENTS_VALUE_MAD = """
 WITH m AS (SELECT percentile_cont(0.5) WITHIN GROUP (ORDER BY value) AS med
            FROM events)
@@ -6067,6 +6144,7 @@ QUERIES = {
     "doc_readability": (q_doc_readability, SQL_DOC_READABILITY),
     "user_hourly_filled": (q_user_hourly_filled, SQL_USER_HOURLY_FILLED),
     "doc_lang_confusion": (q_doc_lang_confusion, SQL_DOC_LANG_CONFUSION),
+    "lang_top_tokens": (q_lang_top_tokens, SQL_LANG_TOP_TOKENS),
     "user_retention_cohorts": (
         q_user_retention_cohorts, SQL_USER_RETENTION_COHORTS,
     ),
